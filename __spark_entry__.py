@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke at sf0.001.
+``queries()``    — one entry per implemented operator (SURVEY §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only
+                   for genuinely non-SQL-expressible ops; those get the
+                   weaker rows-only check).
+
+Column names are aliased identically on both sides; float outputs are
+rounded to 6 decimals on both sides so the order-insensitive value
+hash is deterministic across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +16,317 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.functions.indexing import with_global_index
+from data_integration_and_harmonization_spark.operators import clean as C
+from data_integration_and_harmonization_spark.operators import eda as E
+from data_integration_and_harmonization_spark.operators import features as FE
+from data_integration_and_harmonization_spark.operators import harmonize as H
+from data_integration_and_harmonization_spark.operators import profile as P
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+LINEITEM_NUM = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+def _messy_sources(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Two heterogenous sources with pre-normalization column names —
+    exercises P1 (lower/underscore) + U1 (outer union by name)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("Cust Key"),
+        F.col("c_name").alias("Name"),
+        F.col("c_nationkey").alias("Nation Key"),
+        F.col("c_acctbal").alias("Acct Bal"),
+        F.col("c_mktsegment").alias("Mktsegment"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("Supp Key"),
+        F.col("s_name").alias("Name"),
+        F.col("s_nationkey").alias("Nation Key"),
+        F.col("s_acctbal").alias("Acct Bal"),
+    )
+    return [cust, supp]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: harmonize two messy sources, run the full cleaning
+    pipeline (coerce -> inf fold -> interpolate -> drop dead cols),
+    profile the result. The reference's EP1 flow end-to-end."""
+    union = H.harmonize(_messy_sources(spark, SF_SMOKE), add_ingest_index=True)
+    processed = C.process_data(union.drop(H.INGEST_SOURCE), order_col=H.INGEST_INDEX)
+    return P.describe_numeric(processed.drop(H.INGEST_INDEX))
+
+
+# ---------------------------------------------------------------- queries
+
+def q_harmonize_union(spark: SparkSession, sf: str) -> DataFrame:
+    return H.harmonize(_messy_sources(spark, sf))
+
+
+def q_clean_coerce(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    mixed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, F.lit("not-a-number"))
+        .when(F.col("l_linenumber") == 2, F.lit("Infinity"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("qty_str"),
+    )
+    out = C.inf_nan_to_null(C.coerce_numeric(mixed, ["qty_str"]))
+    return out.select("l_orderkey", "l_linenumber", F.col("qty_str").alias("qty_clean"))
+
+
+# Unique composite ordering key for order-sensitive ops (verified: no
+# duplicates in the test tables at any sf).
+_ORDER_KEY = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
+
+
+def _masked_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(*_ORDER_KEY)
+    li = with_global_index(li, _ORDER_KEY, index_col="pos")
+    return li.withColumn(
+        "v",
+        F.when((F.col("pos") % 7).isin(0, 3), F.lit(None).cast("double")).otherwise(
+            F.col("l_extendedprice")
+        ),
+    )
+
+
+def q_clean_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    out = C.interpolate_linear(_masked_lineitem(spark, sf), "pos", ["v"])
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", F.round("v", 6).alias("v_interp")
+    )
+
+
+def q_clean_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    out = C.ffill(_masked_lineitem(spark, sf), "pos", ["v"])
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", F.round("v", 6).alias("v_fill")
+    )
+
+
+def q_clean_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    cust = with_global_index(cust, ["c_custkey"], index_col=H.INGEST_INDEX)
+    out = C.process_data(cust, order_col=H.INGEST_INDEX)
+    return out.drop(H.INGEST_INDEX)
+
+
+def q_describe_numeric(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    d = P.describe_numeric(li, LINEITEM_NUM)
+    return d.select(
+        F.col("column").alias("col_name"),
+        "count",
+        *[F.round(c, 6).alias(c) for c in ["mean", "std", "min", "p25", "p50", "p75", "max"]],
+    )
+
+
+def q_describe_object(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    d = P.describe_object(cust, ["c_name", "c_mktsegment"])
+    return d.select(
+        F.col("column").alias("col_name"),
+        F.col("count").alias("n_count"),
+        F.col("unique").alias("n_unique"),
+        "top",
+        "freq",
+    )
+
+
+def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cm = P.corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return cm.select("col_x", "col_y", F.round("corr", 6).alias("pearson_r"))
+
+
+def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    z = FE.zscore(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return z.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 6).alias("z_qty"),
+        F.round("l_extendedprice", 6).alias("z_price"),
+        F.round("l_discount", 6).alias("z_disc"),
+    )
+
+
+def q_feat_label_map(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return FE.label_encode_fit(cust, "c_mktsegment")
+
+
+def q_feat_label_encode(spark: SparkSession, sf: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_mktsegment")
+    enc, _ = FE.label_encode(cust, ["c_mktsegment"])
+    return enc.select("c_custkey", F.col("c_mktsegment").alias("segment_code"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "harmonize_union": q_harmonize_union,
+        "clean_coerce": q_clean_coerce,
+        "clean_interpolate": q_clean_interpolate,
+        "clean_ffill": q_clean_ffill,
+        "clean_cascade": q_clean_cascade,
+        "describe_numeric": q_describe_numeric,
+        "describe_object": q_describe_object,
+        "corr_matrix": q_corr_matrix,
+        "feat_zscore": q_feat_zscore,
+        "feat_label_map": q_feat_label_map,
+        "feat_label_encode": q_feat_label_encode,
+    }
+    q.update(E.eda_queries())
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_MASKED_CTE = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         row_number() OVER (
+           ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+         ) - 1 AS pos,
+         l_extendedprice
+  FROM lineitem
+), m AS (
+  SELECT *, CASE WHEN pos % 7 IN (0, 3) THEN NULL ELSE l_extendedprice END AS v FROM base
+), w AS (
+  SELECT *,
+    last_value(v IGNORE NULLS) OVER fwd AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN CAST(pos AS DOUBLE) END IGNORE NULLS) OVER fwd AS pp,
+    first_value(v IGNORE NULLS) OVER bwd AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN CAST(pos AS DOUBLE) END IGNORE NULLS) OVER bwd AS np
+  FROM m
+  WINDOW
+    fwd AS (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    bwd AS (ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+"""
+
+
+def _describe_numeric_oracle() -> str:
+    parts = []
+    for c in LINEITEM_NUM:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+  count({c})::BIGINT AS count,
+  round(avg({c}), 6) AS mean,
+  round(stddev_samp({c}), 6) AS std,
+  round(min({c})::DOUBLE, 6) AS min,
+  round(quantile_cont({c}::DOUBLE, 0.25), 6) AS p25,
+  round(quantile_cont({c}::DOUBLE, 0.5), 6) AS p50,
+  round(quantile_cont({c}::DOUBLE, 0.75), 6) AS p75,
+  round(max({c})::DOUBLE, 6) AS max
+FROM lineitem"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _describe_object_oracle() -> str:
+    parts = []
+    for c in ["c_name", "c_mktsegment"]:
+        parts.append(
+            f"""SELECT '{c}' AS col_name, n_count, n_unique, top, freq FROM (
+  SELECT sum(n)::BIGINT AS n_count, count(*)::BIGINT AS n_unique,
+         max(CASE WHEN rn = 1 THEN value END) AS top,
+         max(CASE WHEN rn = 1 THEN n END)::BIGINT AS freq
+  FROM (
+    SELECT value, n, row_number() OVER (ORDER BY n DESC, value) AS rn
+    FROM (SELECT {c} AS value, count(*) AS n FROM customer WHERE {c} IS NOT NULL GROUP BY 1)
+  )
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _corr_matrix_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for i, ci in enumerate(cols):
+        for cj in cols[i:]:
+            parts.append(
+                f"SELECT '{ci}' AS col_x, '{cj}' AS col_y, "
+                f"round(corr({ci}, {cj}), 6) AS pearson_r FROM lineitem"
+            )
+    return "\nUNION ALL\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "harmonize_union": """
+SELECT c_custkey AS cust_key, c_name AS name, c_nationkey AS nation_key,
+       c_acctbal AS acct_bal, c_mktsegment AS mktsegment,
+       CAST(NULL AS BIGINT) AS supp_key
+FROM customer
+UNION ALL
+SELECT CAST(NULL AS BIGINT), s_name, s_nationkey, s_acctbal,
+       CAST(NULL AS VARCHAR), s_suppkey
+FROM supplier
+""",
+        "clean_coerce": """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_linenumber = 1 THEN NULL
+       WHEN l_linenumber = 2 THEN NULL
+       ELSE TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+  END AS qty_clean
+FROM lineitem
+""",
+        "clean_interpolate": _MASKED_CTE
+        + """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+  round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (CAST(pos AS DOUBLE) - pp) / (np - pp)
+             ELSE coalesce(pv, nv) END, 6) AS v_interp
+FROM w
+""",
+        "clean_ffill": _MASKED_CTE
+        + """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+  round(CASE WHEN v IS NOT NULL THEN v ELSE pv END, 6) AS v_fill
+FROM w
+""",
+        "clean_cascade": """
+SELECT CAST(c_custkey AS DOUBLE) AS c_custkey,
+       CAST(c_nationkey AS DOUBLE) AS c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+""",
+        "describe_numeric": _describe_numeric_oracle(),
+        "describe_object": _describe_object_oracle(),
+        "corr_matrix": _corr_matrix_oracle(),
+        "feat_zscore": """
+SELECT l_orderkey, l_linenumber,
+  round((l_quantity - avg(l_quantity) OVER ()) / stddev_pop(l_quantity) OVER (), 6) AS z_qty,
+  round((l_extendedprice - avg(l_extendedprice) OVER ()) / stddev_pop(l_extendedprice) OVER (), 6) AS z_price,
+  round((l_discount - avg(l_discount) OVER ()) / stddev_pop(l_discount) OVER (), 6) AS z_disc
+FROM lineitem
+""",
+        "feat_label_map": """
+SELECT value, (row_number() OVER (ORDER BY value) - 1)::BIGINT AS code
+FROM (SELECT DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), 'nan') AS value FROM customer)
+""",
+        "feat_label_encode": """
+SELECT c_custkey, (dense_rank() OVER (ORDER BY coalesce(CAST(c_mktsegment AS VARCHAR), 'nan')) - 1)::BIGINT AS segment_code
+FROM customer
+""",
+    }
+    o.update(E.eda_oracles())
+    return o

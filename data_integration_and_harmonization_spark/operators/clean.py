@@ -1,0 +1,279 @@
+"""Cleaning pipeline (reference ``process_data``, ref:26-33).
+
+C1 lossy numeric coercion     (ref:27-28)  -> try_cast to double
+C2 +/-inf (and NaN) -> null   (ref:29)     -> when/otherwise fold
+C3 linear interpolation       (ref:30)     -> distributed window repair
+C4 forward fill               (ref:31)     -> distributed window repair
+C5 drop all-null columns      (ref:32)     -> single agg pass + drop
+
+Scale design for C3/C4 (SURVEY §4): pandas defines both over ONE
+global row order. A naive ``Window.orderBy(idx)`` with no partitioning
+collapses to a single task — correct, but serial. The engine instead
+range-partitions on the order column, repairs each partition locally
+with per-partition windows, and fixes partition edges with a tiny
+boundary-exchange table (one row per partition, collected and
+broadcast back). Every stage stays parallel; the only global data
+movement is the range shuffle it genuinely needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PID = "__dih_pid"
+
+
+def numeric_cols(df: DataFrame) -> list[str]:
+    """P3: names of numeric columns (``select_dtypes(np.number)``)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)]
+
+
+def string_cols(df: DataFrame) -> list[str]:
+    """P2: names of string columns (``select_dtypes('object')``)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+def coerce_numeric(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """C1 (ref:27-28): every string column -> ``try_cast(double)``.
+
+    Parseable strings become doubles, everything else null — matching
+    ``pd.to_numeric(errors='coerce')``. A pure-categorical column
+    becomes all-null and is then dropped by :func:`drop_all_null_cols`,
+    replicating the reference's (surprising but faithful)
+    coerce-and-drop cascade. Use ``strict`` pipelines (skip this op)
+    to keep strings instead.
+    """
+    targets = set(cols if cols is not None else string_cols(df))
+    return df.select(
+        *[
+            F.col(c).try_cast("double").alias(c) if c in targets else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def inf_nan_to_null(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """C2 (ref:29): fold +/-inf AND NaN to null on float/double columns.
+
+    The reference maps inf->NaN; Spark distinguishes NaN from null, and
+    null is what ``ignorenulls`` window semantics and ``corr``/``avg``
+    aggregates skip — so the engine normalizes both to null at this
+    boundary (SURVEY §1).
+    """
+    floaty = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
+    targets = floaty if cols is None else (floaty & set(cols))
+    inf = float("inf")
+
+    def fold(c: str):
+        col = F.col(c)
+        return (
+            F.when(F.isnan(col) | (col == inf) | (col == -inf), F.lit(None)).otherwise(col).alias(c)
+        )
+
+    return df.select(*[fold(c) if c in targets else F.col(c) for c in df.columns])
+
+
+def drop_all_null_cols(df: DataFrame) -> DataFrame:
+    """C5 (ref:32): drop columns whose every value is null.
+
+    One aggregation pass counting non-nulls for ALL columns at once
+    (map-side combinable), then a driver-side drop decision — never a
+    per-column job.
+    """
+    if not df.columns:
+        return df
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in df.columns]
+    ).first()
+    dead = [c for c in df.columns if counts[c] == 0]
+    return df.drop(*dead) if dead else df
+
+
+def _valid(c: str, dtype: T.DataType):
+    col = F.col(c)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return col.isNotNull() & ~F.isnan(col)
+    return col.isNotNull()
+
+
+def _repair_plan(
+    df: DataFrame,
+    order_col: str,
+    cols: Sequence[str],
+    num_partitions: int | None,
+    need_next: bool,
+):
+    """Shared machinery for interpolate/ffill: range-partition on the
+    order column, add per-partition prev/next valid anchors via local
+    windows, then broadcast-join cross-partition carry anchors from a
+    one-row-per-partition boundary table."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+
+    part = df.repartitionByRange(n, F.col(order_col)).withColumn(PID, F.spark_partition_id())
+    fwd = Window.partitionBy(PID).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    bwd = (
+        Window.partitionBy(PID)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    proj = [part[c] for c in part.columns]
+    for c in cols:
+        v = _valid(c, dtypes[c])
+        val = F.when(v, F.col(c).cast("double"))
+        pos = F.when(v, F.col(order_col).cast("double"))
+        proj += [
+            F.last(val, ignorenulls=True).over(fwd).alias(f"__pv_{c}"),
+            F.last(pos, ignorenulls=True).over(fwd).alias(f"__pp_{c}"),
+        ]
+        if need_next:
+            proj += [
+                F.last(val, ignorenulls=True).over(bwd).alias(f"__nv_{c}"),
+                F.last(pos, ignorenulls=True).over(bwd).alias(f"__np_{c}"),
+            ]
+    part = part.select(*proj)
+    # Pin one physical partitioning: repartitionByRange re-samples range
+    # boundaries per job, and the edge-collect below plus the caller's
+    # final action must see the SAME partitions.
+    part = part.persist()
+
+    # Boundary exchange: per partition, (first, last) valid (pos, value)
+    # per column. max/min over a struct ordered by pos. Tiny result —
+    # one row per partition — safe to collect at any cluster size.
+    aggs = []
+    for c in cols:
+        v = _valid(c, dtypes[c])
+        anchored = F.when(v, F.struct(F.col(order_col).cast("double").alias("p"), F.col(c).cast("double").alias("v")))
+        aggs += [F.max(anchored).alias(f"last_{c}"), F.min(anchored).alias(f"first_{c}")]
+    edges = {r[PID]: r for r in part.groupBy(PID).agg(*aggs).collect()}
+
+    pids = sorted(edges)
+    carry_rows = []
+    for i, pid in enumerate(pids):
+        row: list = [int(pid)]
+        for c in cols:
+            prev = next_ = None
+            for q in reversed(pids[:i]):
+                if edges[q][f"last_{c}"] is not None:
+                    prev = edges[q][f"last_{c}"]
+                    break
+            if need_next:
+                for q in pids[i + 1 :]:
+                    if edges[q][f"first_{c}"] is not None:
+                        next_ = edges[q][f"first_{c}"]
+                        break
+            row += [
+                float(prev["p"]) if prev else None,
+                float(prev["v"]) if prev else None,
+            ]
+            if need_next:
+                row += [
+                    float(next_["p"]) if next_ else None,
+                    float(next_["v"]) if next_ else None,
+                ]
+        carry_rows.append(tuple(row))
+
+    fields = [f"{PID} int"]
+    for c in cols:
+        fields += [f"__cpp_{c} double", f"__cpv_{c} double"]
+        if need_next:
+            fields += [f"__cnp_{c} double", f"__cnv_{c} double"]
+    carry = spark.createDataFrame(carry_rows, ", ".join(fields))
+    return part.join(F.broadcast(carry), PID), dtypes
+
+
+def ffill(
+    df: DataFrame,
+    order_col: str,
+    cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """C4 (ref:31): forward fill over the global ``order_col`` order.
+
+    Nulls take the last prior valid value; leading nulls stay null
+    (pandas ``ffill`` semantics). Distributed via boundary exchange.
+    """
+    cols = list(cols if cols is not None else numeric_cols(df))
+    joined, dtypes = _repair_plan(df, order_col, cols, num_partitions, need_next=False)
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            prev_v = F.coalesce(F.col(f"__pv_{c}"), F.col(f"__cpv_{c}"))
+            filled = F.when(_valid(c, dtypes[c]), F.col(c).cast("double")).otherwise(prev_v)
+            out_cols.append(filled.alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    order_col: str,
+    cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """C3 (ref:30): pandas ``interpolate(method='linear',
+    limit_direction='both')`` over the global ``order_col`` order.
+
+    - interior null runs: positional linear interpolation between the
+      nearest valid neighbors (weights from ``order_col`` spacing — use
+      a contiguous index for exact pandas parity, pandas treats rows as
+      equally spaced);
+    - leading/trailing nulls: clamped to the first/last valid value
+      (verified pandas behavior — no extrapolation).
+
+    Fully parallel: per-partition windows + broadcast boundary anchors.
+    """
+    cols = list(cols if cols is not None else numeric_cols(df))
+    joined, dtypes = _repair_plan(df, order_col, cols, num_partitions, need_next=True)
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            pv = F.coalesce(F.col(f"__pv_{c}"), F.col(f"__cpv_{c}"))
+            pp = F.coalesce(F.col(f"__pp_{c}"), F.col(f"__cpp_{c}"))
+            nv = F.coalesce(F.col(f"__nv_{c}"), F.col(f"__cnv_{c}"))
+            np_ = F.coalesce(F.col(f"__np_{c}"), F.col(f"__cnp_{c}"))
+            pos = F.col(order_col).cast("double")
+            interp = pv + (nv - pv) * (pos - pp) / (np_ - pp)
+            repaired = (
+                F.when(_valid(c, dtypes[c]), F.col(c).cast("double"))
+                .when(pv.isNotNull() & nv.isNotNull(), interp)
+                .otherwise(F.coalesce(pv, nv))
+            )
+            out_cols.append(repaired.alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def process_data(
+    df: DataFrame,
+    order_col: str,
+    coerce: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The full ref:26-33 pipeline as one lazy plan: coerce -> inf/nan
+    fold -> interpolate -> ffill -> drop dead columns. ``coerce=False``
+    is strict mode (string columns survive). Summary statistics (ref:33)
+    live in :mod:`..operators.profile` as an explicit separate action.
+    """
+    out = coerce_numeric(df) if coerce else df
+    out = inf_nan_to_null(out)
+    repair = [c for c in numeric_cols(out) if c != order_col]
+    out = interpolate_linear(out, order_col, repair, num_partitions)
+    # ref:31's ffill is provably a no-op after both-direction
+    # interpolation (any column with >=1 valid value is fully repaired;
+    # all-null columns are un-fillable and dropped next), so the
+    # pipeline skips its extra shuffle. ffill() remains available as a
+    # standalone operator with exact pandas semantics.
+    return drop_all_null_cols(out)

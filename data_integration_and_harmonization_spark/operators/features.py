@@ -1,0 +1,111 @@
+"""Feature engineering (reference ``preprocess_data``, ref:36-52).
+
+F1 z-score standardization (ref:41-43): sklearn ``StandardScaler`` =
+   (x - mean) / population std (ddof=0). Spark gotcha pinned here:
+   ``F.stddev`` is the SAMPLE std and ``ml.feature.StandardScaler``
+   also uses it — to match sklearn we must aggregate ``stddev_pop``.
+
+F2 label encoding (ref:46-51): sklearn ``LabelEncoder`` = codes
+   0..k-1 over LEXICOGRAPHICALLY sorted distinct stringified values.
+   Implemented as the pure-DataFrame parity path
+   (distinct -> sort -> row_number-1 -> broadcast join), which is also
+   the scalable path: the label map is tiny (k distinct values), the
+   join is broadcast, the big side never shuffles.
+
+Both are classic fit/transform splits: the "fit" statistics (one
+mean/std row; a k-row label map) are small DataFrames broadcast back
+into the transform plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.operators.clean import numeric_cols, string_cols
+
+NULL_TOKEN = "nan"  # ref:50 stringifies before encoding: NaN -> "nan"
+
+
+def zscore_fit(df: DataFrame, cols: Sequence[str] | None = None) -> dict[str, tuple[float, float]]:
+    """One agg pass over all columns: {col: (mean, stddev_pop)}."""
+    cols = list(cols if cols is not None else numeric_cols(df))
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [F.avg(col).alias(f"m_{c}"), F.stddev_pop(col).alias(f"s_{c}")]
+    row = df.agg(*aggs).first()
+    return {c: (row[f"m_{c}"], row[f"s_{c}"]) for c in cols}
+
+
+def zscore_transform(df: DataFrame, stats: dict[str, tuple[float, float]]) -> DataFrame:
+    """(x - mean) / pop_std per column; zero-variance columns are
+    centered only (sklearn sets scale_=1.0 when var==0)."""
+    out = []
+    for c in df.columns:
+        if c in stats:
+            m, s = stats[c]
+            denom = s if (s is not None and s > 0.0) else 1.0
+            out.append(((F.col(c).cast("double") - F.lit(m)) / F.lit(denom)).alias(c))
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
+def zscore(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """F1 end-to-end: fit + transform (ref:41-43)."""
+    return zscore_transform(df, zscore_fit(df, cols))
+
+
+def label_encode_fit(df: DataFrame, col: str) -> DataFrame:
+    """Build the label map for one column: (value, code) with codes
+    0..k-1 over sorted distinct stringified values — sklearn
+    ``LabelEncoder`` semantics (np.unique sort order; nulls stringify
+    to "nan" per ref:50's ``astype(str)``).
+
+    The ``row_number`` window runs over the DISTINCT value set (k rows,
+    not n) — a single small sorted partition, which is fine because k
+    is by construction bounded for categorical columns.
+    """
+    vals = (
+        df.select(F.coalesce(F.col(col).cast("string"), F.lit(NULL_TOKEN)).alias("value"))
+        .distinct()
+    )
+    w = Window.orderBy("value")
+    return vals.withColumn("code", (F.row_number().over(w) - 1).cast("long"))
+
+
+def label_encode(df: DataFrame, cols: Sequence[str] | None = None) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """F2 (ref:46-51): encode every string column via a broadcast join
+    against its label map. Returns (encoded df, {col: label_map}) — the
+    maps are the engine's analog of the reference's ``label_encoders``
+    dict (they support inverse transform by joining code -> value).
+    """
+    cols = list(cols if cols is not None else string_cols(df))
+    encoders: dict[str, DataFrame] = {}
+    out = df
+    for c in cols:
+        mapping = label_encode_fit(df, c)
+        encoders[c] = mapping
+        key = F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN))
+        out = (
+            out.withColumn("__dih_key", key)
+            .join(
+                F.broadcast(mapping.withColumnRenamed("value", "__dih_key").withColumnRenamed("code", f"__dih_code_{c}")),
+                "__dih_key",
+                "left",
+            )
+            .drop("__dih_key")
+        )
+    proj = [
+        (F.col(f"__dih_code_{c}").alias(c) if c in cols else F.col(c)) for c in df.columns
+    ]
+    return out.select(*proj), encoders
+
+
+def preprocess_data(df: DataFrame) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """The full ref:36-52 pipeline: scale numerics, encode strings."""
+    scaled = zscore(df)
+    return label_encode(scaled)

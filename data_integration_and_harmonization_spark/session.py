@@ -1,0 +1,63 @@
+"""SparkSession builder with engine defaults.
+
+Defaults chosen for the engine's workload (wide aggs, unions, window
+repair ops, LSH joins) and tuned to survive scale-up:
+
+- AQE on (runtime coalesce + skew-join splitting) — at 100 TB the
+  static shuffle-partition guess is always wrong somewhere.
+- ``spark.sql.ansi.enabled=false``: the reference's semantics are
+  pandas-style *coercing* (bad string -> null, div/0 -> inf/NaN,
+  see ``ref:27-29``); ANSI mode would raise instead. Coercion ops
+  additionally use ``try_cast`` explicitly so they stay correct if a
+  caller flips ANSI back on.
+- Arrow enabled for any pandas interchange / Pandas UDF path.
+- Session timezone pinned to UTC so timestamp bucketing (events
+  windows) is deterministic across engines and machines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "data_integration_and_harmonization_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster, pass ``master=None`` and let spark-submit /
+    the cluster manager supply the master; locally defaults to
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

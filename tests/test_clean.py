@@ -1,0 +1,88 @@
+"""C1-C5 semantics pinned against verified pandas 2.2.2 behavior
+(SURVEY §2.4): interpolation boundary clamp, coerce-and-drop cascade,
+ffill leading-null behavior."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.operators import clean as C
+
+
+def _seq_df(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, v double"
+    )
+
+
+def _vals(df, col="v"):
+    return [r[col] for r in sorted(df.collect(), key=lambda r: r["pos"])]
+
+
+def test_interpolate_matches_pandas_pin(spark):
+    # verified pandas: [nan,nan,2,nan,6,nan] -> [2,2,2,4,6,6]
+    df = _seq_df(spark, [None, None, 2.0, None, 6.0, None])
+    out = C.interpolate_linear(df, "pos", ["v"], num_partitions=3)
+    assert _vals(out) == [2.0, 2.0, 2.0, 4.0, 6.0, 6.0]
+
+
+def test_interpolate_interior_run(spark):
+    df = _seq_df(spark, [1.0, None, None, None, 5.0])
+    out = C.interpolate_linear(df, "pos", ["v"], num_partitions=2)
+    assert _vals(out) == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_interpolate_partition_count_invariance(spark):
+    vals = [None, 3.0, None, None, 9.0, None, 1.0, None]
+    expect = _vals(C.interpolate_linear(_seq_df(spark, vals), "pos", ["v"], num_partitions=1))
+    for n in (2, 4, 8):
+        got = _vals(C.interpolate_linear(_seq_df(spark, vals), "pos", ["v"], num_partitions=n))
+        assert got == expect, f"partitions={n}"
+
+
+def test_interpolate_all_null_stays_null(spark):
+    df = _seq_df(spark, [None, None, None])
+    out = C.interpolate_linear(df, "pos", ["v"], num_partitions=2)
+    assert _vals(out) == [None, None, None]
+
+
+def test_ffill_leading_nulls_stay(spark):
+    df = _seq_df(spark, [None, 1.0, None, None, 4.0, None])
+    out = C.ffill(df, "pos", ["v"], num_partitions=3)
+    assert _vals(out) == [None, 1.0, 1.0, 1.0, 4.0, 4.0]
+
+
+def test_coerce_numeric_cascade(spark):
+    df = spark.createDataFrame(
+        [("1.5", "pure"), ("x", "text"), ("2", "only")], "mixed string, cat string"
+    )
+    out = C.coerce_numeric(df)
+    got = {r["mixed"] for r in out.collect()}
+    assert got == {1.5, None, 2.0}
+    dead = C.drop_all_null_cols(out)
+    assert dead.columns == ["mixed"]  # pure-categorical column dropped
+
+
+def test_inf_nan_to_null(spark):
+    df = spark.createDataFrame(
+        [(float("inf"),), (float("-inf"),), (float("nan"),), (1.0,)], "v double"
+    )
+    out = C.inf_nan_to_null(df)
+    vals = [r["v"] for r in out.collect()]
+    assert vals.count(None) == 3 and 1.0 in vals
+    assert not any(v is not None and math.isnan(v) for v in vals)
+
+
+def test_process_data_end_to_end(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    from data_integration_and_harmonization_spark.functions.indexing import with_global_index
+
+    cust = with_global_index(cust, ["c_custkey"], index_col="idx")
+    out = C.process_data(cust, order_col="idx")
+    assert set(out.columns) == {"c_custkey", "c_nationkey", "c_acctbal", "idx"}
+    assert out.count() == cust.count()
+    # no nulls survive
+    nn = out.select([F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in out.columns]).first()
+    assert all(nn[c] == 0 for c in out.columns)

@@ -1,0 +1,63 @@
+"""F1/F2 + C6/A6 parity pins (sklearn ddof=0 scaling, alphabetical
+label codes, pairwise-complete correlation)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.operators import features as FE
+from data_integration_and_harmonization_spark.operators import profile as P
+
+
+def test_zscore_population_std(spark):
+    # sklearn StandardScaler: (x - mean) / pop_std; [1,2,3,4] ->
+    # mean 2.5, pop std sqrt(1.25)
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    out = FE.zscore(df, ["v"])
+    vals = sorted(r["v"] for r in out.collect())
+    s = math.sqrt(1.25)
+    expect = [(x - 2.5) / s for x in [1.0, 2.0, 3.0, 4.0]]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(vals, expect))
+
+
+def test_zscore_zero_variance_centers_only(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    out = FE.zscore(df, ["v"])
+    assert [r["v"] for r in out.collect()] == [0.0, 0.0]
+
+
+def test_label_encode_alphabetical_codes(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",), (None,)], "v string")
+    enc, maps = FE.label_encode(df, ["v"])
+    mapping = {r["value"]: r["code"] for r in maps["v"].collect()}
+    # nulls stringify to "nan" (ref:50 astype(str)); sorted: a,b,c,nan
+    assert mapping == {"a": 0, "b": 1, "c": 2, "nan": 3}
+    assert sorted(r["v"] for r in enc.collect()) == [0, 0, 1, 2, 3]
+
+
+def test_corr_pairwise_complete(spark):
+    # a null in y must not exclude the row from (x,x) or x stats
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, None), (3.0, 6.0), (4.0, 8.0)], "x double, y double"
+    )
+    out = {(r["col_x"], r["col_y"]): r["corr"] for r in P.corr_matrix(df).collect()}
+    assert abs(out[("x", "x")] - 1.0) < 1e-12
+    # (x,y) over the 3 complete pairs is exactly 1 (y = 2x there)
+    assert abs(out[("x", "y")] - 1.0) < 1e-12
+
+
+def test_describe_numeric_quantile_interpolation(spark):
+    # pandas/np linear interpolation: [1,2,3,4] p25 = 1.75
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    row = P.describe_numeric(df, ["v"]).first()
+    assert abs(row["p25"] - 1.75) < 1e-12
+    assert abs(row["std"] - 1.2909944487358056) < 1e-12  # sample std ddof=1
+
+
+def test_describe_object_top_freq(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("b",), ("c",), (None,)], "v string")
+    row = P.describe_object(df, ["v"]).first()
+    assert row["count"] == 4 and row["unique"] == 3
+    assert row["top"] == "b" and row["freq"] == 2

@@ -1,0 +1,51 @@
+"""P1/U1 semantics (ref:20-23), pinned against verified pandas behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from data_integration_and_harmonization_spark.operators import harmonize as H
+
+
+def test_normalize_columns_dedupes(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["A b", "a B", "c"])
+    out = H.normalize_columns(df)
+    assert out.columns == ["a_b", "a_b__2", "c"]
+
+
+def test_union_by_name_fills_missing_with_null(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "s"])
+    b = spark.createDataFrame([(2.5,)], ["K"])
+    out = H.harmonize([a, b])
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    # k: int + double -> double (pandas upcast)
+    assert dict(out.dtypes)["k"] == "double"
+    assert rows[0]["k"] == 1.0 and rows[0]["s"] == "x"
+    assert rows[1]["k"] == 2.5 and rows[1]["s"] is None
+
+
+def test_type_promotion_conflict_falls_back_to_string(spark):
+    a = spark.createDataFrame([(1,)], ["v"])
+    b = spark.createDataFrame([("x",)], ["v"])
+    out = H.harmonize([a, b])
+    assert dict(out.dtypes)["v"] == "string"
+    assert {r["v"] for r in out.collect()} == {"1", "x"}
+
+
+def test_ingest_index_is_load_order(spark):
+    a = spark.createDataFrame([(i,) for i in range(5)], ["v"])
+    b = spark.createDataFrame([(10 + i,) for i in range(5)], ["v"])
+    out = H.harmonize([a, b], add_ingest_index=True)
+    rows = sorted(out.collect(), key=lambda r: r[H.INGEST_INDEX])
+    idx = [r[H.INGEST_INDEX] for r in rows]
+    assert idx == list(range(10))
+    # source 0's rows all precede source 1's
+    assert [r[H.INGEST_SOURCE] for r in rows] == [0] * 5 + [1] * 5
+
+
+def test_harmonize_order_insensitive_schema(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "s"])
+    b = spark.createDataFrame([("y", 2)], ["s", "k"])
+    out = H.harmonize([a, b])
+    assert set(out.columns) == {"k", "s"}
+    assert isinstance(out.schema["k"].dataType, T.LongType)
