@@ -20,10 +20,17 @@ from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.functions.indexing import with_global_index
 from data_integration_and_harmonization_spark.operators import clean as C
+from data_integration_and_harmonization_spark.operators import dedup as DD
 from data_integration_and_harmonization_spark.operators import eda as E
+from data_integration_and_harmonization_spark.operators import events as EV
 from data_integration_and_harmonization_spark.operators import features as FE
 from data_integration_and_harmonization_spark.operators import harmonize as H
+from data_integration_and_harmonization_spark.operators import ml as ML
+from data_integration_and_harmonization_spark.operators import multimodal as MM
 from data_integration_and_harmonization_spark.operators import profile as P
+from data_integration_and_harmonization_spark.operators import relational as REL
+from data_integration_and_harmonization_spark.operators import similarity as SIM
+from data_integration_and_harmonization_spark.operators import text as TX
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -177,6 +184,32 @@ def q_feat_label_encode(spark: SparkSession, sf: str) -> DataFrame:
     return enc.select("c_custkey", F.col("c_mktsegment").alias("segment_code"))
 
 
+def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """M1-M8, M10 rows-only: 3-class l_returnflag on a deterministic
+    ~5% subsample (keeps tree fits bounded at bench scale)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") % 20 == 0)
+    labeled = li.select(
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+        "l_extendedprice",
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .otherwise(2)
+        .alias("target"),
+    )
+    res = ML.train_models(labeled, "target", is_classification=True)
+    return ML.train_models_df(spark, res)
+
+
+def q_ml_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """M1-M6, M9, M10 rows-only: predict extendedprice."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") % 20 == 0)
+    labeled = li.select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    res = ML.train_models(labeled, "l_extendedprice", is_classification=False)
+    return ML.train_models_df(spark, res)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "harmonize_union": q_harmonize_union,
@@ -190,8 +223,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_zscore": q_feat_zscore,
         "feat_label_map": q_feat_label_map,
         "feat_label_encode": q_feat_label_encode,
+        "ml_classification": q_ml_classification,
+        "ml_regression": q_ml_regression,
     }
     q.update(E.eda_queries())
+    q.update(REL.relational_queries())
+    q.update(TX.text_queries())
+    q.update(DD.dedup_queries())
+    q.update(SIM.similarity_queries())
+    q.update(EV.events_queries())
+    q.update(MM.multimodal_queries())
     return q
 
 
@@ -329,4 +370,10 @@ FROM customer
 """,
     }
     o.update(E.eda_oracles())
+    o.update(REL.relational_oracles())
+    o.update(TX.text_oracles())
+    o.update(DD.dedup_oracles())
+    o.update(SIM.similarity_oracles())
+    o.update(EV.events_oracles())
+    o.update(MM.multimodal_oracles())
     return o

@@ -1,0 +1,137 @@
+"""Temporal aggregations over the events table (engine extension —
+the reference is strictly batch-relational with no time semantics;
+SURVEY §2.8). Batch forms here; the same logic runs incrementally in
+:mod:`..streaming.pipeline` via readStream + watermark.
+
+``F.window`` / ``F.session_window`` are Spark-native (tumbling and
+session assignment happen JVM-side before a standard partial agg);
+event-time bucketing keys the shuffle, so scale-out is by (window,
+key) — the canonical streaming-agg layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan. The test parquet stores ts as TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects — read nanos as long
+    (runtime conf) and convert to a microsecond timestamp with integer
+    division (a double division would lose precision above 2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other
+    merge into one session."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def json_props_agg(events: DataFrame) -> DataFrame:
+    """Semi-structured path: parse the JSON ``props`` column and
+    aggregate an extracted field — ``get_json_object`` stays JVM-side."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+        )
+    )
+
+
+# ------------------------------------------------------- query registry
+
+def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ev = load_events
+
+    return {
+        "events_tumbling": lambda s, sf: tumbling_agg(_ev(s, sf)),
+        "events_sliding": lambda s, sf: sliding_agg(_ev(s, sf)),
+        "events_session": lambda s, sf: session_agg(_ev(s, sf)),
+        "events_json_props": lambda s, sf: json_props_agg(_ev(s, sf)),
+    }
+
+
+def events_oracles() -> dict[str, str]:
+    return {
+        "events_tumbling": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        # each event belongs to 2 one-hour windows on a 30-min grid:
+        # the one starting at its 30-min bucket and the previous one
+        "events_sliding": """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT w AS window_start, count(*)::BIGINT AS n_events
+FROM assigned GROUP BY 1
+""",
+        # gaps-and-islands with a 10-minute gap
+        "events_session": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '10 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id, sid
+""",
+        "events_json_props": """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY 1
+""",
+    }

@@ -1,0 +1,204 @@
+"""ML operators (reference ``train_models``/``evaluate_model``,
+ref:55-120), re-expressed as Spark ML pipelines.
+
+Model zoo mapping (ref:64-68):
+- Decision Tree -> ml.classification/regression.DecisionTree*
+- Random Forest -> ml.classification/regression.RandomForest*
+- XGBoost       -> ``xgboost.spark.SparkXGB*`` when the public package
+  is importable, else Spark's native GBT* (documented fallback — same
+  gradient-boosted-trees family, distributed natively).
+
+Differences from the reference, by design:
+- sklearn takes a raw feature matrix (ref:59-60); Spark ML wants a
+  single vector column -> ``VectorAssembler`` in every pipeline.
+- ``train_test_split(random_state=42)`` is an exact 80/20 shuffle;
+  ``randomSplit`` is per-row Bernoulli — proportions converge, counts
+  are not exact (documented divergence, SURVEY §2.7 M1).
+- GridSearchCV (ref:71-93) -> ``CrossValidator(numFolds=3)`` with the
+  ref:72-81 grid translated: n_estimators->numTrees (RF) / maxIter
+  (GBT), max_depth(None->default)->maxDepth, learning_rate->stepSize.
+
+Each ``fit`` runs as a sequence of distributed Spark jobs; the
+orchestration loop over models stays on the driver (M10), matching the
+reference's structure with distributed execution underneath.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.ml import Pipeline
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator, RegressionEvaluator
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+
+from data_integration_and_harmonization_spark.operators.clean import numeric_cols
+
+CLS_METRICS = {
+    "Accuracy": "accuracy",
+    "Precision": "weightedPrecision",  # ref:111 average='weighted'
+    "Recall": "weightedRecall",
+    "F1 Score": "f1",
+}
+REG_METRICS = {"MAE": "mae", "MSE": "mse", "R2 Score": "r2"}
+
+
+def _model_zoo(is_classification: bool, seed: int) -> dict[str, Any]:
+    if is_classification:
+        from pyspark.ml.classification import (
+            DecisionTreeClassifier,
+            GBTClassifier,
+            RandomForestClassifier,
+        )
+
+        zoo = {
+            "Decision Tree": DecisionTreeClassifier(seed=seed),
+            "Random Forest": RandomForestClassifier(seed=seed),
+        }
+        try:  # public distributed-XGBoost package, optional
+            from xgboost.spark import SparkXGBClassifier
+
+            zoo["XGBoost"] = SparkXGBClassifier(random_state=seed)
+        except ImportError:
+            zoo["XGBoost"] = GBTClassifier(seed=seed)
+        return zoo
+    from pyspark.ml.regression import (
+        DecisionTreeRegressor,
+        GBTRegressor,
+        RandomForestRegressor,
+    )
+
+    zoo = {
+        "Decision Tree": DecisionTreeRegressor(seed=seed),
+        "Random Forest": RandomForestRegressor(seed=seed),
+    }
+    try:
+        from xgboost.spark import SparkXGBRegressor
+
+        zoo["XGBoost"] = SparkXGBRegressor(random_state=seed)
+    except ImportError:
+        zoo["XGBoost"] = GBTRegressor(seed=seed)
+    return zoo
+
+
+def _param_grid(name: str, model: Any) -> list | None:
+    """ref:72-81 translated to Spark param maps."""
+    if name == "Random Forest":
+        return (
+            ParamGridBuilder()
+            .addGrid(model.numTrees, [50, 100, 200])
+            # sklearn max_depth None means unbounded; Spark caps at 30
+            # and defaults to 5 — use {5, 10, 20} as the translation.
+            .addGrid(model.maxDepth, [5, 10, 20])
+            .build()
+        )
+    if name == "XGBoost":
+        step = getattr(model, "stepSize", None) or getattr(model, "learning_rate", None)
+        iters = getattr(model, "maxIter", None) or getattr(model, "n_estimators", None)
+        if step is None or iters is None:
+            return None
+        return (
+            ParamGridBuilder()
+            .addGrid(step, [0.01, 0.1])
+            .addGrid(iters, [50, 100, 200])
+            .build()
+        )
+    return None  # Decision Tree: fit untuned even in tuning mode (ref:85-92)
+
+
+def evaluate_model(predictions: DataFrame, is_classification: bool, label_col: str = "label") -> dict[str, float]:
+    """M8/M9 (ref:107-120): weighted classification metrics / MAE-MSE-R2.
+
+    One ``transform`` output scored by several evaluators — the
+    predictions DataFrame should be cached by the caller when scoring
+    many metrics at scale.
+    """
+    metrics = {}
+    if is_classification:
+        for disp, name in CLS_METRICS.items():
+            ev = MulticlassClassificationEvaluator(
+                labelCol=label_col, predictionCol="prediction", metricName=name
+            )
+            metrics[disp] = ev.evaluate(predictions)
+    else:
+        for disp, name in REG_METRICS.items():
+            ev = RegressionEvaluator(
+                labelCol=label_col, predictionCol="prediction", metricName=name
+            )
+            metrics[disp] = ev.evaluate(predictions)
+    return metrics
+
+
+def train_models(
+    df: DataFrame,
+    target_column: str,
+    is_classification: bool,
+    hyperparameter_tuning: bool = False,
+    feature_cols: list[str] | None = None,
+    seed: int = 42,
+) -> dict[str, dict[str, float]]:
+    """EP3 (ref:55-104): validate target, 80/20 split, fit the zoo
+    (optionally 3-fold CV over the ref grid), score on held-out test.
+
+    Returns the ref:94-shaped ``{model: {metric: value}}`` dict.
+    """
+    if target_column not in df.columns:
+        raise ValueError(f"Target column '{target_column}' not found in the dataset.")
+
+    feats = feature_cols or [c for c in numeric_cols(df) if c != target_column]
+    if not feats:
+        raise ValueError("no numeric feature columns available")
+
+    base = df.select(*feats, df[target_column].cast("double").alias("label")).dropna()
+    train, test = base.randomSplit([0.8, 0.2], seed=seed)
+    train = train.cache()
+    assembler = VectorAssembler(inputCols=feats, outputCol="features")
+
+    n_classes = 0
+    if is_classification:
+        n_classes = base.select("label").distinct().count()
+
+    results: dict[str, dict[str, float]] = {}
+    for name, model in _model_zoo(is_classification, seed).items():
+        if hasattr(model, "setLabelCol"):
+            model.setLabelCol("label")
+        if is_classification and n_classes > 2 and type(model).__name__ == "GBTClassifier":
+            # Spark's GBT is binary-only (sklearn/XGBoost are natively
+            # multiclass) — lift it with one-vs-rest for parity.
+            from pyspark.ml.classification import OneVsRest
+
+            model = OneVsRest(classifier=model, labelCol="label", parallelism=4)
+        grid = _param_grid(name, model) if hyperparameter_tuning else None
+        if grid:
+            ev = (
+                MulticlassClassificationEvaluator(labelCol="label", metricName="accuracy")
+                if is_classification
+                else RegressionEvaluator(labelCol="label", metricName="r2")
+            )
+            est = CrossValidator(
+                estimator=Pipeline(stages=[assembler, model]),
+                estimatorParamMaps=grid,
+                evaluator=ev,
+                numFolds=3,
+                seed=seed,
+                parallelism=4,
+            )
+            fitted = est.fit(train)
+        else:
+            fitted = Pipeline(stages=[assembler, model]).fit(train)
+        preds = fitted.transform(test).cache()
+        results[name] = evaluate_model(preds, is_classification)
+        preds.unpersist()
+    train.unpersist()
+    return results
+
+
+def train_models_df(spark, results: dict[str, dict[str, float]]) -> DataFrame:
+    """Long-format metrics table: (model, metric, value)."""
+    rows = [
+        (model, metric, float(value))
+        for model, metrics in results.items()
+        for metric, value in metrics.items()
+    ]
+    return spark.createDataFrame(rows, "model string, metric string, value double")

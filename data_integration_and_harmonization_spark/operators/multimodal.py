@@ -1,0 +1,135 @@
+"""Multimodal column handling (engine extension; SURVEY §7).
+
+Design: media are opaque ``binary`` columns + a typed metadata struct.
+Everything Spark-side is real — schema, partition-friendly layout,
+Arrow-batched UDF signatures, batch shapes. The actual media decode
+(image/audio codecs) is STUBBED behind ``decode_stub`` because codec
+libraries are not available in this container — the stub is a
+deterministic fake that derives "features" from the bytes, preserving
+shape and determinism, and is clearly marked.
+
+At scale the mapInPandas stage processes Arrow record batches: per
+batch one vectorized pass, media bytes never round-trip through
+driver, and the output schema is fixed so downstream stays columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
+    """Wrap an id + binary column into the engine's media layout with
+    metadata computed JVM-side (length, sha2 digest)."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        p.alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.length(p).cast("long").alias("n_bytes"),
+        F.sha2(p, 256).alias("digest"),
+    )
+
+
+def decode_stub(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
+    """DETERMINISTIC FAKE decoder. A real deployment plugs a codec
+    (PIL/ffmpeg/torchaudio) in here; this container has none, so the
+    'feature' is a stable byte-histogram projection — same shape,
+    same dtype, fully deterministic, obviously not a real embedding.
+    """
+    if payload is None:
+        return None
+    buckets = [0.0] * dim
+    for i, b in enumerate(payload):
+        buckets[(b + i) % dim] += 1.0
+    total = float(len(payload)) or 1.0
+    return [round(x / total, 9) for x in buckets]
+
+
+def extract_features(media: DataFrame, dim: int = 8, batch_size_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the media table via
+    ``mapInPandas`` — the real scale plumbing around the stubbed
+    decode. One pandas batch in, one out; payload column is dropped on
+    output so only fixed-width features shuffle downstream."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            feats = [
+                decode_stub(p, t, dim)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------- query registry
+
+def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def _media(spark, sf):
+        # documents.text encoded as bytes stands in for media payloads:
+        # deterministic, present at every sf, exercises binary plumbing.
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return to_media_table(
+            docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+            "doc_id",
+            "payload",
+            "text/plain",
+        )
+
+    def q_meta(spark, sf):
+        return _media(spark, sf).select("media_id", "media_type", "n_bytes", "digest")
+
+    def q_features(spark, sf):
+        # rows-only: the pandas-UDF decode isn't expressible in SQL.
+        feats = extract_features(_media(spark, sf))
+        return feats.select(
+            "media_id",
+            "n_bytes",
+            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+            F.size("feature").alias("feature_dim"),
+        )
+
+    return {"mm_metadata": q_meta, "mm_features": q_features}
+
+
+def multimodal_oracles() -> dict[str, str]:
+    return {
+        "mm_metadata": """
+SELECT doc_id AS media_id, 'text/plain' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+""",
+    }

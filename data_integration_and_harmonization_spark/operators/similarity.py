@@ -1,0 +1,234 @@
+"""Similarity search over embedding columns (engine extension;
+SURVEY §7 north-star ops — no reference counterpart).
+
+Two paths, matching the standard ANN architecture:
+
+- brute-force cosine top-k: broadcast the (small) query set against
+  the full corpus — exact, O(n_queries * n_corpus), the baseline and
+  the recall oracle. Dot products are JVM-side ``zip_with`` +
+  ``aggregate`` column expressions (no UDF, no Python).
+- LSH-bucketed top-k: sign-bit bucketing (axis-aligned hyperplanes
+  over the first ``n_bits`` dimensions); candidates share the query's
+  bucket, so the join is bucket-equi — at 100 TB the corpus shuffles
+  once on a byte-sized key and each query probes one bucket. An IVF
+  variant would swap the bucketer for learned centroids; the plumbing
+  is identical.
+
+All arithmetic in double, summed left-to-right, so results are
+bit-reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query over the corpus.
+
+    The query side is broadcast (queries are the small side by
+    construction); ranking is a per-query window, parallel across
+    queries. Ties break by candidate id for determinism.
+
+    Output: (query_id, rank, neighbor_id, cosine_sim).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+def signbit_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first ``n_bits`` dims."""
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit = F.when(F.element_at(vec, i + 1).cast("double") >= 0, F.lit(1)).otherwise(F.lit(0))
+        out = out + F.shiftleft(bit.cast("long"), i)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sign-bit
+    bucket. Same output shape as :func:`brute_force_topk`; recall
+    depends on bucket granularity (use :func:`ann_recall` to measure).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Recall@k of the approximate result against the exact one —
+    the self-contained quality gauge for the ANN path."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"]).groupBy("query_id").agg(F.count(F.lit(1)).alias("hits"))
+    totals = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.col("total"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+# ------------------------------------------------------- query registry
+
+N_QUERIES = 10
+
+
+def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def _load(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return emb, emb.where(F.col("vec_id") < N_QUERIES)
+
+    def q_brute(spark, sf):
+        corpus, queries = _load(spark, sf)
+        return brute_force_topk(corpus, queries, k=5)
+
+    def q_lsh(spark, sf):
+        corpus, queries = _load(spark, sf)
+        return lsh_topk(corpus, queries, k=5, n_bits=8)
+
+    def q_recall(spark, sf):
+        corpus, queries = _load(spark, sf)
+        exact = brute_force_topk(corpus, queries, k=5)
+        approx = lsh_topk(corpus, queries, k=5, n_bits=8)
+        return ann_recall(exact, approx)
+
+    return {
+        "sim_topk_bruteforce": q_brute,
+        "sim_topk_lsh": q_lsh,
+        "sim_ann_recall": q_recall,
+    }
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+_QNORM = "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_CNORM = "sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+_BUCKET = (
+    "list_sum(list_transform(range(1, 9), "
+    "i -> CASE WHEN CAST({t}.embedding[i] AS DOUBLE) >= 0 THEN (1 << (i - 1)) ELSE 0 END))"
+)
+
+
+def similarity_oracles() -> dict[str, str]:
+    brute = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT} AS DOUBLE) / ({_QNORM} * {_CNORM}) AS sim
+  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INTEGER AS rank, neighbor_id, round(sim, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+    lsh = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({_DOT} AS DOUBLE) / ({_QNORM} * {_CNORM}) AS sim
+  FROM embeddings c
+  JOIN (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+    ON {_BUCKET.format(t='q')} = {_BUCKET.format(t='c')}
+  WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INTEGER AS rank, neighbor_id, round(sim, 6) AS cosine_sim
+FROM ranked WHERE rank <= 5
+"""
+    recall = f"""
+WITH exact AS (
+  {brute}
+), approx AS (
+  {lsh}
+)
+SELECT e.query_id,
+  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
+    return {
+        "sim_topk_bruteforce": brute,
+        "sim_topk_lsh": lsh,
+        "sim_ann_recall": recall,
+    }

@@ -1,0 +1,200 @@
+"""Text analysis for training-data pipelines (engine extension; no
+reference counterpart — SURVEY §7 north-star ops).
+
+All pure ``pyspark.sql.functions`` column expressions — tokenization,
+quality scoring, language ID, and fingerprinting stay inside
+whole-stage codegen; no Python UDF anywhere, so the per-document cost
+is JVM-side and the operators scale linearly with no Arrow transfer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic (mirrored in the oracle
+# SQL verbatim).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "mit", "auf", "zu", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "sur"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "para", "con"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Word tokens via regexp — the whitespace+punct tokenizer."""
+    return F.regexp_extract_all(F.lower(F.col(col) if isinstance(col, str) else col), F.lit(TOKEN_RE), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def normalized(col: Column | str) -> Column:
+    """Canonical text form for fingerprinting: lower, non-alnum runs to
+    single spaces, trimmed. (Byte-identical formula in the oracle.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(col))
+
+
+def minhash_gram_fingerprint(col: Column | str, gram: int = 3) -> Column:
+    """Winnowing-style near-dup fingerprint: the minimum md5 over the
+    document's word ``gram``-shingles. Documents sharing a minimum are
+    near-dup candidates. One expression, no shuffle."""
+    t = tokens(col)
+    n = F.size(t) - (gram - 1)
+    # Guard: Spark's sequence(1, 0) counts DOWN; emit an empty index
+    # array when the doc has fewer than ``gram`` tokens.
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(gram)])
+    )
+    return F.array_min(F.transform(shingles, F.md5))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens (with multiplicity) in ``lang``'s stopword list."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token count, char count, mean token
+    length, alpha ratio, stopword ratio, and a composite score in [0,1].
+
+    Score formula (deterministic, mirrored in oracle): mean of
+    - length_ok:   1 if 20 <= n_tokens <= 10000 else 0
+    - alpha_ok:    alpha_chars / n_chars
+    - stop_ok:     min(1, stopword_ratio * 5)  (well-formed prose has
+                   some function words; synthetic keyword soup doesn't)
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    stop_hits = stopword_hits(text_col, "en")
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tok >= 20) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    alpha_ok = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ok = F.least(F.lit(1.0), stop_ratio * 5)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            F.when(n_tok > 0, F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n_tok).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(alpha_ok, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round((length_ok + alpha_ok + stop_ok) / 3, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: score each language by stopword
+    hits (with multiplicity); predict the argmax, 'und' (undetermined)
+    when no language scores. Ties break lexicographically — fully
+    deterministic, mirrored in the oracle."""
+    scores = [(lang, stopword_hits(text_col, lang)) for lang in sorted(STOPWORDS)]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so earlier (lexicographically smaller) languages win ties
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.select("doc_id", pred.alias("lang_pred"))
+
+
+# ------------------------------------------------------- query registry
+
+def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def q_stats(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return quality_features(docs)
+
+    def q_langid(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return language_id(docs)
+
+    def q_fingerprint(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            fingerprint("text").alias("fp"),
+            minhash_gram_fingerprint("text", 3).alias("min_shingle_fp"),
+        )
+
+    return {
+        "text_quality": q_stats,
+        "text_langid": q_langid,
+        "text_fingerprint": q_fingerprint,
+    }
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'), "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+def text_oracles() -> dict[str, str]:
+    hits = {lang: _sql_stop_hits(lang) for lang in sorted(STOPWORDS)}
+    best = f"greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']})"
+    langid_case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    ) + " ELSE 'und' END"
+    return {
+        "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         {hits['en']} AS stop_hits
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tokens, n_chars,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS avg_tok,
+    CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ok,
+    CASE WHEN len(toks) > 0 THEN CAST(stop_hits AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+    CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END AS length_ok
+  FROM t
+)
+SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::BIGINT AS n_chars,
+  round(avg_tok, 6) AS avg_token_len,
+  round(alpha_ok, 6) AS alpha_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round((length_ok + alpha_ok + least(1.0, stop_ratio * 5)) / 3, 6) AS quality_score
+FROM s
+""",
+        "text_langid": f"SELECT doc_id, {langid_case} AS lang_pred FROM documents",
+        "text_fingerprint": f"""
+SELECT doc_id,
+  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+  list_min(list_transform(
+    list_transform(
+      range(1, greatest(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) - 2, 0) + 1),
+      i -> regexp_extract_all(lower(text), '{TOKEN_RE}')[i] || ' ' ||
+           regexp_extract_all(lower(text), '{TOKEN_RE}')[i+1] || ' ' ||
+           regexp_extract_all(lower(text), '{TOKEN_RE}')[i+2]
+    ), s -> md5(s))) AS min_shingle_fp
+FROM documents
+""",
+    }

@@ -1,0 +1,88 @@
+"""Structured Streaming forms of the temporal aggregations.
+
+The batch operators in :mod:`..operators.events` run unchanged as
+incremental queries: ``readStream`` on a parquet directory (or any
+source), ``withWatermark`` for the late-data policy, ``writeStream``
+with update/append output. Tumbling/sliding/session windows all use
+the same JVM-side window assignment + stateful agg.
+
+For bounded verification (tests, smoke), ``run_availablenow`` drains
+the source with a single ``availableNow`` trigger into an in-memory
+sink and returns the materialized result — the streaming plan,
+executed to completion on the static data, must agree with the batch
+plan (and does; see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    path_glob: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a parquet location. Schema is required by
+    Structured Streaming — infer it from a bounded read if absent."""
+    import os
+
+    if schema is None:
+        schema = spark.read.parquet(path_glob).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # The file stream source wants a DIRECTORY; when handed a single
+    # file, stream its parent filtered to that name.
+    if os.path.isfile(path_glob):
+        reader = reader.option("pathGlobFilter", os.path.basename(path_glob))
+        path_glob = os.path.dirname(path_glob)
+    return reader.parquet(path_glob)
+
+
+def tumbling_stream(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Incremental tumbling agg with a late-data watermark: state for a
+    window is dropped once event time passes window_end + watermark —
+    bounded state at unbounded input."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Incremental session windows (stateful merge of overlapping
+    sessions per user)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def run_availablenow(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a bounded source through the streaming plan (single
+    availableNow trigger, complete mode, memory sink) and return the
+    result as a static DataFrame."""
+    spark = stream_df.sparkSession
+    with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)

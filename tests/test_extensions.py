@@ -1,0 +1,147 @@
+"""Extension operators: dedup, similarity, text, events, multimodal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.operators import dedup as DD
+from data_integration_and_harmonization_spark.operators import events as EV
+from data_integration_and_harmonization_spark.operators import multimodal as MM
+from data_integration_and_harmonization_spark.operators import similarity as SIM
+from data_integration_and_harmonization_spark.operators import text as TX
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "The quick brown fox jumps over the lazy dog!", "en"),  # case/punct variant
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup
+        (4, "der hund ist ein guter hund und das ist gut", "de"),
+        (5, "completely different text about spark engines", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark).union(
+        spark.createDataFrame(
+            [(9, "the quick brown fox jumps over the lazy dog", "en")],
+            "doc_id long, text string, lang string",
+        )
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in DD.exact_dedup(df).collect()}
+    assert out[1] == 2  # doc 9 deduped into doc 1's group
+
+
+def test_fingerprint_dedup_catches_case_punct(spark):
+    out = DD.fingerprint_dedup(_docs(spark)).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # docs 1 and 2 normalize identically
+
+
+def test_ngram_jaccard_ranks_near_dup_highest(spark):
+    pairs = DD.ngram_jaccard_pairs(_docs(spark), length_bucket=1000).collect()
+    best = max(pairs, key=lambda r: r["jaccard"])
+    assert {best["id_a"], best["id_b"]} == {1, 2}
+    near = [r for r in pairs if {r["id_a"], r["id_b"]} == {1, 3}]
+    assert near and 0.3 < near[0]["jaccard"] < 1.0
+
+
+def test_minhash_candidates_find_near_dups(spark):
+    cands = DD.minhash_lsh_candidates(_docs(spark), num_hashes=32, bands=16).collect()
+    found = {frozenset((r["id_a"], r["id_b"])) for r in cands}
+    assert frozenset((1, 2)) in found
+
+
+def test_simhash_near_dups_close(spark):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in _docs(spark).select("doc_id", DD.simhash64("text").alias("sig")).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sigs[1], sigs[2]) == 0  # same tokens
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[5])
+
+
+def test_brute_force_topk_self_similarity(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]  # by cosine: 0.9938, 0.0, -1.0
+
+
+def test_lsh_recall_reasonable(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    approx = SIM.lsh_topk(emb, queries, k=5, n_bits=4)
+    rec = SIM.ann_recall(exact, approx).agg(F.avg("recall")).first()[0]
+    assert 0.0 <= rec <= 1.0  # structural; 4-bit buckets on 64-dim synthetic data
+
+
+def test_language_id(spark):
+    out = {r["doc_id"]: r["lang_pred"] for r in TX.language_id(_docs(spark)).collect()}
+    assert out[1] == "en" and out[4] == "de"
+    assert out[5] in ("en", "und")
+
+
+def test_quality_features_ranges(spark):
+    out = TX.quality_features(_docs(spark)).collect()
+    for r in out:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_events_tumbling_counts_total(spark, sf_dir):
+    ev = EV.load_events(spark, sf_dir)
+    agg = EV.tumbling_agg(ev)
+    assert agg.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_events_session_gap_split(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),
+        (1, t0 + dt.timedelta(minutes=30)),  # > 10 min gap -> new session
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = EV.session_agg(df, "10 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_multimodal_features_shape(spark):
+    docs = _docs(spark)
+    media = MM.to_media_table(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "text/plain",
+    )
+    feats = MM.extract_features(media, dim=8).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_multimodal_decode_deterministic():
+    a = MM.decode_stub(b"hello world", "text/plain")
+    b = MM.decode_stub(b"hello world", "text/plain")
+    assert a == b and len(a) == 8

@@ -1,0 +1,39 @@
+"""Structured Streaming plans must agree with their batch twins when
+drained over the same bounded input (availableNow + memory sink)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.operators import events as EV
+from data_integration_and_harmonization_spark.streaming import pipeline as SP
+
+
+def _canon(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ev = EV.load_events(spark, sf_dir)
+    expected = EV.tumbling_agg(batch_ev)
+
+    stream_raw = SP.stream_events(spark, f"{sf_dir}/events.parquet")
+    stream_ev = stream_raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    got = SP.run_availablenow(SP.tumbling_stream(stream_ev), "t_tumbling")
+
+    keys = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _canon(got, keys) == _canon(expected, keys)
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ev = EV.load_events(spark, sf_dir)
+    expected = EV.session_agg(batch_ev)
+
+    stream_raw = SP.stream_events(spark, f"{sf_dir}/events.parquet")
+    stream_ev = stream_raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    got = SP.run_availablenow(SP.session_stream(stream_ev), "t_session")
+
+    keys = ["user_id", "session_start", "n_events"]
+    assert _canon(got, keys) == _canon(expected, keys)
