@@ -79,6 +79,10 @@ def describe_object(df: DataFrame, cols: Sequence[str] | None = None) -> DataFra
     ``groupBy(c)`` is a standard partial-agg shuffle on that column.
     """
     cols = list(cols if cols is not None else string_cols(df))
+    if not cols:
+        return df.sparkSession.createDataFrame(
+            [], "column string, count long, unique long, top string, freq long"
+        )
     per_col = []
     for c in cols:
         counts = (

@@ -54,10 +54,7 @@ def test_minhash_candidates_find_near_dups(spark):
 
 
 def test_simhash_near_dups_close(spark):
-    sigs = {
-        r["doc_id"]: r["sig"]
-        for r in _docs(spark).select("doc_id", DD.simhash64("text").alias("sig")).collect()
-    }
+    sigs = {r["id"]: r["sig"] for r in DD.simhash_signatures(_docs(spark)).collect()}
     ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
     assert ham(sigs[1], sigs[2]) == 0  # same tokens
     assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[5])
