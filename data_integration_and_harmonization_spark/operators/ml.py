@@ -130,6 +130,19 @@ def evaluate_model(predictions: DataFrame, is_classification: bool, label_col: s
     return metrics
 
 
+def save_model(model, path: str) -> None:
+    """S8 model sink. The reference imports joblib (ref:15) but never
+    persists anything; the engine's idiomatic equivalent is Spark ML's
+    native writer (distributed, self-describing metadata + parquet)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
+
+
 def train_models(
     df: DataFrame,
     target_column: str,
@@ -137,6 +150,7 @@ def train_models(
     hyperparameter_tuning: bool = False,
     feature_cols: list[str] | None = None,
     seed: int = 42,
+    param_grids: dict[str, list] | None = None,
 ) -> dict[str, dict[str, float]]:
     """EP3 (ref:55-104): validate target, 80/20 split, fit the zoo
     (optionally 3-fold CV over the ref grid), score on held-out test.
@@ -169,7 +183,13 @@ def train_models(
             from pyspark.ml.classification import OneVsRest
 
             model = OneVsRest(classifier=model, labelCol="label", parallelism=4)
-        grid = _param_grid(name, model) if hyperparameter_tuning else None
+        grid = None
+        if hyperparameter_tuning:
+            grid = (
+                param_grids.get(name)
+                if param_grids is not None
+                else _param_grid(name, model)
+            )
         if grid:
             ev = (
                 MulticlassClassificationEvaluator(labelCol="label", metricName="accuracy")
