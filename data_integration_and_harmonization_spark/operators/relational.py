@@ -69,6 +69,108 @@ def top_orders_per_segment(customer: DataFrame, orders: DataFrame, k: int = 3) -
     )
 
 
+def rollup_summary(lineitem: DataFrame) -> DataFrame:
+    """Hierarchical subtotals: (flag, status) -> (flag) -> grand total.
+    One shuffle; Spark expands grouping sets map-side."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+    )
+
+
+def cube_summary(lineitem: DataFrame) -> DataFrame:
+    """All 2^d grouping sets over (flag, status)."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def pivot_status(lineitem: DataFrame) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list => no extra
+    distinct-discovery job, required at scale)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: EXISTS without materializing the right side."""
+    return customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join: NOT EXISTS."""
+    return customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def distinct_agg(lineitem: DataFrame) -> DataFrame:
+    """Exact distinct aggregation per group (expand + two-phase agg in
+    Spark; `approx_count_distinct` is the one-pass scale variant)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    keys: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same key group. Spark has no
+    native ASOF — composed as union + per-key ordered window
+    (``last(..., ignorenulls)``), the standard distributed pattern:
+    parallel across keys, one shuffle on (key), no range cross join.
+    """
+    lt = left.withColumn("__t", F.col(left_ts).cast("timestamp")).withColumn(
+        "__is_left", F.lit(1)
+    )
+    rt = right.withColumn("__t", F.col(right_ts).cast("timestamp")).withColumn(
+        "__is_left", F.lit(0)
+    )
+    all_cols = set(lt.columns) | set(rt.columns)
+    lt = lt.select(
+        *[
+            (F.col(c) if c in lt.columns else F.lit(None)).alias(c)
+            for c in all_cols
+        ]
+    )
+    rt = rt.select(
+        *[
+            (F.col(c) if c in rt.columns else F.lit(None)).alias(c)
+            for c in all_cols
+        ]
+    )
+    u = lt.unionByName(rt)
+    # right rows sort before left rows at the same timestamp => a right
+    # row AT the left timestamp matches (ASOF <= semantics)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for rc in right_cols:
+        matched = F.last(
+            F.when(F.col("__is_left") == 0, F.col(rc)), ignorenulls=True
+        ).over(w)
+        u = u.withColumn(f"asof_{rc}", matched)
+    return u.where(F.col("__is_left") == 1).drop("__t", "__is_left", *right_cols)
+
+
 # ------------------------------------------------------- query registry
 
 def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -89,10 +191,57 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             3,
         )
 
+    def q_rollup(spark, sf):
+        return rollup_summary(spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+    def q_cube(spark, sf):
+        return cube_summary(spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+    def q_pivot(spark, sf):
+        return pivot_status(spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+    def q_semi(spark, sf):
+        return customers_with_orders(
+            spark.read.parquet(f"{sf}/customer.parquet"),
+            spark.read.parquet(f"{sf}/orders.parquet"),
+        )
+
+    def q_anti(spark, sf):
+        return customers_without_orders(
+            spark.read.parquet(f"{sf}/customer.parquet"),
+            spark.read.parquet(f"{sf}/orders.parquet"),
+        )
+
+    def q_distinct(spark, sf):
+        # approx_count_distinct is rows-only territory; split it out so
+        # the exact columns stay oracle-checked
+        return distinct_agg(spark.read.parquet(f"{sf}/lineitem.parquet")).drop(
+            "approx_orders"
+        )
+
+    def q_asof(spark, sf):
+        from data_integration_and_harmonization_spark.operators.events import load_events
+
+        events = load_events(spark, sf).select("event_id", "user_id", "ts")
+        orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+            F.col("o_custkey").alias("user_id"), "o_orderdate"
+        )
+        out = asof_join(
+            events, orders, "ts", "o_orderdate", ["user_id"], ["o_orderdate"]
+        )
+        return out.select("event_id", "user_id", F.col("asof_o_orderdate"))
+
     return {
         "rel_pricing_summary": q_pricing,
         "rel_revenue_by_nation": q_revenue,
         "rel_topk_per_segment": q_topk,
+        "rel_rollup": q_rollup,
+        "rel_cube": q_cube,
+        "rel_pivot": q_pivot,
+        "rel_semi_join": q_semi,
+        "rel_anti_join": q_anti,
+        "rel_distinct_agg": q_distinct,
+        "rel_asof_join": q_asof,
     }
 
 
@@ -127,5 +276,40 @@ FROM (
   FROM orders JOIN customer ON o_custkey = c_custkey
 )
 WHERE rk <= 3
+""",
+        "rel_rollup": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "rel_cube": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "rel_pivot": """
+SELECT l_returnflag,
+  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_open,
+  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+        "rel_semi_join": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "rel_anti_join": """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "rel_distinct_agg": """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)::BIGINT AS n_parts,
+       count(DISTINCT l_suppkey)::BIGINT AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+        "rel_asof_join": """
+SELECT e.event_id, e.user_id, o.o_orderdate AS asof_o_orderdate
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
     }
