@@ -125,10 +125,10 @@ def q_clean_ffill(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_clean_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    # order directly by the data key — the repair plan synthesizes rank
+    # positions internally (one shuffle; no pre-built index needed)
     cust = spark.read.parquet(f"{sf}/customer.parquet")
-    cust = with_global_index(cust, ["c_custkey"], index_col=H.INGEST_INDEX)
-    out = C.process_data(cust, order_col=H.INGEST_INDEX)
-    return out.drop(H.INGEST_INDEX)
+    return C.process_data(cust, order_col="c_custkey")
 
 
 def q_describe_numeric(spark: SparkSession, sf: str) -> DataFrame:

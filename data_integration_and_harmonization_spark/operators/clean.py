@@ -104,86 +104,114 @@ def _valid(c: str, dtype: T.DataType):
     return col.isNotNull()
 
 
+RN = "__dih_rn"
+
+
+def _as_cols(order_cols: str | Sequence[str]) -> list[str]:
+    return [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+
 def _repair_plan(
     df: DataFrame,
-    order_col: str,
+    order_cols: str | Sequence[str],
     cols: Sequence[str],
     num_partitions: int | None,
     need_next: bool,
 ):
-    """Shared machinery for interpolate/ffill: range-partition on the
-    order column, add per-partition prev/next valid anchors via local
-    windows, then broadcast-join cross-partition carry anchors from a
-    one-row-per-partition boundary table."""
+    """Shared machinery for interpolate/ffill, fused to ONE range
+    shuffle + ONE persist + ONE driver collect:
+
+    1. range-partition on the ordering key; per-partition ``row_number``
+       gives a local rank (pandas positional semantics come from ranks,
+       not key values — pandas' linear interpolation treats rows as
+       equally spaced regardless of index).
+    2. per-partition prev/next valid (value, rank) anchors via local
+       windows — all narrow, no cross-partition traffic.
+    3. one tiny collect: per-partition row counts AND first/last valid
+       anchors per column (one row per partition). Driver turns counts
+       into global offsets and anchors into cross-partition carries,
+       broadcast back as a partition-id-keyed table.
+    """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     dtypes = dict((f.name, f.dataType) for f in df.schema.fields)
+    ob_asc = [F.col(c) for c in _as_cols(order_cols)]
+    ob_desc = [F.col(c).desc() for c in _as_cols(order_cols)]
 
-    part = df.repartitionByRange(n, F.col(order_col)).withColumn(PID, F.spark_partition_id())
-    fwd = Window.partitionBy(PID).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    bwd = (
-        Window.partitionBy(PID)
-        .orderBy(F.col(order_col).desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    part = df.repartitionByRange(n, *ob_asc).withColumn(PID, F.spark_partition_id())
+    part = part.withColumn(RN, F.row_number().over(Window.partitionBy(PID).orderBy(*ob_asc)))
+    fwd = Window.partitionBy(PID).orderBy(*ob_asc).rowsBetween(Window.unboundedPreceding, 0)
+    bwd = Window.partitionBy(PID).orderBy(*ob_desc).rowsBetween(Window.unboundedPreceding, 0)
 
     proj = [part[c] for c in part.columns]
     for c in cols:
         v = _valid(c, dtypes[c])
         val = F.when(v, F.col(c).cast("double"))
-        pos = F.when(v, F.col(order_col).cast("double"))
+        rnv = F.when(v, F.col(RN).cast("double"))
         proj += [
             F.last(val, ignorenulls=True).over(fwd).alias(f"__pv_{c}"),
-            F.last(pos, ignorenulls=True).over(fwd).alias(f"__pp_{c}"),
+            F.last(rnv, ignorenulls=True).over(fwd).alias(f"__pp_{c}"),
         ]
         if need_next:
             proj += [
                 F.last(val, ignorenulls=True).over(bwd).alias(f"__nv_{c}"),
-                F.last(pos, ignorenulls=True).over(bwd).alias(f"__np_{c}"),
+                F.last(rnv, ignorenulls=True).over(bwd).alias(f"__np_{c}"),
             ]
     part = part.select(*proj)
     # Pin one physical partitioning: repartitionByRange re-samples range
-    # boundaries per job, and the edge-collect below plus the caller's
-    # final action must see the SAME partitions.
+    # boundaries on EVERY job, and the edge-collect below plus the
+    # caller's final action must see the SAME partitions.
     part = part.persist()
 
-    # Boundary exchange: per partition, (first, last) valid (pos, value)
-    # per column. max/min over a struct ordered by pos. Tiny result —
-    # one row per partition — safe to collect at any cluster size.
-    aggs = []
+    # The single boundary-exchange collect: one row per partition.
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
     for c in cols:
         v = _valid(c, dtypes[c])
-        anchored = F.when(v, F.struct(F.col(order_col).cast("double").alias("p"), F.col(c).cast("double").alias("v")))
+        anchored = F.when(
+            v,
+            F.struct(F.col(RN).cast("double").alias("p"), F.col(c).cast("double").alias("v")),
+        )
         aggs += [F.max(anchored).alias(f"last_{c}"), F.min(anchored).alias(f"first_{c}")]
     edges = {r[PID]: r for r in part.groupBy(PID).agg(*aggs).collect()}
 
     pids = sorted(edges)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in pids:
+        offsets[pid] = acc
+        acc += edges[pid]["__cnt"]
+
+    def glob(q: int, anchor) -> float:
+        # partition-local 1-based rank -> global 0-based position
+        return float(offsets[q] + anchor["p"] - 1)
+
     carry_rows = []
     for i, pid in enumerate(pids):
-        row: list = [int(pid)]
+        row: list = [int(pid), int(offsets[pid])]
         for c in cols:
             prev = next_ = None
+            prev_q = next_q = None
             for q in reversed(pids[:i]):
                 if edges[q][f"last_{c}"] is not None:
-                    prev = edges[q][f"last_{c}"]
+                    prev, prev_q = edges[q][f"last_{c}"], q
                     break
             if need_next:
                 for q in pids[i + 1 :]:
                     if edges[q][f"first_{c}"] is not None:
-                        next_ = edges[q][f"first_{c}"]
+                        next_, next_q = edges[q][f"first_{c}"], q
                         break
             row += [
-                float(prev["p"]) if prev else None,
+                glob(prev_q, prev) if prev else None,
                 float(prev["v"]) if prev else None,
             ]
             if need_next:
                 row += [
-                    float(next_["p"]) if next_ else None,
+                    glob(next_q, next_) if next_ else None,
                     float(next_["v"]) if next_ else None,
                 ]
         carry_rows.append(tuple(row))
 
-    fields = [f"{PID} int"]
+    fields = [f"{PID} int", "__off long"]
     for c in cols:
         fields += [f"__cpp_{c} double", f"__cpv_{c} double"]
         if need_next:
@@ -194,7 +222,7 @@ def _repair_plan(
 
 def ffill(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     cols: Sequence[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -218,17 +246,17 @@ def ffill(
 
 def interpolate_linear(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     cols: Sequence[str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """C3 (ref:30): pandas ``interpolate(method='linear',
     limit_direction='both')`` over the global ``order_col`` order.
 
-    - interior null runs: positional linear interpolation between the
-      nearest valid neighbors (weights from ``order_col`` spacing — use
-      a contiguous index for exact pandas parity, pandas treats rows as
-      equally spaced);
+    - interior null runs: POSITIONAL linear interpolation between the
+      nearest valid neighbors — pandas ``method='linear'`` treats rows
+      as equally spaced, so weights come from global rank positions
+      (synthesized inside the repair plan), not key values;
     - leading/trailing nulls: clamped to the first/last valid value
       (verified pandas behavior — no extrapolation).
 
@@ -237,13 +265,15 @@ def interpolate_linear(
     cols = list(cols if cols is not None else numeric_cols(df))
     joined, dtypes = _repair_plan(df, order_col, cols, num_partitions, need_next=True)
     out_cols = []
+    # global 0-based position of the current row / partition-local
+    # anchors (carries from other partitions are already global)
+    pos = (F.col("__off") + F.col(RN) - 1).cast("double")
     for c in df.columns:
         if c in cols:
             pv = F.coalesce(F.col(f"__pv_{c}"), F.col(f"__cpv_{c}"))
-            pp = F.coalesce(F.col(f"__pp_{c}"), F.col(f"__cpp_{c}"))
+            pp = F.coalesce(F.col("__off") + F.col(f"__pp_{c}") - 1, F.col(f"__cpp_{c}"))
             nv = F.coalesce(F.col(f"__nv_{c}"), F.col(f"__cnv_{c}"))
-            np_ = F.coalesce(F.col(f"__np_{c}"), F.col(f"__cnp_{c}"))
-            pos = F.col(order_col).cast("double")
+            np_ = F.coalesce(F.col("__off") + F.col(f"__np_{c}") - 1, F.col(f"__cnp_{c}"))
             interp = pv + (nv - pv) * (pos - pp) / (np_ - pp)
             repaired = (
                 F.when(_valid(c, dtypes[c]), F.col(c).cast("double"))
@@ -258,7 +288,7 @@ def interpolate_linear(
 
 def process_data(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     coerce: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -269,7 +299,7 @@ def process_data(
     """
     out = coerce_numeric(df) if coerce else df
     out = inf_nan_to_null(out)
-    repair = [c for c in numeric_cols(out) if c != order_col]
+    repair = [c for c in numeric_cols(out) if c not in _as_cols(order_col)]
     out = interpolate_linear(out, order_col, repair, num_partitions)
     # ref:31's ffill is provably a no-op after both-direction
     # interpolation (any column with >=1 valid value is fully repaired;

@@ -171,6 +171,40 @@ def asof_join(
     return u.where(F.col("__is_left") == 1).drop("__t", "__is_left", *right_cols)
 
 
+def orders_by_quarter(orders: DataFrame) -> DataFrame:
+    """Date-function surface (the reference never touches its
+    timestamp-capable columns, SURVEY §2.8): truncation, extraction,
+    arithmetic — all JVM scalar functions inside codegen."""
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.min(F.to_date("o_orderdate")).alias("first_day"),
+        )
+    )
+
+
+def running_revenue(orders: DataFrame) -> DataFrame:
+    """Analytic window frame: per-customer cumulative revenue in order
+    date order — partitioned by customer, parallel across customers."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lagw = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("cum_revenue"),
+        F.round(F.lag("o_totalprice", 1).over(lagw), 6).alias("prev_price"),
+    )
+
+
 # ------------------------------------------------------- query registry
 
 def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -242,6 +276,12 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anti_join": q_anti,
         "rel_distinct_agg": q_distinct,
         "rel_asof_join": q_asof,
+        "rel_date_breakdown": lambda s, sf: orders_by_quarter(
+            s.read.parquet(f"{sf}/orders.parquet")
+        ),
+        "rel_running_window": lambda s, sf: running_revenue(
+            s.read.parquet(f"{sf}/orders.parquet")
+        ),
     }
 
 
@@ -311,5 +351,21 @@ SELECT e.event_id, e.user_id, o.o_orderdate AS asof_o_orderdate
 FROM events e
 ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "rel_date_breakdown": """
+SELECT year(o_orderdate)::INTEGER AS yr, quarter(o_orderdate)::INTEGER AS qtr,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 6) AS revenue,
+       min(CAST(o_orderdate AS DATE)) AS first_day
+FROM orders GROUP BY 1, 2
+""",
+        "rel_running_window": """
+SELECT o_custkey, o_orderkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_revenue,
+  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey), 6) AS prev_price
+FROM orders
 """,
     }
