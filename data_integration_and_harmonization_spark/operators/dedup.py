@@ -265,6 +265,44 @@ def lsh_verified_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs share a sign-bit LSH
+    bucket (random-hyperplane family restricted to axis planes, so the
+    oracle can mirror it); exact cosine filters. Per-bucket self-join —
+    quadratic only within buckets, i.e. near-linear overall.
+
+    Output: (id_a, id_b, cosine_sim) with cosine >= threshold.
+    """
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        cosine,
+        signbit_bucket,
+    )
+
+    s = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    s = s.repartition(n, "bucket", "id")
+    left, right = s.alias("l"), s.alias("r")
+    pairs = left.join(
+        F.broadcast(right),
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+    )
+    return pairs.where(F.col("cosine_sim") >= threshold)
+
+
 # ------------------------------------------------------- query registry
 
 def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -323,6 +361,12 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash,
         "dedup_simhash": q_simhash,
         "dedup_lsh_verified": q_lsh_verified,
+        "dedup_embedding_cosine": lambda s, sf: embedding_near_dup_pairs(
+            s.read.parquet(f"{sf}/embeddings.parquet"),
+            # synthetic embeddings top out near cosine 0.43 — a low
+            # threshold keeps the oracle-checked output non-trivial
+            threshold=0.3,
+        ),
     }
 
 
@@ -360,5 +404,24 @@ SELECT l.id AS id_a, r.id AS id_b,
 FROM s l JOIN s r ON l.blk = r.blk AND l.lang = r.lang AND l.id < r.id
 ORDER BY jaccard DESC, id_a, id_b
 LIMIT 200
+""",
+        "dedup_embedding_cosine": """
+WITH s AS (
+  SELECT vec_id AS id, embedding AS v,
+    list_sum(list_transform(range(1, 9),
+      i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0 THEN (1 << (i - 1)) ELSE 0 END)) AS bucket
+  FROM embeddings
+)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT l.id AS id_a, r.id AS id_b,
+    round(
+      list_sum(list_transform(range(1, len(l.v) + 1),
+        i -> CAST(l.v[i] AS DOUBLE) * CAST(r.v[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(l.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(r.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    6) AS cosine_sim
+  FROM s l JOIN s r ON l.bucket = r.bucket AND l.id < r.id
+)
+WHERE cosine_sim >= 0.3
 """,
     }

@@ -94,6 +94,92 @@ def extract_features(media: DataFrame, dim: int = 8, batch_size_hint: int | None
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_stub(payload: bytes, target: int = 64) -> bytes:
+    """DETERMINISTIC FAKE resize: a real deployment decodes, resizes,
+    re-encodes (PIL/opencv); here the payload is downsampled by even
+    byte-striding to exactly ``target`` bytes — deterministic, shape
+    preserving, obviously not a real image op."""
+    if payload is None:
+        return None
+    if len(payload) <= target:
+        return bytes(payload)
+    step = len(payload) / target
+    return bytes(payload[int(i * step)] for i in range(target))
+
+
+def frame_sample_stub(payload: bytes, n_frames: int = 4, frame_size: int = 16) -> list[bytes]:
+    """DETERMINISTIC FAKE frame sampler: a real deployment seeks
+    keyframes (ffmpeg); here the payload is cut into ``n_frames``
+    evenly spaced fixed-width windows."""
+    if payload is None:
+        return None
+    out = []
+    if len(payload) == 0:
+        return out
+    stride = max(len(payload) // n_frames, 1)
+    for i in range(n_frames):
+        start = min(i * stride, max(len(payload) - frame_size, 0))
+        out.append(bytes(payload[start : start + frame_size]))
+    return out
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target: int = 64) -> DataFrame:
+    """Arrow-batched 'resize' over the media table (stubbed decode)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            resized = [resize_stub(p, target) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "n_bytes": [len(r) if r is not None else None for r in resized],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_size: int = 16) -> DataFrame:
+    """Arrow-batched frame sampling: one output row per (media, frame)
+    — the fan-out happens inside the batch, so downstream is a plain
+    long-format frame table ready for per-frame feature extraction."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fs = frame_sample_stub(p, n_frames, frame_size)
+                if fs is None:
+                    continue
+                for i, fr in enumerate(fs):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
 # ------------------------------------------------------- query registry
 
 def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -121,7 +207,17 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size("feature").alias("feature_dim"),
         )
 
-    return {"mm_metadata": q_meta, "mm_features": q_features}
+    def q_frames(spark, sf):
+        # rows-only: per-frame byte stats through the full
+        # media -> resize -> frame-sample -> agg chain
+        media = _media(spark, sf)
+        frames = sample_frames(resize_media(media, target=64), n_frames=4)
+        return frames.groupBy("frame_idx").agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("total_bytes"),
+        )
+
+    return {"mm_metadata": q_meta, "mm_features": q_features, "mm_frames": q_frames}
 
 
 def multimodal_oracles() -> dict[str, str]:

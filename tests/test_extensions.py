@@ -142,3 +142,37 @@ def test_multimodal_decode_deterministic():
     a = MM.decode_stub(b"hello world", "text/plain")
     b = MM.decode_stub(b"hello world", "text/plain")
     assert a == b and len(a) == 8
+
+
+def test_multimodal_resize_and_frames(spark):
+    docs = _docs(spark)
+    media = MM.to_media_table(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "video/fake",
+    )
+    resized = MM.resize_media(media, target=32)
+    rows = resized.collect()
+    assert all(r["n_bytes"] <= 32 for r in rows)
+
+    frames = MM.sample_frames(resized, n_frames=4, frame_size=8).collect()
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in per_media.values():
+        assert sorted(idxs) == [0, 1, 2, 3]
+    assert all(len(r["frame"]) <= 8 for r in frames)
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 1.0, 0.5]),
+            (1, [0.99, 0.01, 1.0, 0.5]),  # near-dup of 0
+            (2, [-1.0, 0.2, -1.0, -0.5]),  # different bucket
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = DD.embedding_near_dup_pairs(emb, threshold=0.95, n_bits=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
