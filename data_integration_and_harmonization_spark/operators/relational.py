@@ -171,6 +171,21 @@ def asof_join(
     return u.where(F.col("__is_left") == 1).drop("__t", "__is_left", *right_cols)
 
 
+def nations_with_both(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """INTERSECT: nation keys present on both sides (distinct set op)."""
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def nations_customers_only(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """EXCEPT (set semantics — ``subtract``; ``exceptAll`` is the
+    multiset variant): nation keys with customers but no suppliers."""
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
 def orders_by_quarter(orders: DataFrame) -> DataFrame:
     """Date-function surface (the reference never touches its
     timestamp-capable columns, SURVEY §2.8): truncation, extraction,
@@ -276,6 +291,14 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anti_join": q_anti,
         "rel_distinct_agg": q_distinct,
         "rel_asof_join": q_asof,
+        "rel_intersect": lambda s, sf: nations_with_both(
+            s.read.parquet(f"{sf}/customer.parquet"),
+            s.read.parquet(f"{sf}/supplier.parquet"),
+        ),
+        "rel_except": lambda s, sf: nations_customers_only(
+            s.read.parquet(f"{sf}/customer.parquet").where(F.col("c_acctbal") > 9000),
+            s.read.parquet(f"{sf}/supplier.parquet").where(F.col("s_acctbal") > 5000),
+        ),
         "rel_date_breakdown": lambda s, sf: orders_by_quarter(
             s.read.parquet(f"{sf}/orders.parquet")
         ),
@@ -351,6 +374,16 @@ SELECT e.event_id, e.user_id, o.o_orderdate AS asof_o_orderdate
 FROM events e
 ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        "rel_intersect": """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+        "rel_except": """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+EXCEPT
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
 """,
         "rel_date_breakdown": """
 SELECT year(o_orderdate)::INTEGER AS yr, quarter(o_orderdate)::INTEGER AS qtr,
