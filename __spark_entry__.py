@@ -34,6 +34,28 @@ from data_integration_and_harmonization_spark.operators import text as TX
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """The driver may hand us a session we didn't build. Pin the
+    runtime confs correctness depends on:
+
+    - UTC session timezone — timestamp->date/window bucketing follows
+      the session TZ; the DuckDB oracle compares naive UTC values.
+    - ANSI off — the engine implements pandas-style coercion (explicit
+      ``try_cast`` everywhere it matters, but e.g. double/0 and lossy
+      numeric folds assume non-ANSI evaluation like the reference).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def _guarded(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        _ensure_session_defaults(spark)
+        return fn(spark, sf)
+
+    return wrapped
+
 LINEITEM_NUM = [
     "l_orderkey",
     "l_partkey",
@@ -69,6 +91,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: harmonize two messy sources, run the full cleaning
     pipeline (coerce -> inf fold -> interpolate -> drop dead cols),
     profile the result. The reference's EP1 flow end-to-end."""
+    _ensure_session_defaults(spark)
     union = H.harmonize(_messy_sources(spark, SF_SMOKE), add_ingest_index=True)
     processed = C.process_data(union.drop(H.INGEST_SOURCE), order_col=H.INGEST_INDEX)
     return P.describe_numeric(processed.drop(H.INGEST_INDEX))
@@ -233,7 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(SIM.similarity_queries())
     q.update(EV.events_queries())
     q.update(MM.multimodal_queries())
-    return q
+    return {name: _guarded(fn) for name, fn in q.items()}
 
 
 # ---------------------------------------------------------------- oracles
