@@ -140,6 +140,78 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into
+    ``n_clusters`` cells; each query scans only its ``n_probe`` nearest
+    cells. The classic trade: one cheap centroid pass + candidate scan
+    of ~n_probe/n_clusters of the corpus.
+
+    Spark shape: KMeans (ml, distributed) fits centroids; cell
+    assignment is a transform; the query->cell fan-out is a broadcast
+    of (query, cell) pairs joined against the cell-partitioned corpus.
+    Same output shape as :func:`brute_force_topk`.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    to_vec = array_to_vector(F.col(vec_col).cast("array<double>"))
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), to_vec.alias("features")
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell"
+    )
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cell")
+
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    # per query: distance to every centroid (n_clusters is small), keep
+    # the n_probe nearest cells
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qc = q.crossJoin(F.broadcast(centers_df)).select(
+        "query_id",
+        "q_vec",
+        "cell",
+        F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("center"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
+    probes = qc.withColumn("pr", F.row_number().over(wq)).where(F.col("pr") <= n_probe)
+
+    scored = (
+        assigned.join(F.broadcast(probes.select("query_id", "q_vec", "cell")), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("cosine_sim"))
+    )
+
+
 # ------------------------------------------------------- query registry
 
 N_QUERIES = 10
@@ -164,10 +236,19 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         approx = lsh_topk(corpus, queries, k=5, n_bits=8)
         return ann_recall(exact, approx)
 
+    def q_ivf(spark, sf):
+        corpus, queries = _load(spark, sf)
+        # rows-only (KMeans centroids aren't oracle-expressible):
+        # recall@5 of IVF against exact brute force, per query
+        exact = brute_force_topk(corpus, queries, k=5)
+        approx = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=2)
+        return ann_recall(exact, approx)
+
     return {
         "sim_topk_bruteforce": q_brute,
         "sim_topk_lsh": q_lsh,
         "sim_ann_recall": q_recall,
+        "sim_ivf_recall": q_ivf,
     }
 
 

@@ -1,0 +1,61 @@
+"""Scale utilities: salted joins equal unsalted; bucketed tables join
+without an exchange."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.functions.skew import salted_join
+from data_integration_and_harmonization_spark.sources import writers as W
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = li.join(part, ["l_partkey"])
+    salted = salted_join(li, part, ["l_partkey"], salt=4)
+    assert _canon(salted) == _canon(plain)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], "k long, v string")
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, w string")
+    out = salted_join(big, small, ["k"], salt=3, how="left")
+    rows = {r["k"]: r["w"] for r in out.collect()}
+    assert rows == {1: "X", 2: "Y", 99: None}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory(prefix="dih_bkt_") as d:
+        W.write_bucketed(li, "t_li_b", ["l_orderkey"], 8, path=f"{d}/li")
+        W.write_bucketed(orders, "t_ord_b", ["l_orderkey"], 8, path=f"{d}/ord")
+        a = W.read_table(spark, "t_li_b")
+        b = W.read_table(spark, "t_ord_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, "l_orderkey")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:2000]
+            # and it still computes the right thing
+            assert j.count() == li.join(orders, "l_orderkey").count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS t_li_b")
+            spark.sql("DROP TABLE IF EXISTS t_ord_b")
