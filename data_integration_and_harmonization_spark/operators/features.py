@@ -105,6 +105,26 @@ def label_encode(df: DataFrame, cols: Sequence[str] | None = None) -> tuple[Data
     return out.select(*proj), encoders
 
 
+def label_decode(df: DataFrame, col: str, mapping: DataFrame) -> DataFrame:
+    """Inverse transform (sklearn ``LabelEncoder.inverse_transform``):
+    join codes back to their original string values via the broadcast
+    label map returned by :func:`label_encode`."""
+    m = mapping.select(
+        F.col("code").alias("__dih_code"), F.col("value").alias("__dih_value")
+    )
+    out = (
+        df.withColumn("__dih_code", F.col(col).cast("long"))
+        .join(F.broadcast(m), "__dih_code", "left")
+        .drop("__dih_code")
+    )
+    return out.select(
+        *[
+            (F.col("__dih_value").alias(col) if c == col else F.col(c))
+            for c in df.columns
+        ]
+    )
+
+
 def preprocess_data(df: DataFrame) -> tuple[DataFrame, dict[str, DataFrame]]:
     """The full ref:36-52 pipeline: scale numerics, encode strings."""
     scaled = zscore(df)

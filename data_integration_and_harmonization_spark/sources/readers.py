@@ -74,21 +74,44 @@ def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_sources(
-    spark: SparkSession, paths: Sequence[str], reject_empty: bool = True
+    spark: SparkSession,
+    paths: Sequence[str],
+    reject_empty: bool = True,
+    skip_errors: bool = False,
 ) -> list[DataFrame]:
     """Multi-file ingestion (S5, ref:168): one DataFrame per source.
 
     ``reject_empty`` mirrors the reference's empty-file error
     (ref:181-182) — checked lazily via ``df.isEmpty()`` (a LIMIT-1 job,
-    not a full count).
+    not a full count). ``skip_errors=True`` mirrors the reference's
+    per-file try/except (ref:171-187): a failing source is reported and
+    skipped, the remaining sources still load — use
+    :func:`read_sources_with_errors` to receive the error list.
     """
-    dfs = []
-    for path in paths:
-        df = read_any(spark, path)
-        if reject_empty and df.isEmpty():
-            raise ValueError(f"source {path} is empty")
-        dfs.append(df)
+    dfs, _ = read_sources_with_errors(spark, paths, reject_empty, skip_errors)
     return dfs
+
+
+def read_sources_with_errors(
+    spark: SparkSession,
+    paths: Sequence[str],
+    reject_empty: bool = True,
+    skip_errors: bool = True,
+) -> tuple[list[DataFrame], list[tuple[str, str]]]:
+    """Like :func:`read_sources` but returns (frames, [(path, error)])."""
+    dfs: list[DataFrame] = []
+    errors: list[tuple[str, str]] = []
+    for path in paths:
+        try:
+            df = read_any(spark, path)
+            if reject_empty and df.isEmpty():
+                raise ValueError(f"source {path} is empty")
+            dfs.append(df)
+        except Exception as exc:  # noqa: BLE001 — per-file isolation (ref:186)
+            if not skip_errors:
+                raise
+            errors.append((path, str(exc)))
+    return dfs, errors
 
 
 def load_sf_tables(
