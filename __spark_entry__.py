@@ -134,6 +134,9 @@ def _masked_lineitem(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_clean_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    # NOTE: not pre_partitioned — with_global_index's row_number window
+    # hash-shuffles on partition id, so its output partitions are NOT
+    # in range order (verified: pre_partitioned=True corrupts edges).
     out = C.interpolate_linear(_masked_lineitem(spark, sf), "pos", ["v"])
     return out.select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", F.round("v", 6).alias("v_interp")

@@ -117,6 +117,7 @@ def _repair_plan(
     cols: Sequence[str],
     num_partitions: int | None,
     need_next: bool,
+    pre_partitioned: bool = False,
 ):
     """Shared machinery for interpolate/ffill, fused to ONE range
     shuffle + ONE persist + ONE driver collect:
@@ -138,7 +139,18 @@ def _repair_plan(
     ob_asc = [F.col(c) for c in _as_cols(order_cols)]
     ob_desc = [F.col(c).desc() for c in _as_cols(order_cols)]
 
-    part = df.repartitionByRange(n, *ob_asc).withColumn(PID, F.spark_partition_id())
+    # ``pre_partitioned``: caller guarantees (a) partition i holds keys
+    # strictly below partition i+1 (ascending contiguous ranges) AND
+    # (b) the lineage re-executes deterministically (persisted, or pure
+    # narrow ops over a persisted/deterministic source). A frame that
+    # merely LOOKS ordered does not qualify: any window/groupBy since
+    # the range shuffle will have hash-repartitioned it (notably
+    # with_global_index's own row_number window — its output is NOT
+    # range-partitioned).
+    if pre_partitioned:
+        part = df.withColumn(PID, F.spark_partition_id())
+    else:
+        part = df.repartitionByRange(n, *ob_asc).withColumn(PID, F.spark_partition_id())
     part = part.withColumn(RN, F.row_number().over(Window.partitionBy(PID).orderBy(*ob_asc)))
     fwd = Window.partitionBy(PID).orderBy(*ob_asc).rowsBetween(Window.unboundedPreceding, 0)
     bwd = Window.partitionBy(PID).orderBy(*ob_desc).rowsBetween(Window.unboundedPreceding, 0)
@@ -160,8 +172,10 @@ def _repair_plan(
     part = part.select(*proj)
     # Pin one physical partitioning: repartitionByRange re-samples range
     # boundaries on EVERY job, and the edge-collect below plus the
-    # caller's final action must see the SAME partitions.
-    part = part.persist()
+    # caller's final action must see the SAME partitions. (Skipped for
+    # pre-partitioned input, whose lineage is already deterministic.)
+    if not pre_partitioned:
+        part = part.persist()
 
     # The single boundary-exchange collect: one row per partition.
     aggs = [F.count(F.lit(1)).alias("__cnt")]
@@ -225,6 +239,7 @@ def ffill(
     order_col: str | Sequence[str],
     cols: Sequence[str] | None = None,
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """C4 (ref:31): forward fill over the global ``order_col`` order.
 
@@ -232,7 +247,9 @@ def ffill(
     (pandas ``ffill`` semantics). Distributed via boundary exchange.
     """
     cols = list(cols if cols is not None else numeric_cols(df))
-    joined, dtypes = _repair_plan(df, order_col, cols, num_partitions, need_next=False)
+    joined, dtypes = _repair_plan(
+        df, order_col, cols, num_partitions, need_next=False, pre_partitioned=pre_partitioned
+    )
     out_cols = []
     for c in df.columns:
         if c in cols:
@@ -249,6 +266,7 @@ def interpolate_linear(
     order_col: str | Sequence[str],
     cols: Sequence[str] | None = None,
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """C3 (ref:30): pandas ``interpolate(method='linear',
     limit_direction='both')`` over the global ``order_col`` order.
@@ -263,7 +281,9 @@ def interpolate_linear(
     Fully parallel: per-partition windows + broadcast boundary anchors.
     """
     cols = list(cols if cols is not None else numeric_cols(df))
-    joined, dtypes = _repair_plan(df, order_col, cols, num_partitions, need_next=True)
+    joined, dtypes = _repair_plan(
+        df, order_col, cols, num_partitions, need_next=True, pre_partitioned=pre_partitioned
+    )
     out_cols = []
     # global 0-based position of the current row / partition-local
     # anchors (carries from other partitions are already global)
