@@ -371,7 +371,7 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
 FROM w
 """,
         "clean_cascade": """
-SELECT CAST(c_custkey AS DOUBLE) AS c_custkey,
+SELECT c_custkey,
        CAST(c_nationkey AS DOUBLE) AS c_nationkey,
        CAST(c_acctbal AS DOUBLE) AS c_acctbal
 FROM customer

@@ -177,7 +177,7 @@ WITH t AS (
     CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END AS length_ok
   FROM t
 )
-SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::BIGINT AS n_chars,
+SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
   round(avg_tok, 6) AS avg_token_len,
   round(alpha_ok, 6) AS alpha_ratio,
   round(stop_ratio, 6) AS stopword_ratio,

@@ -45,6 +45,31 @@ def _rows(recs, cols):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
+_SPARK_T = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+_DUCK_T = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "DATE": "date", "HUGEINT": "i128", "DECIMAL": "dec",
+}
+
+
+def _type_mismatches(sdf, duck_cols_types):
+    spark_types = dict(sdf.dtypes)
+    out = []
+    for col, dt in duck_cols_types:
+        st = spark_types.get(col)
+        a = _SPARK_T.get(st, st)
+        b = _DUCK_T.get(dt.split("(")[0], dt)
+        if a != b:
+            out.append(f"{col}: spark={st} duckdb={dt}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -78,9 +103,10 @@ def main() -> int:
                 failures.append(name)
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols_raw = [d[0] for d in ores.description]
-            orecs = [dict(zip(ocols_raw, row)) for row in ores.fetchall()]
+            rel = con.sql(oracles[name])
+            ocols_raw = list(rel.columns)
+            otypes = [str(t) for t in rel.types]
+            orecs = [dict(zip(ocols_raw, row)) for row in rel.fetchall()]
             ocols = sorted(ocols_raw)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
@@ -89,6 +115,9 @@ def main() -> int:
         msg = []
         if scols != ocols:
             msg.append(f"cols {scols} != {ocols}")
+        tmm = _type_mismatches(sdf, list(zip(ocols_raw, otypes)))
+        if tmm:
+            msg.append(f"types: {tmm}")
         if len(srecs) != len(orecs):
             msg.append(f"rowcount {len(srecs)} != {len(orecs)}")
         if not msg:
