@@ -210,6 +210,12 @@ def q_feat_label_encode(spark: SparkSession, sf: str) -> DataFrame:
     return enc.select("c_custkey", F.col("c_mktsegment").alias("segment_code"))
 
 
+def _q_sql_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    from data_integration_and_harmonization_spark.plans.sql import shipping_priority
+
+    return shipping_priority(spark, sf)
+
+
 def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
     """M1-M8, M10 rows-only: 3-class l_returnflag on a deterministic
     ~5% subsample (keeps tree fits bounded at bench scale)."""
@@ -251,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_label_encode": q_feat_label_encode,
         "ml_classification": q_ml_classification,
         "ml_regression": q_ml_regression,
+        "sql_shipping_priority": _q_sql_shipping,
     }
     q.update(E.eda_queries())
     q.update(REL.relational_queries())
@@ -393,6 +400,20 @@ FROM (SELECT DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), 'nan') AS value FR
         "feat_label_encode": """
 SELECT c_custkey, (dense_rank() OVER (ORDER BY coalesce(CAST(c_mktsegment AS VARCHAR), 'nan')) - 1)::BIGINT AS segment_code
 FROM customer
+""",
+        "sql_shipping_priority": """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
 """,
     }
     o.update(E.eda_oracles())
