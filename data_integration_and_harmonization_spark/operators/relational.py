@@ -171,6 +171,46 @@ def asof_join(
     return u.where(F.col("__is_left") == 1).drop("__t", "__is_left", *right_cols)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join WITHOUT an equi key:
+    match every point to every interval with start <= point < end.
+
+    Naive Spark planning for a pure inequality join is a broadcast
+    nested loop — O(points x intervals). The scalable shape used here
+    buckets time: each interval explodes to the buckets it covers, the
+    join becomes an equi-join on bucket, and a residual filter applies
+    the exact containment. Cost is O(points + intervals x span/bucket)
+    plus one hash join — the standard time-bucketized range join.
+    ``bucket`` is a date_trunc unit ('hour', 'day', ...); pick it near
+    the typical interval length so the explode factor stays small.
+    """
+    dur = F.expr(f"INTERVAL 1 {bucket}")
+    p = points.withColumn("__b", F.date_trunc(bucket, F.col(point_ts)))
+    # buckets covered by [start, end): sequence of truncated units
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start_ts)),
+                F.date_trunc(bucket, F.col(end_ts)),
+                dur,
+            )
+        ),
+    )
+    j = p.join(iv, "__b", how).where(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return j.drop("__b")
+
+
 def nations_with_both(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     """INTERSECT: nation keys present on both sides (distinct set op)."""
     return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
@@ -268,6 +308,23 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "approx_orders"
         )
 
+    def q_range_join(spark, sf):
+        from data_integration_and_harmonization_spark.operators.events import load_events
+
+        ev = load_events(spark, sf)
+        # intervals: for each hour containing an error event, the
+        # window [hour, hour+1h); points: all events. Pure containment
+        # join, no equi key.
+        intervals = (
+            ev.where(F.col("event_type") == "error")
+            .select(F.date_trunc("hour", "ts").alias("w_start"))
+            .distinct()
+            .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 hour"))
+        )
+        points = ev.select("event_id", "ts")
+        j = range_join(points, intervals, "ts", "w_start", "w_end", bucket="hour")
+        return j.groupBy("w_start").agg(F.count(F.lit(1)).alias("n_events_in_window"))
+
     def q_asof(spark, sf):
         from data_integration_and_harmonization_spark.operators.events import load_events
 
@@ -299,6 +356,7 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{sf}/customer.parquet").where(F.col("c_acctbal") > 9000),
             s.read.parquet(f"{sf}/supplier.parquet").where(F.col("s_acctbal") > 5000),
         ),
+        "rel_range_join": q_range_join,
         "rel_date_breakdown": lambda s, sf: orders_by_quarter(
             s.read.parquet(f"{sf}/orders.parquet")
         ),
@@ -384,6 +442,17 @@ SELECT s_nationkey FROM supplier
 SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
 EXCEPT
 SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+""",
+        "rel_range_join": """
+WITH intervals AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS w_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.w_start, count(*)::BIGINT AS n_events_in_window
+FROM events e JOIN intervals i
+  ON e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY i.w_start
 """,
         "rel_date_breakdown": """
 SELECT year(o_orderdate)::INTEGER AS yr, quarter(o_orderdate)::INTEGER AS qtr,

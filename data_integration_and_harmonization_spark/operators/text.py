@@ -36,6 +36,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-flavored pre-tokenizer pattern, restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB) support (no lookahead).
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: the GPT-2 pre-tokenizer split (contraction
+    suffixes, space-prefixed word/number/punct runs). A practical
+    stand-in for 'how many tokens will the LLM tokenizer produce' at
+    corpus-triage time — no vocab needed, pure regex, codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text form for fingerprinting: lower, non-alnum runs to
     single spaces, trimmed. (Byte-identical formula in the oracle.)"""
@@ -137,10 +151,19 @@ def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             minhash_gram_fingerprint("text", 3).alias("min_shingle_fp"),
         )
 
+    def q_tokens(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            token_count("text").alias("n_word_tokens"),
+            bpe_token_count("text").alias("n_bpe_tokens"),
+        )
+
     return {
         "text_quality": q_stats,
         "text_langid": q_langid,
         "text_fingerprint": q_fingerprint,
+        "text_token_counts": q_tokens,
     }
 
 
@@ -185,6 +208,12 @@ SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
 FROM s
 """,
         "text_langid": f"SELECT doc_id, {langid_case} AS lang_pred FROM documents",
+        "text_token_counts": f"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::INTEGER AS n_word_tokens,
+  len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::INTEGER AS n_bpe_tokens
+FROM documents
+""",
         "text_fingerprint": f"""
 SELECT doc_id,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,

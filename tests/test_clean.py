@@ -65,6 +65,19 @@ def test_coerce_numeric_cascade(spark):
     assert dead.columns == ["mixed"]  # pure-categorical column dropped
 
 
+def test_coerce_parse_cases_match_pandas(spark):
+    """pd.to_numeric(errors='coerce') parse matrix: scientific
+    notation, padded whitespace, NaN/inf tokens, junk."""
+    cases = ["1e5", " 3 ", "NaN", "inf", "-Infinity", "x", "1.5", None]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = C.inf_nan_to_null(C.coerce_numeric(df, ["s"]))
+    got = [r["s"] for r in out.collect()]
+    # to_numeric: 1e5->100000, ' 3 '->3, NaN->NaN, inf->inf (then the
+    # C2 fold sends NaN/inf to null), 'x'->NaN->null
+    assert sorted([g for g in got if g is not None]) == [1.5, 3.0, 100000.0]
+    assert got.count(None) == 5
+
+
 def test_inf_nan_to_null(spark):
     df = spark.createDataFrame(
         [(float("inf"),), (float("-inf"),), (float("nan"),), (1.0,)], "v double"
