@@ -134,17 +134,20 @@ def _masked_lineitem(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_clean_interpolate(spark: SparkSession, sf: str) -> DataFrame:
-    # NOTE: not pre_partitioned — with_global_index's row_number window
-    # hash-shuffles on partition id, so its output partitions are NOT
-    # in range order (verified: pre_partitioned=True corrupts edges).
-    out = C.interpolate_linear(_masked_lineitem(spark, sf), "pos", ["v"])
+    # with_global_index output is physically range-partitioned (its
+    # index comes from sortWithinPartitions + partition row counters,
+    # no window reshuffle) and persisted -> the repair may legally skip
+    # its own range shuffle. One shuffle for the whole query.
+    out = C.interpolate_linear(
+        _masked_lineitem(spark, sf), "pos", ["v"], pre_partitioned=True
+    )
     return out.select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", F.round("v", 6).alias("v_interp")
     )
 
 
 def q_clean_ffill(spark: SparkSession, sf: str) -> DataFrame:
-    out = C.ffill(_masked_lineitem(spark, sf), "pos", ["v"])
+    out = C.ffill(_masked_lineitem(spark, sf), "pos", ["v"], pre_partitioned=True)
     return out.select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", F.round("v", 6).alias("v_fill")
     )

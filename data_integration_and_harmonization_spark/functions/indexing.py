@@ -19,17 +19,11 @@ pattern holds at 1000 executors / 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PID = "__dih_pid"
 POS = "__dih_pos"
-
-
-def _range_partitioned(df: DataFrame, order_cols: list[str], num_partitions: int | None) -> DataFrame:
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    cols = [F.col(c) for c in order_cols]
-    return df.repartitionByRange(n, *cols).withColumn(PID, F.spark_partition_id())
 
 
 def with_global_index(
@@ -44,32 +38,48 @@ def with_global_index(
     deterministic — ties may land on either side of a range-partition
     boundary.
     """
-    part = _range_partitioned(df, order_cols, num_partitions)
-    w = Window.partitionBy(PID).orderBy(*[F.col(c) for c in order_cols])
-    part = part.withColumn("__dih_rn", F.row_number().over(w))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    # Per-partition positions WITHOUT a window: after an in-partition
+    # sort, monotonically_increasing_id is a per-partition row counter
+    # (value = pid<<33 + row), so position = mid - min(mid in pid).
+    # A row_number window would force a second (hash-on-pid) shuffle;
+    # this shape needs only the one range shuffle, and the output stays
+    # physically range-partitioned — downstream repair ops may use
+    # pre_partitioned=True on it.
+    part = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(PID, F.spark_partition_id())
+        .withColumn("__dih_mid", F.monotonically_increasing_id())
+    )
 
     # repartitionByRange samples fresh range boundaries on EVERY job, so
-    # the count job below and the consumer's later actions would see
+    # the stats job below and the consumer's later actions would see
     # different partitionings. Persist pins one physical partitioning
     # (same reason Spark's own RDD.zipWithIndex materializes first).
     part = part.persist()
 
     # Tiny job: one row per partition; offsets computed driver-side.
-    counts = {
-        r[PID]: r["cnt"]
-        for r in part.groupBy(PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    stats = {
+        r[PID]: (r["cnt"], r["mn"])
+        for r in part.groupBy(PID)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__dih_mid").alias("mn"))
+        .collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    rows, acc = [], 0
+    for pid in sorted(stats):
+        cnt, mn = stats[pid]
+        rows.append((int(pid), int(acc), int(mn)))
+        acc += cnt
     spark = df.sparkSession
-    offset_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()], f"{PID} int, __dih_off long"
-    )
+    offset_df = spark.createDataFrame(rows, f"{PID} int, __dih_off long, __dih_mn long")
     out = (
         part.join(F.broadcast(offset_df), PID)
-        .withColumn(index_col, (F.col("__dih_rn") - 1 + F.col("__dih_off")).cast("long"))
-        .drop("__dih_rn", "__dih_off", PID)
+        .withColumn(
+            index_col,
+            (F.col("__dih_off") + (F.col("__dih_mid") - F.col("__dih_mn"))).cast("long"),
+        )
+        .drop("__dih_mid", "__dih_off", "__dih_mn", PID)
     )
     return out

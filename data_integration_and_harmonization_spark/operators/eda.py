@@ -11,7 +11,6 @@ binning needs is a 1-row broadcast cross join, not a driver value.
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
