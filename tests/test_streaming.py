@@ -26,6 +26,23 @@ def test_tumbling_stream_matches_batch(spark, sf_dir):
     assert _canon(got, keys) == _canon(expected, keys)
 
 
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    expected = EV.sliding_agg(EV.load_events(spark, sf_dir))
+
+    stream_raw = SP.stream_events(spark, f"{sf_dir}/events.parquet")
+    stream_ev = stream_raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    windowed = (
+        stream_ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    got = SP.run_availablenow(windowed, "t_sliding")
+    keys = ["window_start", "n_events"]
+    assert _canon(got, keys) == _canon(expected, keys)
+
+
 def test_session_stream_matches_batch(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_ev = EV.load_events(spark, sf_dir)
