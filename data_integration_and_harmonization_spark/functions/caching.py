@@ -1,0 +1,45 @@
+"""Persist-lifecycle registry.
+
+Operators that pin a physical partitioning (``with_global_index``,
+``_repair_plan``) must ``persist()`` so every downstream job sees the
+SAME partitions (``repartitionByRange`` re-samples boundaries per job).
+The persist must outlive the operator call — the consuming action runs
+later, in the caller — so the operator can't unpersist it itself.
+
+This registry makes the leak bounded instead of session-lifetime:
+operators ``track()`` what they persist; session owners (bench loops,
+the driver-facing query wrapper, long-lived services) call
+``release_all()`` at a point where the previous query's actions have
+completed. Releasing mid-query would be wrong — recomputation would
+re-sample range boundaries — so release sits at query boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register a persisted DataFrame for later release. Returns it."""
+    _TRACKED.append(df)
+    return df
+
+
+def tracked_count() -> int:
+    return len(_TRACKED)
+
+
+def release_all() -> int:
+    """Unpersist every tracked frame (non-blocking). Safe only at query
+    boundaries — after the consuming actions have run. Returns the
+    number of frames released."""
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist(False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _TRACKED.clear()
+    return n

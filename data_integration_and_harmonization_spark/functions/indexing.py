@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_integration_and_harmonization_spark.functions.caching import track
+
 PID = "__dih_pid"
 POS = "__dih_pos"
 
@@ -58,7 +60,10 @@ def with_global_index(
     # the stats job below and the consumer's later actions would see
     # different partitionings. Persist pins one physical partitioning
     # (same reason Spark's own RDD.zipWithIndex materializes first).
-    part = part.persist()
+    # Tracked so session owners can release it at the next query
+    # boundary (functions/caching.py) instead of leaking for the
+    # session lifetime.
+    part = track(part.persist())
 
     # Tiny job: one row per partition; offsets computed driver-side.
     stats = {

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_integration_and_harmonization_spark.functions.caching import track
+
 PID = "__dih_pid"
 
 
@@ -142,11 +144,13 @@ def _repair_plan(
     # ``pre_partitioned``: caller guarantees (a) partition i holds keys
     # strictly below partition i+1 (ascending contiguous ranges) AND
     # (b) the lineage re-executes deterministically (persisted, or pure
-    # narrow ops over a persisted/deterministic source). A frame that
-    # merely LOOKS ordered does not qualify: any window/groupBy since
-    # the range shuffle will have hash-repartitioned it (notably
-    # with_global_index's own row_number window — its output is NOT
-    # range-partitioned).
+    # narrow ops over a persisted/deterministic source).
+    # ``with_global_index`` output QUALIFIES: it is window-free
+    # (sortWithinPartitions + per-partition counters after one range
+    # shuffle), persisted, and stays physically range-partitioned.
+    # What does NOT qualify: any frame that has been hash-shuffled
+    # since its range shuffle (a groupBy/join/window over different
+    # keys), even if its rows still LOOK ordered when collected.
     if pre_partitioned:
         part = df.withColumn(PID, F.spark_partition_id())
     else:
@@ -174,8 +178,9 @@ def _repair_plan(
     # boundaries on EVERY job, and the edge-collect below plus the
     # caller's final action must see the SAME partitions. (Skipped for
     # pre-partitioned input, whose lineage is already deterministic.)
+    # Tracked for release at the next query boundary (caching.py).
     if not pre_partitioned:
-        part = part.persist()
+        part = track(part.persist())
 
     # The single boundary-exchange collect: one row per partition.
     aggs = [F.count(F.lit(1)).alias("__cnt")]
@@ -303,6 +308,49 @@ def interpolate_linear(
             out_cols.append(repaired.alias(c))
         else:
             out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def interpolate_and_ffill(
+    df: DataFrame,
+    order_col: str | Sequence[str],
+    cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+    pre_partitioned: bool = False,
+    interp_suffix: str = "__interp",
+    ffill_suffix: str = "__ffill",
+) -> DataFrame:
+    """C3 + C4 in ONE repair pass: both pandas ``interpolate(
+    method='linear', limit_direction='both')`` and ``ffill`` derive
+    from the same prev/next valid-anchor windows, so computing them
+    together costs one range shuffle + one boundary exchange total —
+    half of running :func:`interpolate_linear` then :func:`ffill`.
+
+    Adds ``<c><interp_suffix>`` and ``<c><ffill_suffix>`` for each
+    repaired column; the original columns pass through unchanged.
+    """
+    cols = list(cols if cols is not None else numeric_cols(df))
+    joined, dtypes = _repair_plan(
+        df, order_col, cols, num_partitions, need_next=True, pre_partitioned=pre_partitioned
+    )
+    pos = (F.col("__off") + F.col(RN) - 1).cast("double")
+    out_cols = [F.col(c) for c in df.columns]
+    for c in cols:
+        valid = _valid(c, dtypes[c])
+        pv = F.coalesce(F.col(f"__pv_{c}"), F.col(f"__cpv_{c}"))
+        pp = F.coalesce(F.col("__off") + F.col(f"__pp_{c}") - 1, F.col(f"__cpp_{c}"))
+        nv = F.coalesce(F.col(f"__nv_{c}"), F.col(f"__cnv_{c}"))
+        np_ = F.coalesce(F.col("__off") + F.col(f"__np_{c}") - 1, F.col(f"__cnp_{c}"))
+        interp = pv + (nv - pv) * (pos - pp) / (np_ - pp)
+        out_cols.append(
+            F.when(valid, F.col(c).cast("double"))
+            .when(pv.isNotNull() & nv.isNotNull(), interp)
+            .otherwise(F.coalesce(pv, nv))
+            .alias(f"{c}{interp_suffix}")
+        )
+        out_cols.append(
+            F.when(valid, F.col(c).cast("double")).otherwise(pv).alias(f"{c}{ffill_suffix}")
+        )
     return joined.select(*out_cols)
 
 

@@ -9,9 +9,12 @@ Five levels, cheapest first; each is the standard scale architecture:
                 whitespace/punct/case variants
 - minhash_lsh:  shingle -> minhash signature -> band buckets ->
                 candidate pairs join within buckets. All column
-                expressions (murmur3 ``F.hash`` with per-permutation
-                seeds); the pair join only ever touches bucket-mates,
-                which is what makes near-dup feasible at 100 TB.
+                expressions; the shingle hash family is murmur3
+                (``F.hash``, fastest) or md5-derived (reproducible in
+                any engine — the oracle twin). The pair join only ever
+                touches bucket-mates, which is what makes near-dup
+                feasible at 100 TB, and no corpus-sized side is ever
+                broadcast anywhere in this module.
 - simhash:      64-bit weighted-bit signature; near-dups = signatures
                 at small Hamming distance within buckets
 - ngram_jaccard: exact Jaccard over word-shingle sets for candidate
@@ -27,9 +30,26 @@ from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.operators.text import normalized, tokens
 
-# minhash: h_i(x) = (a_i * murmur3(x) + b_i) mod p  — classic affine
-# permutation family over a Mersenne prime.
+# minhash: h_i(x) = (a_i * base(x) + b_i) mod p — classic affine
+# permutation family over a Mersenne prime. ``base`` is the shingle
+# hash: murmur3 (fastest, JVM ``F.hash``) by default, or md5-derived
+# (``hash_family='md5'``) when the signature must be reproducible in an
+# external engine — md5 exists everywhere; murmur3 seeds don't.
 _P = 2147483647
+
+
+def _shingle_hash(col: Column, hash_family: str) -> Column:
+    if hash_family == "md5":
+        # first 15 hex chars = 60 bits, positive in a long; DuckDB
+        # mirrors this exactly as CAST('0x' || substr(md5(s),1,15) AS
+        # BIGINT). One md5 per shingle; permutations stay affine.
+        # Reduced mod P here so the affine step (x * 63 max) cannot
+        # overflow a 64-bit signed int — DuckDB errors on overflow
+        # where Spark's non-ANSI mode silently wraps.
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % _P
+    if hash_family == "murmur3":
+        return F.abs(F.hash(col).cast("long"))
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
 
 
 def word_shingles(col: Column | str, gram: int = 3) -> Column:
@@ -48,6 +68,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     gram: int = 3,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """MinHash signatures as ONE exploded-aggregate pass: explode the
     shingle set to rows, murmur3 each shingle exactly once, then
@@ -71,7 +92,7 @@ def minhash_signatures(
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(n, "id")
     ex = src.select(
         "id", F.explode(word_shingles("t", gram)).alias("s")
-    ).select("id", F.abs(F.hash("s").cast("long")).alias("h"))
+    ).select("id", _shingle_hash(F.col("s"), hash_family).alias("h"))
     aggs = [
         F.min((F.col("h") * (2 * i + 1) + (7 * i + 3)) % _P).alias(f"m{i}")
         for i in range(num_hashes)
@@ -87,26 +108,36 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     gram: int = 3,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH: split the signature
     into ``bands`` rows of ``num_hashes/bands``; docs sharing any
-    band hash are candidates. The self-join is per-(band, bucket) —
-    tiny groups — so the quadratic blowup is local to real near-dup
-    clusters, not the corpus.
+    band hash are candidates. The self-join is a shuffle equi-join on
+    (band, bucket) — per-bucket groups are tiny, so the quadratic
+    blowup is local to real near-dup clusters, not the corpus; neither
+    side is ever broadcast or collected.
+
+    With ``hash_family='md5'`` the bucket is the concatenated band
+    minima (strings) instead of a murmur3 fold, so an external oracle
+    can reproduce the candidate graph bit-for-bit.
 
     Output: (id_a, id_b, n_shared_bands), id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, gram)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, gram, hash_family)
+
+    def bucket_of(b: int) -> Column:
+        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.hash(*cols).cast("string")
+
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -199,28 +230,39 @@ def ngram_jaccard_pairs(
     cheap blocking key that keeps the pair join near-linear; the
     MinHash path above is the unblocked scale route.
 
+    Scale shape: ONE shuffle of (id, text) on the blocking key, then
+    the shingle projection runs distributed post-shuffle, then a
+    shuffle equi self-join on (blk[, lang]) — both children share the
+    exchange (Catalyst reuses it), and NOTHING corpus-sized is ever
+    broadcast. A blocking group with pathological skew is bounded by
+    construction (documents of one length bucket + language); the
+    unblocked scale route for heavy corpora is
+    :func:`lsh_verified_pairs`.
+
     Output: (id_a, id_b, jaccard) for pairs above ``threshold``.
     """
-    block = [F.floor(F.length(F.col(text_col)) / length_bucket).alias("blk")]
-    if "lang" in df.columns:
-        block.append(F.col("lang"))
-    s = df.select(
-        F.col(id_col).alias("id"), *block, word_shingles(text_col, gram).alias("sh")
+    keys = ["blk"] + (["lang"] if "lang" in df.columns else [])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.floor(F.length(F.col(text_col)) / length_bucket).alias("blk"),
+        *([F.col("lang")] if "lang" in df.columns else []),
+        F.col(text_col).alias("__t"),
     )
-    # Spread the probe side: a single-file scan is one partition, and
-    # the pair comparison is the expensive part — force fan-out so the
-    # per-pair work parallelizes (explicit n => AQE won't coalesce it).
-    n = s.sparkSession.sparkContext.defaultParallelism
-    s = s.repartition(n, F.col("blk"), *( [F.col("lang")] if "lang" in df.columns else [] ), F.col("id"))
+    # Shuffle the raw text ONCE on the join key (explicit n => a
+    # single-file scan still fans out); the expensive shingle
+    # projection then runs distributed, after the exchange.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(n, *[F.col(k) for k in keys])
+    s = base.select("id", *keys, word_shingles("__t", gram).alias("sh"))
     left, right = s.alias("l"), s.alias("r")
-    on = (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))
-    if "lang" in df.columns:
-        on = on & (F.col("l.lang") == F.col("r.lang"))
+    on = (F.col("l.id") < F.col("r.id"))
+    for k in keys:
+        on = on & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
     union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        left.join(F.broadcast(right), on)
+        left.join(right, on)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
@@ -238,6 +280,7 @@ def lsh_verified_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     gram: int = 3,
+    hash_family: str = "murmur3",
 ) -> DataFrame:
     """The 100 TB near-dup pipeline: MinHash-LSH proposes candidate
     pairs (near-linear), exact shingle Jaccard verifies ONLY those
@@ -246,7 +289,7 @@ def lsh_verified_pairs(
 
     Output: (id_a, id_b, jaccard) for verified pairs >= threshold.
     """
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, gram)
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, gram, hash_family)
     n = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
@@ -274,8 +317,10 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup: candidate pairs share a sign-bit LSH
     bucket (random-hyperplane family restricted to axis planes, so the
-    oracle can mirror it); exact cosine filters. Per-bucket self-join —
-    quadratic only within buckets, i.e. near-linear overall.
+    oracle can mirror it); exact cosine filters. Per-bucket shuffle
+    equi self-join — the corpus shuffles ONCE on the bucket key, both
+    join children reuse that exchange, and nothing corpus-sized is
+    broadcast; quadratic only within buckets, near-linear overall.
 
     Output: (id_a, id_b, cosine_sim) with cosine >= threshold.
     """
@@ -290,10 +335,10 @@ def embedding_near_dup_pairs(
         signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     n = emb.sparkSession.sparkContext.defaultParallelism
-    s = s.repartition(n, "bucket", "id")
+    s = s.repartition(n, "bucket")
     left, right = s.alias("l"), s.alias("r")
     pairs = left.join(
-        F.broadcast(right),
+        right,
         (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
     ).select(
         F.col("l.id").alias("id_a"),
@@ -306,11 +351,22 @@ def embedding_near_dup_pairs(
 # ------------------------------------------------------- query registry
 
 def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    def q_exact(spark, sf):
-        return exact_dedup(spark.read.parquet(f"{sf}/documents.parquet"))
-
-    def q_fp(spark, sf):
-        return fingerprint_dedup(spark.read.parquet(f"{sf}/documents.parquet"))
+    def q_exact_fp(spark, sf):
+        # exact + normalized-fingerprint dedup in one tagged result
+        # (merged from r1's dedup_exact / dedup_fingerprint — the
+        # driver's correctness pass records at most 50 queries, so
+        # same-shaped operators share an entry).
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        e = exact_dedup(docs).select(
+            F.lit("exact").alias("kind"),
+            F.col("text_fp").alias("fp"),
+            "n_copies",
+            "keep_id",
+        )
+        fp = fingerprint_dedup(docs).select(
+            F.lit("normalized").alias("kind"), "fp", "n_copies", "keep_id"
+        )
+        return e.unionByName(fp)
 
     def q_jaccard(spark, sf):
         # Oracle-checked on a deterministic 20% subset (the all-pairs
@@ -327,22 +383,16 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_lsh_verified(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        # rows-only: murmur3-based candidates aren't oracle-expressible.
-        pairs = lsh_verified_pairs(docs, threshold=0.5)
-        return pairs.agg(
-            F.count(F.lit(1)).alias("n_verified_pairs"),
-            F.round(F.coalesce(F.max("jaccard"), F.lit(0.0)), 6).alias("max_jaccard"),
-        )
+        # md5 hash family => the FULL LSH-propose + Jaccard-verify
+        # pipeline is reproduced by the DuckDB oracle and hash-checked
+        # (murmur3 stays the scale default in the API).
+        return lsh_verified_pairs(docs, threshold=0.5, hash_family="md5")
 
     def q_minhash(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        # rows-only (murmur3 isn't reproducible in the oracle): summary
-        # stats of the banded-LSH candidate graph, always non-empty.
-        cands = minhash_lsh_candidates(docs)
-        return cands.agg(
-            F.count(F.lit(1)).alias("n_candidate_pairs"),
-            F.coalesce(F.max("n_shared_bands"), F.lit(0)).alias("max_shared_bands"),
-        )
+        # md5 hash family => the banded candidate graph itself is
+        # oracle-checked pair-for-pair.
+        return minhash_lsh_candidates(docs, hash_family="md5")
 
     def q_simhash(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -355,8 +405,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
-        "dedup_exact": q_exact,
-        "dedup_fingerprint": q_fp,
+        "dedup_exact_fp": q_exact_fp,
         "dedup_ngram_jaccard": q_jaccard,
         "dedup_minhash_lsh": q_minhash,
         "dedup_simhash": q_simhash,
@@ -370,6 +419,43 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _md5_minhash_cte(shingles: str, num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB twin of ``minhash_signatures(hash_family='md5')`` +
+    ``minhash_lsh_candidates``: same shingle hash (first 15 md5 hex
+    chars as a 60-bit int, reduced mod the Mersenne prime), same affine
+    permutation family, same band buckets (concatenated minima)."""
+    rpb = num_hashes // bands
+    base = "(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)"
+    mins = ",\n    ".join(
+        f"min(({base} * {2 * i + 1} + {7 * i + 3}) % 2147483647) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band, "
+        + " || '|' || ".join(f"m{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {shingles} AS shl FROM documents
+), ex AS (
+  SELECT id, unnest(shl) AS s FROM sh
+), sig AS (
+  SELECT id,
+    {mins}
+  FROM ex GROUP BY id
+), banded AS (
+{band_rows}
+), cand AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*)::BIGINT AS n_shared_bands
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+  GROUP BY 1, 2
+)
+"""
+
+
 def dedup_oracles() -> dict[str, str]:
     from data_integration_and_harmonization_spark.operators.text import TOKEN_RE
 
@@ -380,15 +466,33 @@ def dedup_oracles() -> dict[str, str]:
         f"regexp_extract_all(lower(text), '{TOKEN_RE}')[i+1] || ' ' || "
         f"regexp_extract_all(lower(text), '{TOKEN_RE}')[i+2]))"
     )
+    minhash_cte = _md5_minhash_cte(shingles)
     return {
-        "dedup_exact": """
-SELECT md5(text) AS text_fp, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
-FROM documents GROUP BY 1
-""",
-        "dedup_fingerprint": """
-SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        "dedup_exact_fp": """
+SELECT 'exact' AS kind, md5(text) AS fp, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'normalized' AS kind, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
        count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
-FROM documents GROUP BY 1
+FROM documents GROUP BY 2
+""",
+        "dedup_minhash_lsh": minhash_cte
+        + """
+SELECT id_a, id_b, n_shared_bands FROM cand
+""",
+        "dedup_lsh_verified": minhash_cte
+        + """
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+    round(CASE WHEN len(list_distinct(a.shl || b.shl)) > 0
+          THEN CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+               / len(list_distinct(a.shl || b.shl))
+          ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b
+)
+WHERE jaccard >= 0.5
 """,
         "dedup_ngram_jaccard": f"""
 WITH s AS (
