@@ -52,6 +52,12 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
 def _guarded(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf: str) -> DataFrame:
         _ensure_session_defaults(spark)
+        # Release persisted frames the PREVIOUS query tracked (its
+        # actions have completed by the time the runner invokes the
+        # next query) — keeps long sessions from accumulating caches.
+        from data_integration_and_harmonization_spark.functions.caching import release_all
+
+        release_all()
         return fn(spark, sf)
 
     return wrapped
@@ -133,23 +139,25 @@ def _masked_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_clean_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+def q_clean_repair(spark: SparkSession, sf: str) -> DataFrame:
+    # C3 interpolation + C4 ffill in ONE repair pass (merged from r1's
+    # clean_interpolate / clean_ffill — both derive from the same
+    # prev/next anchor windows, so one query halves the bench cost AND
+    # frees a slot under the correctness runner's 50-query cap).
     # with_global_index output is physically range-partitioned (its
     # index comes from sortWithinPartitions + partition row counters,
     # no window reshuffle) and persisted -> the repair may legally skip
     # its own range shuffle. One shuffle for the whole query.
-    out = C.interpolate_linear(
+    out = C.interpolate_and_ffill(
         _masked_lineitem(spark, sf), "pos", ["v"], pre_partitioned=True
     )
     return out.select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", F.round("v", 6).alias("v_interp")
-    )
-
-
-def q_clean_ffill(spark: SparkSession, sf: str) -> DataFrame:
-    out = C.ffill(_masked_lineitem(spark, sf), "pos", ["v"], pre_partitioned=True)
-    return out.select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", F.round("v", 6).alias("v_fill")
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.round("v__interp", 6).alias("v_interp"),
+        F.round("v__ffill", 6).alias("v_fill"),
     )
 
 
@@ -245,12 +253,184 @@ def q_ml_regression(spark: SparkSession, sf: str) -> DataFrame:
     return ML.train_models_df(spark, res)
 
 
+def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S3/S5/S6 through the hash gate (the reference's csv/json/
+    multi-file front door, ref:165-187): write two lineitem slices out
+    as csv + ndjson (distributed writers) and the nation dims as a
+    whole-document JSON file (the pandas ``read_json`` orientation),
+    re-ingest all three via ``read_sources`` (extension dispatch,
+    empty-input guard), harmonize, aggregate. Oracle = the same
+    aggregate straight off the parquet tables."""
+    import json
+    import os
+
+    from data_integration_and_harmonization_spark.sources.readers import read_sources
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+    base = os.path.join("/root/repo/.tmp", f"roundtrip_{os.path.basename(sf.rstrip('/'))}")
+    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    csv_dir = base + "_li.csv"
+    nd_dir = base + "_li.ndjson"
+    li.where(F.col("l_orderkey") % 10 == 0).select(*cols).write.mode("overwrite").option(
+        "header", True
+    ).csv(csv_dir)
+    li.where(F.col("l_orderkey") % 10 == 5).select(*cols).write.mode("overwrite").json(nd_dir)
+    # whole-document JSON (array of records), written driver-side —
+    # nation is a 25-row dim, the one shape multiLine JSON is for
+    nation = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey", "n_name")
+    json_file = base + "_nation.json"
+    with open(json_file, "w") as fh:
+        json.dump([r.asDict() for r in nation.collect()], fh)
+    srcs = read_sources(spark, [csv_dir, nd_dir, json_file], reject_empty=True, skip_errors=False)
+    u = H.harmonize(srcs)
+    return u.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.sum(F.col("n_nationkey").cast("long")).alias("sum_nkey"),
+    )
+
+
+def q_ml_exact_split(spark: SparkSession, sf: str) -> DataFrame:
+    """M1 exact-count split parity (ref:62): every 5th row by global
+    rank over the unique composite key is held out — oracle-checkable,
+    unlike Bernoulli randomSplit."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(*_ORDER_KEY, "l_quantity")
+    s = ML.exact_split(li, _ORDER_KEY, k=5)
+    # checksum on l_quantity: integral-valued doubles sum exactly, so
+    # the hash is immune to cross-engine summation order
+    return s.groupBy(F.col("is_test")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+def q_ml_tuned(spark: SparkSession, sf: str) -> DataFrame:
+    """M7 (ref:71-93) rows-only: the CrossValidator tuning path with a
+    reduced RF grid (2 points, 3 folds) on a deterministic ~1%
+    subsample so bench cost stays bounded; the full ref:72-81 grid is
+    the library default (``tuning_grid``)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") % 100 == 0)
+    labeled = li.select(
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+        (F.col("l_returnflag") == "A").cast("int").alias("target"),
+    )
+    res = ML.train_models(
+        labeled,
+        "target",
+        is_classification=True,
+        hyperparameter_tuning=True,
+        param_grids={"Random Forest": {"numTrees": [5, 10]}},
+    )
+    return ML.train_models_df(spark, res)
+
+
+def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming/batch agreement as a driver-visible query (rows-only):
+    the tumbling-window agg drained through Structured Streaming
+    (availableNow trigger, memory sink) full-outer joined against its
+    batch twin. One summary row; all_agree must be true."""
+    import uuid
+
+    from data_integration_and_harmonization_spark.streaming import pipeline as SP
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = EV.tumbling_agg(EV.load_events(spark, sf))
+    stream_raw = SP.stream_events(spark, f"{sf}/events.parquet")
+    stream_ev = stream_raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    drained = SP.run_availablenow(
+        SP.tumbling_stream(stream_ev), f"twin_{uuid.uuid4().hex[:8]}"
+    )
+    s = drained.select(
+        "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
+    )
+    b = batch.select(
+        "window_start", "event_type", F.col("n_events").alias("b_n"), F.col("sum_value").alias("b_sum")
+    )
+    j = s.join(b, ["window_start", "event_type"], "full_outer")
+    agree = (
+        F.col("s_n").eqNullSafe(F.col("b_n")) & F.col("s_sum").eqNullSafe(F.col("b_sum"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(agree.cast("long")).alias("n_agree"),
+        F.min(agree).alias("all_agree"),
+    )
+
+
+# Registration order is deliberate: the driver's correctness pass
+# records at most 50 queries in registration order (r1 registered 55
+# and the last 5 were silently untested), so the previously-unchecked
+# and newly-added queries come FIRST and the expensive ML fits come
+# last. The assert below keeps the registry at exactly <= 50.
+_QUERY_ORDER = [
+    # unchecked in r1 (registered past the cap)
+    "events_session",
+    "events_json_props",
+    "mm_metadata",
+    "mm_features",
+    "mm_frames",
+    # new in r2
+    "src_roundtrip",
+    "ml_exact_split",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "stream_batch_twin",
+    # reference core surface
+    "harmonize_union",
+    "clean_coerce",
+    "clean_repair",
+    "clean_cascade",
+    "describe_numeric",
+    "describe_object",
+    "corr_matrix",
+    "feat_zscore",
+    "feat_label_map",
+    "feat_label_encode",
+    "sql_shipping_priority",
+    # EDA aggregations
+    "eda_histogram",
+    "eda_box_stats",
+    "eda_density2d",
+    "eda_pair_projection",
+    # relational surface
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_topk_per_segment",
+    "rel_grouping_sets",
+    "rel_pivot",
+    "rel_semi_anti_join",
+    "rel_distinct_agg",
+    "rel_asof_join",
+    "rel_set_ops",
+    "rel_range_join",
+    "rel_date_breakdown",
+    "rel_running_window",
+    # text / dedup / similarity / events
+    "text_profile",
+    "dedup_exact_fp",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_ann_recall",
+    "sim_ivf_recall",
+    "events_windows",
+    # ML orchestration (expensive distributed fits) last
+    "ml_classification",
+    "ml_regression",
+    "ml_tuned",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "harmonize_union": q_harmonize_union,
         "clean_coerce": q_clean_coerce,
-        "clean_interpolate": q_clean_interpolate,
-        "clean_ffill": q_clean_ffill,
+        "clean_repair": q_clean_repair,
         "clean_cascade": q_clean_cascade,
         "describe_numeric": q_describe_numeric,
         "describe_object": q_describe_object,
@@ -260,6 +440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_label_encode": q_feat_label_encode,
         "ml_classification": q_ml_classification,
         "ml_regression": q_ml_regression,
+        "ml_tuned": q_ml_tuned,
+        "ml_exact_split": q_ml_exact_split,
+        "src_roundtrip": q_src_roundtrip,
+        "stream_batch_twin": q_stream_batch_twin,
         "sql_shipping_priority": _q_sql_shipping,
     }
     q.update(E.eda_queries())
@@ -269,7 +453,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(SIM.similarity_queries())
     q.update(EV.events_queries())
     q.update(MM.multimodal_queries())
-    return {name: _guarded(fn) for name, fn in q.items()}
+    assert set(q) == set(_QUERY_ORDER), (
+        f"registry drift: extra={sorted(set(q) - set(_QUERY_ORDER))} "
+        f"missing={sorted(set(_QUERY_ORDER) - set(q))}"
+    )
+    assert len(_QUERY_ORDER) <= 50, "driver correctness pass caps at 50 queries"
+    return {name: _guarded(q[name]) for name in _QUERY_ORDER}
 
 
 # ---------------------------------------------------------------- oracles
@@ -365,20 +554,41 @@ SELECT l_orderkey, l_linenumber,
   END AS qty_clean
 FROM lineitem
 """,
-        "clean_interpolate": _MASKED_CTE
+        "clean_repair": _MASKED_CTE
         + """
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
   round(CASE WHEN v IS NOT NULL THEN v
              WHEN pv IS NOT NULL AND nv IS NOT NULL
                THEN pv + (nv - pv) * (CAST(pos AS DOUBLE) - pp) / (np - pp)
-             ELSE coalesce(pv, nv) END, 6) AS v_interp
-FROM w
-""",
-        "clean_ffill": _MASKED_CTE
-        + """
-SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             ELSE coalesce(pv, nv) END, 6) AS v_interp,
   round(CASE WHEN v IS NOT NULL THEN v ELSE pv END, 6) AS v_fill
 FROM w
+""",
+        "src_roundtrip": """
+WITH src AS (
+  SELECT l_returnflag, l_quantity, CAST(NULL AS BIGINT) AS n_nationkey
+  FROM lineitem WHERE l_orderkey % 10 = 0
+  UNION ALL
+  SELECT l_returnflag, l_quantity, NULL FROM lineitem WHERE l_orderkey % 10 = 5
+  UNION ALL
+  SELECT NULL, NULL, n_nationkey FROM nation
+)
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty,
+       sum(n_nationkey)::BIGINT AS sum_nkey
+FROM src GROUP BY 1
+""",
+        "ml_exact_split": """
+WITH ranked AS (
+  SELECT l_quantity,
+         (row_number() OVER (
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+          ) - 1) % 5 = 0 AS is_test
+  FROM lineitem
+)
+SELECT is_test, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM ranked GROUP BY 1
 """,
         "clean_cascade": """
 SELECT c_custkey,

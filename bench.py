@@ -21,7 +21,7 @@ from data_integration_and_harmonization_spark import get_spark
 # binned EDA.
 HEADLINE = [
     "harmonize_union",
-    "clean_interpolate",
+    "clean_repair",
     "clean_cascade",
     "describe_numeric",
     "corr_matrix",
@@ -39,6 +39,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
     ]
+
+    # Untimed warmup: absorb JVM/codegen/scan spin-up so per-query
+    # timings reflect plan cost, not first-touch overhead (r1 recorded
+    # 4.8 s for a 16k-row union — all warmup).
+    t0 = time.time()
+    qs[names[0]](spark, sf_dir).count()
+    print(f"# warmup ({names[0]}): {time.time() - t0:.2f}s untimed", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

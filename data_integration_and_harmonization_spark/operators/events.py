@@ -84,9 +84,25 @@ def json_props_agg(events: DataFrame) -> DataFrame:
 def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ev = load_events
 
+    def q_windows(spark, sf):
+        # tumbling + sliding window aggs in one tagged result (merged
+        # from r1's events_tumbling / events_sliding — the driver's
+        # correctness pass records at most 50 queries)
+        ev = _ev(spark, sf)
+        t = tumbling_agg(ev).select(
+            F.lit("tumbling").alias("kind"), "window_start", "event_type", "n_events", "sum_value"
+        )
+        s = sliding_agg(ev).select(
+            F.lit("sliding").alias("kind"),
+            "window_start",
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+        return t.unionByName(s)
+
     return {
-        "events_tumbling": lambda s, sf: tumbling_agg(_ev(s, sf)),
-        "events_sliding": lambda s, sf: sliding_agg(_ev(s, sf)),
+        "events_windows": q_windows,
         "events_session": lambda s, sf: session_agg(_ev(s, sf)),
         "events_json_props": lambda s, sf: json_props_agg(_ev(s, sf)),
     }
@@ -94,21 +110,22 @@ def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def events_oracles() -> dict[str, str]:
     return {
-        "events_tumbling": """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        # tumbling rows + sliding rows (each event belongs to 2
+        # one-hour windows on a 30-min grid: the one starting at its
+        # 30-min bucket and the previous one)
+        "events_windows": """
+SELECT 'tumbling' AS kind, time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
-FROM events GROUP BY 1, 2
-""",
-        # each event belongs to 2 one-hour windows on a 30-min grid:
-        # the one starting at its 30-min bucket and the previous one
-        "events_sliding": """
-WITH assigned AS (
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS kind, w AS window_start, CAST(NULL AS VARCHAR) AS event_type,
+       count(*)::BIGINT AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+FROM (
   SELECT time_bucket(INTERVAL '30 minutes', ts) AS w FROM events
   UNION ALL
   SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
 )
-SELECT w AS window_start, count(*)::BIGINT AS n_events
-FROM assigned GROUP BY 1
+GROUP BY 2
 """,
         # gaps-and-islands with a 10-minute gap
         "events_session": """

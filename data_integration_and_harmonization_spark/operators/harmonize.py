@@ -79,6 +79,10 @@ def _promote(a: T.DataType, b: T.DataType) -> T.DataType:
         if max(wa, wb) >= 5 and min(wa, wb) <= 4:
             return T.DoubleType()
         return a if wa >= wb else b
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        # two decimals with different precision/scale: pandas concat
+        # upcasts to float64, so merge to double (not string)
+        return T.DoubleType()
     if isinstance(a, T.DecimalType) and wb is not None or isinstance(b, T.DecimalType) and wa is not None:
         return T.DoubleType()
     dt_types = (T.DateType, T.TimestampType)

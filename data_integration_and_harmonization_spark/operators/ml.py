@@ -32,6 +32,7 @@ from pyspark.ml.evaluation import MulticlassClassificationEvaluator, RegressionE
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.operators.clean import numeric_cols
 
@@ -105,6 +106,67 @@ def _param_grid(name: str, model: Any) -> list | None:
             .build()
         )
     return None  # Decision Tree: fit untuned even in tuning mode (ref:85-92)
+
+
+def _resolve_grid(spec: Any, model: Any) -> list | None:
+    """Normalize a user grid spec onto the estimator ACTUALLY fitted.
+
+    pyspark's ``Params._copyValues`` filters extra params by
+    ``param.parent == self.uid`` — a ParamGridBuilder grid built from a
+    DIFFERENT estimator instance is silently ignored (verified: the
+    fit proceeds with defaults, no error). So user grids are accepted
+    as either
+
+    - a dict ``{param_name: [values]}`` — resolved here against the
+      inner estimator (unwrapping OneVsRest), or
+    - a list of ParamMaps — re-keyed by param NAME onto the inner
+      estimator, making foreign-instance grids actually apply.
+    """
+    if spec is None:
+        return None
+    inner = model.getClassifier() if hasattr(model, "getClassifier") else model
+    if isinstance(spec, dict):
+        b = ParamGridBuilder()
+        for pname, values in spec.items():
+            b.addGrid(getattr(inner, pname), values)
+        return b.build()
+    return [
+        {getattr(inner, param.name): v for param, v in pm.items()} for pm in spec
+    ]
+
+
+def tuning_grid(name: str, model: Any) -> list | None:
+    """Grid for the estimator actually being tuned. The grid params
+    live on the INNER classifier, so a OneVsRest-wrapped model must be
+    unwrapped before the param lookup — looking on the wrapper finds
+    no stepSize/maxIter and silently degrades to an untuned fit.
+    (pyspark's OneVsRest.copy(extra) forwards extra params to its
+    classifier, so CrossValidator param maps built from the inner
+    estimator apply through the wrapper.)"""
+    inner = model.getClassifier() if hasattr(model, "getClassifier") else model
+    return _param_grid(name, inner)
+
+
+def exact_split(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int = 5,
+    holdout_col: str = "is_test",
+) -> DataFrame:
+    """M1 exact-count split parity (ref:62: sklearn's
+    ``train_test_split(test_size=0.2, random_state=42)`` is an EXACT
+    80/20 shuffle split; ``randomSplit`` is per-row Bernoulli). Every
+    k-th row by global rank over ``order_cols`` (a unique composite
+    key) is held out — deterministic, exactly floor(n/k) test rows,
+    and distributed via the window-free global index (one range
+    shuffle, no single-task stage).
+    """
+    from data_integration_and_harmonization_spark.functions.indexing import (
+        with_global_index,
+    )
+
+    idx = with_global_index(df, order_cols, index_col="__split_pos")
+    return idx.withColumn(holdout_col, (F.col("__split_pos") % k) == 0).drop("__split_pos")
 
 
 def evaluate_model(predictions: DataFrame, is_classification: bool, label_col: str = "label") -> dict[str, float]:
@@ -186,9 +248,9 @@ def train_models(
         grid = None
         if hyperparameter_tuning:
             grid = (
-                param_grids.get(name)
+                _resolve_grid(param_grids.get(name), model)
                 if param_grids is not None
-                else _param_grid(name, model)
+                else tuning_grid(name, model)
             )
         if grid:
             ev = (

@@ -59,14 +59,20 @@ def decode_stub(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
     (PIL/ffmpeg/torchaudio) in here; this container has none, so the
     'feature' is a stable byte-histogram projection — same shape,
     same dtype, fully deterministic, obviously not a real embedding.
+
+    Vectorized (np.frombuffer + bincount) so the stub models the cost
+    profile a real batch decoder would have — one C-speed pass per
+    payload, not a per-byte Python loop.
     """
     if payload is None:
         return None
-    buckets = [0.0] * dim
-    for i, b in enumerate(payload):
-        buckets[(b + i) % dim] += 1.0
-    total = float(len(payload)) or 1.0
-    return [round(x / total, 9) for x in buckets]
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    total = float(len(arr)) or 1.0
+    idx = (arr.astype(np.int64) + np.arange(len(arr), dtype=np.int64)) % dim
+    buckets = np.bincount(idx, minlength=dim).astype(np.float64) / total
+    return [round(float(x), 9) for x in buckets]
 
 
 def extract_features(media: DataFrame, dim: int = 8, batch_size_hint: int | None = None) -> DataFrame:
@@ -103,8 +109,12 @@ def resize_stub(payload: bytes, target: int = 64) -> bytes:
         return None
     if len(payload) <= target:
         return bytes(payload)
+    import numpy as np
+
     step = len(payload) / target
-    return bytes(payload[int(i * step)] for i in range(target))
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    picks = (np.arange(target, dtype=np.float64) * step).astype(np.int64)
+    return arr[picks].tobytes()
 
 
 def frame_sample_stub(payload: bytes, n_frames: int = 4, frame_size: int = 16) -> list[bytes]:

@@ -82,7 +82,7 @@ def cube_summary(lineitem: DataFrame) -> DataFrame:
     """All 2^d grouping sets over (flag, status)."""
     return (
         lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
     )
 
 
@@ -191,7 +191,20 @@ def range_join(
     plus one hash join — the standard time-bucketized range join.
     ``bucket`` is a date_trunc unit ('hour', 'day', ...); pick it near
     the typical interval length so the explode factor stays small.
+
+    ``how`` ∈ {'inner', 'left'}: the containment predicate is part of
+    the JOIN CONDITION (not a post-join filter), so a left join keeps
+    points matching no interval with null-extended interval columns.
+    Right/full are rejected — the interval side is exploded per
+    bucket, so "unmatched interval" rows would duplicate once per
+    covered bucket, which is not a meaningful outer-join result.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r} "
+            "(outer-on-the-exploded-side would emit one unmatched row "
+            "per covered bucket)"
+        )
     dur = F.expr(f"INTERVAL 1 {bucket}")
     p = points.withColumn("__b", F.date_trunc(bucket, F.col(point_ts)))
     # buckets covered by [start, end): sequence of truncated units
@@ -205,10 +218,15 @@ def range_join(
             )
         ),
     )
-    j = p.join(iv, "__b", how).where(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    cond = (
+        (p["__b"] == iv["__b"])
+        & (p[point_ts] >= iv[start_ts])
+        & (p[point_ts] < iv[end_ts])
     )
-    return j.drop("__b")
+    j = p.join(iv, cond, how)
+    return j.select(
+        *[p[c] for c in points.columns], *[iv[c] for c in intervals.columns]
+    )
 
 
 def nations_with_both(customer: DataFrame, supplier: DataFrame) -> DataFrame:
@@ -280,26 +298,35 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             3,
         )
 
-    def q_rollup(spark, sf):
-        return rollup_summary(spark.read.parquet(f"{sf}/lineitem.parquet"))
-
-    def q_cube(spark, sf):
-        return cube_summary(spark.read.parquet(f"{sf}/lineitem.parquet"))
+    def q_grouping_sets(spark, sf):
+        # rollup + cube in one tagged result (merged from r1's
+        # rel_rollup / rel_cube — correctness-runner query cap)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        r = rollup_summary(li).select(
+            F.lit("rollup").alias("gset"), "l_returnflag", "l_linestatus", "n", "sum_qty"
+        )
+        c = cube_summary(li).select(
+            F.lit("cube").alias("gset"), "l_returnflag", "l_linestatus", "n", "sum_qty"
+        )
+        return r.unionByName(c)
 
     def q_pivot(spark, sf):
         return pivot_status(spark.read.parquet(f"{sf}/lineitem.parquet"))
 
-    def q_semi(spark, sf):
-        return customers_with_orders(
-            spark.read.parquet(f"{sf}/customer.parquet"),
-            spark.read.parquet(f"{sf}/orders.parquet"),
+    def q_semi_anti(spark, sf):
+        # left-semi + left-anti in one tagged result. The anti side
+        # runs against orders from 1998 onward so it is non-empty
+        # (every customer in the test data has SOME order).
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        recent = orders.where(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        s = customers_with_orders(cust, orders).select(
+            F.lit("semi").alias("join_kind"), "c_custkey", "c_mktsegment"
         )
-
-    def q_anti(spark, sf):
-        return customers_without_orders(
-            spark.read.parquet(f"{sf}/customer.parquet"),
-            spark.read.parquet(f"{sf}/orders.parquet"),
+        a = customers_without_orders(cust, recent).select(
+            F.lit("anti").alias("join_kind"), "c_custkey", "c_mktsegment"
         )
+        return s.unionByName(a)
 
     def q_distinct(spark, sf):
         # approx_count_distinct is rows-only territory; split it out so
@@ -337,25 +364,28 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("event_id", "user_id", F.col("asof_o_orderdate"))
 
+    def q_set_ops(spark, sf):
+        # INTERSECT + EXCEPT in one tagged result (merged from r1's
+        # rel_intersect / rel_except — correctness-runner query cap)
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        supp = spark.read.parquet(f"{sf}/supplier.parquet")
+        i = nations_with_both(cust, supp).select(F.lit("intersect").alias("op"), "nationkey")
+        e = nations_customers_only(
+            cust.where(F.col("c_acctbal") > 9000),
+            supp.where(F.col("s_acctbal") > 5000),
+        ).select(F.lit("except").alias("op"), "nationkey")
+        return i.unionByName(e)
+
     return {
         "rel_pricing_summary": q_pricing,
         "rel_revenue_by_nation": q_revenue,
         "rel_topk_per_segment": q_topk,
-        "rel_rollup": q_rollup,
-        "rel_cube": q_cube,
+        "rel_grouping_sets": q_grouping_sets,
         "rel_pivot": q_pivot,
-        "rel_semi_join": q_semi,
-        "rel_anti_join": q_anti,
+        "rel_semi_anti_join": q_semi_anti,
         "rel_distinct_agg": q_distinct,
         "rel_asof_join": q_asof,
-        "rel_intersect": lambda s, sf: nations_with_both(
-            s.read.parquet(f"{sf}/customer.parquet"),
-            s.read.parquet(f"{sf}/supplier.parquet"),
-        ),
-        "rel_except": lambda s, sf: nations_customers_only(
-            s.read.parquet(f"{sf}/customer.parquet").where(F.col("c_acctbal") > 9000),
-            s.read.parquet(f"{sf}/supplier.parquet").where(F.col("s_acctbal") > 5000),
-        ),
+        "rel_set_ops": q_set_ops,
         "rel_range_join": q_range_join,
         "rel_date_breakdown": lambda s, sf: orders_by_quarter(
             s.read.parquet(f"{sf}/orders.parquet")
@@ -398,13 +428,13 @@ FROM (
 )
 WHERE rk <= 3
 """,
-        "rel_rollup": """
-SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        "rel_grouping_sets": """
+SELECT 'rollup' AS gset, l_returnflag, l_linestatus, count(*)::BIGINT AS n,
        round(sum(l_quantity), 6) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-        "rel_cube": """
-SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n
+UNION ALL
+SELECT 'cube' AS gset, l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 6) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         "rel_pivot": """
@@ -413,13 +443,14 @@ SELECT l_returnflag,
   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_filled
 FROM lineitem GROUP BY l_returnflag
 """,
-        "rel_semi_join": """
-SELECT c_custkey, c_mktsegment FROM customer
+        "rel_semi_anti_join": """
+SELECT 'semi' AS join_kind, c_custkey, c_mktsegment FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-""",
-        "rel_anti_join": """
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'anti' AS join_kind, c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
 """,
         "rel_distinct_agg": """
 SELECT l_returnflag,
@@ -433,15 +464,18 @@ FROM events e
 ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
-        "rel_intersect": """
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey FROM supplier
-""",
-        "rel_except": """
-SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
-EXCEPT
-SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        "rel_set_ops": """
+SELECT 'intersect' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except' AS op, nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+  EXCEPT
+  SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+)
 """,
         "rel_range_join": """
 WITH intervals AS (

@@ -85,9 +85,10 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(words, t)))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality signals: token count, char count, mean token
-    length, alpha ratio, stopword ratio, and a composite score in [0,1].
+def quality_columns(text_col: str = "text") -> list[Column]:
+    """Per-document quality signal COLUMNS: token count, char count,
+    mean token length, alpha ratio, stopword ratio, and a composite
+    score in [0,1].
 
     Score formula (deterministic, mirrored in oracle): mean of
     - length_ok:   1 if 20 <= n_tokens <= 10000 else 0
@@ -104,8 +105,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     length_ok = F.when((n_tok >= 20) & (n_tok <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
     alpha_ok = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
     stop_ok = F.least(F.lit(1.0), stop_ratio * 5)
-    return df.select(
-        "doc_id",
+    return [
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars"),
         F.round(
@@ -115,10 +115,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(alpha_ok, 6).alias("alpha_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round((length_ok + alpha_ok + stop_ok) / 3, 6).alias("quality_score"),
-    )
+    ]
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", *quality_columns(text_col))
+
+
+def language_id_column(text_col: str = "text") -> Column:
     """Stopword-overlap language ID: score each language by stopword
     hits (with multiplicity); predict the argmax, 'und' (undetermined)
     when no language scores. Ties break lexicographically — fully
@@ -129,42 +133,41 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # reversed so earlier (lexicographically smaller) languages win ties
     for lang, s in reversed(scores):
         pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return df.select("doc_id", pred.alias("lang_pred"))
+    return pred
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", language_id_column(text_col).alias("lang_pred"))
+
+
+def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ALL per-document text signals in ONE projection — quality
+    metrics, language ID, exact + near-dup fingerprints, BPE-ish token
+    count. One scan, zero joins, zero shuffles; at 100 TB this is the
+    shape a corpus-triage pass should have (each signal family as its
+    own query would scan the corpus once per family)."""
+    return df.select(
+        "doc_id",
+        *quality_columns(text_col),
+        language_id_column(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+        minhash_gram_fingerprint(text_col, 3).alias("min_shingle_fp"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+    )
 
 
 # ------------------------------------------------------- query registry
 
 def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    def q_stats(spark, sf):
+    def q_profile(spark, sf):
+        # one query covering quality + langid + fingerprints + token
+        # counts (merged from r1's four text_* queries — the driver's
+        # correctness pass records at most 50 queries; one projection
+        # also IS the right scale shape: one scan, not four)
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        return quality_features(docs)
+        return document_profile(docs)
 
-    def q_langid(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
-        return language_id(docs)
-
-    def q_fingerprint(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
-        return docs.select(
-            "doc_id",
-            fingerprint("text").alias("fp"),
-            minhash_gram_fingerprint("text", 3).alias("min_shingle_fp"),
-        )
-
-    def q_tokens(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
-        return docs.select(
-            "doc_id",
-            token_count("text").alias("n_word_tokens"),
-            bpe_token_count("text").alias("n_bpe_tokens"),
-        )
-
-    return {
-        "text_quality": q_stats,
-        "text_langid": q_langid,
-        "text_fingerprint": q_fingerprint,
-        "text_token_counts": q_tokens,
-    }
+    return {"text_profile": q_profile}
 
 
 def _sql_stop_hits(lang: str) -> str:
@@ -182,16 +185,17 @@ def text_oracles() -> dict[str, str]:
         f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'" for lang in sorted(STOPWORDS)
     ) + " ELSE 'und' END"
     return {
-        "text_quality": f"""
+        "text_profile": f"""
 WITH t AS (
   SELECT doc_id, text,
          regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-         {hits['en']} AS stop_hits
+         {hits['en']} AS stop_hits,
+         {langid_case} AS lang_pred
   FROM documents
 ), s AS (
-  SELECT doc_id, len(toks) AS n_tokens, n_chars,
+  SELECT doc_id, text, lang_pred, len(toks) AS n_tokens, n_chars,
     CASE WHEN len(toks) > 0
          THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
          ELSE 0.0 END AS avg_tok,
@@ -204,18 +208,8 @@ SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
   round(avg_tok, 6) AS avg_token_len,
   round(alpha_ok, 6) AS alpha_ratio,
   round(stop_ratio, 6) AS stopword_ratio,
-  round((length_ok + alpha_ok + least(1.0, stop_ratio * 5)) / 3, 6) AS quality_score
-FROM s
-""",
-        "text_langid": f"SELECT doc_id, {langid_case} AS lang_pred FROM documents",
-        "text_token_counts": f"""
-SELECT doc_id,
-  len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::INTEGER AS n_word_tokens,
-  len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::INTEGER AS n_bpe_tokens
-FROM documents
-""",
-        "text_fingerprint": f"""
-SELECT doc_id,
+  round((length_ok + alpha_ok + least(1.0, stop_ratio * 5)) / 3, 6) AS quality_score,
+  lang_pred,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
   list_min(list_transform(
     list_transform(
@@ -223,7 +217,8 @@ SELECT doc_id,
       i -> regexp_extract_all(lower(text), '{TOKEN_RE}')[i] || ' ' ||
            regexp_extract_all(lower(text), '{TOKEN_RE}')[i+1] || ' ' ||
            regexp_extract_all(lower(text), '{TOKEN_RE}')[i+2]
-    ), s -> md5(s))) AS min_shingle_fp
-FROM documents
+    ), sh -> md5(sh))) AS min_shingle_fp,
+  len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::INTEGER AS n_bpe_tokens
+FROM s
 """,
     }

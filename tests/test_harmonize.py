@@ -49,3 +49,16 @@ def test_harmonize_order_insensitive_schema(spark):
     out = H.harmonize([a, b])
     assert set(out.columns) == {"k", "s"}
     assert isinstance(out.schema["k"].dataType, T.LongType)
+
+
+def test_type_promotion_decimal_pairs():
+    """Decimal+Decimal of differing precision/scale merges to double
+    (pandas concat upcasts to float64) — not the string fallback; and
+    decimal+int / decimal+float also land on double."""
+    from pyspark.sql import types as T
+
+    assert H._promote(T.DecimalType(12, 2), T.DecimalType(18, 4)) == T.DoubleType()
+    assert H._promote(T.DecimalType(12, 2), T.LongType()) == T.DoubleType()
+    assert H._promote(T.DoubleType(), T.DecimalType(10, 0)) == T.DoubleType()
+    # same decimal on both sides stays itself
+    assert H._promote(T.DecimalType(12, 2), T.DecimalType(12, 2)) == T.DecimalType(12, 2)

@@ -115,3 +115,59 @@ def test_model_sink_roundtrip(spark, sf_dir):
         a = fitted.transform(df).agg(F.sum("prediction")).first()[0]
         b = loaded.transform(df).agg(F.sum("prediction")).first()[0]
         assert abs(a - b) < 1e-9
+
+
+def test_tuning_grid_unwraps_onevsrest():
+    """Multiclass GBT is OneVsRest-wrapped BEFORE grid resolution; the
+    grid must come from the inner classifier or tuning silently
+    degrades to an untuned fit (r1 VERDICT bug)."""
+    from pyspark.ml.classification import GBTClassifier, OneVsRest
+
+    ovr = OneVsRest(classifier=GBTClassifier())
+    grid = ML.tuning_grid("XGBoost", ovr)
+    assert grid is not None and len(grid) == 6  # 2 stepSize x 3 maxIter
+    # and the unwrapped form agrees
+    assert len(ML.tuning_grid("XGBoost", GBTClassifier())) == 6
+
+
+def test_exact_split_counts_and_determinism(spark, sf_dir):
+    """M1 parity variant (ref:62): exactly floor(n/5) held out, same
+    rows on every run (rank over a unique composite key)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    key = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
+    n = li.count()
+    s1 = ML.exact_split(li, key, k=5)
+    n_test = s1.where("is_test").count()
+    assert n_test == (n + 4) // 5  # positions 0, 5, 10, ... => ceil(n/5)
+    held1 = sorted(r["l_orderkey"] * 10 + r["l_linenumber"] for r in s1.where("is_test").collect())
+    held2 = sorted(
+        r["l_orderkey"] * 10 + r["l_linenumber"]
+        for r in ML.exact_split(li, key, k=5).where("is_test").collect()
+    )
+    assert held1 == held2
+
+
+def test_resolve_grid_rekeys_foreign_params():
+    """pyspark silently drops extra params whose parent uid isn't the
+    fitted estimator's — grids from a probe instance never applied
+    (verified empirically). _resolve_grid re-keys by name / accepts
+    {name: values} dicts so user grids actually tune."""
+    from pyspark.ml.classification import GBTClassifier, OneVsRest
+    from pyspark.ml.regression import RandomForestRegressor
+
+    zoo = RandomForestRegressor(seed=1)
+    probe = RandomForestRegressor()
+    foreign = ParamGridBuilder().addGrid(probe.numTrees, [3, 7]).build()
+    fixed = ML._resolve_grid(foreign, zoo)
+    assert all(param.parent == zoo.uid for pm in fixed for param in pm)
+    assert sorted(v for pm in fixed for v in pm.values()) == [3, 7]
+
+    abstract = ML._resolve_grid({"numTrees": [3, 7]}, zoo)
+    assert all(param.parent == zoo.uid for pm in abstract for param in pm)
+
+    # OneVsRest wrapping: grid lands on the inner classifier
+    ovr = OneVsRest(classifier=GBTClassifier())
+    g = ML._resolve_grid({"maxIter": [5]}, ovr)
+    assert list(g[0])[0].parent == ovr.getClassifier().uid

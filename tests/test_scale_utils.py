@@ -59,3 +59,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS t_li_b")
             spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_persist_registry_releases(spark, sf_dir):
+    """with_global_index/_repair_plan persists are tracked and released
+    at query boundaries — no session-lifetime cache leak (r1 VERDICT)."""
+    from data_integration_and_harmonization_spark.functions import caching
+    from data_integration_and_harmonization_spark.functions.indexing import with_global_index
+
+    caching.release_all()
+    base = caching.tracked_count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_linenumber")
+    idx = with_global_index(li, ["l_orderkey", "l_linenumber"], index_col="pos")
+    idx.count()
+    assert caching.tracked_count() == base + 1
+    released = caching.release_all()
+    assert released >= 1
+    assert caching.tracked_count() == 0
