@@ -628,6 +628,19 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
+        # The streaming drain must reproduce the batch tumbling agg
+        # exactly, so the agreement summary is itself SQL-derivable:
+        # n_windows = n_agree = distinct (window, type) groups, and
+        # every window agrees. A dropped/duplicated/mis-aggregated
+        # window in the streaming path breaks the hash match.
+        "stream_batch_twin": """
+SELECT count(*)::BIGINT AS n_windows, count(*)::BIGINT AS n_agree,
+       true AS all_agree
+FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type
+  FROM events GROUP BY 1, 2
+)
+""",
     }
     o.update(E.eda_oracles())
     o.update(REL.relational_oracles())

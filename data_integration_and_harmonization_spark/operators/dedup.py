@@ -15,8 +15,9 @@ Five levels, cheapest first; each is the standard scale architecture:
                 touches bucket-mates, which is what makes near-dup
                 feasible at 100 TB, and no corpus-sized side is ever
                 broadcast anywhere in this module.
-- simhash:      64-bit weighted-bit signature; near-dups = signatures
-                at small Hamming distance within buckets
+- simhash:      64-bit (murmur3) / 60-bit (md5, oracle-reproducible)
+                weighted-bit signature; near-dups = banded bucket-mates
+                at small Hamming distance
 - ngram_jaccard: exact Jaccard over word-shingle sets for candidate
                 pairs (the verifier of the approximate stages)
 """
@@ -157,37 +158,48 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_bits(hash_family: str) -> int:
+    """Signature width: 64 for murmur3; 60 for md5 (15 hex chars —
+    the widest slice that stays positive in a signed long, and the
+    same slice the md5 MinHash family uses)."""
+    return 60 if hash_family == "md5" else 64
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "murmur3",
 ) -> DataFrame:
-    """64-bit SimHash per document: each distinct token votes its
-    murmur3 bit pattern; signature bit b is 1 iff the vote sum is
-    positive.
+    """SimHash per document: each distinct token votes its hash bit
+    pattern; signature bit b is 1 iff the vote sum is positive.
+    64-bit with murmur3 (scale default), 60-bit with md5 (externally
+    reproducible — the oracle twin).
 
     Same exploded-aggregate shape as :func:`minhash_signatures` — one
-    token-row pass, 64 codegen'd conditional-sum aggregates, map-side
-    combinable; only (id, 64 small ints) shuffles.
+    token-row pass, ``bits`` codegen'd conditional-sum aggregates,
+    map-side combinable; only (id, ``bits`` small ints) shuffles.
 
     Output: (id, sig long).
     """
+    bits = simhash_bits(hash_family)
     n = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")).repartition(n, "id")
-    ex = src.select(
-        "id",
-        F.explode(F.array_distinct(tokens("txt"))).alias("t"),
-    ).select(
-        "id",
-        (F.hash("t", F.lit(41)).cast("long") * F.lit(2654435761).cast("long")).alias("h"),
-    )
+    tok = src.select("id", F.explode(F.array_distinct(tokens("txt"))).alias("t"))
+    if hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.hash("t", F.lit(41)).cast("long") * F.lit(2654435761).cast("long")
+    ex = tok.select("id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     agg = ex.groupBy("id").agg(*votes)
     sig = None
-    for b in range(64):
+    for b in range(bits):
         # shiftleft, not 2**b: 2**63 overflows a signed long literal
         bit = F.shiftleft(
             F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
@@ -195,6 +207,71 @@ def simhash_signatures(
         )
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return agg.select("id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_family: str = "murmur3",
+) -> DataFrame:
+    """SimHash near-dup pairs: split each signature into ``bands``
+    contiguous bit-bands; candidates share at least one exact band
+    (pigeonhole: any pair within Hamming distance < ``bands`` is
+    guaranteed a matching band), then the exact Hamming distance
+    filters candidates to ``<= max_hamming``.
+
+    Scale shape mirrors :func:`minhash_lsh_candidates`: the banded
+    frame shuffles once on (band, bucket); the self-join only ever
+    touches bucket-mates, so cost tracks true near-dup density —
+    never all-pairs, and nothing corpus-sized is broadcast.
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    bits = simhash_bits(hash_family)
+    rpb = bits // bands
+    mask = (1 << rpb) - 1
+    sig = simhash_signatures(df, text_col, id_col, hash_family)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * rpb).bitwiseAND(F.lit(mask)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        # a pair sharing k bands appears k times — collapse before the
+        # (cheap) hamming filter so the output is one row per pair
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -396,13 +473,10 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_simhash(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        # rows-only: signature population stats (deterministic given
-        # murmur3, but not expressible in DuckDB).
-        sh = simhash_signatures(docs)
-        return sh.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("sig").alias("n_distinct_sigs"),
-        )
+        # md5 hash family => banded candidates + exact Hamming filter
+        # are reproduced by the DuckDB oracle pair-for-pair (murmur3
+        # stays the 64-bit scale default in the API).
+        return simhash_pairs(docs, max_hamming=3, bands=4, hash_family="md5")
 
     return {
         "dedup_exact_fp": q_exact_fp,
@@ -456,6 +530,52 @@ WITH sh AS (
 """
 
 
+def _md5_simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """DuckDB twin of ``simhash_pairs(hash_family='md5')``: same token
+    hash (first 15 md5 hex chars = 60 bits), same per-bit vote sums,
+    same 15-bit band buckets, same Hamming filter."""
+    from data_integration_and_harmonization_spark.operators.text import TOKEN_RE
+
+    bits = simhash_bits("md5")
+    rpb = bits // bands
+    mask = (1 << rpb) - 1
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(bits)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, sig, {b} AS band, (sig >> {b * rpb}) & {mask} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS t
+  FROM documents
+), h AS (
+  SELECT id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+), v AS (
+  SELECT id,
+    {votes}
+  FROM h GROUP BY id
+), sig AS (
+  SELECT id, {sig} AS sig FROM v
+), banded AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sa, r.sig AS sb
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def dedup_oracles() -> dict[str, str]:
     from data_integration_and_harmonization_spark.operators.text import TOKEN_RE
 
@@ -480,6 +600,7 @@ FROM documents GROUP BY 2
         + """
 SELECT id_a, id_b, n_shared_bands FROM cand
 """,
+        "dedup_simhash": _md5_simhash_sql(),
         "dedup_lsh_verified": minhash_cte
         + """
 SELECT id_a, id_b, jaccard FROM (

@@ -60,6 +60,18 @@ def test_simhash_near_dups_close(spark):
     assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[5])
 
 
+def test_simhash_pairs_pigeonhole_and_filter(spark):
+    # any pair within hamming < bands is guaranteed a shared band, so
+    # the identical-token pair (1,2) must surface at every family
+    for fam in ("murmur3", "md5"):
+        pairs = {
+            frozenset((r["id_a"], r["id_b"])): r["hamming"]
+            for r in DD.simhash_pairs(_docs(spark), max_hamming=3, hash_family=fam).collect()
+        }
+        assert pairs[frozenset((1, 2))] == 0
+        assert all(h <= 3 for h in pairs.values())
+
+
 def test_brute_force_topk_self_similarity(spark):
     emb = spark.createDataFrame(
         [
