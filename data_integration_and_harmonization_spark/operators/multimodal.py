@@ -208,14 +208,15 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _media(spark, sf).select("media_id", "media_type", "n_bytes", "digest")
 
     def q_features(spark, sf):
-        # rows-only: the pandas-UDF decode isn't expressible in SQL.
+        # long-format (media_id, bucket, freq): every histogram bucket
+        # the pandas-UDF decode produced is hash-checked against a
+        # DuckDB twin that replays the stub's (byte+pos)%dim binning.
         feats = extract_features(_media(spark, sf))
         return feats.select(
             "media_id",
             "n_bytes",
-            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
-            F.size("feature").alias("feature_dim"),
-        )
+            F.posexplode("feature").alias("bucket", "freq"),
+        ).select("media_id", "n_bytes", "bucket", F.round("freq", 6).alias("freq"))
 
     def q_frames(spark, sf):
         # rows-only: per-frame byte stats through the full
@@ -237,5 +238,46 @@ SELECT doc_id AS media_id, 'text/plain' AS media_type,
        octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS digest
 FROM documents
+""",
+        # Replays decode_stub's binning byte-for-byte: bucket of byte
+        # at 0-based position j is (byte + j) % 8; freq = bucket count
+        # over payload length (length 1 floor for empty payloads).
+        # Every bucket appears (bincount minlength), hence the
+        # generate-all-buckets cross join.
+        "mm_features": """
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents
+), byte_rows AS (
+  SELECT media_id,
+         (CAST(concat('0x', substring(ph, 2 * i - 1, 2)) AS BIGINT) + i - 1) % 8 AS bucket
+  FROM m, unnest(range(1, CAST(n_bytes AS INT) + 1)) AS t(i)
+), counts AS (
+  SELECT media_id, bucket, count(*)::BIGINT AS c FROM byte_rows GROUP BY 1, 2
+)
+SELECT m.media_id, m.n_bytes, b.bucket::INT AS bucket,
+       round(round(coalesce(c.c, 0) / greatest(m.n_bytes, 1)::DOUBLE, 9), 6) AS freq
+FROM m CROSS JOIN (SELECT unnest(range(8)) AS bucket) b
+LEFT JOIN counts c ON c.media_id = m.media_id AND c.bucket = b.bucket
+""",
+        # resize_stub picks exactly least(len, 64) bytes; frame i's
+        # window starts at least(i*stride, len-16) with stride =
+        # greatest(len // 4, 1) and spans at most 16 bytes — all
+        # integer arithmetic, so the whole media -> resize -> frame
+        # chain is SQL-checkable without touching byte values.
+        "mm_frames": """
+WITH m AS (
+  SELECT doc_id, least(octet_length(encode(text)), 64)::BIGINT AS len
+  FROM documents
+), f AS (
+  SELECT doc_id, len, i AS frame_idx,
+         least(i * greatest(len // 4, 1), greatest(len - 16, 0)) AS fstart
+  FROM m, unnest(range(4)) AS t(i)
+  WHERE len > 0
+)
+SELECT frame_idx::INT AS frame_idx, count(*)::BIGINT AS n_frames,
+       sum(least(16, len - fstart))::BIGINT AS total_bytes
+FROM f GROUP BY 1
 """,
     }
