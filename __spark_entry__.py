@@ -29,6 +29,7 @@ from data_integration_and_harmonization_spark.operators import ml as ML
 from data_integration_and_harmonization_spark.operators import multimodal as MM
 from data_integration_and_harmonization_spark.operators import profile as P
 from data_integration_and_harmonization_spark.operators import relational as REL
+from data_integration_and_harmonization_spark.operators import sampling as SAMP
 from data_integration_and_harmonization_spark.operators import similarity as SIM
 from data_integration_and_harmonization_spark.operators import text as TX
 
@@ -168,26 +169,31 @@ def q_clean_cascade(spark: SparkSession, sf: str) -> DataFrame:
     return C.process_data(cust, order_col="c_custkey")
 
 
-def q_describe_numeric(spark: SparkSession, sf: str) -> DataFrame:
+def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
+    """describe(include='all') — the reference's mixed numeric+object
+    summary frame (C6), tagged by kind in one query entry."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
-    d = P.describe_numeric(li, LINEITEM_NUM)
-    return d.select(
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    stats = ["mean", "std", "min", "p25", "p50", "p75", "max"]
+    num = P.describe_numeric(li, LINEITEM_NUM).select(
+        F.lit("numeric").alias("kind"),
         F.col("column").alias("col_name"),
         "count",
-        *[F.round(c, 6).alias(c) for c in ["mean", "std", "min", "p25", "p50", "p75", "max"]],
+        *[F.round(c, 6).alias(c) for c in stats],
+        F.lit(None).cast("long").alias("n_unique"),
+        F.lit(None).cast("string").alias("top"),
+        F.lit(None).cast("long").alias("freq"),
     )
-
-
-def q_describe_object(spark: SparkSession, sf: str) -> DataFrame:
-    cust = spark.read.parquet(f"{sf}/customer.parquet")
-    d = P.describe_object(cust, ["c_name", "c_mktsegment"])
-    return d.select(
+    obj = P.describe_object(cust, ["c_name", "c_mktsegment"]).select(
+        F.lit("object").alias("kind"),
         F.col("column").alias("col_name"),
-        F.col("count").alias("n_count"),
+        "count",
+        *[F.lit(None).cast("double").alias(c) for c in stats],
         F.col("unique").alias("n_unique"),
         "top",
         "freq",
     )
+    return num.unionByName(obj)
 
 
 def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
@@ -210,15 +216,21 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_feat_label_map(spark: SparkSession, sf: str) -> DataFrame:
-    cust = spark.read.parquet(f"{sf}/customer.parquet")
-    return FE.label_encode_fit(cust, "c_mktsegment")
-
-
 def q_feat_label_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 fit + transform in one tagged entry: the label map rows
+    (kind='map', key=category value) and the encoded rows
+    (kind='row', key=custkey)."""
     cust = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey", "c_mktsegment")
+    m = FE.label_encode_fit(cust, "c_mktsegment").select(
+        F.lit("map").alias("kind"), F.col("value").alias("key"), "code"
+    )
     enc, _ = FE.label_encode(cust, ["c_mktsegment"])
-    return enc.select("c_custkey", F.col("c_mktsegment").alias("segment_code"))
+    rows = enc.select(
+        F.lit("row").alias("kind"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("c_mktsegment").alias("code"),
+    )
+    return m.unionByName(rows)
 
 
 def _q_sql_shipping(spark: SparkSession, sf: str) -> DataFrame:
@@ -373,6 +385,8 @@ _QUERY_ORDER = [
     "mm_features",
     "mm_frames",
     # new in r2
+    "samp_deterministic",
+    "dedup_clusters",
     "src_roundtrip",
     "ml_exact_split",
     "dedup_minhash_lsh",
@@ -383,11 +397,9 @@ _QUERY_ORDER = [
     "clean_coerce",
     "clean_repair",
     "clean_cascade",
-    "describe_numeric",
-    "describe_object",
+    "describe_all",
     "corr_matrix",
     "feat_zscore",
-    "feat_label_map",
     "feat_label_encode",
     "sql_shipping_priority",
     # EDA aggregations
@@ -432,11 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_coerce": q_clean_coerce,
         "clean_repair": q_clean_repair,
         "clean_cascade": q_clean_cascade,
-        "describe_numeric": q_describe_numeric,
-        "describe_object": q_describe_object,
+        "describe_all": q_describe_all,
         "corr_matrix": q_corr_matrix,
         "feat_zscore": q_feat_zscore,
-        "feat_label_map": q_feat_label_map,
         "feat_label_encode": q_feat_label_encode,
         "ml_classification": q_ml_classification,
         "ml_regression": q_ml_regression,
@@ -453,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(SIM.similarity_queries())
     q.update(EV.events_queries())
     q.update(MM.multimodal_queries())
+    q.update(SAMP.sampling_queries())
     assert set(q) == set(_QUERY_ORDER), (
         f"registry drift: extra={sorted(set(q) - set(_QUERY_ORDER))} "
         f"missing={sorted(set(_QUERY_ORDER) - set(q))}"
@@ -487,11 +498,11 @@ WITH base AS (
 """
 
 
-def _describe_numeric_oracle() -> str:
+def _describe_all_oracle() -> str:
     parts = []
     for c in LINEITEM_NUM:
         parts.append(
-            f"""SELECT '{c}' AS col_name,
+            f"""SELECT 'numeric' AS kind, '{c}' AS col_name,
   count({c})::BIGINT AS count,
   round(avg({c}), 6) AS mean,
   round(stddev_samp({c}), 6) AS std,
@@ -499,18 +510,20 @@ def _describe_numeric_oracle() -> str:
   round(quantile_cont({c}::DOUBLE, 0.25), 6) AS p25,
   round(quantile_cont({c}::DOUBLE, 0.5), 6) AS p50,
   round(quantile_cont({c}::DOUBLE, 0.75), 6) AS p75,
-  round(max({c})::DOUBLE, 6) AS max
+  round(max({c})::DOUBLE, 6) AS max,
+  CAST(NULL AS BIGINT) AS n_unique, CAST(NULL AS VARCHAR) AS top,
+  CAST(NULL AS BIGINT) AS freq
 FROM lineitem"""
         )
-    return "\nUNION ALL\n".join(parts)
-
-
-def _describe_object_oracle() -> str:
-    parts = []
     for c in ["c_name", "c_mktsegment"]:
         parts.append(
-            f"""SELECT '{c}' AS col_name, n_count, n_unique, top, freq FROM (
-  SELECT sum(n)::BIGINT AS n_count, count(*)::BIGINT AS n_unique,
+            f"""SELECT 'object' AS kind, '{c}' AS col_name, count,
+  CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+  CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS p25,
+  CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p75,
+  CAST(NULL AS DOUBLE) AS max, n_unique, top, freq
+FROM (
+  SELECT sum(n)::BIGINT AS count, count(*)::BIGINT AS n_unique,
          max(CASE WHEN rn = 1 THEN value END) AS top,
          max(CASE WHEN rn = 1 THEN n END)::BIGINT AS freq
   FROM (
@@ -596,8 +609,7 @@ SELECT c_custkey,
        CAST(c_acctbal AS DOUBLE) AS c_acctbal
 FROM customer
 """,
-        "describe_numeric": _describe_numeric_oracle(),
-        "describe_object": _describe_object_oracle(),
+        "describe_all": _describe_all_oracle(),
         "corr_matrix": _corr_matrix_oracle(),
         "feat_zscore": """
 SELECT l_orderkey, l_linenumber,
@@ -606,12 +618,12 @@ SELECT l_orderkey, l_linenumber,
   round((l_discount - avg(l_discount) OVER ()) / stddev_pop(l_discount) OVER (), 6) AS z_disc
 FROM lineitem
 """,
-        "feat_label_map": """
-SELECT value, (row_number() OVER (ORDER BY value) - 1)::BIGINT AS code
-FROM (SELECT DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), 'nan') AS value FROM customer)
-""",
         "feat_label_encode": """
-SELECT c_custkey, (dense_rank() OVER (ORDER BY coalesce(CAST(c_mktsegment AS VARCHAR), 'nan')) - 1)::BIGINT AS segment_code
+SELECT 'map' AS kind, value AS key, (row_number() OVER (ORDER BY value) - 1)::BIGINT AS code
+FROM (SELECT DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), 'nan') AS value FROM customer)
+UNION ALL
+SELECT 'row' AS kind, CAST(c_custkey AS VARCHAR) AS key,
+       (dense_rank() OVER (ORDER BY coalesce(CAST(c_mktsegment AS VARCHAR), 'nan')) - 1)::BIGINT AS code
 FROM customer
 """,
         "sql_shipping_priority": """
@@ -649,4 +661,5 @@ FROM (
     o.update(SIM.similarity_oracles())
     o.update(EV.events_oracles())
     o.update(MM.multimodal_oracles())
+    o.update(SAMP.sampling_oracles())
     return o

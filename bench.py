@@ -23,7 +23,7 @@ HEADLINE = [
     "harmonize_union",
     "clean_repair",
     "clean_cascade",
-    "describe_numeric",
+    "describe_all",
     "corr_matrix",
     "feat_zscore",
     "feat_label_encode",

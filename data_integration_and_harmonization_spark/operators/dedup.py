@@ -274,6 +274,69 @@ def simhash_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair table: the step that
+    turns pairwise matches into "keep one per cluster" decisions.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round a node takes the minimum label among itself and
+    its neighbors. Converges in O(component diameter) rounds — for
+    near-dup graphs components are small and dense, so this beats the
+    constant-factor overhead of large-star/small-star (which wins on
+    long-chain graphs).
+
+    Scale shape per round: one equi-join of edges against labels on
+    the node id and one min-groupBy — both shuffle on id, AQE coalesces
+    post-join. Each round's labels are persisted and the previous
+    round's are released immediately after the convergence count (the
+    only consuming action), so peak cache is 2 label frames of
+    (id, lbl) longs. The final frame is registered with the persist
+    lifecycle registry for release at the query boundary.
+
+    Output: (id, cluster_id) for every node that appears in ``pairs``;
+    cluster_id is the component's minimum id.
+    """
+    from data_integration_and_harmonization_spark.functions import caching
+
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(n, "src").persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).persist()
+    try:
+        for _ in range(max_iter):
+            prop = edges.join(labels, edges["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), "lbl"
+            )
+            new = (
+                labels.select("id", "lbl")
+                .union(prop)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
+                .persist()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist(False)
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist(False)
+    return caching.track(labels).select("id", F.col("lbl").alias("cluster_id"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one group per distinct text; keep the minimum id.
     Groups on md5(text) so the shuffle key is 16 bytes, not the body.
@@ -471,6 +534,14 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked pair-for-pair.
         return minhash_lsh_candidates(docs, hash_family="md5")
 
+    def q_clusters(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        # the full pipeline: LSH-propose -> Jaccard-verify ->
+        # connected components; md5 family => the component assignment
+        # is hash-checked node-for-node by a recursive-CTE oracle.
+        pairs = lsh_verified_pairs(docs, threshold=0.5, hash_family="md5")
+        return duplicate_clusters(pairs)
+
     def q_simhash(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         # md5 hash family => banded candidates + exact Hamming filter
@@ -484,6 +555,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash,
         "dedup_simhash": q_simhash,
         "dedup_lsh_verified": q_lsh_verified,
+        "dedup_clusters": q_clusters,
         "dedup_embedding_cosine": lambda s, sf: embedding_near_dup_pairs(
             s.read.parquet(f"{sf}/embeddings.parquet"),
             # synthetic embeddings top out near cosine 0.43 — a low
@@ -601,6 +673,29 @@ FROM documents GROUP BY 2
 SELECT id_a, id_b, n_shared_bands FROM cand
 """,
         "dedup_simhash": _md5_simhash_sql(),
+        # transitive closure by recursive CTE: reach(id, lbl) grows the
+        # set of component-mates per node; min over it = the same
+        # min-label fixpoint duplicate_clusters iterates to.
+        "dedup_clusters": minhash_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+, verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+  WHERE round(CASE WHEN len(list_distinct(a.shl || b.shl)) > 0
+        THEN CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+             / len(list_distinct(a.shl || b.shl))
+        ELSE 0.0 END, 6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY id
+""",
         "dedup_lsh_verified": minhash_cte
         + """
 SELECT id_a, id_b, jaccard FROM (

@@ -1,0 +1,127 @@
+"""Deterministic sampling for training-data pipelines (engine
+extension; SURVEY §7 north-star ops — no reference counterpart).
+
+Two modes, both reproducible across engines and cluster sizes:
+
+- hash sampling: keep a row iff an md5-derived hash of its key falls
+  under the rate threshold. Pure row-local column expression — no
+  shuffle, no RNG state, stable under repartitioning, and any engine
+  with md5 reproduces the exact same subset (the oracle twin does).
+- stratified exact sampling: per-stratum exact counts
+  (ceil(rate * n_stratum)), rows chosen by hash order within the
+  stratum. One shuffle on the stratum key; the per-stratum window
+  sort is bounded by stratum size (salt upstream if a stratum is
+  pathological — see functions/skew.py).
+
+``Bernoulli vs exact``: hash sampling is the scale path (embarrassingly
+parallel, approximately rate * n rows); stratified-exact trades one
+shuffle for exact per-group counts — the same trade ml.exact_split
+makes vs randomSplit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# 60-bit md5 slice (same slice the dedup md5 families use): positive
+# in a signed long, reproducible as DuckDB
+# CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT).
+_DENOM = 1_000_000
+
+
+def _hash_unit(key: Column, seed: int) -> Column:
+    """Uniform-ish integer in [0, _DENOM) from md5(key:seed)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", key, F.lit(str(seed)))), 1, 15), 16, 10
+    ).cast("long")
+    return h % _DENOM
+
+
+def hash_sample(
+    df: DataFrame, key_cols: Sequence[str], rate: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: row kept iff
+    md5(key:seed) mod 1e6 < rate * 1e6. No shuffle; filter pushes to
+    the scan."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return df.where(_hash_unit(key, seed) < int(rate * _DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_cols: Sequence[str],
+    rate: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact per-stratum sample: ceil(rate * n) rows per stratum,
+    chosen by hash order (deterministic, engine-reproducible). The
+    hash order also makes the pick independent of physical row order."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy(stratum_col).orderBy(_hash_unit(key, seed), *key_cols)
+    n = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .where(F.col("__rn") <= F.ceil(F.col("__n") * rate))
+        .drop("__rn", "__n")
+    )
+
+
+# ------------------------------------------------------- query registry
+
+def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def q_sample(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        keys = ["l_orderkey", "l_linenumber"]
+        h = hash_sample(li, keys, rate=0.1).groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        s = stratified_sample(li, "l_returnflag", keys, rate=0.05).groupBy(
+            "l_returnflag"
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        return h.select(F.lit("hash").alias("kind"), "*").unionByName(
+            s.select(F.lit("stratified").alias("kind"), "*")
+        )
+
+    return {"samp_deterministic": q_sample}
+
+
+def sampling_oracles() -> dict[str, str]:
+    hu = (
+        "CAST(concat('0x', substr(md5(concat_ws(':', "
+        "concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR), '42')), 1, 15)) "
+        "AS BIGINT) % 1000000"
+    )
+    return {
+        "samp_deterministic": f"""
+SELECT 'hash' AS kind, l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem WHERE {hu} < 100000
+GROUP BY 2
+UNION ALL
+SELECT 'stratified' AS kind, l_returnflag, n_rows, sum_qty FROM (
+  SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+         round(sum(l_quantity), 6) AS sum_qty
+  FROM (
+    SELECT l_returnflag, l_quantity,
+           row_number() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY {hu},
+                      concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR)
+           ) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+  )
+  WHERE rn <= ceil(n * 0.05)
+  GROUP BY 1
+)
+""",
+    }

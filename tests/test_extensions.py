@@ -72,6 +72,33 @@ def test_simhash_pairs_pigeonhole_and_filter(spark):
         assert all(h <= 3 for h in pairs.values())
 
 
+def test_duplicate_clusters_chain_and_island(spark):
+    # chain 1-2-3 (needs >1 propagation round) + island 10-11
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in DD.duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_sampling_deterministic_and_exact(spark):
+    from data_integration_and_harmonization_spark.operators import sampling as SAMP
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g"), F.rand(7).alias("v")
+    )
+    a = SAMP.hash_sample(df, ["id"], rate=0.2).count()
+    b = SAMP.hash_sample(df.repartition(7), ["id"], rate=0.2).count()
+    assert a == b and 120 < a < 280  # partition-invariant, near-rate
+
+    s = SAMP.stratified_sample(df, "g", ["id"], rate=0.1)
+    per = {r["g"]: r["n"] for r in s.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    import math
+
+    # exact ceil(rate * n) per stratum: strata sizes 334/333/333
+    assert per == {"0": math.ceil(334 * 0.1), "1": math.ceil(333 * 0.1), "2": math.ceil(333 * 0.1)}
+
+
 def test_brute_force_topk_self_similarity(spark):
     emb = spark.createDataFrame(
         [
