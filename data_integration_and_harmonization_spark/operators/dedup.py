@@ -303,14 +303,30 @@ def duplicate_clusters(
     """
     from data_integration_and_harmonization_spark.functions import caching
 
+    spark = pairs.sparkSession
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    n = pairs.sparkSession.sparkContext.defaultParallelism
-    edges = edges.repartition(n, "src").persist()
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    edges0 = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    n_edges = edges0.count()
+    # Size the loop's partitioning to the pair graph, not the session
+    # default: verified near-dup pair sets are typically tiny relative
+    # to the corpus, and every extra empty partition is a scheduled
+    # task PER ITERATION. ~100k edges per partition; fans out for
+    # genuinely huge pair graphs.
+    n = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
+        edges = edges0.repartition(n, "src").persist()
+        labels = (
+            edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+        ).persist()
+        # min-label propagation only ever LOWERS a label, so the label
+        # sum is strictly decreasing until the fixpoint — convergence
+        # is one agg on the frame being materialized anyway, no
+        # old-vs-new join needed.
+        prev_sum = None
         for _ in range(max_iter):
             prop = edges.join(labels, edges["src"] == labels["id"]).select(
                 F.col("dst").alias("id"), "lbl"
@@ -322,18 +338,16 @@ def duplicate_clusters(
                 .agg(F.min("lbl").alias("lbl"))
                 .persist()
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
+            cur_sum = new.agg(F.sum("lbl")).collect()[0][0]
             labels.unpersist(False)
             labels = new
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
-    finally:
+            prev_sum = cur_sum
         edges.unpersist(False)
+    finally:
+        edges0.unpersist(False)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return caching.track(labels).select("id", F.col("lbl").alias("cluster_id"))
 
 

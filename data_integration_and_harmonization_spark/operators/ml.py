@@ -227,7 +227,18 @@ def train_models(
         raise ValueError("no numeric feature columns available")
 
     base = df.select(*feats, df[target_column].cast("double").alias("label")).dropna()
-    train, test = base.randomSplit([0.8, 0.2], seed=seed)
+    # Size the fit partitioning to the data: iterative tree fits run
+    # MANY short jobs over the cached train set, so partitions far
+    # smaller than ~20k rows turn each iteration into pure task-
+    # scheduling overhead. ~20k rows per partition keeps tasks
+    # meaningful at subsample scale and still fans out to the full
+    # cluster for big inputs (capped at defaultParallelism only as a
+    # floor-setting heuristic — Spark splits further by size upstream).
+    sc = df.sparkSession.sparkContext
+    base = base.cache()
+    n_rows = base.count()
+    parts = max(4, min(sc.defaultParallelism, n_rows // 20_000 + 1))
+    train, test = base.repartition(parts).randomSplit([0.8, 0.2], seed=seed)
     train = train.cache()
     assembler = VectorAssembler(inputCols=feats, outputCol="features")
 
@@ -235,8 +246,7 @@ def train_models(
     if is_classification:
         n_classes = base.select("label").distinct().count()
 
-    results: dict[str, dict[str, float]] = {}
-    for name, model in _model_zoo(is_classification, seed).items():
+    def fit_one(name: str, model: Any) -> dict[str, float]:
         if hasattr(model, "setLabelCol"):
             model.setLabelCol("label")
         if is_classification and n_classes > 2 and type(model).__name__ == "GBTClassifier":
@@ -270,8 +280,25 @@ def train_models(
         else:
             fitted = Pipeline(stages=[assembler, model]).fit(train)
         preds = fitted.transform(test).cache()
-        results[name] = evaluate_model(preds, is_classification)
-        preds.unpersist()
+        try:
+            return evaluate_model(preds, is_classification)
+        finally:
+            preds.unpersist()
+
+    # The three fits are independent; submit them from concurrent
+    # driver threads so the Spark scheduler interleaves their jobs —
+    # each individual fit rarely saturates the cluster (tree fits have
+    # serial per-iteration barriers), so overlap recovers the idle
+    # slots. Results are per-model deterministic (seeded fits over the
+    # same cached split), so concurrency cannot change values.
+    zoo = _model_zoo(is_classification, seed)
+    train.count()  # materialize the cached split once, before the race
+    base.unpersist(False)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(zoo)) as pool:
+        futures = {name: pool.submit(fit_one, name, model) for name, model in zoo.items()}
+        results = {name: futures[name].result() for name in zoo}
     train.unpersist()
     return results
 
