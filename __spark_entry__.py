@@ -29,6 +29,7 @@ from data_integration_and_harmonization_spark.operators import ml as ML
 from data_integration_and_harmonization_spark.operators import multimodal as MM
 from data_integration_and_harmonization_spark.operators import profile as P
 from data_integration_and_harmonization_spark.operators import relational as REL
+from data_integration_and_harmonization_spark.operators import packing as PK
 from data_integration_and_harmonization_spark.operators import sampling as SAMP
 from data_integration_and_harmonization_spark.operators import similarity as SIM
 from data_integration_and_harmonization_spark.operators import text as TX
@@ -387,6 +388,7 @@ _QUERY_ORDER = [
     # new in r2
     "samp_deterministic",
     "dedup_clusters",
+    "seq_pack",
     "src_roundtrip",
     "ml_exact_split",
     "dedup_minhash_lsh",
@@ -426,8 +428,7 @@ _QUERY_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
+    "sim_topk",
     "sim_ann_recall",
     "sim_ivf_recall",
     "events_windows",
@@ -464,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(EV.events_queries())
     q.update(MM.multimodal_queries())
     q.update(SAMP.sampling_queries())
+    q.update(PK.packing_queries())
     assert set(q) == set(_QUERY_ORDER), (
         f"registry drift: extra={sorted(set(q) - set(_QUERY_ORDER))} "
         f"missing={sorted(set(_QUERY_ORDER) - set(q))}"
@@ -662,4 +664,5 @@ FROM (
     o.update(EV.events_oracles())
     o.update(MM.multimodal_oracles())
     o.update(SAMP.sampling_oracles())
+    o.update(PK.packing_oracles())
     return o

@@ -1,0 +1,145 @@
+"""Sequence packing for training-data pipelines (engine extension;
+SURVEY §7 north-star ops — no reference counterpart).
+
+GPT-style concat-then-chunk packing: lay every document's tokens on
+one global token stream (deterministic document order), then cut the
+stream into fixed-``budget`` context windows ("packs"). A document
+whose token span crosses a pack boundary belongs to every pack it
+overlaps — the output is the exploded (doc, pack) span table with the
+per-pack token contribution, which is exactly what a loader needs to
+assemble batches.
+
+Scale shape: the only hard part is the global running token total,
+and it reuses the distributed scan-fix pattern from
+``functions/indexing.py`` — one range shuffle on the order key,
+per-partition prefix sums, then a one-row-per-partition totals job
+whose cumulative offsets broadcast back. No single-task stage, so the
+pattern holds at 1000 executors; the pack explosion afterwards is a
+narrow per-row ``sequence``/``explode``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.functions.caching import track
+from data_integration_and_harmonization_spark.functions.indexing import PID
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    cumsum_col: str = "__dih_cum",
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over the global order
+    defined by ``order_cols`` (a unique composite key).
+
+    Same one-range-shuffle shape as ``with_global_index``: partition i
+    holds keys strictly below partition i+1, the in-partition prefix
+    sum is a narrow window, and the cross-partition offsets come from
+    a one-row-per-partition totals job broadcast back.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(n, *cols).withColumn(PID, F.spark_partition_id())
+    w = (
+        Window.partitionBy(PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = part.withColumn("__dih_local", F.sum(value_col).over(w))
+    # persist pins one physical partitioning (repartitionByRange
+    # re-samples boundaries per job); tracked for release at the
+    # query boundary.
+    part = track(part.persist())
+    totals = {
+        r[PID]: r["tot"]
+        for r in part.groupBy(PID).agg(F.sum(value_col).alias("tot")).collect()
+    }
+    rows, acc = [], 0
+    for pid in sorted(totals):
+        rows.append((int(pid), int(acc)))
+        acc += int(totals[pid] or 0)
+    off = df.sparkSession.createDataFrame(rows, f"{PID} int, __dih_off long")
+    return (
+        part.join(F.broadcast(off), PID)
+        .withColumn(cumsum_col, (F.col("__dih_off") + F.col("__dih_local")).cast("long"))
+        .drop("__dih_local", "__dih_off", PID)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    token_col: str,
+    budget: int,
+    id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-``budget`` context windows by global
+    token offset. Output: one row per (document, pack) the document's
+    token span overlaps — (``id_cols``..., pack_id, tok_in_pack).
+    Zero-token documents occupy no stream space and emit no rows.
+    """
+    ids = list(id_cols if id_cols is not None else order_cols)
+    c = with_global_cumsum(df, order_cols, token_col, "__cum")
+    start = F.col("__cum") - F.col(token_col)
+    end = F.col("__cum") - 1
+    p0 = F.floor(start / budget)
+    p1 = F.floor(end / budget)
+    spans = c.where(F.col(token_col) > 0).select(
+        *ids,
+        start.alias("__s"),
+        end.alias("__e"),
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    tok_in_pack = (
+        F.least(F.col("__e"), (F.col("pack_id") + 1) * budget - 1)
+        - F.greatest(F.col("__s"), F.col("pack_id") * budget)
+        + 1
+    )
+    return spans.select(*ids, "pack_id", tok_in_pack.cast("long").alias("tok_in_pack"))
+
+
+# ------------------------------------------------------- query registry
+
+_BUDGET = 512
+
+
+def packing_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def q_pack(spark, sf):
+        from data_integration_and_harmonization_spark.operators.text import token_count
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        t = docs.select("doc_id", token_count("text").cast("long").alias("n_tok"))
+        return pack_sequences(t, ["doc_id"], "n_tok", budget=_BUDGET)
+
+    return {"seq_pack": q_pack}
+
+
+def packing_oracles() -> dict[str, str]:
+    from data_integration_and_harmonization_spark.operators.text import TOKEN_RE
+
+    return {
+        "seq_pack": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, p AS pack_id,
+       (least(cum - 1, (p + 1) * {_BUDGET} - 1)
+        - greatest(cum - n_tok, p * {_BUDGET}) + 1)::BIGINT AS tok_in_pack
+FROM c, unnest(generate_series(CAST((cum - n_tok) // {_BUDGET} AS BIGINT),
+                               CAST((cum - 1) // {_BUDGET} AS BIGINT))) AS u(p)
+WHERE n_tok > 0
+""",
+    }

@@ -222,13 +222,15 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return emb, emb.where(F.col("vec_id") < N_QUERIES)
 
-    def q_brute(spark, sf):
+    def q_topk(spark, sf):
+        # exact + sign-bit-LSH top-k in one tagged entry (same shape;
+        # the driver's correctness pass caps at 50 queries)
         corpus, queries = _load(spark, sf)
-        return brute_force_topk(corpus, queries, k=5)
-
-    def q_lsh(spark, sf):
-        corpus, queries = _load(spark, sf)
-        return lsh_topk(corpus, queries, k=5, n_bits=8)
+        b = brute_force_topk(corpus, queries, k=5)
+        l = lsh_topk(corpus, queries, k=5, n_bits=8)
+        return b.select(F.lit("brute").alias("kind"), "*").unionByName(
+            l.select(F.lit("lsh").alias("kind"), "*")
+        )
 
     def q_recall(spark, sf):
         corpus, queries = _load(spark, sf)
@@ -245,8 +247,7 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_recall(exact, approx)
 
     return {
-        "sim_topk_bruteforce": q_brute,
-        "sim_topk_lsh": q_lsh,
+        "sim_topk": q_topk,
         "sim_ann_recall": q_recall,
         "sim_ivf_recall": q_ivf,
     }
@@ -308,8 +309,12 @@ FROM exact e
 LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
+    topk = f"""
+SELECT 'brute' AS kind, * FROM ({brute})
+UNION ALL
+SELECT 'lsh' AS kind, * FROM ({lsh})
+"""
     return {
-        "sim_topk_bruteforce": brute,
-        "sim_topk_lsh": lsh,
+        "sim_topk": topk,
         "sim_ann_recall": recall,
     }

@@ -99,6 +99,25 @@ def test_sampling_deterministic_and_exact(spark):
     assert per == {"0": math.ceil(334 * 0.1), "1": math.ceil(333 * 0.1), "2": math.ceil(333 * 0.1)}
 
 
+def test_pack_sequences_conserves_tokens_and_fills(spark):
+    from data_integration_and_harmonization_spark.operators.packing import pack_sequences
+
+    t = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 0), (4, 500), (5, 50)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(t, ["doc_id"], "n_tok", budget=512).collect()
+    by_doc = {}
+    by_pack = {}
+    for r in out:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["tok_in_pack"]
+        by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + r["tok_in_pack"]
+    assert by_doc == {1: 300, 2: 300, 4: 500, 5: 50}  # conserved; zero-token doc absent
+    # stream = 1150 tokens -> packs 0,1 full (512), pack 2 has 126
+    assert by_pack == {0: 512, 1: 512, 2: 126}
+    # doc 2 spans the pack-0/1 boundary
+    assert sorted(r["pack_id"] for r in out if r["doc_id"] == 2) == [0, 1]
+
+
 def test_brute_force_topk_self_similarity(spark):
     emb = spark.createDataFrame(
         [
