@@ -279,10 +279,18 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     from data_integration_and_harmonization_spark.sources.readers import read_sources
 
+    import tempfile
+
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
-    base = os.path.join("/root/repo/.tmp", f"roundtrip_{os.path.basename(sf.rstrip('/'))}")
-    os.makedirs("/root/repo/.tmp", exist_ok=True)
+    # per-invocation scratch dir: portable (no repo-path assumption)
+    # and race-free when concurrent sessions run the same query. The
+    # files must outlive this call (the returned frame reads them
+    # lazily), so cleanup is left to the OS tmp reaper.
+    base = os.path.join(
+        tempfile.mkdtemp(prefix="dih_roundtrip_"),
+        f"roundtrip_{os.path.basename(sf.rstrip('/'))}",
+    )
     csv_dir = base + "_li.csv"
     nd_dir = base + "_li.ndjson"
     li.where(F.col("l_orderkey") % 10 == 0).select(*cols).write.mode("overwrite").option(
@@ -363,9 +371,15 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         "window_start", "event_type", F.col("n_events").alias("b_n"), F.col("sum_value").alias("b_sum")
     )
     j = s.join(b, ["window_start", "event_type"], "full_outer")
-    agree = (
-        F.col("s_n").eqNullSafe(F.col("b_n")) & F.col("s_sum").eqNullSafe(F.col("b_sum"))
-    )
+    # sum tolerance 1.5e-6: both sides round to 6 decimals but sum
+    # their doubles in different partition orders, so a window whose
+    # true sum sits on a 6th-decimal rounding boundary can legally
+    # differ by exactly 1e-6 — exact equality would flake there.
+    sums_agree = F.when(
+        F.col("s_sum").isNull() | F.col("b_sum").isNull(),
+        F.col("s_sum").eqNullSafe(F.col("b_sum")),
+    ).otherwise(F.abs(F.col("s_sum") - F.col("b_sum")) < 1.5e-6)
+    agree = F.col("s_n").eqNullSafe(F.col("b_n")) & sums_agree
     return j.agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(agree.cast("long")).alias("n_agree"),
@@ -466,11 +480,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(MM.multimodal_queries())
     q.update(SAMP.sampling_queries())
     q.update(PK.packing_queries())
-    assert set(q) == set(_QUERY_ORDER), (
-        f"registry drift: extra={sorted(set(q) - set(_QUERY_ORDER))} "
-        f"missing={sorted(set(_QUERY_ORDER) - set(q))}"
-    )
-    assert len(_QUERY_ORDER) <= 50, "driver correctness pass caps at 50 queries"
+    # RuntimeError, not assert: these guards protect against the exact
+    # silent-truncation failure r1 hit (driver records only the first
+    # 50 queries), and asserts vanish under ``python -O``.
+    if set(q) != set(_QUERY_ORDER):
+        raise RuntimeError(
+            f"registry drift: extra={sorted(set(q) - set(_QUERY_ORDER))} "
+            f"missing={sorted(set(_QUERY_ORDER) - set(q))}"
+        )
+    if len(_QUERY_ORDER) > 50:
+        raise RuntimeError("driver correctness pass caps at 50 queries")
     return {name: _guarded(q[name]) for name in _QUERY_ORDER}
 
 

@@ -32,9 +32,18 @@ def tracked_count() -> int:
 
 
 def release_all() -> int:
-    """Unpersist every tracked frame (non-blocking). Safe only at query
-    boundaries — after the consuming actions have run. Returns the
-    number of frames released."""
+    """Unpersist every tracked frame (non-blocking). Returns the number
+    of frames released.
+
+    CONTRACT: safe only at query boundaries, meaning every DataFrame a
+    previous query returned has been fully consumed (collected /
+    written). Releasing earlier is not just a perf hazard: a released
+    ``with_global_index``/``_repair_plan`` frame re-executes
+    ``repartitionByRange`` with freshly sampled boundaries while its
+    broadcast offsets came from the old partitioning, silently
+    corrupting order-sensitive results. The driver contract (collect
+    each query before invoking the next) satisfies this; callers that
+    interleave lazy frames across queries must collect first."""
     n = len(_TRACKED)
     for df in _TRACKED:
         try:

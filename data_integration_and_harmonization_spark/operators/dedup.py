@@ -291,18 +291,21 @@ def duplicate_clusters(
     long-chain graphs).
 
     Scale shape per round: one equi-join of edges against labels on
-    the node id and one min-groupBy — both shuffle on id, AQE coalesces
-    post-join. Each round's labels are persisted and the previous
-    round's are released immediately after the convergence count (the
-    only consuming action), so peak cache is 2 label frames of
-    (id, lbl) longs. The final frame is registered with the persist
-    lifecycle registry for release at the query boundary.
+    the node id and one min-groupBy — both shuffle on id. Each round's
+    labels are ``localCheckpoint``-ed (eager): iterative self-referential
+    plans MUST truncate lineage per round — a persist alone keeps the
+    full nested logical plan, and Catalyst re-analysis grows
+    super-linearly with rounds (observed: heap exhaustion by ~10
+    rounds on a 16-edge graph). Previous rounds' checkpoint blocks are
+    released by the ContextCleaner once unreferenced, so peak storage
+    is ~2 label frames of (id, lbl) longs. localCheckpoint is not
+    executor-loss tolerant; long-running production jobs on
+    preemptible clusters should swap in reliable ``checkpoint()`` with
+    a checkpoint dir.
 
     Output: (id, cluster_id) for every node that appears in ``pairs``;
     cluster_id is the component's minimum id.
     """
-    from data_integration_and_harmonization_spark.functions import caching
-
     spark = pairs.sparkSession
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges0 = fwd.union(
@@ -318,15 +321,17 @@ def duplicate_clusters(
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
-        edges = edges0.repartition(n, "src").persist()
+        edges = edges0.repartition(n, "src").localCheckpoint(eager=True)
         labels = (
-            edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-        ).persist()
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("lbl", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
         # min-label propagation only ever LOWERS a label, so the label
         # sum is strictly decreasing until the fixpoint — convergence
-        # is one agg on the frame being materialized anyway, no
-        # old-vs-new join needed.
-        prev_sum = None
+        # is one agg per round, no old-vs-new join needed.
+        prev_sum, converged = None, False
         for _ in range(max_iter):
             prop = edges.join(labels, edges["src"] == labels["id"]).select(
                 F.col("dst").alias("id"), "lbl"
@@ -336,19 +341,28 @@ def duplicate_clusters(
                 .union(prop)
                 .groupBy("id")
                 .agg(F.min("lbl").alias("lbl"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             cur_sum = new.agg(F.sum("lbl")).collect()[0][0]
-            labels.unpersist(False)
             labels = new
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
-        edges.unpersist(False)
+        if not converged:
+            # returning intermediate labels would silently split one
+            # true component into several clusters — fail loudly; the
+            # caller raises max_iter (rounds needed = component
+            # diameter, so 20 covers any realistic near-dup graph).
+            raise RuntimeError(
+                f"duplicate_clusters did not converge within max_iter={max_iter} "
+                "propagation rounds; raise max_iter (graph has a component with "
+                "diameter >= max_iter)"
+            )
     finally:
         edges0.unpersist(False)
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return caching.track(labels).select("id", F.col("lbl").alias("cluster_id"))
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -292,7 +292,12 @@ def train_models(
     # slots. Results are per-model deterministic (seeded fits over the
     # same cached split), so concurrency cannot change values.
     zoo = _model_zoo(is_classification, seed)
-    train.count()  # materialize the cached split once, before the race
+    # materialize BOTH split halves before the concurrent fits: each
+    # thread evaluates on test, and an uncached test would re-run the
+    # full scan+dropna+sort lineage once per model.
+    test = test.cache()
+    train.count()
+    test.count()
     base.unpersist(False)
     from concurrent.futures import ThreadPoolExecutor
 
@@ -300,6 +305,7 @@ def train_models(
         futures = {name: pool.submit(fit_one, name, model) for name, model in zoo.items()}
         results = {name: futures[name].result() for name in zoo}
     train.unpersist()
+    test.unpersist()
     return results
 
 

@@ -38,10 +38,17 @@ def with_global_cumsum(
     """Inclusive running sum of ``value_col`` over the global order
     defined by ``order_cols`` (a unique composite key).
 
-    Same one-range-shuffle shape as ``with_global_index``: partition i
-    holds keys strictly below partition i+1, the in-partition prefix
-    sum is a narrow window, and the cross-partition offsets come from
-    a one-row-per-partition totals job broadcast back.
+    Shuffle shape: one range shuffle on the order key, PLUS one hash
+    exchange on the partition id — the in-partition prefix sum is a
+    ``Window.partitionBy(pid)`` and Catalyst cannot know rows with one
+    pid are already co-located (unlike ``with_global_index``, whose
+    monotonic-id trick needs no window, a prefix SUM has no window-free
+    DataFrame form). Cross-partition offsets are a
+    one-row-per-partition totals job broadcast back; no single-task
+    stage. Callers should pass a frame pre-projected to
+    (order_cols, value_col) so both shuffles move slim rows — that is
+    what :func:`pack_sequences` does, and why the double exchange is
+    cheap even when the underlying documents are 100 TB.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]

@@ -61,7 +61,11 @@ def stratified_sample(
     chosen by hash order (deterministic, engine-reproducible). The
     hash order also makes the pick independent of physical row order."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    w = Window.partitionBy(stratum_col).orderBy(_hash_unit(key, seed), *key_cols)
+    # hash ties break on the concatenated key STRING (not the raw
+    # columns): lexicographic order is what any external engine
+    # reproduces — numeric-column ordering diverges from the oracle the
+    # first time two keys collide on a stratum's cutoff boundary.
+    w = Window.partitionBy(stratum_col).orderBy(_hash_unit(key, seed), key)
     n = Window.partitionBy(stratum_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -76,7 +80,12 @@ def stratified_sample(
 def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sample(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
-        keys = ["l_orderkey", "l_linenumber"]
+        # the synthetic lineitem duplicates (l_orderkey, l_linenumber);
+        # sampling keys must be a UNIQUE composite or cutoff-boundary
+        # ties pick nondeterministically across sessions. All-integer
+        # columns only: a double in the key would hash its STRING form,
+        # and Spark/DuckDB double-to-string formats differ.
+        keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
         h = hash_sample(li, keys, rate=0.1).groupBy("l_returnflag").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
@@ -95,9 +104,12 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def sampling_oracles() -> dict[str, str]:
+    key = (
+        "concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR, "
+        "l_partkey::VARCHAR, l_suppkey::VARCHAR)"
+    )
     hu = (
-        "CAST(concat('0x', substr(md5(concat_ws(':', "
-        "concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR), '42')), 1, 15)) "
+        f"CAST(concat('0x', substr(md5(concat_ws(':', {key}, '42')), 1, 15)) "
         "AS BIGINT) % 1000000"
     )
     return {
@@ -114,8 +126,7 @@ SELECT 'stratified' AS kind, l_returnflag, n_rows, sum_qty FROM (
     SELECT l_returnflag, l_quantity,
            row_number() OVER (
              PARTITION BY l_returnflag
-             ORDER BY {hu},
-                      concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR)
+             ORDER BY {hu}, {key}
            ) AS rn,
            count(*) OVER (PARTITION BY l_returnflag) AS n
     FROM lineitem

@@ -73,7 +73,14 @@ def session_stream(events: DataFrame, gap: str = "10 minutes", watermark: str = 
 def run_availablenow(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain a bounded source through the streaming plan (single
     availableNow trigger, complete mode, memory sink) and return the
-    result as a static DataFrame."""
+    result as a static DataFrame.
+
+    The memory sink's temp view (and the full result it pins in driver
+    memory) is dropped before returning — repeated drains in a
+    long-lived session would otherwise each leak a complete result
+    set. The copy-out is a driver collect of the AGGREGATED stream
+    result, which is bounded by (windows x keys), not input size.
+    """
     spark = stream_df.sparkSession
     with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
         q = (
@@ -85,4 +92,7 @@ def run_availablenow(stream_df: DataFrame, query_name: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(query_name)
+    sink = spark.table(query_name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(query_name)
+    return out

@@ -81,6 +81,18 @@ def test_duplicate_clusters_chain_and_island(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_duplicate_clusters_raises_when_unconverged(spark):
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.duplicate_clusters(chain, max_iter=3)
+    out = {r["id"]: r["cluster_id"] for r in DD.duplicate_clusters(chain, max_iter=12).collect()}
+    assert set(out.values()) == {0}  # one component, labeled by its min
+
+
 def test_sampling_deterministic_and_exact(spark):
     from data_integration_and_harmonization_spark.operators import sampling as SAMP
 
