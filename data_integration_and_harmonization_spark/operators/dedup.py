@@ -307,10 +307,18 @@ def duplicate_clusters(
     cluster_id is the component's minimum id.
     """
     spark = pairs.sparkSession
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges0 = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # symmetrize via explode, NOT union(fwd, reversed): a union holds
+    # the upstream plan twice, so an expensive pair producer (the LSH
+    # propose+verify pipeline) would execute twice; explode emits both
+    # directions in one pass over one branch.
+    edges0 = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
     n_edges = edges0.count()
     # Size the loop's partitioning to the pair graph, not the session
     # default: verified near-dup pair sets are typically tiny relative
