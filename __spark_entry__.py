@@ -31,6 +31,7 @@ from data_integration_and_harmonization_spark.operators import profile as P
 from data_integration_and_harmonization_spark.operators import relational as REL
 from data_integration_and_harmonization_spark.operators import packing as PK
 from data_integration_and_harmonization_spark.operators import sampling as SAMP
+from data_integration_and_harmonization_spark.operators import scrub as SCRUB
 from data_integration_and_harmonization_spark.operators import similarity as SIM
 from data_integration_and_harmonization_spark.operators import text as TX
 
@@ -393,13 +394,14 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
 # and newly-added queries come FIRST and the expensive ML fits come
 # last. The assert below keeps the registry at exactly <= 50.
 _QUERY_ORDER = [
-    # unchecked in r1 (registered past the cap)
-    "events_session",
-    "events_json_props",
-    "mm_metadata",
-    "mm_features",
+    # unchecked in r1 (registered past the cap); session+props and
+    # meta+features pairs each merged to one tagged query in r2
+    "events_sessions_props",
+    "mm_meta_features",
     "mm_frames",
     # new in r2
+    "text_decontaminate",
+    "text_scrub",
     "samp_deterministic",
     "dedup_clusters",
     "seq_pack",
@@ -480,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(MM.multimodal_queries())
     q.update(SAMP.sampling_queries())
     q.update(PK.packing_queries())
+    q.update(SCRUB.scrub_queries())
     # RuntimeError, not assert: these guards protect against the exact
     # silent-truncation failure r1 hit (driver records only the first
     # 50 queries), and asserts vanish under ``python -O``.
@@ -684,4 +687,5 @@ FROM (
     o.update(MM.multimodal_oracles())
     o.update(SAMP.sampling_oracles())
     o.update(PK.packing_oracles())
+    o.update(SCRUB.scrub_oracles())
     return o

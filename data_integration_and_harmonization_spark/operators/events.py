@@ -101,10 +101,34 @@ def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return t.unionByName(s)
 
+    def q_sessions_props(spark, sf):
+        # session windows + JSON-props agg in one tagged result (merged
+        # r2 — same 50-query-cap motivation as q_windows above; both
+        # halves stay individually oracle-checked through the union)
+        ev = _ev(spark, sf)
+        s = session_agg(ev).select(
+            F.lit("session").alias("kind"),
+            "user_id",
+            F.lit(None).cast("string").alias("event_type"),
+            F.col("session_start").alias("t0"),
+            "n_events",
+            F.lit(None).cast("long").alias("sum_k"),
+            F.lit(None).cast("double").alias("avg_k"),
+        )
+        p = json_props_agg(ev).select(
+            F.lit("props").alias("kind"),
+            F.lit(None).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(None).cast("timestamp").alias("t0"),
+            "n_events",
+            "sum_k",
+            "avg_k",
+        )
+        return s.unionByName(p)
+
     return {
         "events_windows": q_windows,
-        "events_session": lambda s, sf: session_agg(_ev(s, sf)),
-        "events_json_props": lambda s, sf: json_props_agg(_ev(s, sf)),
+        "events_sessions_props": q_sessions_props,
     }
 
 
@@ -127,8 +151,9 @@ FROM (
 )
 GROUP BY 2
 """,
-        # gaps-and-islands with a 10-minute gap
-        "events_session": """
+        # session half: gaps-and-islands with a 10-minute gap;
+        # props half: JSON-path extraction agg
+        "events_sessions_props": """
 WITH d AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -142,13 +167,15 @@ WITH d AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM d
 )
-SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+SELECT 'session' AS kind, user_id, CAST(NULL AS VARCHAR) AS event_type,
+       min(ts) AS t0, count(*)::BIGINT AS n_events,
+       CAST(NULL AS BIGINT) AS sum_k, CAST(NULL AS DOUBLE) AS avg_k
 FROM g GROUP BY user_id, sid
-""",
-        "events_json_props": """
-SELECT event_type, count(*)::BIGINT AS n_events,
+UNION ALL
+SELECT 'props' AS kind, CAST(NULL AS BIGINT) AS user_id, event_type,
+       CAST(NULL AS TIMESTAMP) AS t0, count(*)::BIGINT AS n_events,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
-FROM events GROUP BY 1
+FROM events GROUP BY 3
 """,
     }

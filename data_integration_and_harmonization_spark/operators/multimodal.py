@@ -204,19 +204,37 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text/plain",
         )
 
-    def q_meta(spark, sf):
-        return _media(spark, sf).select("media_id", "media_type", "n_bytes", "digest")
-
-    def q_features(spark, sf):
-        # long-format (media_id, bucket, freq): every histogram bucket
-        # the pandas-UDF decode produced is hash-checked against a
-        # DuckDB twin that replays the stub's (byte+pos)%dim binning.
-        feats = extract_features(_media(spark, sf))
-        return feats.select(
+    def q_meta_features(spark, sf):
+        # metadata projection + pandas-UDF feature extraction in one
+        # tagged result (merged r2 under the 50-query cap; both halves
+        # stay individually hash-checked). Feature half is long-format
+        # (media_id, bucket, freq): every histogram bucket the decode
+        # produced is checked against a DuckDB twin replaying the
+        # stub's (byte+pos)%dim binning.
+        media = _media(spark, sf)
+        meta = media.select(
+            F.lit("meta").alias("kind"),
             "media_id",
+            "media_type",
             "n_bytes",
-            F.posexplode("feature").alias("bucket", "freq"),
-        ).select("media_id", "n_bytes", "bucket", F.round("freq", 6).alias("freq"))
+            F.lit(None).cast("int").alias("bucket"),
+            "digest",
+            F.lit(None).cast("double").alias("freq"),
+        )
+        feats = (
+            extract_features(media)
+            .select("media_id", "n_bytes", F.posexplode("feature").alias("bucket", "freq"))
+            .select(
+                F.lit("feature").alias("kind"),
+                "media_id",
+                F.lit(None).cast("string").alias("media_type"),
+                "n_bytes",
+                "bucket",
+                F.lit(None).cast("string").alias("digest"),
+                F.round("freq", 6).alias("freq"),
+            )
+        )
+        return meta.unionByName(feats)
 
     def q_frames(spark, sf):
         # rows-only: per-frame byte stats through the full
@@ -228,26 +246,22 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.length("frame")).alias("total_bytes"),
         )
 
-    return {"mm_metadata": q_meta, "mm_features": q_features, "mm_frames": q_frames}
+    return {"mm_meta_features": q_meta_features, "mm_frames": q_frames}
 
 
 def multimodal_oracles() -> dict[str, str]:
     return {
-        "mm_metadata": """
-SELECT doc_id AS media_id, 'text/plain' AS media_type,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       sha256(text) AS digest
-FROM documents
-""",
-        # Replays decode_stub's binning byte-for-byte: bucket of byte
-        # at 0-based position j is (byte + j) % 8; freq = bucket count
-        # over payload length (length 1 floor for empty payloads).
-        # Every bucket appears (bincount minlength), hence the
-        # generate-all-buckets cross join.
-        "mm_features": """
+        # meta half: metadata computed from the raw payload bytes;
+        # feature half replays decode_stub's binning byte-for-byte:
+        # bucket of byte at 0-based position j is (byte + j) % 8;
+        # freq = bucket count over payload length (length 1 floor for
+        # empty payloads). Every bucket appears (bincount minlength),
+        # hence the generate-all-buckets cross join.
+        "mm_meta_features": """
 WITH m AS (
   SELECT doc_id AS media_id, hex(encode(text)) AS ph,
-         octet_length(encode(text))::BIGINT AS n_bytes
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS digest
   FROM documents
 ), byte_rows AS (
   SELECT media_id,
@@ -256,7 +270,12 @@ WITH m AS (
 ), counts AS (
   SELECT media_id, bucket, count(*)::BIGINT AS c FROM byte_rows GROUP BY 1, 2
 )
-SELECT m.media_id, m.n_bytes, b.bucket::INT AS bucket,
+SELECT 'meta' AS kind, media_id, 'text/plain' AS media_type, n_bytes,
+       CAST(NULL AS INT) AS bucket, digest, CAST(NULL AS DOUBLE) AS freq
+FROM m
+UNION ALL
+SELECT 'feature' AS kind, m.media_id, CAST(NULL AS VARCHAR) AS media_type, m.n_bytes,
+       b.bucket::INT AS bucket, CAST(NULL AS VARCHAR) AS digest,
        round(round(coalesce(c.c, 0) / greatest(m.n_bytes, 1)::DOUBLE, 9), 6) AS freq
 FROM m CROSS JOIN (SELECT unnest(range(8)) AS bucket) b
 LEFT JOIN counts c ON c.media_id = m.media_id AND c.bucket = b.bucket

@@ -246,3 +246,38 @@ def test_embedding_near_dup(spark):
     )
     pairs = DD.embedding_near_dup_pairs(emb, threshold=0.95, n_bits=4).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    from data_integration_and_harmonization_spark.operators import scrub as SC
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # copies eval span
+            (2, "totally unrelated words about distributed query engines here"),
+            (3, "too short"),  # < gram tokens -> 0 grams, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta",)], "text string"
+    )
+    out = {r["id"]: r for r in SC.decontaminate(corpus, ev, gram=5).collect()}
+    assert out[1]["contaminated"] == 1 and out[1]["n_hit"] == 2
+    assert out[2]["contaminated"] == 0 and out[2]["n_hit"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["contamination"] == 0.0
+
+
+def test_redact_pii_counts_and_tags(spark):
+    from data_integration_and_harmonization_spark.operators import scrub as SC
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x.org twice a.b+c@x.org, call 555-010-1234, "
+             "ssn 123-45-6789, host 10.0.34.2 done")],
+        "doc_id long, text string",
+    )
+    r = SC.redact_pii(df).collect()[0]
+    assert (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ip"]) == (2, 1, 1, 1)
+    assert r["redacted"] == (
+        "mail <EMAIL> twice <EMAIL>, call <PHONE>, ssn <SSN>, host <IP> done"
+    )
