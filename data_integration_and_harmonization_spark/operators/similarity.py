@@ -149,34 +149,79 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means partitions the corpus into
-    ``n_clusters`` cells; each query scans only its ``n_probe`` nearest
-    cells. The classic trade: one cheap centroid pass + candidate scan
-    of ~n_probe/n_clusters of the corpus.
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the
+    corpus into ``n_clusters`` cells; each query scans only its
+    ``n_probe`` nearest cells. The classic trade: one cheap centroid
+    pass + candidate scan of ~n_probe/n_clusters of the corpus.
 
-    Spark shape: KMeans (ml, distributed) fits centroids; cell
-    assignment is a transform; the query->cell fan-out is a broadcast
-    of (query, cell) pairs joined against the cell-partitioned corpus.
+    ``centroids``:
+
+    - ``'kmeans'`` (default, the quality path): KMeans (ml,
+      distributed) fits centroids; cell assignment is a model
+      transform.
+    - ``'seed'``: centroids are the first ``n_clusters`` corpus
+      vectors by id — zero training cost, fully deterministic, and
+      reproducible by any external engine (the oracle twin). Cell
+      assignment is a pure argmin-projection (no model, no shuffle).
+
+    Both paths: the query->cell fan-out is a broadcast of
+    (query, cell) pairs joined against the cell-partitioned corpus.
     Same output shape as :func:`brute_force_topk`.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    to_vec = array_to_vector(F.col(vec_col).cast("array<double>"))
-    corpus_v = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), to_vec.alias("features")
-    )
-    km = KMeans(
-        k=n_clusters, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell"
-    )
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cell")
-
-    centers = model.clusterCenters()
     spark = corpus.sparkSession
+    if centroids == "seed":
+        seed_rows = (
+            corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+            .orderBy("i")
+            .limit(n_clusters)
+            .collect()
+        )
+        centers = [[float(x) for x in r["v"]] for r in seed_rows]
+
+        def d2_to(center: list[float]):
+            return F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.array(*[F.lit(v) for v in center]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        # argmin over (d2, cell) structs — struct ordering gives the
+        # same (min d2, then min cell) tie-break the oracle replays
+        cell_expr = F.array_min(
+            F.array(
+                *[
+                    F.struct(d2_to(c).alias("d2"), F.lit(i).cast("int").alias("cell"))
+                    for i, c in enumerate(centers)
+                ]
+            )
+        )["cell"]
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), cell_expr.alias("cell")
+        )
+    elif centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        to_vec = array_to_vector(F.col(vec_col).cast("array<double>"))
+        corpus_v = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), to_vec.alias("features")
+        )
+        km = KMeans(
+            k=n_clusters, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell"
+        )
+        model = km.fit(corpus_v)
+        assigned = model.transform(corpus_v).select("neighbor_id", "c_vec", "cell")
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    else:
+        raise ValueError(f"centroids must be 'kmeans' or 'seed', got {centroids!r}")
     centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        [(i, c) for i, c in enumerate(centers)],
         "cell int, center array<double>",
     )
     # per query: distance to every centroid (n_clusters is small), keep
@@ -240,10 +285,12 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_ivf(spark, sf):
         corpus, queries = _load(spark, sf)
-        # rows-only (KMeans centroids aren't oracle-expressible):
-        # recall@5 of IVF against exact brute force, per query
+        # seed-centroid quantizer => the FULL IVF pipeline (assign ->
+        # probe -> cell scan -> top-k -> recall) is replayed by the
+        # DuckDB oracle and hash-checked (KMeans stays the quality
+        # default in the API): recall@5 against exact brute force
         exact = brute_force_topk(corpus, queries, k=5)
-        approx = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=2)
+        approx = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=2, centroids="seed")
         return ann_recall(exact, approx)
 
     return {
@@ -314,7 +361,54 @@ SELECT 'brute' AS kind, * FROM ({brute})
 UNION ALL
 SELECT 'lsh' AS kind, * FROM ({lsh})
 """
+    d2 = (
+        "list_sum(list_transform(range(1, len(c.embedding) + 1), "
+        "i -> (CAST(c.embedding[i] AS DOUBLE) - ct.center[i]) "
+        "* (CAST(c.embedding[i] AS DOUBLE) - ct.center[i])))"
+    )
+    qd2 = d2.replace("c.embedding", "q.embedding")
+    ivf = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS center
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned_cell AS (
+  SELECT neighbor_id, cell FROM (
+    SELECT c.vec_id AS neighbor_id, ct.cell,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {d2}, ct.cell) AS rn
+    FROM embeddings c CROSS JOIN cent ct
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {qd2}, ct.cell) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q CROSS JOIN cent ct
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT q.vec_id AS query_id, a.neighbor_id,
+         CAST({_DOT} AS DOUBLE) / ({_QNORM} * {_CNORM}) AS sim
+  FROM assigned_cell a
+  JOIN probes p ON p.cell = a.cell
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings c ON c.vec_id = a.neighbor_id
+  WHERE q.vec_id <> a.neighbor_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+), exact AS (
+  {brute}
+)
+SELECT e.query_id,
+  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""
     return {
         "sim_topk": topk,
         "sim_ann_recall": recall,
+        "sim_ivf_recall": ivf,
     }

@@ -281,3 +281,24 @@ def test_redact_pii_counts_and_tags(spark):
     assert r["redacted"] == (
         "mail <EMAIL> twice <EMAIL>, call <PHONE>, ssn <SSN>, host <IP> done"
     )
+
+
+def test_ivf_topk_both_quantizers(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 3)
+    for mode in ("seed", "kmeans"):
+        out = SIM.ivf_topk(emb, q, k=3, n_clusters=4, n_probe=4, centroids=mode).collect()
+        by_q = {}
+        for r in out:
+            assert r["query_id"] != r["neighbor_id"]
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        # n_probe = n_clusters -> every cell scanned -> full top-3 per query
+        assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+    import pytest
+
+    with pytest.raises(ValueError, match="centroids"):
+        SIM.ivf_topk(emb, q, centroids="nope")
