@@ -140,15 +140,40 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", language_id_column(text_col).alias("lang_pred"))
 
 
+def repetition_columns(text_col: str = "text") -> list[Column]:
+    """Within-document repetition signals (the boilerplate/keyword-spam
+    detector): distinct-token ratio and the frequency share of the
+    most-repeated token. Pure expressions — the per-doc cost is
+    O(distinct x tokens), bounded by document length, no shuffle."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    top = F.array_max(
+        F.transform(F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d)))
+    )
+    return [
+        F.round(
+            F.when(n_tok > 0, F.size(F.array_distinct(t)).cast("double") / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("distinct_token_ratio"),
+        F.round(
+            F.when(n_tok > 0, top.cast("double") / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("top_token_ratio"),
+    ]
+
+
 def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """ALL per-document text signals in ONE projection — quality
-    metrics, language ID, exact + near-dup fingerprints, BPE-ish token
-    count. One scan, zero joins, zero shuffles; at 100 TB this is the
-    shape a corpus-triage pass should have (each signal family as its
-    own query would scan the corpus once per family)."""
+    metrics, repetition stats, language ID, exact + near-dup
+    fingerprints, BPE-ish token count. One scan, zero joins, zero
+    shuffles; at 100 TB this is the shape a corpus-triage pass should
+    have (each signal family as its own query would scan the corpus
+    once per family)."""
     return df.select(
         "doc_id",
         *quality_columns(text_col),
+        *repetition_columns(text_col),
         language_id_column(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
         minhash_gram_fingerprint(text_col, 3).alias("min_shingle_fp"),
@@ -201,7 +226,13 @@ WITH t AS (
          ELSE 0.0 END AS avg_tok,
     CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ok,
     CASE WHEN len(toks) > 0 THEN CAST(stop_hits AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
-    CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END AS length_ok
+    CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END AS length_ok,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_max(list_transform(list_distinct(toks),
+              d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS top_ratio
   FROM t
 )
 SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
@@ -209,6 +240,8 @@ SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
   round(alpha_ok, 6) AS alpha_ratio,
   round(stop_ratio, 6) AS stopword_ratio,
   round((length_ok + alpha_ok + least(1.0, stop_ratio * 5)) / 3, 6) AS quality_score,
+  round(distinct_ratio, 6) AS distinct_token_ratio,
+  round(top_ratio, 6) AS top_token_ratio,
   lang_pred,
   md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
   list_min(list_transform(

@@ -45,6 +45,8 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
     if ext == "parquet":
         return spark.read.parquet(path)
+    if ext == "orc":
+        return spark.read.orc(path)
     if ext == "json":
         return spark.read.option("multiLine", True).json(path)
     if ext == "ndjson":
@@ -134,3 +136,30 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed table sink: pre-shuffles rows into ``n_buckets`` hash
+    buckets on ``bucket_cols`` at WRITE time, so every later join or
+    aggregation on those columns skips its shuffle entirely (Catalyst
+    sees the bucketing and plans a zero-exchange sort-merge join when
+    both sides are bucketed the same way).
+
+    This is the 100 TB pattern for fact tables that are joined on the
+    same key repeatedly: pay the shuffle once at ingest, never again.
+    ``sort_cols`` additionally sorts within buckets, removing the
+    per-task sort from future sort-merge joins. Goes through
+    ``saveAsTable`` — bucketing metadata lives in the session catalog
+    (path-based ``.parquet()`` writes cannot carry it)."""
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

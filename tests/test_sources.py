@@ -81,3 +81,34 @@ def test_write_parquet_partitioned(spark, sf_dir, tmpdir):
     assert back.count() == 25
     # partition pruning applies: directory layout by key
     assert any("n_regionkey=" in d for d in os.listdir(out))
+
+
+def test_orc_roundtrip(spark, tmpdir):
+    p = os.path.join(tmpdir, "t_orc")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    src.write.mode("overwrite").orc(p)
+    df = R.read_any(spark, p, fmt="orc")
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    R.write_bucketed(left, "bkt_left", ["k"], n_buckets=8, sort_cols=["k"])
+    R.write_bucketed(right, "bkt_right", ["k"], n_buckets=8, sort_cols=["k"])
+    # disable broadcast so the planner exercises the bucketed path (at
+    # real scale neither side of a fact-fact join is broadcastable;
+    # with tiny test tables broadcast would win and bypass bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # both sides bucketed on the join key -> zero Exchange operators
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
