@@ -111,18 +111,84 @@ def pack_sequences(
     return spans.select(*ids, "pack_id", tok_in_pack.cast("long").alias("tok_in_pack"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    stride: int = 96,
+    with_text: bool = True,
+) -> DataFrame:
+    """Split each document into fixed-``chunk_size`` token windows that
+    advance by ``stride`` tokens (``stride < chunk_size`` = overlapping
+    windows, the context-preservation pattern) — the step before
+    sequence packing when documents exceed the model context.
+
+    Pure per-row expressions (tokenize once, ``slice`` per window) —
+    one narrow projection + explode, no shuffle, no UDF. A document
+    with T tokens yields ``ceil(max(T - chunk_size, 0) / stride) + 1``
+    chunks; empty documents yield none.
+
+    Output: (id, chunk_idx, chunk_start, n_chunk_tokens[, chunk_text]).
+    ``with_text=False`` skips materializing chunk text for count-only
+    consumers (keeps exploded rows slim — at 100 TB the downstream
+    shuffle moves (id, idx, count) only).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    from data_integration_and_harmonization_spark.operators.text import tokens
+
+    t = tokens(text_col)
+    n = F.size(t)
+    base = df.select(F.col(id_col).alias("id"), t.alias("__toks"), n.alias("__n")).where(
+        F.col("__n") > 0
+    )
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    ex = base.select(
+        "id",
+        "__toks",
+        "__n",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    out_cols = [
+        "id",
+        "chunk_idx",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.least(F.lit(chunk_size), F.col("__n") - F.col("chunk_start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    ]
+    if with_text:
+        out_cols.append(
+            F.concat_ws(" ", F.slice("__toks", F.col("chunk_start") + 1, chunk_size)).alias(
+                "chunk_text"
+            )
+        )
+    return ex.select(*out_cols)
+
+
 # ------------------------------------------------------- query registry
 
 _BUDGET = 512
+_CHUNK, _STRIDE = 128, 96
 
 
 def packing_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pack(spark, sf):
-        from data_integration_and_harmonization_spark.operators.text import token_count
-
+        # the REAL pre-training layout pipeline, both stages in one
+        # oracle-checked query: long docs -> overlapping token chunks
+        # -> chunks packed into fixed-budget context windows on one
+        # global token stream
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        t = docs.select("doc_id", token_count("text").cast("long").alias("n_tok"))
-        return pack_sequences(t, ["doc_id"], "n_tok", budget=_BUDGET)
+        chunks = chunk_documents(
+            docs, chunk_size=_CHUNK, stride=_STRIDE, with_text=False
+        ).select("id", "chunk_idx", "n_chunk_tokens")
+        return pack_sequences(
+            chunks,
+            ["id", "chunk_idx"],
+            "n_chunk_tokens",
+            budget=_BUDGET,
+        ).select(F.col("id").alias("doc_id"), "chunk_idx", "pack_id", "tok_in_pack")
 
     return {"seq_pack": q_pack}
 
@@ -132,21 +198,25 @@ def packing_oracles() -> dict[str, str]:
 
     return {
         "seq_pack": f"""
-WITH t AS (
+WITH toks AS (
   SELECT doc_id,
          len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS n_tok
   FROM documents
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) > 0
+), chunks AS (
+  SELECT doc_id, (s / {_STRIDE})::BIGINT AS chunk_idx,
+         least({_CHUNK}, n_tok - s)::BIGINT AS n_tok
+  FROM toks, unnest(generate_series(0, CAST(n_tok - 1 AS BIGINT), {_STRIDE})) AS u(s)
 ), c AS (
-  SELECT doc_id, n_tok,
-         sum(n_tok) OVER (ORDER BY doc_id
+  SELECT doc_id, chunk_idx, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id, chunk_idx
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM t
+  FROM chunks
 )
-SELECT doc_id, p AS pack_id,
+SELECT doc_id, chunk_idx::INTEGER AS chunk_idx, p AS pack_id,
        (least(cum - 1, (p + 1) * {_BUDGET} - 1)
         - greatest(cum - n_tok, p * {_BUDGET}) + 1)::BIGINT AS tok_in_pack
 FROM c, unnest(generate_series(CAST((cum - n_tok) // {_BUDGET} AS BIGINT),
                                CAST((cum - 1) // {_BUDGET} AS BIGINT))) AS u(p)
-WHERE n_tok > 0
 """,
     }

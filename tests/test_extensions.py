@@ -302,3 +302,27 @@ def test_ivf_topk_both_quantizers(spark):
 
     with pytest.raises(ValueError, match="centroids"):
         SIM.ivf_topk(emb, q, centroids="nope")
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from data_integration_and_harmonization_spark.operators import packing as PK
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three tokens"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = PK.chunk_documents(df, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: 10 tokens, starts 0,3,6,9 -> sizes 4,4,4,1
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # stride 3 < size 4 -> overlap
+    assert c1[3]["chunk_text"] == "w9"
+    # doc 2: 3 tokens < chunk_size -> single short chunk
+    assert [(r["chunk_idx"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 3)]
+    # doc 3: empty -> no chunks
+    assert 3 not in by_doc
