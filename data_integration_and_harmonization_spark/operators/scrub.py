@@ -185,7 +185,7 @@ def scrub_oracles() -> dict[str, str]:
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
     )
     email, ssn, phone, ip = (
-        PII_PATTERNS["email"].replace("\\", "\\"),
+        PII_PATTERNS["email"],
         PII_PATTERNS["ssn"],
         PII_PATTERNS["phone"],
         PII_PATTERNS["ip"],

@@ -143,12 +143,31 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def repetition_columns(text_col: str = "text") -> list[Column]:
     """Within-document repetition signals (the boilerplate/keyword-spam
     detector): distinct-token ratio and the frequency share of the
-    most-repeated token. Pure expressions — the per-doc cost is
-    O(distinct x tokens), bounded by document length, no shuffle."""
+    most-repeated token. Pure expressions, no shuffle.
+
+    The max-multiplicity is computed as the longest equal-run in the
+    SORTED token array (one sort + one linear aggregate, O(n log n)
+    per doc) — the tempting ``transform(distinct, d -> count(=d))``
+    form is O(distinct x tokens), which melts on the long documents a
+    real corpus contains. The oracle uses the quadratic spelling (same
+    value, spec only)."""
     t = tokens(text_col)
     n_tok = F.size(t)
-    top = F.array_max(
-        F.transform(F.array_distinct(t), lambda d: F.size(F.filter(t, lambda x: x == d)))
+    st = F.array_sort(t)
+    # accumulator: (prev token, current run, best run). Tokens are
+    # non-empty by construction, so "" is a safe init sentinel.
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    top = F.aggregate(
+        st,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return [
         F.round(

@@ -326,3 +326,21 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert [(r["chunk_idx"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 3)]
     # doc 3: empty -> no chunks
     assert 3 not in by_doc
+
+
+def test_repetition_columns_runs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam ham"),  # top = 4/5, distinct = 2/5
+            (2, "all words here are distinct"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *TX.repetition_columns("text")).collect()
+    }
+    assert out[1]["top_token_ratio"] == 0.8 and out[1]["distinct_token_ratio"] == 0.4
+    assert out[2]["top_token_ratio"] == 0.2 and out[2]["distinct_token_ratio"] == 1.0
+    assert out[3]["top_token_ratio"] == 0.0 and out[3]["distinct_token_ratio"] == 0.0
