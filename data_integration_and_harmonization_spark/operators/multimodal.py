@@ -222,7 +222,11 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("double").alias("freq"),
         )
         feats = (
-            extract_features(media)
+            # project the digest away BEFORE the Arrow transfer: the
+            # union's two branches each execute the _media projection,
+            # and without this prune the feature branch would compute
+            # a second sha2 over every payload and ship it into Python
+            extract_features(media.select("media_id", "payload", "media_type", "n_bytes"))
             .select("media_id", "n_bytes", F.posexplode("feature").alias("bucket", "freq"))
             .select(
                 F.lit("feature").alias("kind"),

@@ -143,7 +143,14 @@ def chunk_documents(
     base = df.select(F.col(id_col).alias("id"), t.alias("__toks"), n.alias("__n")).where(
         F.col("__n") > 0
     )
-    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    # last start = stride * ceil(max(T - chunk_size, 0) / stride): the
+    # first start at which the window reaches the end of the doc. A
+    # naive sequence(0, T-1, stride) would emit tail windows fully
+    # contained in their predecessor — duplicated training content.
+    last = F.lit(stride) * F.ceil(
+        F.greatest(F.col("__n") - chunk_size, F.lit(0)) / stride
+    ).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), last, F.lit(stride).cast("long"))
     ex = base.select(
         "id",
         "__toks",
@@ -206,7 +213,10 @@ WITH toks AS (
 ), chunks AS (
   SELECT doc_id, (s / {_STRIDE})::BIGINT AS chunk_idx,
          least({_CHUNK}, n_tok - s)::BIGINT AS n_tok
-  FROM toks, unnest(generate_series(0, CAST(n_tok - 1 AS BIGINT), {_STRIDE})) AS u(s)
+  FROM toks, unnest(generate_series(
+         0,
+         CAST({_STRIDE} * ceil(greatest(n_tok - {_CHUNK}, 0) / {_STRIDE}.0) AS BIGINT),
+         {_STRIDE})) AS u(s)
 ), c AS (
   SELECT doc_id, chunk_idx, n_tok,
          sum(n_tok) OVER (ORDER BY doc_id, chunk_idx

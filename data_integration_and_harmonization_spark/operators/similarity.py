@@ -45,6 +45,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def squared_distance(a: Column, b: Column) -> Column:
+    """Sequential-order squared euclidean distance of two
+    array<numeric> columns — the one expression used for BOTH corpus
+    cell assignment and query probe selection in IVF, so the two stay
+    bit-identical (and oracle-reproducible) by construction."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -180,23 +192,17 @@ def ivf_topk(
         )
         centers = [[float(x) for x in r["v"]] for r in seed_rows]
 
-        def d2_to(center: list[float]):
-            return F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"),
-                    F.array(*[F.lit(v) for v in center]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-
         # argmin over (d2, cell) structs — struct ordering gives the
         # same (min d2, then min cell) tie-break the oracle replays
         cell_expr = F.array_min(
             F.array(
                 *[
-                    F.struct(d2_to(c).alias("d2"), F.lit(i).cast("int").alias("cell"))
+                    F.struct(
+                        squared_distance(
+                            F.col(vec_col), F.array(*[F.lit(v) for v in c])
+                        ).alias("d2"),
+                        F.lit(i).cast("int").alias("cell"),
+                    )
                     for i, c in enumerate(centers)
                 ]
             )
@@ -231,15 +237,7 @@ def ivf_topk(
         "query_id",
         "q_vec",
         "cell",
-        F.aggregate(
-            F.zip_with(
-                F.col("q_vec"),
-                F.col("center"),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("d2"),
+        squared_distance(F.col("q_vec"), F.col("center")).alias("d2"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
     probes = qc.withColumn("pr", F.row_number().over(wq)).where(F.col("pr") <= n_probe)

@@ -316,12 +316,13 @@ def test_chunk_documents_overlap_and_tail(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["id"], []).append(r)
-    # doc 1: 10 tokens, starts 0,3,6,9 -> sizes 4,4,4,1
+    # doc 1: 10 tokens, last start = 3*ceil((10-4)/3) = 6 -> starts
+    # 0,3,6 (a start at 9 would be fully contained in the 6-chunk)
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
-    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
     assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
     assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # stride 3 < size 4 -> overlap
-    assert c1[3]["chunk_text"] == "w9"
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
     # doc 2: 3 tokens < chunk_size -> single short chunk
     assert [(r["chunk_idx"], r["n_chunk_tokens"]) for r in by_doc[2]] == [(0, 3)]
     # doc 3: empty -> no chunks
