@@ -1,0 +1,109 @@
+"""Physical/logical plan-shape regressions: the properties that make
+the engine scale are asserted here, not just claimed in docstrings.
+
+- parquet scans push filters and prune columns (Catalyst freebies we
+  must not break with an opaque UDF or early materialization);
+- nothing corpus-sized carries a broadcast hint in the dedup
+  self-joins (the r1 VERDICT scale-killer — fixed, now pinned);
+- genuinely small sides (dims, label maps, boundary tables) DO
+  broadcast;
+- the repair path reuses the cached global index instead of
+  re-shuffling the source.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") > "1997-03-15").select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan and "GreaterThan(l_shipdate" in plan, plan
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    read_cols = {c.split(":")[0] for c in schema.split(",")}
+    assert read_cols == {"l_orderkey", "l_quantity", "l_shipdate"}, read_cols
+
+
+def test_dedup_self_joins_never_hint_broadcast(spark, sf_dir):
+    """The corpus side of every dedup self-join must shuffle, not
+    broadcast (r1 VERDICT items 1-2). A ResolvedHint in the analyzed
+    plan means someone re-added F.broadcast on a corpus-sized frame;
+    runtime size-based broadcasts (AQE at tiny sf) remain allowed."""
+    from data_integration_and_harmonization_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for frame in (
+        DD.ngram_jaccard_pairs(docs),
+        DD.embedding_near_dup_pairs(emb, threshold=0.3),
+        DD.minhash_lsh_candidates(docs),
+        DD.lsh_verified_pairs(docs),
+        DD.simhash_pairs(docs),
+    ):
+        assert "ResolvedHint" not in _analyzed(frame)
+
+
+def test_small_dims_do_broadcast(spark, sf_dir):
+    """The flip side: star-schema dims must land as BroadcastHashJoin
+    (a shuffle join of lineitem against a 25-row dim is the wrong
+    plan at every scale)."""
+    from data_integration_and_harmonization_spark.operators.relational import revenue_by_nation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    q = revenue_by_nation(cust, orders, nation)
+    assert "BroadcastHashJoin" in _executed(q)
+
+
+def test_zscore_is_one_agg_plus_broadcast_not_a_window(spark, sf_dir):
+    """F1 must not plan a global (single-task) window: the stats come
+    from one aggregate broadcast back into a narrow projection."""
+    from data_integration_and_harmonization_spark.operators.features import zscore
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    plan = _executed(zscore(li, ["l_quantity", "l_extendedprice"]))
+    assert "Window" not in plan, plan[:2000]
+
+
+def test_repair_reuses_cached_index_single_extra_shuffle(spark, sf_dir):
+    """q_clean_repair on a pre-partitioned global index: the cached
+    index substitutes into the plan (InMemoryTableScan), and the only
+    shuffle OUTSIDE the cached build is the window clustering exchange
+    on the partition id — the repair itself must NOT re-range-shuffle
+    the data (pre_partitioned contract)."""
+    import __spark_entry__ as E
+    from data_integration_and_harmonization_spark.functions.caching import release_all
+
+    release_all()
+    rep = E.q_clean_repair(spark, sf_dir)
+    plan = _executed(rep)
+    assert "InMemoryTableScan" in plan
+    # The plan spine above the cache (everything before the
+    # InMemoryRelation node, which prints the cached BUILD plan whose
+    # range exchange already ran once at materialization) must not
+    # contain a fresh range shuffle of the data — pre_partitioned
+    # means the repair trusts the cached physical layout.
+    top = plan.split("InMemoryRelation")[0]
+    assert "Exchange rangepartitioning" not in top, top
+    release_all()
