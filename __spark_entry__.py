@@ -149,8 +149,12 @@ def q_clean_repair(spark: SparkSession, sf: str) -> DataFrame:
     # frees a slot under the correctness runner's 50-query cap).
     # with_global_index output is physically range-partitioned (its
     # index comes from sortWithinPartitions + partition row counters,
-    # no window reshuffle) and persisted -> the repair may legally skip
-    # its own range shuffle. One shuffle for the whole query.
+    # no window reshuffle) and persisted -> the repair legally skips
+    # its own range shuffle (pre_partitioned=True; pinned by
+    # tests/test_plan_shape.py). Remaining data movement: the index's
+    # one range shuffle + the window pass's pid-clustering exchange
+    # (see operators/clean.py module doc for why that pair is the
+    # floor for window-based repair).
     out = C.interpolate_and_ffill(
         _masked_lineitem(spark, sf), "pos", ["v"], pre_partitioned=True
     )

@@ -12,8 +12,18 @@ collapses to a single task — correct, but serial. The engine instead
 range-partitions on the order column, repairs each partition locally
 with per-partition windows, and fixes partition edges with a tiny
 boundary-exchange table (one row per partition, collected and
-broadcast back). Every stage stays parallel; the only global data
-movement is the range shuffle it genuinely needs.
+broadcast back). Every stage stays parallel.
+
+Shuffle budget (honest count, visible in the executed plan): TWO
+full-data exchanges — the range shuffle that establishes the global
+order, plus one hash exchange on the partition id that Catalyst
+inserts to satisfy the window's clustering requirement (range
+partitioning on the key provably co-locates each pid, but Catalyst
+cannot use that fact). The alternative — eliding the second exchange
+by streaming each partition through ``mapInPandas`` — would move the
+full dataset across the JVM/Arrow/Python boundary instead, which
+costs more than a spillable JVM shuffle and forfeits codegen; two
+exchanges is the right trade.
 """
 
 from __future__ import annotations

@@ -28,6 +28,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_integration_and_harmonization_spark.operators.text import normalized, tokens
 
@@ -274,21 +275,59 @@ def simhash_pairs(
     )
 
 
+def _unionfind_clusters(rows, id_a: str, id_b: str) -> list[tuple]:
+    """Driver-side exact connected components (union-find with path
+    halving + union by attaching the larger root id under the smaller,
+    so the representative IS the component minimum)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for row in rows:
+        a, b = row[id_a], row[id_b]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # larger root under smaller -> root = min id
+    return [(n, find(n)) for n in parent]
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair table: the step that
     turns pairwise matches into "keep one per cluster" decisions.
 
-    Iterative min-label propagation: every node starts labeled with
-    itself; each round a node takes the minimum label among itself and
-    its neighbors. Converges in O(component diameter) rounds — for
-    near-dup graphs components are small and dense, so this beats the
-    constant-factor overhead of large-star/small-star (which wins on
-    long-chain graphs).
+    Size-adaptive, the same way Spark picks broadcast vs shuffle
+    joins: the verified pair graph is typically tiny relative to the
+    corpus (it scales with the number of REAL near-duplicates), so
+    when it has <= ``driver_max_edges`` pairs the exact answer comes
+    from one collect + driver-side union-find — a handful of jobs
+    instead of O(diameter) shuffle rounds. Above the threshold, the
+    distributed path below takes over; both produce identical labels
+    (component minimum), pinned by tests running the two paths on the
+    same graph.
+
+    Distributed path — iterative min-label propagation: every node
+    starts labeled with itself; each round a node takes the minimum
+    label among itself and its neighbors. Converges in O(component
+    diameter) rounds — for near-dup graphs components are small and
+    dense, so this beats the constant-factor overhead of
+    large-star/small-star (which wins on long-chain graphs).
 
     Scale shape per round: one equi-join of edges against labels on
     the node id and one min-groupBy — both shuffle on id. Each round's
@@ -307,19 +346,31 @@ def duplicate_clusters(
     cluster_id is the component's minimum id.
     """
     spark = pairs.sparkSession
+    # Materialize the pair table ONCE (the producer is typically the
+    # whole LSH propose+verify pipeline — it must not re-execute for
+    # the size probe, the symmetrize, and every loop round).
+    base = pairs.select(id_a, id_b).persist()
+    n_pairs = base.count()
+    if n_pairs <= driver_max_edges:
+        id_type = base.schema[id_a].dataType
+        rows = _unionfind_clusters(base.collect(), id_a, id_b)
+        base.unpersist(False)
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
+        )
+        return spark.createDataFrame(rows, schema)
     # symmetrize via explode, NOT union(fwd, reversed): a union holds
-    # the upstream plan twice, so an expensive pair producer (the LSH
-    # propose+verify pipeline) would execute twice; explode emits both
-    # directions in one pass over one branch.
-    edges0 = pairs.select(
+    # the upstream plan twice; explode emits both directions in one
+    # pass over one branch (here: over the persisted pair table).
+    edges0 = base.select(
         F.explode(
             F.array(
                 F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
                 F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
             )
         ).alias("e")
-    ).select("e.src", "e.dst").persist()
-    n_edges = edges0.count()
+    ).select("e.src", "e.dst")
+    n_edges = 2 * n_pairs
     # Size the loop's partitioning to the pair graph, not the session
     # default: verified near-dup pair sets are typically tiny relative
     # to the corpus, and every extra empty partition is a scheduled
@@ -368,7 +419,7 @@ def duplicate_clusters(
                 "diameter >= max_iter)"
             )
     finally:
-        edges0.unpersist(False)
+        base.unpersist(False)
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 

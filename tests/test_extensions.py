@@ -73,12 +73,20 @@ def test_simhash_pairs_pigeonhole_and_filter(spark):
 
 
 def test_duplicate_clusters_chain_and_island(spark):
-    # chain 1-2-3 (needs >1 propagation round) + island 10-11
+    # chain 1-2-3 (needs >1 propagation round) + island 10-11;
+    # run BOTH the driver union-find path (default at this size) and
+    # the distributed label-propagation path (forced) — identical labels
     pairs = spark.createDataFrame(
         [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
     )
-    out = {r["id"]: r["cluster_id"] for r in DD.duplicate_clusters(pairs).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    expect = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    fast = {r["id"]: r["cluster_id"] for r in DD.duplicate_clusters(pairs).collect()}
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in DD.duplicate_clusters(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == expect
+    assert dist == expect
 
 
 def test_duplicate_clusters_raises_when_unconverged(spark):
@@ -88,8 +96,11 @@ def test_duplicate_clusters_raises_when_unconverged(spark):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.duplicate_clusters(chain, max_iter=3)
-    out = {r["id"]: r["cluster_id"] for r in DD.duplicate_clusters(chain, max_iter=12).collect()}
+        DD.duplicate_clusters(chain, max_iter=3, driver_max_edges=0)
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in DD.duplicate_clusters(chain, max_iter=12, driver_max_edges=0).collect()
+    }
     assert set(out.values()) == {0}  # one component, labeled by its min
 
 
