@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from data_integration_and_harmonization_spark.functions.indexing import with_global_index
 from data_integration_and_harmonization_spark.operators import clean as C
@@ -363,9 +364,21 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     from data_integration_and_harmonization_spark.streaming import pipeline as SP
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = EV.tumbling_agg(EV.load_events(spark, sf))
-    stream_raw = SP.stream_events(spark, f"{sf}/events.parquet")
-    stream_ev = stream_raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    def _norm_ts(df: DataFrame) -> DataFrame:
+        # TIMESTAMP(NANOS) parquet arrives as either long (legacy conf
+        # honored) or TIMESTAMP_NTZ depending on the runtime. Watermarks
+        # demand TimestampType, so normalize both forms; the NTZ->TZ
+        # cast is value-preserving under the pinned UTC session tz.
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(dt, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+
+    batch = EV.tumbling_agg(_norm_ts(EV.load_events(spark, sf)))
+    stream_ev = _norm_ts(SP.stream_events(spark, f"{sf}/events.parquet"))
     drained = SP.run_availablenow(
         SP.tumbling_stream(stream_ev), f"twin_{uuid.uuid4().hex[:8]}"
     )

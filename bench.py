@@ -40,20 +40,30 @@ def main() -> None:
         n for n in sorted(qs) if n not in HEADLINE
     ]
 
-    # Untimed codegen warmup: run EVERY query once at the smallest sf.
+    # Untimed codegen warmup: run EVERY query once AT THE TIMED sf.
     # Janino compilation + JIT of each plan's generated code is a
     # per-plan-shape cost, not a per-data cost — measured: the first
-    # query to touch the minhash expression tree pays ~40 s of codegen
-    # at ANY scale, then identical plans run in ~5 s. Steady-state plan
-    # cost is what a long-lived cluster service sees, so that is what
-    # the timed pass below measures.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    # query to touch the minhash expression tree pays tens of seconds
+    # of codegen, then identical plans run in single digits. Warming at
+    # a smaller sf does NOT fully cover this: AQE picks different
+    # physical plans at different scales (broadcast vs sort-merge), so
+    # some large-scale codegen would still land inside the timed pass.
+    # Steady-state plan cost is what a long-lived cluster service sees,
+    # so that is what the timed pass below measures.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", sf_dir)
     t0 = time.time()
+    warm_failures = 0
     for name in names:
         try:
             qs[name](spark, warm_dir).count()
-        except Exception as e:  # a warmup failure must not sink the bench
+        except Exception as e:  # one warmup failure must not sink the bench
+            warm_failures += 1
             print(f"# warmup {name} FAILED: {e}", file=sys.stderr)
+    if names and warm_failures == len(names):
+        # every query failing means the warm dir is bogus (absent dir,
+        # bad env override) — a silently-cold timed pass would report
+        # codegen, not plans; fail loudly instead.
+        raise RuntimeError(f"warmup pass failed for all queries at {warm_dir!r}")
     print(
         f"# warmup pass ({len(names)} queries @ {warm_dir}):"
         f" {time.time() - t0:.1f}s untimed",

@@ -55,12 +55,22 @@ def _shingle_hash(col: Column, hash_family: str) -> Column:
 
 
 def word_shingles(col: Column | str, gram: int = 3) -> Column:
-    """Distinct word ``gram``-shingles of the document."""
+    """Distinct word ``gram``-shingles of the document.
+
+    Shape matters: higher-order functions run interpreted, and a
+    lambda that CAPTURES an outer expression re-evaluates it per
+    element — the obvious ``transform(sequence(...), i ->
+    concat(element_at(t, i), ...))`` form re-runs the whole regexp
+    tokenizer for every shingle (measured 4x slower at sf0.1). Here
+    the token array is consumed only as *arguments* to
+    slice/arrays_zip — each evaluated once per row — and the lambda
+    touches nothing but its own zipped element.
+    """
     t = tokens(col)
-    n = F.size(t) - (gram - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    n = F.greatest(F.size(t) - (gram - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(t, j + 1, n) for j in range(gram)])
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(gram)]))
+        F.transform(z, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(gram)]))
     )
 
 
@@ -346,15 +356,24 @@ def duplicate_clusters(
     cluster_id is the component's minimum id.
     """
     spark = pairs.sparkSession
+    # Null ids would silently vanish in the distributed path (join on
+    # a null key matches nothing) but TypeError in the driver-side
+    # union-find (None < int) — drop them up front so both paths share
+    # one defined behavior: a null endpoint is not a node.
+    pairs = pairs.where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     # Materialize the pair table ONCE (the producer is typically the
     # whole LSH propose+verify pipeline — it must not re-execute for
     # the size probe, the symmetrize, and every loop round).
     base = pairs.select(id_a, id_b).persist()
     n_pairs = base.count()
     if n_pairs <= driver_max_edges:
-        id_type = base.schema[id_a].dataType
-        rows = _unionfind_clusters(base.collect(), id_a, id_b)
-        base.unpersist(False)
+        try:
+            id_type = base.schema[id_a].dataType
+            rows = _unionfind_clusters(base.collect(), id_a, id_b)
+        finally:
+            # without the finally a failed collect/union-find leaks the
+            # persisted frame for the session lifetime
+            base.unpersist(False)
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
         )
