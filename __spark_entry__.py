@@ -28,8 +28,10 @@ from data_integration_and_harmonization_spark.operators import features as FE
 from data_integration_and_harmonization_spark.operators import harmonize as H
 from data_integration_and_harmonization_spark.operators import ml as ML
 from data_integration_and_harmonization_spark.operators import multimodal as MM
+from data_integration_and_harmonization_spark.operators import embeddings as EMB
 from data_integration_and_harmonization_spark.operators import profile as P
 from data_integration_and_harmonization_spark.operators import relational as REL
+from data_integration_and_harmonization_spark.operators import scoring as SC
 from data_integration_and_harmonization_spark.operators import packing as PK
 from data_integration_and_harmonization_spark.operators import sampling as SAMP
 from data_integration_and_harmonization_spark.operators import scrub as SCRUB
@@ -364,21 +366,11 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     from data_integration_and_harmonization_spark.streaming import pipeline as SP
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def _norm_ts(df: DataFrame) -> DataFrame:
-        # TIMESTAMP(NANOS) parquet arrives as either long (legacy conf
-        # honored) or TIMESTAMP_NTZ depending on the runtime. Watermarks
-        # demand TimestampType, so normalize both forms; the NTZ->TZ
-        # cast is value-preserving under the pinned UTC session tz.
-        dt = df.schema["ts"].dataType
-        if isinstance(dt, T.LongType):
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        if isinstance(dt, T.TimestampNTZType):
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-
-    batch = EV.tumbling_agg(_norm_ts(EV.load_events(spark, sf)))
-    stream_ev = _norm_ts(SP.stream_events(spark, f"{sf}/events.parquet"))
+    # normalize BOTH twin sides' event time to TimestampType
+    # (watermarks reject TIMESTAMP_NTZ; cast is value-preserving under
+    # the pinned UTC session tz)
+    batch = EV.tumbling_agg(SP.ensure_event_time(EV.load_events(spark, sf)))
+    stream_ev = SP.ensure_event_time(SP.stream_events(spark, f"{sf}/events.parquet"))
     drained = SP.run_availablenow(
         SP.tumbling_stream(stream_ev), f"twin_{uuid.uuid4().hex[:8]}"
     )
@@ -424,9 +416,12 @@ _QUERY_ORDER = [
     "seq_pack",
     "src_roundtrip",
     "ml_exact_split",
-    "dedup_minhash_lsh",
-    "dedup_lsh_verified",
+    "dedup_lsh_pipeline",
     "stream_batch_twin",
+    # new in r3: corpus-statistics scoring + embedding transforms
+    "text_bm25_topk",
+    "text_lm_quality",
+    "emb_pool_quantize",
     # reference core surface
     "harmonize_union",
     "clean_coerce",
@@ -438,9 +433,8 @@ _QUERY_ORDER = [
     "feat_label_encode",
     "sql_shipping_priority",
     # EDA aggregations
-    "eda_histogram",
+    "eda_binned",
     "eda_box_stats",
-    "eda_density2d",
     "eda_pair_projection",
     # relational surface
     "rel_pricing_summary",
@@ -461,8 +455,7 @@ _QUERY_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "sim_topk",
-    "sim_ann_recall",
+    "sim_topk_recall",
     "sim_ivf_recall",
     "events_windows",
     # ML orchestration (expensive distributed fits) last
@@ -500,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(SAMP.sampling_queries())
     q.update(PK.packing_queries())
     q.update(SCRUB.scrub_queries())
+    q.update(SC.scoring_queries())
+    q.update(EMB.embeddings_queries())
     # RuntimeError, not assert: these guards protect against the exact
     # silent-truncation failure r1 hit (driver records only the first
     # 50 queries), and asserts vanish under ``python -O``.
@@ -705,4 +700,6 @@ FROM (
     o.update(SAMP.sampling_oracles())
     o.update(PK.packing_oracles())
     o.update(SCRUB.scrub_oracles())
+    o.update(SC.scoring_oracles())
+    o.update(EMB.embeddings_oracles())
     return o

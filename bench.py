@@ -27,8 +27,7 @@ HEADLINE = [
     "corr_matrix",
     "feat_zscore",
     "feat_label_encode",
-    "eda_histogram",
-    "eda_density2d",
+    "eda_binned",
 ]
 
 

@@ -627,18 +627,23 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(200)
         )
 
-    def q_lsh_verified(spark, sf):
+    def q_lsh_pipeline(spark, sf):
+        # the banded candidate graph AND the Jaccard-verified pair set
+        # in one tagged entry (candidate rows val=n_shared_bands,
+        # verified rows val=jaccard). md5 hash family => both stages
+        # are reproduced by the DuckDB oracle pair-for-pair (murmur3
+        # stays the scale default in the API).
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        # md5 hash family => the FULL LSH-propose + Jaccard-verify
-        # pipeline is reproduced by the DuckDB oracle and hash-checked
-        # (murmur3 stays the scale default in the API).
-        return lsh_verified_pairs(docs, threshold=0.5, hash_family="md5")
-
-    def q_minhash(spark, sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
-        # md5 hash family => the banded candidate graph itself is
-        # oracle-checked pair-for-pair.
-        return minhash_lsh_candidates(docs, hash_family="md5")
+        cand = minhash_lsh_candidates(docs, hash_family="md5").select(
+            F.lit("candidate").alias("kind"),
+            "id_a",
+            "id_b",
+            F.col("n_shared_bands").cast("double").alias("val"),
+        )
+        ver = lsh_verified_pairs(docs, threshold=0.5, hash_family="md5").select(
+            F.lit("verified").alias("kind"), "id_a", "id_b", F.col("jaccard").alias("val")
+        )
+        return cand.unionByName(ver)
 
     def q_clusters(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -658,9 +663,8 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact_fp": q_exact_fp,
         "dedup_ngram_jaccard": q_jaccard,
-        "dedup_minhash_lsh": q_minhash,
         "dedup_simhash": q_simhash,
-        "dedup_lsh_verified": q_lsh_verified,
+        "dedup_lsh_pipeline": q_lsh_pipeline,
         "dedup_clusters": q_clusters,
         "dedup_embedding_cosine": lambda s, sf: embedding_near_dup_pairs(
             s.read.parquet(f"{sf}/embeddings.parquet"),
@@ -774,9 +778,21 @@ SELECT 'normalized' AS kind, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', 
        count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY 2
 """,
-        "dedup_minhash_lsh": minhash_cte
+        "dedup_lsh_pipeline": minhash_cte
         + """
-SELECT id_a, id_b, n_shared_bands FROM cand
+SELECT 'candidate' AS kind, id_a, id_b, n_shared_bands::DOUBLE AS val FROM cand
+UNION ALL
+SELECT 'verified' AS kind, id_a, id_b, jaccard AS val FROM (
+  SELECT c.id_a, c.id_b,
+    round(CASE WHEN len(list_distinct(a.shl || b.shl)) > 0
+          THEN CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+               / len(list_distinct(a.shl || b.shl))
+          ELSE 0.0 END, 6) AS jaccard
+  FROM cand c
+  JOIN sh a ON a.id = c.id_a
+  JOIN sh b ON b.id = c.id_b
+)
+WHERE jaccard >= 0.5
 """,
         "dedup_simhash": _md5_simhash_sql(),
         # transitive closure by recursive CTE: reach(id, lbl) grows the
@@ -801,20 +817,6 @@ SELECT id_a, id_b, n_shared_bands FROM cand
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
 )
 SELECT id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY id
-""",
-        "dedup_lsh_verified": minhash_cte
-        + """
-SELECT id_a, id_b, jaccard FROM (
-  SELECT c.id_a, c.id_b,
-    round(CASE WHEN len(list_distinct(a.shl || b.shl)) > 0
-          THEN CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
-               / len(list_distinct(a.shl || b.shl))
-          ELSE 0.0 END, 6) AS jaccard
-  FROM cand c
-  JOIN sh a ON a.id = c.id_a
-  JOIN sh b ON b.id = c.id_b
-)
-WHERE jaccard >= 0.5
 """,
         "dedup_ngram_jaccard": f"""
 WITH s AS (

@@ -1,0 +1,174 @@
+"""Embedding-column transforms (engine extension; SURVEY §7
+north-star similarity/multimodal ops — no reference counterpart).
+
+The embedding table stores vectors as ``array<float>`` — a native
+Spark type, no UDT needed. Three transforms a training-data pipeline
+runs constantly:
+
+- L2 normalization: narrow per-row ``transform`` over the array; the
+  norm is one interpreted-HOF ``aggregate`` per row, evaluated once
+  (the lambda captures nothing).
+- mean pooling per group (centroids per label / per source / per
+  shard): posexplode -> (group, pos) partial-agg shuffle -> re-pack.
+  Only (group, pos, sum, count) ever shuffles — dims × groups rows,
+  independent of corpus size.
+- int8 quantization: per-vector symmetric scale (127 / max|x|),
+  ``round(x * scale)`` — narrow, no shuffle, an 8x wire-size cut for
+  downstream ANN transport.
+
+All three stay in JVM column expressions — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def l2_norm(col: Column) -> Column:
+    """Euclidean norm of an array column (double)."""
+    return F.sqrt(
+        F.aggregate(
+            _as_double(col), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """Unit-normalize a vector column; all-zero vectors stay zero."""
+    nrm = l2_norm(F.col(vec_col))
+    unit = F.when(nrm > 0, F.transform(_as_double(F.col(vec_col)), lambda x: x / nrm)).otherwise(
+        _as_double(F.col(vec_col))
+    )
+    return df.withColumn(out_col or vec_col, unit)
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Per-group mean vector (e.g. class centroids, per-source
+    centroids for drift monitoring).
+
+    posexplode -> groupBy(group, pos) avg (map-side combinable) ->
+    re-pack ordered by position. The repack's collect_list is bounded
+    by the vector dimension, never by group size.
+    """
+    ex = df.select(
+        F.col(group_col).alias("grp"), F.posexplode(_as_double(F.col(vec_col)))
+    )
+    per_pos = ex.groupBy("grp", "pos").agg(F.avg("col").alias("m"))
+    packed = (
+        per_pos.groupBy("grp")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.transform(F.col("pm"), lambda s: s["m"]).alias(out_col),
+        )
+    )
+    return packed
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q = round(x * scale)``
+    with ``scale = 127 / max|x|`` (zero vectors get scale 0 and an
+    all-zero code). Dequantize: ``x ~ q / scale``."""
+    v = _as_double(F.col(vec_col))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.when(mx > 0, 127.0 / mx).otherwise(F.lit(0.0))
+    return df.withColumn(scale_col, scale).withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x * F.col(scale_col)).cast("int")),
+    )
+
+
+# ------------------------------------------------------- query registry
+
+
+def embeddings_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def q_pool_quantize(spark, sf):
+        """Normalize -> per-label mean-pool + per-vector int8 quantize,
+        hashed in one tagged long-format result:
+
+        - kind='pool':  key=label, pos, val=round(pooled component, 6)
+        - kind='quant': key=vec_id, pos=-1, val=sum(q) (code checksum)
+        - kind='scale': key=vec_id, pos=-1, val=round(scale, 6)
+        """
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        unit = l2_normalize(emb)
+        pooled = mean_pool(unit, "label").select(
+            F.lit("pool").alias("kind"),
+            F.col("label").cast("long").alias("key"),
+            F.posexplode("pooled"),
+        ).select("kind", "key", F.col("pos").cast("long").alias("pos"), F.round("col", 6).alias("val"))
+        q = quantize_int8(unit)
+        quant = q.select(
+            F.lit("quant").alias("kind"),
+            F.col("vec_id").alias("key"),
+            F.lit(-1).cast("long").alias("pos"),
+            F.aggregate("q", F.lit(0.0), lambda a, x: a + x.cast("double")).alias("val"),
+        )
+        scales = q.select(
+            F.lit("scale").alias("kind"),
+            F.col("vec_id").alias("key"),
+            F.lit(-1).cast("long").alias("pos"),
+            F.round("q_scale", 6).alias("val"),
+        )
+        return pooled.unionByName(quant).unionByName(scales)
+
+    return {"emb_pool_quantize": q_pool_quantize}
+
+
+def embeddings_oracles() -> dict[str, str]:
+    unit = (
+        "CASE WHEN sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 "
+        "THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+        "sqrt(list_sum(list_transform(embedding, "
+        "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) "
+        "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END"
+    )
+    return {
+        "emb_pool_quantize": f"""
+WITH unit AS (
+  SELECT vec_id, label, {unit} AS v FROM embeddings
+), ex AS (
+  SELECT label, vec_id, i - 1 AS pos, v[i] AS x
+  FROM unit, unnest(range(1, len(v) + 1)) AS r(i)
+), pool AS (
+  SELECT 'pool' AS kind, label::BIGINT AS key, pos::BIGINT AS pos,
+         round(avg(x), 6) AS val
+  FROM ex GROUP BY 1, 2, 3
+), scl AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 0.0 END AS scale
+  FROM unit
+), quant AS (
+  SELECT 'quant' AS kind, e.vec_id AS key, -1::BIGINT AS pos,
+         sum(round(e.x * s.scale))::DOUBLE AS val
+  FROM ex e JOIN scl s USING (vec_id) GROUP BY 1, 2, 3
+), scale_rows AS (
+  SELECT 'scale' AS kind, vec_id AS key, -1::BIGINT AS pos,
+         round(scale, 6) AS val
+  FROM scl
+)
+SELECT * FROM pool UNION ALL SELECT * FROM quant UNION ALL SELECT * FROM scale_rows
+""",
+    }

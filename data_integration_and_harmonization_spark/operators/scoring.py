@@ -1,0 +1,198 @@
+"""Corpus-statistics document scoring (engine extension; SURVEY §7
+north-star text ops — no reference counterpart).
+
+Two operators that *fit* a tiny statistical model over the whole
+corpus and then *apply* it per document — the same fit/transform split
+as the reference's scaler/encoder (ref:41-51), lifted to text:
+
+- BM25 keyword ranking: classic Okapi BM25 (Robertson/Sparck Jones;
+  public formula) — retrieval over the documents table for a bag of
+  query terms.
+- Bigram language-model quality: add-one-smoothed conditional bigram
+  log-likelihood; low average log-probability = unnatural token
+  sequences (boilerplate, garbled extraction) — the cheap corpus-level
+  quality score used by training-data pipelines before an expensive
+  model-based filter.
+
+Scale shape (both): one tokenize pass; counts are hash-shuffled on the
+term (or bigram) key with map-side partial aggregation; corpus-level
+scalars (N, avgdl, vocabulary size) are 1-row frames broadcast into
+the plan — never a driver-side collect in the data path. Per-doc
+scoring joins stream the (doc, term) rows against the count tables on
+their natural keys; nothing corpus-sized is broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.operators.text import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document for a bag of query
+    terms: ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Document length is computed as ``size(tokens(text))`` — a narrow
+    projection, so only rows containing a query term ever reach a
+    shuffle; df/N/avgdl are tiny aggregates broadcast back.
+
+    Output: (doc_id, n_terms_hit, bm25) for docs hitting >= 1 term.
+    """
+    terms = sorted(set(query_terms))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    # corpus scalars: one row, broadcast — N over ALL docs (incl. ones
+    # matching no query term), avgdl over all docs likewise
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    tf = (
+        base.where(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum(idf * w), 6).alias("bm25"),
+        )
+        .select(F.col("id").alias(id_col), "n_terms_hit", "bm25")
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add-one-smoothed bigram LM quality score.
+
+    Fit: corpus bigram counts c2(w1,w2), unigram-context counts c1(w1),
+    vocabulary size V. Apply: per document, the mean of
+    ``ln((c2+1)/(c1+V))`` over its token bigrams. Natural text re-uses
+    frequent continuations (score high); garbled text hits unseen
+    transitions (score low).
+
+    Bigrams come from the same zip-of-slices shape as
+    :func:`..dedup.word_shingles` (lambda captures nothing, so the
+    tokenizer runs once per row, not once per bigram).
+
+    Output: (doc_id, n_bigrams, avg_logp), docs with >= 1 bigram.
+    """
+    t = tokens(text_col)
+    n = F.greatest(F.size(t) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(t, 1, n), F.slice(t, 2, n))
+    pairs = docs.select(F.col(id_col).alias("id"), F.explode(z).alias("bg")).select(
+        "id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_logp")
+    )
+
+
+# ------------------------------------------------------- query registry
+
+QUERY_TERMS = ["spark", "window", "hash", "table", "fast"]
+
+
+def scoring_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def q_bm25(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        s = bm25_scores(docs, QUERY_TERMS)
+        # deterministic top-50: order by the ROUNDED score (identical
+        # in both engines) with doc_id as the tiebreak
+        return s.orderBy(F.desc("bm25"), "doc_id").limit(50)
+
+    def q_lm(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return bigram_lm_scores(docs)
+
+    return {"text_bm25_topk": q_bm25, "text_lm_quality": q_lm}
+
+
+def scoring_oracles() -> dict[str, str]:
+    from data_integration_and_harmonization_spark.operators.text import TOKEN_RE
+
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+    terms_sql = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return {
+        "text_bm25_topk": f"""
+WITH tok AS (
+  SELECT doc_id AS id, len({toks}) AS dl, unnest({toks}) AS term
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(len({toks})) AS avgdl FROM documents
+), tf AS (
+  SELECT id, term, count(*)::DOUBLE AS tf, any_value(dl)::DOUBLE AS dl
+  FROM tok WHERE term IN ({terms_sql}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+)
+SELECT id AS doc_id, count(*)::BIGINT AS n_terms_hit,
+  round(sum(
+    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+  ), 6) AS bm25
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY id
+ORDER BY bm25 DESC, doc_id
+LIMIT 50
+""",
+        "text_lm_quality": f"""
+WITH pairs AS (
+  SELECT id, l[i] AS w1, l[i + 1] AS w2
+  FROM (SELECT doc_id AS id, {toks} AS l FROM documents),
+       unnest(range(1, greatest(len(l) - 1, 0) + 1)) AS r(i)
+), c2 AS (
+  SELECT w1, w2, count(*)::DOUBLE AS c2 FROM pairs GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*)::DOUBLE AS c1 FROM pairs GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok)::DOUBLE AS v
+  FROM (SELECT unnest({toks}) AS tok FROM documents)
+)
+SELECT id AS doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln((c2 + 1.0) / (c1 + v))), 6) AS avg_logp
+FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+GROUP BY id
+""",
+    }

@@ -265,21 +265,25 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return emb, emb.where(F.col("vec_id") < N_QUERIES)
 
-    def q_topk(spark, sf):
-        # exact + sign-bit-LSH top-k in one tagged entry (same shape;
-        # the driver's correctness pass caps at 50 queries)
+    def q_topk_recall(spark, sf):
+        # exact top-k + sign-bit-LSH top-k + per-query recall@5 of the
+        # approximate path, all in one tagged entry (the driver's
+        # correctness pass caps at 50 queries): 'brute'/'lsh' rows
+        # carry val=cosine_sim; 'recall' rows carry val=recall@5.
         corpus, queries = _load(spark, sf)
         b = brute_force_topk(corpus, queries, k=5)
         l = lsh_topk(corpus, queries, k=5, n_bits=8)
-        return b.select(F.lit("brute").alias("kind"), "*").unionByName(
+        pair_rows = b.select(F.lit("brute").alias("kind"), "*").unionByName(
             l.select(F.lit("lsh").alias("kind"), "*")
+        ).select("kind", "query_id", "rank", "neighbor_id", F.col("cosine_sim").alias("val"))
+        recall_rows = ann_recall(b, l).select(
+            F.lit("recall").alias("kind"),
+            "query_id",
+            F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.col("recall").alias("val"),
         )
-
-    def q_recall(spark, sf):
-        corpus, queries = _load(spark, sf)
-        exact = brute_force_topk(corpus, queries, k=5)
-        approx = lsh_topk(corpus, queries, k=5, n_bits=8)
-        return ann_recall(exact, approx)
+        return pair_rows.unionByName(recall_rows)
 
     def q_ivf(spark, sf):
         corpus, queries = _load(spark, sf)
@@ -292,8 +296,7 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_recall(exact, approx)
 
     return {
-        "sim_topk": q_topk,
-        "sim_ann_recall": q_recall,
+        "sim_topk_recall": q_topk_recall,
         "sim_ivf_recall": q_ivf,
     }
 
@@ -354,10 +357,14 @@ FROM exact e
 LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
-    topk = f"""
-SELECT 'brute' AS kind, * FROM ({brute})
+    topk_recall = f"""
+SELECT 'brute' AS kind, query_id, rank, neighbor_id, cosine_sim AS val FROM ({brute})
 UNION ALL
-SELECT 'lsh' AS kind, * FROM ({lsh})
+SELECT 'lsh' AS kind, query_id, rank, neighbor_id, cosine_sim AS val FROM ({lsh})
+UNION ALL
+SELECT 'recall' AS kind, query_id, CAST(NULL AS INTEGER) AS rank,
+       CAST(NULL AS BIGINT) AS neighbor_id, recall AS val
+FROM ({recall})
 """
     d2 = (
         "list_sum(list_transform(range(1, len(c.embedding) + 1), "
@@ -406,7 +413,6 @@ LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
     return {
-        "sim_topk": topk,
-        "sim_ann_recall": recall,
+        "sim_topk_recall": topk_recall,
         "sim_ivf_recall": ivf,
     }

@@ -44,12 +44,35 @@ def stream_events(
     return reader.parquet(path_glob)
 
 
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType, which
+    watermarks require. Handles the three shapes TIMESTAMP(NANOS)
+    parquet arrives as, depending on runtime/footer flags:
+
+    - long nanos (``spark.sql.legacy.parquet.nanosAsLong`` honored):
+      integer-divide to micros (a double division would lose precision
+      above 2^53 ns);
+    - TIMESTAMP_NTZ: cast — value-preserving under the engine's pinned
+      UTC session timezone;
+    - TIMESTAMP: already fine.
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def tumbling_stream(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Incremental tumbling agg with a late-data watermark: state for a
     window is dropped once event time passes window_end + watermark —
     bounded state at unbounded input."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -63,7 +86,8 @@ def session_stream(events: DataFrame, gap: str = "10 minutes", watermark: str = 
     """Incremental session windows (stateful merge of overlapping
     sessions per user)."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")

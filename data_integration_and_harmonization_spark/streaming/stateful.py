@@ -22,7 +22,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 def dedup_stream(events: DataFrame, id_cols: list[str], watermark_col: str, delay: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: one output row per distinct ``id_cols``
     within the watermark horizon; state is bounded by eviction."""
-    return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(id_cols)
+    from data_integration_and_harmonization_spark.streaming.pipeline import ensure_event_time
+
+    return (
+        ensure_event_time(events, watermark_col)
+        .withWatermark(watermark_col, delay)
+        .dropDuplicatesWithinWatermark(id_cols)
+    )
 
 
 USER_STATS_SCHEMA = T.StructType(

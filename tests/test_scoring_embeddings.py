@@ -1,0 +1,120 @@
+"""Corpus-statistics scoring (BM25, bigram LM) and embedding
+transforms (normalize / pool / quantize) — semantic pins on tiny
+hand-checkable inputs plus shape checks on the test parquet."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.operators.embeddings import (
+    l2_normalize,
+    mean_pool,
+    quantize_int8,
+)
+from data_integration_and_harmonization_spark.operators.scoring import (
+    bigram_lm_scores,
+    bm25_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark shuffles the hash table"),
+        (1, "the window over the window frame"),
+        (2, "spark spark spark"),
+        (3, "unrelated words only here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_computed(corpus):
+    # one query term hitting docs 0 and 2; verify doc 2 (tf=3, short
+    # doc) against the closed-form Okapi formula
+    out = {r["doc_id"]: r for r in bm25_scores(corpus, ["spark"]).collect()}
+    assert set(out) == {0, 2}
+    n_docs, df_t = 4.0, 2.0
+    idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+    avgdl = (5 + 6 + 3 + 4) / 4.0
+    tf, dl = 3.0, 3.0
+    expect = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert out[2]["bm25"] == pytest.approx(expect, abs=1e-6)
+    assert out[2]["n_terms_hit"] == 1
+
+
+def test_bm25_more_hits_scores_higher(corpus):
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(corpus, ["spark", "hash", "table"]).collect()}
+    # doc 0 hits three query terms, doc 2 only one (albeit thrice)
+    assert out[0] > out[2]
+
+
+def test_bigram_lm_repetition_scores_higher(spark):
+    # "a b" repeated dominates the corpus bigram table, so the
+    # repetitive doc has higher (less negative) avg log-prob than the
+    # doc made of one-off transitions
+    rows = [(0, "a b a b a b a b"), (1, "c d e f g h")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert out[0]["n_bigrams"] == 7 and out[1]["n_bigrams"] == 5
+    assert out[0]["avg_logp"] > out[1]["avg_logp"]
+
+
+def test_bigram_lm_hand_computed(spark):
+    df = spark.createDataFrame([(0, "x y x y")], "doc_id long, text string")
+    # bigrams: (x,y) twice, (y,x) once; c1(x)=2, c1(y)=1; V=2
+    out = bigram_lm_scores(df).collect()[0]
+    lp_xy = math.log((2 + 1) / (2 + 2))
+    lp_yx = math.log((1 + 1) / (1 + 2))
+    assert out["avg_logp"] == pytest.approx(round((2 * lp_xy + lp_yx) / 3, 6), abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [3.0, 4.0], 0),
+        (1, [0.0, 0.0], 0),
+        (2, [-1.0, 1.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_l2_normalize(vecs):
+    out = {r["vec_id"]: r["embedding"] for r in l2_normalize(vecs).collect()}
+    assert out[0] == pytest.approx([0.6, 0.8], abs=1e-9)
+    assert out[1] == [0.0, 0.0]  # zero vector untouched
+    n = math.sqrt(sum(x * x for x in out[2]))
+    assert n == pytest.approx(1.0, abs=1e-9)
+
+
+def test_mean_pool(vecs):
+    out = {r["label"]: r["pooled"] for r in mean_pool(vecs, "label").collect()}
+    assert out[0] == pytest.approx([1.5, 2.0], abs=1e-9)
+    assert out[1] == pytest.approx([-1.0, 1.0], abs=1e-9)
+
+
+def test_quantize_int8_roundtrip(vecs):
+    out = {r["vec_id"]: r for r in quantize_int8(vecs).collect()}
+    assert out[0]["q"] == [95, 127]  # 3/4*127 = 95.25 -> 95
+    assert out[0]["q_scale"] == pytest.approx(127.0 / 4.0)
+    assert out[1]["q"] == [0, 0] and out[1]["q_scale"] == 0.0
+    # max-magnitude component always maps to +/-127
+    assert max(abs(v) for v in out[2]["q"]) == 127
+    # dequantization error bounded by half a quantization step
+    for vid, raw in [(0, [3.0, 4.0]), (2, [-1.0, 1.0])]:
+        s = out[vid]["q_scale"]
+        for q, x in zip(out[vid]["q"], raw):
+            assert abs(q / s - x) <= 0.5 / s + 1e-12
+
+
+def test_parquet_shapes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = bigram_lm_scores(docs)
+    assert scored.count() > 0
+    assert scored.where(F.col("avg_logp") > 0).count() == 0  # log-probs <= 0
+    pooled = mean_pool(l2_normalize(emb), "label")
+    row = pooled.first()
+    assert len(row["pooled"]) == 64

@@ -63,9 +63,7 @@ def test_user_running_stats_state_across_batches(spark, sf_dir):
     exp = {r["user_id"]: (r["n"], r["s"]) for r in expected}
 
     stream = SP.stream_events(spark, f"{sf_dir}/events.parquet")
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))).select(
-        "user_id", "value", "ts"
-    )
+    stream = SP.ensure_event_time(stream).select("user_id", "value", "ts")
     out = ST.user_running_stats(stream)
     with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
         q = (

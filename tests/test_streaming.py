@@ -15,11 +15,11 @@ def _canon(df, keys):
 
 def test_tumbling_stream_matches_batch(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ev = EV.load_events(spark, sf_dir)
+    batch_ev = SP.ensure_event_time(EV.load_events(spark, sf_dir))
     expected = EV.tumbling_agg(batch_ev)
 
     stream_raw = SP.stream_events(spark, f"{sf_dir}/events.parquet")
-    stream_ev = stream_raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream_ev = SP.ensure_event_time(stream_raw)
     got = SP.run_availablenow(SP.tumbling_stream(stream_ev), "t_tumbling")
 
     keys = ["window_start", "event_type", "n_events", "sum_value"]
@@ -28,10 +28,10 @@ def test_tumbling_stream_matches_batch(spark, sf_dir):
 
 def test_sliding_stream_matches_batch(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    expected = EV.sliding_agg(EV.load_events(spark, sf_dir))
+    expected = EV.sliding_agg(SP.ensure_event_time(EV.load_events(spark, sf_dir)))
 
     stream_raw = SP.stream_events(spark, f"{sf_dir}/events.parquet")
-    stream_ev = stream_raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream_ev = SP.ensure_event_time(stream_raw)
     windowed = (
         stream_ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
@@ -45,11 +45,11 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
 
 def test_session_stream_matches_batch(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_ev = EV.load_events(spark, sf_dir)
+    batch_ev = SP.ensure_event_time(EV.load_events(spark, sf_dir))
     expected = EV.session_agg(batch_ev)
 
     stream_raw = SP.stream_events(spark, f"{sf_dir}/events.parquet")
-    stream_ev = stream_raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream_ev = SP.ensure_event_time(stream_raw)
     got = SP.run_availablenow(SP.session_stream(stream_ev), "t_session")
 
     keys = ["user_id", "session_start", "n_events"]
