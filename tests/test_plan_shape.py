@@ -107,3 +107,38 @@ def test_repair_reuses_cached_index_single_extra_shuffle(spark, sf_dir):
     top = plan.split("InMemoryRelation")[0]
     assert "Exchange rangepartitioning" not in top, top
     release_all()
+
+def test_scoring_joins_never_hint_broadcast_corpus(spark, sf_dir):
+    """BM25 / bigram-LM: only the tiny fitted tables (df/N/avgdl,
+    vocab size) may carry broadcast hints; the (doc, term) and
+    (doc, bigram) streams and the c1/c2 count tables must stay
+    size-based so AQE can pick a shuffle join at scale. One hint per
+    genuinely-small side is expected; none on anything scaling with
+    the corpus."""
+    from data_integration_and_harmonization_spark.operators.scoring import (
+        QUERY_TERMS,
+        bigram_lm_scores,
+        bm25_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # hints present: dfreq + stats (bm25), vocab (bigram). Counting
+    # them pins that no NEW hint lands on a corpus-sized frame.
+    assert _analyzed(bm25_scores(docs, QUERY_TERMS)).count("ResolvedHint") == 2
+    assert _analyzed(bigram_lm_scores(docs)).count("ResolvedHint") == 1
+
+
+def test_embedding_transforms_stay_narrow(spark, sf_dir):
+    """normalize + quantize must plan as pure narrow projections (no
+    exchange, no window); mean_pool shuffles only (group, pos) rows."""
+    from data_integration_and_harmonization_spark.operators.embeddings import (
+        l2_normalize,
+        mean_pool,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    narrow = _executed(quantize_int8(l2_normalize(emb)))
+    assert "Exchange" not in narrow and "Window" not in narrow, narrow[:2000]
+    pooled = _executed(mean_pool(emb, "label"))
+    assert pooled.count("Exchange hashpartitioning") <= 2  # partial+final agg pair
