@@ -24,15 +24,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def money(col: str, scale: int = 2) -> "F.Column":
+    """Exact fixed-point view of a money-valued double column.
+
+    The test data stores prices/discounts as doubles carrying exactly
+    2 decimal digits. Summing them AS doubles is partition-order
+    dependent: at sf0.1 a 5e9-magnitude sum over 600k rows already
+    drifts past the 6-decimal rounding used for oracle parity (caught
+    by verify at sf0.1 — sf0.01 was too small to expose it). Casting
+    to DECIMAL first makes every sum exact and identical in any
+    engine, at any parallelism, at any scale — the decimal partial
+    aggregates are also what a 100 TB run needs for reproducible
+    revenue numbers."""
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q1-shaped whole-table grouped agg."""
+    """TPC-H Q1-shaped whole-table grouped agg. Money sums are exact
+    decimal aggregates (see :func:`money`); averages of small-magnitude
+    values stay double (drift ~1e-10 is far inside the 6-decimal
+    round)."""
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(money("l_extendedprice")).cast("double"), 6).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(money("l_extendedprice") * (1 - money("l_discount"))).cast("double"), 6
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -48,7 +66,7 @@ def revenue_by_nation(customer: DataFrame, orders: DataFrame, nation: DataFrame)
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name", "c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.round(F.sum(money("o_totalprice")).cast("double"), 6).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -255,7 +273,7 @@ def orders_by_quarter(orders: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.round(F.sum(money("o_totalprice")).cast("double"), 6).alias("revenue"),
             F.min(F.to_date("o_orderdate")).alias("first_day"),
         )
     )
@@ -401,8 +419,9 @@ def relational_oracles() -> dict[str, str]:
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 6) AS sum_qty,
-  round(sum(l_extendedprice), 6) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_disc_price,
   round(avg(l_quantity), 6) AS avg_qty,
   round(avg(l_discount), 6) AS avg_disc,
   count(*)::BIGINT AS count_order
@@ -411,7 +430,7 @@ GROUP BY l_returnflag, l_linestatus
 """,
         "rel_revenue_by_nation": """
 SELECT n_name, c_mktsegment,
-  round(sum(o_totalprice), 6) AS revenue,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue,
   count(*)::BIGINT AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -491,7 +510,7 @@ GROUP BY i.w_start
         "rel_date_breakdown": """
 SELECT year(o_orderdate)::INTEGER AS yr, quarter(o_orderdate)::INTEGER AS qtr,
        count(*)::BIGINT AS n_orders,
-       round(sum(o_totalprice), 6) AS revenue,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue,
        min(CAST(o_orderdate AS DATE)) AS first_day
 FROM orders GROUP BY 1, 2
 """,
