@@ -75,6 +75,49 @@ def stratified_sample(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame, key_cols: Sequence[str], seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global shuffle for training order: sort by
+    md5(key:seed). The same corpus + seed yields the same order on any
+    engine at any parallelism — unlike ``orderBy(rand())``, which
+    depends on partition layout and RNG state. One range shuffle; ties
+    impossible when ``key_cols`` is a unique key (the md5 input string
+    is then unique)."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    out = df.withColumn("__shuf", F.md5(F.concat_ws(":", key, F.lit(str(seed)))))
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        out.repartitionByRange(n, F.col("__shuf"))
+        .sortWithinPartitions("__shuf")
+        .drop("__shuf")
+    )
+
+
+def mix_sources(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    key_cols: Sequence[str],
+    seed: int = 42,
+    source_col: str = "__mix_source",
+) -> DataFrame:
+    """Weighted training-data mix: deterministically downsample each
+    source to its mix weight (hash sampling, shuffle-free) and union.
+    ``weights[name]`` is the KEEP RATE for that source (the standard
+    way training mixes express 'use 30% of CommonCrawl, all of
+    Wikipedia'). Missing weight = keep everything. Rows are tagged
+    with their source for downstream per-source accounting."""
+    parts = []
+    for name, df in sources.items():
+        rate = weights.get(name, 1.0)
+        part = df if rate >= 1.0 else hash_sample(df, key_cols, rate, seed=seed)
+        parts.append(part.withColumn(source_col, F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 # ------------------------------------------------------- query registry
 
 def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -76,3 +76,39 @@ def test_persist_registry_releases(spark, sf_dir):
     released = caching.release_all()
     assert released >= 1
     assert caching.tracked_count() == 0
+
+
+def test_deterministic_shuffle_reproducible_and_complete(spark, sf_dir):
+    from data_integration_and_harmonization_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = [r["c_custkey"] for r in deterministic_shuffle(cust, ["c_custkey"]).collect()]
+    b = [r["c_custkey"] for r in deterministic_shuffle(cust, ["c_custkey"], num_partitions=3).collect()]
+    assert a == b  # same order at any parallelism
+    assert sorted(a) == sorted(r["c_custkey"] for r in cust.collect())  # permutation
+    c = [r["c_custkey"] for r in deterministic_shuffle(cust, ["c_custkey"], seed=7).collect()]
+    assert a != c  # seed changes the order
+    assert sorted(a) == sorted(c)
+
+
+def test_mix_sources_weights_and_tags(spark, sf_dir):
+    from data_integration_and_harmonization_spark.operators.sampling import mix_sources
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("id")
+    )
+    mixed = mix_sources(
+        {"cust": cust, "supp": supp}, {"cust": 0.2}, key_cols=["id"]
+    )
+    by_src = {r["__mix_source"]: r["n"] for r in mixed.groupBy("__mix_source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["supp"] == supp.count()  # unweighted source kept whole
+    n_cust, kept = cust.count(), by_src["cust"]
+    assert 0.1 * n_cust < kept < 0.3 * n_cust  # ~20% hash sample
+    # deterministic: same mix twice is identical
+    again = {r["__mix_source"]: r["n"] for r in mix_sources({"cust": cust, "supp": supp}, {"cust": 0.2}, key_cols=["id"]).groupBy("__mix_source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == by_src
