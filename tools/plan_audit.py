@@ -1,0 +1,101 @@
+"""Physical-plan audit across every registered query.
+
+Counts the plan features that matter at scale and flags anti-patterns:
+
+- ``Exchange SinglePartition``  — a serial stage (global window/sort
+  without partitioning); the kiss of death at 100 TB. Allowed only
+  under an explicit cap (the audit reports it; reviewer judges).
+- ``CartesianProduct``          — unbounded all-pairs join.
+- ``BatchEvalPython``           — row-at-a-time Python UDF in the plan
+  (ArrowEvalPython / mapInPandas are the sanctioned Python paths).
+- counts of shuffles / broadcast joins / sort-merge joins / windows /
+  WholeStageCodegen spans per query, for drift tracking.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+FLAGS = ("Exchange SinglePartition", "CartesianProduct", "BatchEvalPython")
+
+# Queries whose plans legitimately contain a flagged feature, with the
+# reason pinned here so new offenders stand out.
+ALLOWED = {
+    # bounded-payload projections/top-k: a global sort-limit's final
+    # single-partition merge sees only `limit` rows per upstream task
+    "eda_pair_projection": {"Exchange SinglePartition"},
+    "sql_shipping_priority": {"Exchange SinglePartition"},
+    "text_bm25_topk": {"Exchange SinglePartition"},
+    "dedup_ngram_jaccard": {"Exchange SinglePartition"},
+    # 1-row corpus-scalar frames joined back in (stats, vocab, N):
+    # single-partition by construction
+    "text_lm_quality": {"Exchange SinglePartition"},
+    "describe_all": {"Exchange SinglePartition"},
+    "eda_box_stats": {"Exchange SinglePartition"},
+    "eda_binned": {"Exchange SinglePartition"},
+    "corr_matrix": {"Exchange SinglePartition"},
+    "feat_zscore": {"Exchange SinglePartition"},
+    # global no-groupBy aggregate: the final merge sees one partial row
+    # per upstream task — bounded at any scale
+    "stream_batch_twin": {"Exchange SinglePartition"},
+    # label-map global rank runs over DISTINCT category values of one
+    # column — bounded by category cardinality, not corpus size
+    "feat_label_encode": {"Exchange SinglePartition"},
+    "harmonize_union": set(),
+}
+
+
+def audit(name: str, df) -> tuple[dict[str, int], list[str]]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = {
+        "shuffle": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "single_part": plan.count("Exchange SinglePartition"),
+        "bcast_join": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "window": plan.count("Window"),
+        # executedPlan toString marks codegen stages as "*(n)"
+        "codegen": plan.count("*("),
+    }
+    bad = [f for f in FLAGS if f in plan and f not in ALLOWED.get(name, set())]
+    return counts, bad
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from data_integration_and_harmonization_spark import get_spark
+
+    spark = get_spark("plan_audit")
+    failures = []
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            counts, bad = audit(name, fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {e}")
+            failures.append(name)
+            continue
+        line = " ".join(f"{k}={v}" for k, v in counts.items())
+        if bad:
+            failures.append(name)
+            print(f"FLAG {name}: {', '.join(bad)} | {line}")
+        else:
+            print(f"ok   {name}: {line}")
+    if failures:
+        print(f"\nFLAGGED: {', '.join(failures)}")
+        return 1
+    print("\nNO FLAGS")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
