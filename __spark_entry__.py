@@ -17,7 +17,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from data_integration_and_harmonization_spark.functions.indexing import with_global_index
 from data_integration_and_harmonization_spark.operators import clean as C

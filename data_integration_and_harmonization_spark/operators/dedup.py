@@ -616,8 +616,8 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_jaccard(spark, sf):
         # Oracle-checked on a deterministic 20% subset (the all-pairs
-        # form is the semantics demo; the scale path is
-        # dedup_lsh_verified below).
+        # form is the semantics demo; the scale path is the
+        # lsh_verified_pairs stage of dedup_lsh_pipeline below).
         docs = spark.read.parquet(f"{sf}/documents.parquet").where(
             F.col("doc_id") % 5 == 0
         )

@@ -43,12 +43,20 @@ def l2_norm(col: Column) -> Column:
 def l2_normalize(
     df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
 ) -> DataFrame:
-    """Unit-normalize a vector column; all-zero vectors stay zero."""
-    nrm = l2_norm(F.col(vec_col))
-    unit = F.when(nrm > 0, F.transform(_as_double(F.col(vec_col)), lambda x: x / nrm)).otherwise(
-        _as_double(F.col(vec_col))
-    )
-    return df.withColumn(out_col or vec_col, unit)
+    """Unit-normalize a vector column; all-zero vectors stay zero.
+
+    The norm is materialized into a column FIRST so the division
+    lambda captures only a column reference — a lambda capturing the
+    aggregate subtree would re-evaluate the O(d) norm per element
+    (interpreted HOFs don't CSE captured expressions; same trap as
+    ``dedup.word_shingles``)."""
+    nrm_col = f"__{vec_col}_nrm"
+    out = df.withColumn(nrm_col, l2_norm(F.col(vec_col)))
+    unit = F.when(
+        F.col(nrm_col) > 0,
+        F.transform(_as_double(F.col(vec_col)), lambda x: x / F.col(nrm_col)),
+    ).otherwise(_as_double(F.col(vec_col)))
+    return out.withColumn(out_col or vec_col, unit).drop(nrm_col)
 
 
 def mean_pool(

@@ -19,15 +19,19 @@ from pyspark.sql import types as T
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events scan. The test parquet stores ts as TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects — read nanos as long
-    (runtime conf) and convert to a microsecond timestamp with integer
-    division (a double division would lose precision above 2^53 ns)."""
+    """Events scan. The test parquet stores ts as TIMESTAMP(NANOS);
+    depending on the runtime that arrives as long nanos or
+    TIMESTAMP_NTZ — one shared normalizer (streaming.ensure_event_time)
+    owns the dtype dispatch so batch and stream cannot drift. Batch
+    keeps NTZ (naive) semantics — that is what the oracles compare;
+    the streaming entry points re-normalize to TIMESTAMP for
+    watermarks."""
+    from data_integration_and_harmonization_spark.streaming.pipeline import ensure_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return ensure_event_time(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), allow_ntz=True
+    )
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:

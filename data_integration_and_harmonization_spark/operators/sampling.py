@@ -107,6 +107,13 @@ def mix_sources(
     way training mixes express 'use 30% of CommonCrawl, all of
     Wikipedia'). Missing weight = keep everything. Rows are tagged
     with their source for downstream per-source accounting."""
+    if not sources:
+        raise ValueError("mix_sources needs at least one source")
+    unknown = set(weights) - set(sources)
+    if unknown:
+        # a typo'd weight key would otherwise silently keep that source
+        # at 100% — wrong training mix with no error
+        raise ValueError(f"weights for unknown sources: {sorted(unknown)}")
     parts = []
     for name, df in sources.items():
         rate = weights.get(name, 1.0)

@@ -44,16 +44,19 @@ def stream_events(
     return reader.parquet(path_glob)
 
 
-def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Normalize an event-time column to TimestampType, which
-    watermarks require. Handles the three shapes TIMESTAMP(NANOS)
+def ensure_event_time(df: DataFrame, col: str = "ts", allow_ntz: bool = False) -> DataFrame:
+    """Normalize an event-time column to a timestamp type. The single
+    owner of the dtype dispatch for the three shapes TIMESTAMP(NANOS)
     parquet arrives as, depending on runtime/footer flags:
 
     - long nanos (``spark.sql.legacy.parquet.nanosAsLong`` honored):
       integer-divide to micros (a double division would lose precision
       above 2^53 ns);
-    - TIMESTAMP_NTZ: cast — value-preserving under the engine's pinned
-      UTC session timezone;
+    - TIMESTAMP_NTZ: cast to TIMESTAMP — value-preserving under the
+      engine's pinned UTC session timezone. Watermarks/streaming
+      REQUIRE TimestampType; batch callers may pass ``allow_ntz=True``
+      to keep NTZ (naive) semantics, which is what external oracles
+      compare against;
     - TIMESTAMP: already fine.
     """
     from pyspark.sql import types as T
@@ -61,7 +64,7 @@ def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     dt = df.schema[col].dataType
     if isinstance(dt, T.LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
-    if isinstance(dt, T.TimestampNTZType):
+    if isinstance(dt, T.TimestampNTZType) and not allow_ntz:
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
