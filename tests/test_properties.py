@@ -66,3 +66,54 @@ def test_harmonize_schema_order_insensitive(spark, names):
     u2 = H.harmonize([b, a])
     assert set(u1.columns) == set(u2.columns)
     assert u1.count() == u2.count() == 2
+
+
+ids = st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True)
+
+
+@given(ids)
+@SET
+def test_hash_sample_rates_nest(spark, keys):
+    """Threshold hashing makes samples MONOTONE in rate: the 20%
+    sample is a subset of the 50% sample of the same corpus+seed —
+    the property that lets a pipeline cheaply re-cut a smaller mix
+    without re-reading the corpus."""
+    from data_integration_and_harmonization_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    small = {r["id"] for r in hash_sample(df, ["id"], 0.2).collect()}
+    big = {r["id"] for r in hash_sample(df, ["id"], 0.5).collect()}
+    assert small <= big
+
+
+@given(ids)
+@SET
+def test_deterministic_shuffle_is_permutation(spark, keys):
+    from data_integration_and_harmonization_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "id long")
+    out = [r["id"] for r in deterministic_shuffle(df, ["id"], num_partitions=3).collect()]
+    assert sorted(out) == sorted(keys)
+
+
+@given(
+    st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False, width=32), min_size=1, max_size=16
+    )
+)
+@SET
+def test_quantize_bounds_and_sign(spark, vec):
+    """Codes stay in [-127, 127]; the max-|x| component hits +/-127;
+    dequantized values land within half a step."""
+    from data_integration_and_harmonization_spark.operators.embeddings import quantize_int8
+
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    row = quantize_int8(df).collect()[0]
+    q, s = row["q"], row["q_scale"]
+    assert all(-127 <= x <= 127 for x in q)
+    if any(v != 0 for v in row["embedding"]):
+        assert max(abs(x) for x in q) == 127
+        for code, x in zip(q, [float(v) for v in row["embedding"]]):
+            assert abs(code / s - x) <= 0.5 / s + 1e-9
