@@ -66,15 +66,14 @@ def minhash_gram_fingerprint(col: Column | str, gram: int = 3) -> Column:
     """Winnowing-style near-dup fingerprint: the minimum md5 over the
     document's word ``gram``-shingles. Documents sharing a minimum are
     near-dup candidates. One expression, no shuffle."""
+    # zip-of-slices, not element_at(t, i+j) in the lambda: a captured
+    # outer expression re-evaluates per element in interpreted HOFs —
+    # the tokenizer would run once per shingle (see dedup.word_shingles)
     t = tokens(col)
-    n = F.size(t) - (gram - 1)
-    # Guard: Spark's sequence(1, 0) counts DOWN; emit an empty index
-    # array when the doc has fewer than ``gram`` tokens.
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
+    n = F.greatest(F.size(t) - (gram - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(t, j + 1, n) for j in range(gram)])
     shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(gram)])
+        z, lambda x: F.concat_ws(" ", *[x[str(j)] for j in range(gram)])
     )
     return F.array_min(F.transform(shingles, F.md5))
 
