@@ -51,8 +51,20 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return spark.read.option("multiLine", True).json(path)
     if ext == "ndjson":
         return spark.read.json(path)
-    if ext in ("csv", "txt"):
+    if ext == "csv":
         return spark.read.option("header", True).option("inferSchema", True).csv(path)
+    if ext == "txt":
+        # raw text corpus: one row per line, single `text` column —
+        # the LLM-pipeline front door (a csv reader would eat the
+        # first line as a header and split on commas)
+        return spark.read.text(path).withColumnRenamed("value", "text")
+    if ext == "wholetext":
+        # one row per FILE (document-per-file corpora): Spark's
+        # wholetext mode; pass fmt='wholetext' explicitly
+        # NOTE: must be text()'s own parameter — the method sets the
+        # wholetext option from its (default False) argument, clobbering
+        # a previously .option()-set value
+        return spark.read.text(path, wholetext=True).withColumnRenamed("value", "text")
     if ext == "xlsx":
         return _read_excel_driver_side(spark, path)
     raise ValueError(f"unsupported source format: {ext!r} ({path})")

@@ -112,3 +112,27 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_read_txt_line_corpus(spark, tmp_path):
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    p = tmp_path / "corpus.txt"
+    lines = ["first document, with a comma", "second document", "third"]
+    p.write_text("\n".join(lines))
+    df = read_any(spark, str(p))
+    assert df.columns == ["text"]  # not parsed as csv
+    got = sorted(r["text"] for r in df.collect())
+    assert got == sorted(lines)
+
+
+def test_read_wholetext_doc_per_file(spark, tmp_path):
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two")
+    (d / "b.txt").write_text("another doc")
+    df = read_any(spark, str(d), fmt="wholetext")
+    got = sorted(r["text"] for r in df.collect())
+    assert got == ["another doc", "line one\nline two"]
