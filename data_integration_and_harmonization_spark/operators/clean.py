@@ -20,10 +20,15 @@ order, plus one hash exchange on the partition id that Catalyst
 inserts to satisfy the window's clustering requirement (range
 partitioning on the key provably co-locates each pid, but Catalyst
 cannot use that fact). The alternative — eliding the second exchange
-by streaming each partition through ``mapInPandas`` — would move the
-full dataset across the JVM/Arrow/Python boundary instead, which
-costs more than a spillable JVM shuffle and forfeits codegen; two
-exchanges is the right trade.
+by streaming each partition through ``mapInPandas`` — moves the full
+dataset across the JVM/Arrow/Python boundary instead. Measured at
+sf0.1 (600k rows x 7 cols, warm): window path ~2.3 s, Arrow path
+~1.8-2.3 s *before* its boundary-anchor logic — parity, not a win.
+The JVM path is kept because its advantages are structural, not
+local: shuffle/sort spill to disk under memory pressure (Python
+worker state does not), the window expressions fuse into codegen
+with downstream projections, and no per-executor Python workers are
+needed on the hot path.
 """
 
 from __future__ import annotations
