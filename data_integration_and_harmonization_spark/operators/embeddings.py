@@ -51,6 +51,8 @@ def l2_normalize(
     (interpreted HOFs don't CSE captured expressions; same trap as
     ``dedup.word_shingles``)."""
     nrm_col = f"__{vec_col}_nrm"
+    while nrm_col in df.columns:  # never clobber a caller column
+        nrm_col += "_"
     out = df.withColumn(nrm_col, l2_norm(F.col(vec_col)))
     unit = F.when(
         F.col(nrm_col) > 0,

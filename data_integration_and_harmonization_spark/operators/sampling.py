@@ -75,6 +75,25 @@ def stratified_sample(
     )
 
 
+def _injective_key(key_cols: Sequence[str]) -> Column:
+    """Netstring-style injective encoding of a column tuple: each field
+    is ``<len>:<value>`` with null as ``-1:``. Unlike a plain
+    ``concat_ws`` (which SKIPS nulls and can't distinguish a separator
+    inside a value from the separator between values), two distinct
+    tuples can never encode to the same string — required wherever the
+    encoded key feeds a hash whose collisions break a determinism
+    guarantee."""
+    parts = []
+    for c in key_cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("-1:")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.concat(*parts)
+
+
 def deterministic_shuffle(
     df: DataFrame, key_cols: Sequence[str], seed: int = 42, num_partitions: int | None = None
 ) -> DataFrame:
@@ -82,10 +101,15 @@ def deterministic_shuffle(
     md5(key:seed). The same corpus + seed yields the same order on any
     engine at any parallelism — unlike ``orderBy(rand())``, which
     depends on partition layout and RNG state. One range shuffle; ties
-    impossible when ``key_cols`` is a unique key (the md5 input string
-    is then unique)."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    out = df.withColumn("__shuf", F.md5(F.concat_ws(":", key, F.lit(str(seed)))))
+    impossible when ``key_cols`` is a unique key, because the key
+    tuple is netstring-encoded (:func:`_injective_key`) before
+    hashing — a plain separator join would collapse e.g.
+    ``('x', 'y|z')`` and ``('x|y', 'z')`` into one hash input."""
+    if "__shuf" in df.columns:
+        raise ValueError("input already has a __shuf column")
+    out = df.withColumn(
+        "__shuf", F.md5(F.concat(_injective_key(key_cols), F.lit(f":{seed}")))
+    )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         out.repartitionByRange(n, F.col("__shuf"))
@@ -114,6 +138,15 @@ def mix_sources(
         # a typo'd weight key would otherwise silently keep that source
         # at 100% — wrong training mix with no error
         raise ValueError(f"weights for unknown sources: {sorted(unknown)}")
+    bad = {k: v for k, v in weights.items() if not (0.0 <= v <= 1.0)}
+    if bad:
+        # negative (sign typo) would silently empty the source; > 1
+        # (oversampling intent) would silently cap at keep-all —
+        # oversampling is replication, out of scope for a subsampler
+        raise ValueError(
+            f"weights must be keep-rates in [0, 1]; got {bad} "
+            "(to oversample, union the source with itself upstream)"
+        )
     parts = []
     for name, df in sources.items():
         rate = weights.get(name, 1.0)

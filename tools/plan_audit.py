@@ -25,14 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FLAGS = ("Exchange SinglePartition", "CartesianProduct", "BatchEvalPython")
 
 # Queries whose plans legitimately contain a flagged feature, with the
-# reason pinned here so new offenders stand out.
+# reason pinned here so new offenders stand out. Entries that a run
+# never needs are reported as STALE (they would mask a future
+# regression in that query).
 ALLOWED = {
-    # bounded-payload projections/top-k: a global sort-limit's final
+    # bounded-payload top-k: the global sort-limit's final
     # single-partition merge sees only `limit` rows per upstream task
-    "eda_pair_projection": {"Exchange SinglePartition"},
-    "sql_shipping_priority": {"Exchange SinglePartition"},
     "text_bm25_topk": {"Exchange SinglePartition"},
-    "dedup_ngram_jaccard": {"Exchange SinglePartition"},
     # 1-row corpus-scalar frames joined back in (stats, vocab, N):
     # single-partition by construction
     "text_lm_quality": {"Exchange SinglePartition"},
@@ -40,14 +39,12 @@ ALLOWED = {
     "eda_box_stats": {"Exchange SinglePartition"},
     "eda_binned": {"Exchange SinglePartition"},
     "corr_matrix": {"Exchange SinglePartition"},
-    "feat_zscore": {"Exchange SinglePartition"},
     # global no-groupBy aggregate: the final merge sees one partial row
     # per upstream task — bounded at any scale
     "stream_batch_twin": {"Exchange SinglePartition"},
     # label-map global rank runs over DISTINCT category values of one
     # column — bounded by category cardinality, not corpus size
     "feat_label_encode": {"Exchange SinglePartition"},
-    "harmonize_union": set(),
 }
 
 
@@ -59,12 +56,15 @@ def audit(name: str, df) -> tuple[dict[str, int], list[str]]:
         "single_part": plan.count("Exchange SinglePartition"),
         "bcast_join": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
-        "window": plan.count("Window"),
+        # "Window [" is WindowExec; a bare substring count would also
+        # match WindowGroupLimit (rank-pushdown helper nodes)
+        "window": plan.count("Window ["),
         # executedPlan toString marks codegen stages as "*(n)"
         "codegen": plan.count("*("),
     }
+    used = {f for f in FLAGS if f in plan and f in ALLOWED.get(name, set())}
     bad = [f for f in FLAGS if f in plan and f not in ALLOWED.get(name, set())]
-    return counts, bad
+    return counts, bad, used
 
 
 def main() -> int:
@@ -74,23 +74,43 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from data_integration_and_harmonization_spark import get_spark
 
+    qs = entrymod.queries()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise audit nothing and report clean
+        print(f"unknown queries: {sorted(unknown)}")
+        return 2
+
     spark = get_spark("plan_audit")
     failures = []
-    for name, fn in entrymod.queries().items():
+    allow_used: dict[str, set[str]] = {}
+    for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            counts, bad = audit(name, fn(spark, sf_dir))
+            counts, bad, used = audit(name, fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {e}")
             failures.append(name)
             continue
+        allow_used[name] = used
         line = " ".join(f"{k}={v}" for k, v in counts.items())
         if bad:
             failures.append(name)
             print(f"FLAG {name}: {', '.join(bad)} | {line}")
         else:
             print(f"ok   {name}: {line}")
+    if not only:
+        # full runs also surface allowlist rot: an entry no plan needs
+        # would silently mask a future regression in that query
+        stale = [
+            f"{name}:{sorted(ALLOWED[name] - allow_used.get(name, set()))}"
+            for name in sorted(ALLOWED)
+            if name in allow_used and ALLOWED[name] - allow_used.get(name, set())
+        ] + [f"{name} (not in registry)" for name in sorted(set(ALLOWED) - set(qs))]
+        if stale:
+            print(f"\nSTALE ALLOWLIST: {', '.join(stale)}")
+            failures.extend(["<stale-allowlist>"])
     if failures:
         print(f"\nFLAGGED: {', '.join(failures)}")
         return 1
