@@ -110,15 +110,19 @@ def bigram_lm_scores(
     pairs = docs.select(F.col(id_col).alias("id"), F.explode(z).alias("bg")).select(
         "id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
     )
+    # Fit: the context counts c1(w1) = sum of c2 over w1, so they
+    # attach to the (much smaller) distinct-bigram table instead of
+    # joining the corpus-scale pair stream a second time — the apply
+    # step below is then ONE corpus-scale shuffle join, not two.
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    model = c2.join(c1, "w1")
     vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
     logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
     return (
-        pairs.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+        pairs.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("id")
         .agg(
