@@ -1,0 +1,81 @@
+"""Empty-input robustness: at cluster scale empty partitions and
+empty inputs are routine (a filter that matches nothing, a source
+with no files yet). Every operator must return an empty result with
+the right schema — never raise."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_and_harmonization_spark.functions.indexing import with_global_index
+from data_integration_and_harmonization_spark.operators import clean as C
+from data_integration_and_harmonization_spark.operators import dedup as DD
+from data_integration_and_harmonization_spark.operators.embeddings import (
+    l2_normalize,
+    mean_pool,
+    quantize_int8,
+)
+from data_integration_and_harmonization_spark.operators.sampling import (
+    deterministic_shuffle,
+    hash_sample,
+    stratified_sample,
+)
+from data_integration_and_harmonization_spark.operators.scoring import (
+    bigram_lm_scores,
+    bm25_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, lang string, n_chars long")
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+
+
+@pytest.fixture(scope="module")
+def empty_kv(spark):
+    return spark.createDataFrame([], "k long, v double")
+
+
+def test_dedup_family_on_empty(empty_docs):
+    assert DD.exact_dedup(empty_docs).count() == 0
+    assert DD.minhash_lsh_candidates(empty_docs).count() == 0
+    pairs = DD.lsh_verified_pairs(empty_docs)
+    assert pairs.count() == 0
+    # zero-edge graph: fast path must build an empty typed frame
+    clusters = DD.duplicate_clusters(pairs)
+    assert clusters.count() == 0
+    assert clusters.columns == ["id", "cluster_id"]
+    assert DD.simhash_pairs(empty_docs).count() == 0
+
+
+def test_scoring_on_empty(empty_docs):
+    assert bm25_scores(empty_docs, ["x"]).count() == 0
+    assert bigram_lm_scores(empty_docs).count() == 0
+
+
+def test_embeddings_on_empty(empty_emb):
+    assert l2_normalize(empty_emb).count() == 0
+    assert quantize_int8(empty_emb).count() == 0
+    pooled = mean_pool(empty_emb, "label")
+    assert pooled.count() == 0 and pooled.columns == ["label", "pooled"]
+
+
+def test_sampling_on_empty(empty_docs):
+    assert hash_sample(empty_docs, ["doc_id"], 0.5).count() == 0
+    assert stratified_sample(empty_docs, "lang", ["doc_id"], 0.5).count() == 0
+    assert deterministic_shuffle(empty_docs, ["doc_id"]).count() == 0
+
+
+def test_repair_on_empty(empty_kv):
+    idx = with_global_index(empty_kv, ["k"])
+    assert idx.count() == 0
+    assert C.interpolate_linear(empty_kv, "k", ["v"]).count() == 0
+    out = C.process_data(empty_kv, order_col="k")
+    # zero rows -> every column is all-null -> v dropped by C5,
+    # matching pandas dropna(axis=1, how='all') on an empty frame
+    assert out.count() == 0
