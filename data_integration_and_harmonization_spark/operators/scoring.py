@@ -14,19 +14,27 @@ as the reference's scaler/encoder (ref:41-51), lifted to text:
   quality score used by training-data pipelines before an expensive
   model-based filter.
 
-Scale shape (both): one tokenize pass; counts are hash-shuffled on the
+Scale shape (both): the regex tokenizer — the dominant per-row CPU —
+is materialized ONCE into an array column per scan subtree (the
+non-cheap alias is referenced more than once, so Catalyst's
+CollapseProject keeps the producing projection instead of inlining
+the regexp into every consumer); counts are hash-shuffled on the
 term (or bigram) key with map-side partial aggregation; corpus-level
 scalars (N, avgdl, vocabulary size) are 1-row frames broadcast into
 the plan — never a driver-side collect in the data path. Per-doc
 scoring joins stream the (doc, term) rows against the count tables on
-their natural keys; nothing corpus-sized is broadcast.
+their natural keys; nothing corpus-sized is broadcast. The corpus
+scalars live on a second scan branch, so the corpus is read (and
+tokenized) exactly twice end-to-end — down from three in the first
+cut of BM25, which re-ran the tokenizer for dl, the explode, AND the
+stats aggregate.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.operators.text import tokens
@@ -44,31 +52,44 @@ def bm25_scores(
     terms: ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
     with ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
 
-    Document length is computed as ``size(tokens(text))`` — a narrow
-    projection, so only rows containing a query term ever reach a
-    shuffle; df/N/avgdl are tiny aggregates broadcast back.
+    Document length is computed as ``size(toks)`` off the one
+    materialized token array; the explode is PRE-FILTERED to query-term
+    hits (``F.filter`` with an ``array_contains`` predicate — NOT
+    ``array_intersect``, which would collapse duplicate hits and break
+    tf), so only matching tokens ever become rows; df/N/avgdl are tiny
+    aggregates broadcast back.
 
     Output: (doc_id, n_terms_hit, bm25) for docs hitting >= 1 term.
     """
     terms = sorted(set(query_terms))
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(tokens(text_col)).alias("dl"),
-        F.explode(tokens(text_col)).alias("term"),
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    # tokenize once per doc per scan: `toks` is a named projection the
+    # consumers reference — dl + the filtered explode share it
+    tokd = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    base = tokd.select(
+        "id",
+        F.size("toks").alias("dl"),
+        F.explode(
+            F.filter("toks", lambda t: F.array_contains(terms_arr, t))
+        ).alias("term"),
     )
     # corpus scalars: one row, broadcast — N over ALL docs (incl. ones
     # matching no query term), avgdl over all docs likewise
-    stats = docs.select(
+    stats = tokd.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+        F.avg(F.size("toks")).alias("avgdl"),
     )
-    tf = (
-        base.where(F.col("term").isin(terms))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    tf = base.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    # document frequency as a window over tf, NOT a groupBy+join back:
+    # a dfreq frame derived from tf is a second full corpus scan
+    # (column pruning makes the two tf subtrees non-identical, so
+    # exchange reuse never fires — measured). The window re-shuffles
+    # only the tiny (docs-hit x terms) tf stream on `term`.
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(stats))
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -100,24 +121,30 @@ def bigram_lm_scores(
 
     Bigrams come from the same zip-of-slices shape as
     :func:`..dedup.word_shingles` (lambda captures nothing, so the
-    tokenizer runs once per row, not once per bigram).
+    tokenizer runs once per row, not once per bigram); the token array
+    is materialized once per scan (`toks` column) and the pairs +
+    vocab branches both derive from it.
 
     Output: (doc_id, n_bigrams, avg_logp), docs with >= 1 bigram.
     """
-    t = tokens(text_col)
+    tokd = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    t = F.col("toks")
     n = F.greatest(F.size(t) - 1, F.lit(0))
     z = F.arrays_zip(F.slice(t, 1, n), F.slice(t, 2, n))
-    pairs = docs.select(F.col(id_col).alias("id"), F.explode(z).alias("bg")).select(
+    pairs = tokd.select("id", F.explode(z).alias("bg")).select(
         "id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2")
     )
     # Fit: the context counts c1(w1) = sum of c2 over w1, so they
     # attach to the (much smaller) distinct-bigram table instead of
     # joining the corpus-scale pair stream a second time — the apply
-    # step below is then ONE corpus-scale shuffle join, not two.
+    # step below is then ONE corpus-scale shuffle join, not two. The
+    # attach is a WINDOW over c2, not a groupBy+join back: a c1 frame
+    # derived from c2 re-executes the whole corpus subtree under it
+    # (pruning defeats exchange reuse — measured), while the window
+    # re-shuffles only the distinct-bigram table on `w1`.
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    model = c2.join(c1, "w1")
-    vocab = docs.select(F.explode(tokens(text_col)).alias("tok")).agg(
+    model = c2.withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    vocab = tokd.select(F.explode("toks").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
     logp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))

@@ -48,7 +48,7 @@ ALLOWED = {
 }
 
 
-def audit(name: str, df) -> tuple[dict[str, int], list[str]]:
+def audit(name: str, df) -> tuple[dict[str, int], list[str], set[str]]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     counts = {
         "shuffle": plan.count("Exchange hashpartitioning")
