@@ -249,7 +249,20 @@ def _q_sql_shipping(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
     """M1-M8, M10 rows-only: 3-class l_returnflag on a deterministic
-    ~5% subsample (keeps tree fits bounded at bench scale)."""
+    ~5% subsample (keeps tree fits bounded at bench scale).
+
+    Two extra pinned rows ride along:
+    - S8 (model sink): a small DT pipeline is fitted, saved with
+      ``save_model``, reloaded with ``load_model``, and both models
+      score the same frame — the row's value is 1.0 iff the loaded
+      model's predictions agree row-for-row with the in-memory one.
+    - P8 (target validation): ``train_models`` against a missing
+      target column must raise ValueError before launching any job —
+      the row's value is 1.0 iff it did.
+    """
+    import os
+    import tempfile
+
     li = spark.read.parquet(f"{sf}/lineitem.parquet").where(F.col("l_orderkey") % 20 == 0)
     labeled = li.select(
         "l_quantity",
@@ -262,6 +275,45 @@ def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
         .alias("target"),
     )
     res = ML.train_models(labeled, "target", is_classification=True)
+
+    # S8: persistence roundtrip on a further-thinned slice (~0.25%)
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    small = labeled.where(F.col("l_quantity") <= 10).withColumn(
+        "label", F.col("target").cast("double")
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
+            ),
+            DecisionTreeClassifier(seed=42),
+        ]
+    ).fit(small)
+    path = os.path.join(tempfile.mkdtemp(prefix="dih_model_"), "dt")
+    ML.save_model(pipe, path)
+    loaded = ML.load_model(path)
+    disagree = (
+        pipe.transform(small)
+        .select("l_quantity", "l_discount", "l_tax", "prediction")
+        .exceptAll(
+            loaded.transform(small).select(
+                "l_quantity", "l_discount", "l_tax", "prediction"
+            )
+        )
+        .count()
+    )
+    res["Persistence"] = {"SaveLoadPredictAgree": 1.0 if disagree == 0 else 0.0}
+
+    # P8: the missing-target guard must trip (ref:56-57)
+    try:
+        ML.train_models(labeled, "no_such_column", is_classification=True)
+        raised = 0.0
+    except ValueError:
+        raised = 1.0
+    res["TargetValidation"] = {"MissingTargetRaises": raised}
     return ML.train_models_df(spark, res)
 
 
@@ -274,17 +326,25 @@ def q_ml_regression(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """S1/S3/S5/S6 through the hash gate (the reference's csv/json/
-    multi-file front door, ref:165-187): write two lineitem slices out
-    as csv + ndjson (distributed writers) and the nation dims as a
+    """S1/S2/S3/S5/S6/S7 through the hash gate (the reference's
+    multi-format front door, ref:165-187): write two lineitem slices
+    out as csv + ndjson (distributed writers), the nation dims as a
     whole-document JSON file (the pandas ``read_json`` orientation),
-    re-ingest all three via ``read_sources`` (extension dispatch,
-    empty-input guard), harmonize, aggregate. Oracle = the same
-    aggregate straight off the parquet tables."""
+    and the region dims as an xlsx workbook (S2 — written with the
+    engine's stdlib SpreadsheetML codec, read back through the Excel
+    scan path); re-ingest all four via ``read_sources`` (extension
+    dispatch, empty-input guard), harmonize, aggregate. A final
+    '__preview' row pins the preview sink (S7): its n_rows is the
+    bounded ``preview()`` collect's length, least(5, |union|). Oracle
+    = the same aggregate straight off the parquet tables."""
     import json
     import os
 
-    from data_integration_and_harmonization_spark.sources.readers import read_sources
+    from data_integration_and_harmonization_spark.sources.readers import (
+        preview,
+        read_sources,
+    )
+    from data_integration_and_harmonization_spark.sources.xlsx import write_xlsx
 
     import tempfile
 
@@ -310,13 +370,36 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     json_file = base + "_nation.json"
     with open(json_file, "w") as fh:
         json.dump([r.asDict() for r in nation.collect()], fh)
-    srcs = read_sources(spark, [csv_dir, nd_dir, json_file], reject_empty=True, skip_errors=False)
+    # xlsx workbook (S2): region is a 5-row dim — exactly the
+    # driver-side small-file shape the Excel bridge is for
+    region = spark.read.parquet(f"{sf}/region.parquet").select("r_regionkey", "r_name")
+    xlsx_file = base + "_region.xlsx"
+    region_rows = [[r["r_regionkey"], r["r_name"]] for r in region.collect()]
+    write_xlsx(xlsx_file, ["r_regionkey", "r_name"], region_rows)
+    srcs = read_sources(
+        spark,
+        [csv_dir, nd_dir, json_file, xlsx_file],
+        reject_empty=True,
+        skip_errors=False,
+    )
     u = H.harmonize(srcs)
-    return u.groupBy("l_returnflag").agg(
+    agg = u.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
         F.sum(F.col("n_nationkey").cast("long")).alias("sum_nkey"),
+        F.sum(F.col("r_regionkey").cast("long")).alias("sum_rkey"),
     )
+    n_prev = len(preview(u))  # S7: bounded limit-5 collect
+    prev_row = spark.createDataFrame(
+        [("__preview", n_prev)], "l_returnflag string, n_rows long"
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("long").alias("sum_nkey"),
+        F.lit(None).cast("long").alias("sum_rkey"),
+    )
+    return agg.unionByName(prev_row)
 
 
 def q_ml_exact_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -614,17 +697,24 @@ FROM w
 """,
         "src_roundtrip": """
 WITH src AS (
-  SELECT l_returnflag, l_quantity, CAST(NULL AS BIGINT) AS n_nationkey
+  SELECT l_returnflag, l_quantity, CAST(NULL AS BIGINT) AS n_nationkey,
+         CAST(NULL AS BIGINT) AS r_regionkey
   FROM lineitem WHERE l_orderkey % 10 = 0
   UNION ALL
-  SELECT l_returnflag, l_quantity, NULL FROM lineitem WHERE l_orderkey % 10 = 5
+  SELECT l_returnflag, l_quantity, NULL, NULL FROM lineitem WHERE l_orderkey % 10 = 5
   UNION ALL
-  SELECT NULL, NULL, n_nationkey FROM nation
+  SELECT NULL, NULL, n_nationkey, NULL FROM nation
+  UNION ALL
+  SELECT NULL, NULL, NULL, r_regionkey FROM region
 )
 SELECT l_returnflag, count(*)::BIGINT AS n_rows,
        round(sum(l_quantity), 6) AS sum_qty,
-       sum(n_nationkey)::BIGINT AS sum_nkey
+       sum(n_nationkey)::BIGINT AS sum_nkey,
+       sum(r_regionkey)::BIGINT AS sum_rkey
 FROM src GROUP BY 1
+UNION ALL
+SELECT '__preview', least(5, (SELECT count(*) FROM src))::BIGINT,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 """,
         "ml_exact_split": """
 WITH ranked AS (

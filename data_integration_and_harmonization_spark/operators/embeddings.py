@@ -66,6 +66,7 @@ def mean_pool(
     group_col: str,
     vec_col: str = "embedding",
     out_col: str = "pooled",
+    exact_mean: bool = False,
 ) -> DataFrame:
     """Per-group mean vector (e.g. class centroids, per-source
     centroids for drift monitoring).
@@ -73,11 +74,30 @@ def mean_pool(
     posexplode -> groupBy(group, pos) avg (map-side combinable) ->
     re-pack ordered by position. The repack's collect_list is bounded
     by the vector dimension, never by group size.
+
+    ``exact_mean``: sum the components in ``decimal(27,18)`` (exact,
+    partition-order independent) and divide once at the end — the same
+    drift-proofing the relational money aggregates use. A plain double
+    ``avg`` can land either side of a rounding boundary depending on
+    summation order, so any pipeline that ROUNDS the pooled value for
+    cross-engine comparison should pin it with ``exact_mean=True``;
+    the double path stays the cheap default for training-side use.
+    (double->decimal(·,18) is deterministic: a tie at the 18th digit
+    would need a dyadic value with exactly 19 decimal digits, which
+    only multiples of 2^-19 have — never full-precision components.)
     """
     ex = df.select(
         F.col(group_col).alias("grp"), F.posexplode(_as_double(F.col(vec_col)))
     )
-    per_pos = ex.groupBy("grp", "pos").agg(F.avg("col").alias("m"))
+    if exact_mean:
+        per_pos = ex.groupBy("grp", "pos").agg(
+            (
+                F.sum(F.col("col").cast("decimal(27,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    else:
+        per_pos = ex.groupBy("grp", "pos").agg(F.avg("col").alias("m"))
     packed = (
         per_pos.groupBy("grp")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
@@ -121,7 +141,7 @@ def embeddings_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         unit = l2_normalize(emb)
-        pooled = mean_pool(unit, "label").select(
+        pooled = mean_pool(unit, "label", exact_mean=True).select(
             F.lit("pool").alias("kind"),
             F.col("label").cast("long").alias("key"),
             F.posexplode("pooled"),
@@ -161,8 +181,11 @@ WITH unit AS (
   SELECT label, vec_id, i - 1 AS pos, v[i] AS x
   FROM unit, unnest(range(1, len(v) + 1)) AS r(i)
 ), pool AS (
+  -- decimal-exact sum, one double division at the end: mirrors
+  -- mean_pool(exact_mean=True); a double avg would be summation-order
+  -- dependent on both engines
   SELECT 'pool' AS kind, label::BIGINT AS key, pos::BIGINT AS pos,
-         round(avg(x), 6) AS val
+         round(CAST(sum(CAST(x AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6) AS val
   FROM ex GROUP BY 1, 2, 3
 ), scl AS (
   SELECT vec_id,

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.ml import Pipeline
 from pyspark.ml.evaluation import MulticlassClassificationEvaluator, RegressionEvaluator
 from pyspark.ml.feature import VectorAssembler
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
@@ -172,24 +171,55 @@ def exact_split(
 def evaluate_model(predictions: DataFrame, is_classification: bool, label_col: str = "label") -> dict[str, float]:
     """M8/M9 (ref:107-120): weighted classification metrics / MAE-MSE-R2.
 
-    One ``transform`` output scored by several evaluators — the
-    predictions DataFrame should be cached by the caller when scoring
-    many metrics at scale.
+    Single-pass: every metric derives from ONE aggregation job —
+    classification collects the confusion matrix (bounded by classes²,
+    a driver-safe collect) and applies the public MulticlassMetrics
+    formulas (weighted = per-class metric weighted by true-class
+    support; 0 when a denominator is 0); regression aggregates the
+    residual sums (n, Σ|e|, Σe², Σy, Σy²) and derives MAE/MSE/R² =
+    ``1 - SS_res/SS_tot`` exactly as RegressionEvaluator defines them.
+    One evaluator instance per metric would re-scan the predictions
+    per metric (4 jobs instead of 1) for identical values.
     """
-    metrics = {}
     if is_classification:
-        for disp, name in CLS_METRICS.items():
-            ev = MulticlassClassificationEvaluator(
-                labelCol=label_col, predictionCol="prediction", metricName=name
-            )
-            metrics[disp] = ev.evaluate(predictions)
-    else:
-        for disp, name in REG_METRICS.items():
-            ev = RegressionEvaluator(
-                labelCol=label_col, predictionCol="prediction", metricName=name
-            )
-            metrics[disp] = ev.evaluate(predictions)
-    return metrics
+        cm = predictions.groupBy(
+            F.col(label_col).alias("y"), F.col("prediction").alias("p")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+        total = sum(r["n"] for r in cm) or 1
+        classes = sorted({r["y"] for r in cm} | {r["p"] for r in cm})
+        tp = {c: sum(r["n"] for r in cm if r["y"] == c and r["p"] == c) for c in classes}
+        support = {c: sum(r["n"] for r in cm if r["y"] == c) for c in classes}
+        predicted = {c: sum(r["n"] for r in cm if r["p"] == c) for c in classes}
+        prec = {c: (tp[c] / predicted[c] if predicted[c] else 0.0) for c in classes}
+        rec = {c: (tp[c] / support[c] if support[c] else 0.0) for c in classes}
+        f1 = {
+            c: (2 * prec[c] * rec[c] / (prec[c] + rec[c]) if prec[c] + rec[c] else 0.0)
+            for c in classes
+        }
+        w = {c: support[c] / total for c in classes}
+        return {
+            "Accuracy": sum(tp.values()) / total,
+            "Precision": sum(w[c] * prec[c] for c in classes),
+            "Recall": sum(w[c] * rec[c] for c in classes),
+            "F1 Score": sum(w[c] * f1[c] for c in classes),
+        }
+    e = F.col(label_col) - F.col("prediction")
+    row = predictions.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(e)).alias("sae"),
+        F.sum(e * e).alias("sse"),
+        F.sum(label_col).alias("sy"),
+        F.sum(F.col(label_col) * F.col(label_col)).alias("syy"),
+    ).first()
+    if not row["n"]:
+        return {"MAE": float("nan"), "MSE": float("nan"), "R2 Score": float("nan")}
+    n = row["n"]
+    ss_tot = row["syy"] - row["sy"] * row["sy"] / n
+    return {
+        "MAE": row["sae"] / n,
+        "MSE": row["sse"] / n,
+        "R2 Score": 1.0 - row["sse"] / ss_tot if ss_tot else float("nan"),
+    }
 
 
 def save_model(model, path: str) -> None:
@@ -239,8 +269,15 @@ def train_models(
     n_rows = base.count()
     parts = max(4, min(sc.defaultParallelism, n_rows // 20_000 + 1))
     train, test = base.repartition(parts).randomSplit([0.8, 0.2], seed=seed)
-    train = train.cache()
+    # Assemble ONCE, before the per-model loop: the assembled train
+    # frame is shared by all three estimators AND by every CV fold, so
+    # the VectorAssembler projection (and the scan under it) runs once
+    # instead of once per fit. Assembly is a narrow projection — it
+    # changes neither partitioning nor row order, so the randomSplit
+    # membership is identical to splitting the raw frame.
     assembler = VectorAssembler(inputCols=feats, outputCol="features")
+    train = assembler.transform(train).cache()
+    test = assembler.transform(test)
 
     n_classes = 0
     if is_classification:
@@ -268,8 +305,11 @@ def train_models(
                 if is_classification
                 else RegressionEvaluator(labelCol="label", metricName="r2")
             )
+            # estimator is the bare model over the pre-assembled cached
+            # frame — wrapping the assembler in a Pipeline here would
+            # re-project features numFolds x |grid| times
             est = CrossValidator(
-                estimator=Pipeline(stages=[assembler, model]),
+                estimator=model,
                 estimatorParamMaps=grid,
                 evaluator=ev,
                 numFolds=3,
@@ -278,12 +318,10 @@ def train_models(
             )
             fitted = est.fit(train)
         else:
-            fitted = Pipeline(stages=[assembler, model]).fit(train)
-        preds = fitted.transform(test).cache()
-        try:
-            return evaluate_model(preds, is_classification)
-        finally:
-            preds.unpersist()
+            fitted = model.fit(train)
+        # no cache: evaluate_model is single-pass, so the transform
+        # lineage executes exactly once
+        return evaluate_model(fitted.transform(test), is_classification)
 
     # The three fits are independent; submit them from concurrent
     # driver threads so the Spark scheduler interleaves their jobs —

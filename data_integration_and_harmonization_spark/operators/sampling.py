@@ -45,9 +45,12 @@ def hash_sample(
 ) -> DataFrame:
     """Deterministic Bernoulli-style sample: row kept iff
     md5(key:seed) mod 1e6 < rate * 1e6. No shuffle; filter pushes to
-    the scan."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    return df.where(_hash_unit(key, seed) < int(rate * _DENOM))
+    the scan. The key tuple is netstring-encoded
+    (:func:`_injective_key`) before hashing, so distinct composite
+    keys can never collide into one hash input — a plain separator
+    join would correlate keep/drop decisions for tuples like
+    ``('x', 'y|z')`` vs ``('x|y', 'z')`` and for null-skipping."""
+    return df.where(_hash_unit(_injective_key(key_cols), seed) < int(rate * _DENOM))
 
 
 def stratified_sample(
@@ -60,8 +63,8 @@ def stratified_sample(
     """Exact per-stratum sample: ceil(rate * n) rows per stratum,
     chosen by hash order (deterministic, engine-reproducible). The
     hash order also makes the pick independent of physical row order."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
-    # hash ties break on the concatenated key STRING (not the raw
+    key = _injective_key(key_cols)
+    # hash ties break on the netstring-encoded key STRING (not the raw
     # columns): lexicographic order is what any external engine
     # reproduces — numeric-column ordering diverges from the oracle the
     # first time two keys collide on a stratum's cutoff boundary.
@@ -95,7 +98,11 @@ def _injective_key(key_cols: Sequence[str]) -> Column:
 
 
 def deterministic_shuffle(
-    df: DataFrame, key_cols: Sequence[str], seed: int = 42, num_partitions: int | None = None
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    num_partitions: int | None = None,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle for training order: sort by
     md5(key:seed). The same corpus + seed yields the same order on any
@@ -104,13 +111,28 @@ def deterministic_shuffle(
     impossible when ``key_cols`` is a unique key, because the key
     tuple is netstring-encoded (:func:`_injective_key`) before
     hashing — a plain separator join would collapse e.g.
-    ``('x', 'y|z')`` and ``('x|y', 'z')`` into one hash input."""
+    ``('x', 'y|z')`` and ``('x|y', 'z')`` into one hash input.
+
+    ``rank_col``: also attach the 0-based global position in the
+    shuffle order (via :func:`..functions.indexing.with_global_index`
+    on the hash — same one-range-shuffle pattern plus its tiny offsets
+    job; the hash column ordering is reproducible externally as
+    ``row_number() OVER (ORDER BY md5(netstring(key) || ':seed'))``).
+    """
     if "__shuf" in df.columns:
         raise ValueError("input already has a __shuf column")
     out = df.withColumn(
         "__shuf", F.md5(F.concat(_injective_key(key_cols), F.lit(f":{seed}")))
     )
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if rank_col is not None:
+        from data_integration_and_harmonization_spark.functions.indexing import (
+            with_global_index,
+        )
+
+        return with_global_index(
+            out, ["__shuf"], index_col=rank_col, num_partitions=n
+        ).drop("__shuf")
     return (
         out.repartitionByRange(n, F.col("__shuf"))
         .sortWithinPartitions("__shuf")
@@ -162,6 +184,18 @@ def mix_sources(
 
 def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sample(spark, sf):
+        """Four tagged legs through one hash-matched result:
+
+        - 'hash' / 'stratified': the two sampling modes;
+        - 'shuffle': deterministic_shuffle order pinned by an
+          order-SENSITIVE checksum — sum((pos+1) * l_quantity) per
+          group changes under any row permutation, and the products
+          stay integral so the double sum is exact at any partition
+          order;
+        - 'mix_<source>': mix_sources weighted union (even orderkeys
+          kept at 30%, odd kept whole), per-source accounting via the
+          source tag.
+        """
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         # the synthetic lineitem duplicates (l_orderkey, l_linenumber);
         # sampling keys must be a UNIQUE composite or cutoff-boundary
@@ -169,32 +203,59 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # columns only: a double in the key would hash its STRING form,
         # and Spark/DuckDB double-to-string formats differ.
         keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
-        h = hash_sample(li, keys, rate=0.1).groupBy("l_returnflag").agg(
+        agg = [
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        )
+        ]
+        h = hash_sample(li, keys, rate=0.1).groupBy("l_returnflag").agg(*agg)
         s = stratified_sample(li, "l_returnflag", keys, rate=0.05).groupBy(
+            "l_returnflag"
+        ).agg(*agg)
+        slim = li.select(*keys, "l_returnflag", "l_quantity")
+        sh = deterministic_shuffle(slim, keys, rank_col="__pos").groupBy(
             "l_returnflag"
         ).agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum((F.col("__pos") + 1) * F.col("l_quantity")), 6).alias(
+                "sum_qty"
+            ),
         )
-        return h.select(F.lit("hash").alias("kind"), "*").unionByName(
-            s.select(F.lit("stratified").alias("kind"), "*")
+        mixed = mix_sources(
+            {
+                "even": slim.where(F.col("l_orderkey") % 2 == 0),
+                "odd": slim.where(F.col("l_orderkey") % 2 == 1),
+            },
+            weights={"even": 0.3},
+            key_cols=keys,
+        )
+        m = mixed.groupBy(
+            F.concat(F.lit("mix_"), F.col("__mix_source")).alias("kind"),
+            "l_returnflag",
+        ).agg(*agg)
+        return (
+            h.select(F.lit("hash").alias("kind"), "*")
+            .unionByName(s.select(F.lit("stratified").alias("kind"), "*"))
+            .unionByName(sh.select(F.lit("shuffle").alias("kind"), "*"))
+            .unionByName(m)
         )
 
     return {"samp_deterministic": q_sample}
 
 
 def sampling_oracles() -> dict[str, str]:
-    key = (
-        "concat_ws('|', l_orderkey::VARCHAR, l_linenumber::VARCHAR, "
-        "l_partkey::VARCHAR, l_suppkey::VARCHAR)"
-    )
+    # netstring-injective key encoding, mirrored from _injective_key:
+    # each field is <len>:<value>, null -> -1: (keys here are non-null
+    # integers, but the encoding is mirrored in full for fidelity)
+    net = "concat(" + ", ".join(
+        f"CASE WHEN {c} IS NULL THEN '-1:' ELSE "
+        f"concat(length(CAST({c} AS VARCHAR)), ':', CAST({c} AS VARCHAR)) END"
+        for c in ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    ) + ")"
     hu = (
-        f"CAST(concat('0x', substr(md5(concat_ws(':', {key}, '42')), 1, 15)) "
+        f"CAST(concat('0x', substr(md5(concat({net}, ':42')), 1, 15)) "
         "AS BIGINT) % 1000000"
     )
+    shuf = f"md5(concat({net}, ':42'))"
     return {
         "samp_deterministic": f"""
 SELECT 'hash' AS kind, l_returnflag, count(*)::BIGINT AS n_rows,
@@ -209,7 +270,7 @@ SELECT 'stratified' AS kind, l_returnflag, n_rows, sum_qty FROM (
     SELECT l_returnflag, l_quantity,
            row_number() OVER (
              PARTITION BY l_returnflag
-             ORDER BY {hu}, {key}
+             ORDER BY {hu}, {net}
            ) AS rn,
            count(*) OVER (PARTITION BY l_returnflag) AS n
     FROM lineitem
@@ -217,5 +278,25 @@ SELECT 'stratified' AS kind, l_returnflag, n_rows, sum_qty FROM (
   WHERE rn <= ceil(n * 0.05)
   GROUP BY 1
 )
+UNION ALL
+SELECT 'shuffle' AS kind, l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(pos * l_quantity), 6) AS sum_qty
+FROM (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (ORDER BY {shuf}) AS pos
+  FROM lineitem
+)
+GROUP BY 2
+UNION ALL
+SELECT concat('mix_', src) AS kind, l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM (
+  SELECT 'even' AS src, l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 2 = 0 AND {hu} < 300000
+  UNION ALL
+  SELECT 'odd', l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 2 = 1
+)
+GROUP BY 1, 2
 """,
     }

@@ -71,7 +71,10 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
 
 
 def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
-    """xlsx bridge (ref:172-173): driver-side pandas -> Arrow -> Spark.
+    """xlsx bridge (ref:172-173): driver-side pandas -> Arrow -> Spark,
+    falling back to the engine's stdlib SpreadsheetML reader
+    (:mod:`.xlsx`, zipfile + XML — xlsx is a public ECMA-376 format)
+    when pandas' optional ``openpyxl`` dependency is absent.
 
     Documented small-file-only; xlsx is not splittable and the
     reference only ever sees uploaded workbooks.
@@ -80,11 +83,21 @@ def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
         import pandas as pd
 
         pdf = pd.read_excel(path)
-    except ImportError as exc:  # openpyxl missing in some environments
-        raise NotImplementedError(
-            "xlsx ingestion needs pandas+openpyxl on the driver"
-        ) from exc
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:  # openpyxl missing — stdlib fallback
+        pass
+    from data_integration_and_harmonization_spark.sources.xlsx import read_xlsx
+
+    header, rows = read_xlsx(path)
+    if not header:
+        # empty workbook: zero rows AND no schema — surface the same
+        # shape the empty-input guard (S6) expects
+        return spark.createDataFrame([], "ignored string").limit(0).drop("ignored")
+    import pandas as pd
+
+    # route through pandas so column dtype inference matches the
+    # pd.read_excel path (ints stay ints, mixed -> object)
+    return spark.createDataFrame(pd.DataFrame(rows, columns=header))
 
 
 def read_sources(

@@ -60,6 +60,56 @@ def test_xlsx_driver_side(spark, tmpdir):
     assert df.count() == 2 and "A Col" in df.columns
 
 
+def test_xlsx_stdlib_codec_roundtrip(spark, tmpdir):
+    # S2 without openpyxl: the engine's own SpreadsheetML codec,
+    # through the same read_any front door
+    from data_integration_and_harmonization_spark.sources.xlsx import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    p = os.path.join(tmpdir, "dim.xlsx")
+    cols = ["Key Col", "name", "bal"]
+    rows = [[1, 'a,"quoted"', 1.5], [2, "x<y&z>", -2.0], [3, None, 0.25]]
+    write_xlsx(p, cols, rows)
+    assert read_xlsx(p) == (cols, rows)
+    df = R.read_any(spark, p)
+    got = sorted((r["Key Col"], r["name"], r["bal"]) for r in df.collect())
+    assert got == [(1, 'a,"quoted"', 1.5), (2, "x<y&z>", -2.0), (3, None, 0.25)]
+
+
+def test_xlsx_shared_strings_cells(spark, tmpdir):
+    # reader must also handle workbooks other writers produce:
+    # sharedStrings-table cells (t="s") instead of inline strings
+    import zipfile
+
+    from data_integration_and_harmonization_spark.sources import xlsx as X
+
+    p = os.path.join(tmpdir, "shared.xlsx")
+    X.write_xlsx(p, ["k", "v"], [[1, "placeholder"]])
+    shared = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">'
+        "<si><t>hello</t></si><si><r><t>wor</t></r><r><t>ld</t></r></si></sst>"
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(p) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = sheet.encode()
+    parts["xl/sharedStrings.xml"] = shared.encode()
+    with zipfile.ZipFile(p, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+    header, rows = X.read_xlsx(p)
+    assert header == ["hello"] and rows == [["world"]]
+
+
 def test_read_sources_mixed_formats(spark, tmpdir, sf_dir):
     csv = os.path.join(tmpdir, "m.csv")
     with open(csv, "w") as f:
