@@ -2,15 +2,23 @@
 
 Design: media are opaque ``binary`` columns + a typed metadata struct.
 Everything Spark-side is real — schema, partition-friendly layout,
-Arrow-batched UDF signatures, batch shapes. The actual media decode
-(image/audio codecs) is STUBBED behind ``decode_stub`` because codec
-libraries are not available in this container — the stub is a
-deterministic fake that derives "features" from the bytes, preserving
-shape and determinism, and is clearly marked.
+Arrow-batched UDF signatures, batch shapes — and the decode itself is
+REAL for the formats the engine's codecs cover
+(:mod:`..functions.media_codecs`: PNG, GIF, WAV from their public
+specs on stdlib+numpy; PIL preferred when importable). Payloads no
+decoder recognizes fall back to the clearly-marked deterministic
+stubs (``decode_stub``/``resize_stub``/``frame_sample_stub``) so
+pipelines stay total: a corpus with undecodable blobs degrades to
+stable byte-derived features instead of failing mid-job — and the
+``feature[0]`` channel disambiguates the two paths (real features
+lead with spatial/temporal dims, stub features are all < 1).
 
 At scale the mapInPandas stage processes Arrow record batches: per
 batch one vectorized pass, media bytes never round-trip through
 driver, and the output schema is fixed so downstream stays columnar.
+The per-payload decode is Python, which is the right cost model here:
+the parallelism unit is the Arrow batch, and codec work is inherently
+per-payload C-speed (zlib/numpy) under a thin Python chunk walk.
 """
 
 from __future__ import annotations
@@ -20,6 +28,8 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from data_integration_and_harmonization_spark.functions import media_codecs as MC
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -54,11 +64,78 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, media_type: str
     )
 
 
+def decode_real(payload: bytes, dim: int = 8) -> list[float] | None:
+    """Real media decode -> fixed-width feature vector, or None when
+    no codec recognizes the payload (caller falls back to the stub).
+
+    Feature layout (padded/truncated to ``dim``), by modality:
+
+    - image (PNG via PIL-or-own-codec, GIF first frame):
+      [height, width, channels, mean/255, std/255, min/255, max/255,
+      n_frames]
+    - audio (WAV): [n_samples, n_channels, sample_rate, mean, std,
+      min, max, duration_sec]
+
+    Leading spatial/temporal dims are >= 1, so real features are
+    distinguishable from the stub's all-in-[0,1) histogram at a
+    glance. Values rounded to 9 decimals like the stub's.
+    """
+    import numpy as np
+
+    fmt = MC.sniff_format(payload)
+    if fmt is None:
+        return None
+    try:
+        if fmt in ("png", "gif"):
+            if fmt == "png":
+                img = MC.try_pil_decode(payload)
+                if img is None:
+                    img = MC.decode_png(payload)
+                n_frames = 1.0
+            else:
+                frames = MC.decode_gif(payload)
+                if not frames:
+                    return None
+                img = frames[0]
+                n_frames = float(len(frames))
+            if img.ndim == 2:
+                img = img[:, :, None]
+            px = img.astype(np.float64) / 255.0
+            feats = [
+                float(img.shape[0]),
+                float(img.shape[1]),
+                float(img.shape[2]),
+                float(px.mean()),
+                float(px.std()),
+                float(px.min()),
+                float(px.max()),
+                n_frames,
+            ]
+        else:  # wav
+            rate, samples = MC.decode_wav(payload)
+            if samples.size == 0:
+                return None
+            feats = [
+                float(samples.shape[0]),
+                float(samples.shape[1]),
+                float(rate),
+                float(samples.mean()),
+                float(samples.std()),
+                float(samples.min()),
+                float(samples.max()),
+                float(samples.shape[0]) / rate,
+            ]
+    except Exception:  # noqa: BLE001 — malformed media: stub fallback
+        return None
+    feats = (feats + [0.0] * dim)[:dim]
+    return [round(x, 9) for x in feats]
+
+
 def decode_stub(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
-    """DETERMINISTIC FAKE decoder. A real deployment plugs a codec
-    (PIL/ffmpeg/torchaudio) in here; this container has none, so the
-    'feature' is a stable byte-histogram projection — same shape,
-    same dtype, fully deterministic, obviously not a real embedding.
+    """DETERMINISTIC FAKE decoder — the fallback for payloads no real
+    codec recognizes (see :func:`decode_real`): the 'feature' is a
+    stable byte-histogram projection — same shape, same dtype, fully
+    deterministic, obviously not a real embedding.
 
     Vectorized (np.frombuffer + bincount) so the stub models the cost
     profile a real batch decoder would have — one C-speed pass per
@@ -75,17 +152,26 @@ def decode_stub(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
     return [round(float(x), 9) for x in buckets]
 
 
+def decode_features(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
+    """Feature vector for one payload: real decode when a codec
+    recognizes it (:func:`decode_real`), byte-histogram stub
+    otherwise."""
+    real = decode_real(payload, dim) if payload is not None else None
+    return real if real is not None else decode_stub(payload, media_type, dim)
+
+
 def extract_features(media: DataFrame, dim: int = 8, batch_size_hint: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over the media table via
-    ``mapInPandas`` — the real scale plumbing around the stubbed
-    decode. One pandas batch in, one out; payload column is dropped on
-    output so only fixed-width features shuffle downstream."""
+    ``mapInPandas``. One pandas batch in, one out; payload column is
+    dropped on output so only fixed-width features shuffle
+    downstream. Per payload: real decode (PNG/GIF/WAV, PIL when
+    available) with stub fallback — see :func:`decode_features`."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             feats = [
-                decode_stub(p, t, dim)
+                decode_features(p, t, dim)
                 for p, t in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -100,11 +186,32 @@ def extract_features(media: DataFrame, dim: int = 8, batch_size_hint: int | None
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_real(payload: bytes, target: int = 64) -> bytes | None:
+    """Real image resize: decode (PNG, or first GIF frame), nearest-
+    neighbor resample to target x target, re-encode as PNG. None when
+    no codec recognizes the payload (caller falls back to the byte-
+    striding stub)."""
+    fmt = MC.sniff_format(payload) if payload is not None else None
+    if fmt not in ("png", "gif"):
+        return None
+    try:
+        if fmt == "png":
+            img = MC.decode_png(payload)
+        else:
+            frames = MC.decode_gif(payload)
+            if not frames:
+                return None
+            img = frames[0]
+        return MC.encode_png(MC.resize_nearest(img, target, target))
+    except Exception:  # noqa: BLE001 — malformed media: stub fallback
+        return None
+
+
 def resize_stub(payload: bytes, target: int = 64) -> bytes:
-    """DETERMINISTIC FAKE resize: a real deployment decodes, resizes,
-    re-encodes (PIL/opencv); here the payload is downsampled by even
-    byte-striding to exactly ``target`` bytes — deterministic, shape
-    preserving, obviously not a real image op."""
+    """DETERMINISTIC FAKE resize — the fallback for payloads no real
+    codec recognizes (see :func:`resize_real`): the payload is
+    downsampled by even byte-striding to exactly ``target`` bytes —
+    deterministic, shape preserving, obviously not a real image op."""
     if payload is None:
         return None
     if len(payload) <= target:
@@ -117,10 +224,32 @@ def resize_stub(payload: bytes, target: int = 64) -> bytes:
     return arr[picks].tobytes()
 
 
+def frame_sample_real(payload: bytes, n_frames: int = 4) -> list[bytes] | None:
+    """Real frame sampling for animated media: decode the GIF, pick
+    ``n_frames`` evenly spaced frames (the standard video-sampling
+    index formula i*T//n), re-encode each as PNG. A static PNG payload
+    yields its single frame repeated. None when no codec recognizes
+    the payload (caller falls back to the byte-window stub)."""
+    fmt = MC.sniff_format(payload) if payload is not None else None
+    if fmt not in ("png", "gif"):
+        return None
+    try:
+        if fmt == "png":
+            frames = [MC.decode_png(payload)]
+        else:
+            frames = MC.decode_gif(payload)
+        if not frames:
+            return None
+        picks = [frames[(i * len(frames)) // n_frames] for i in range(n_frames)]
+        return [MC.encode_png(f) for f in picks]
+    except Exception:  # noqa: BLE001 — malformed media: stub fallback
+        return None
+
+
 def frame_sample_stub(payload: bytes, n_frames: int = 4, frame_size: int = 16) -> list[bytes]:
-    """DETERMINISTIC FAKE frame sampler: a real deployment seeks
-    keyframes (ffmpeg); here the payload is cut into ``n_frames``
-    evenly spaced fixed-width windows."""
+    """DETERMINISTIC FAKE frame sampler — the fallback for payloads no
+    real codec recognizes (see :func:`frame_sample_real`): the payload
+    is cut into ``n_frames`` evenly spaced fixed-width windows."""
     if payload is None:
         return None
     out = []
@@ -151,12 +280,17 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def resize_media(media: DataFrame, target: int = 64) -> DataFrame:
-    """Arrow-batched 'resize' over the media table (stubbed decode)."""
+    """Arrow-batched resize over the media table: real decode+resample
+    +re-encode for recognized images, byte-striding stub otherwise."""
     import pandas as pd
+
+    def resize_one(p):
+        r = resize_real(p, target)
+        return r if r is not None else resize_stub(p, target)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            resized = [resize_stub(p, target) for p in pdf["payload"]]
+            resized = [resize_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -178,7 +312,9 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_size: int = 16) -> 
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                fs = frame_sample_stub(p, n_frames, frame_size)
+                fs = frame_sample_real(p, n_frames)
+                if fs is None:
+                    fs = frame_sample_stub(p, n_frames, frame_size)
                 if fs is None:
                     continue
                 for i, fr in enumerate(fs):

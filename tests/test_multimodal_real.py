@@ -1,0 +1,186 @@
+"""Real-decode coverage for the multimodal operators: actual PNG/GIF/
+WAV payloads flow through extract_features / resize_media /
+sample_frames and produce codec-derived (non-stub) results, while
+unrecognized payloads still take the documented stub fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from data_integration_and_harmonization_spark.functions import media_codecs as MC
+from data_integration_and_harmonization_spark.operators import multimodal as MM
+
+
+def _png(h=12, w=9):
+    rng = np.random.default_rng(5)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _gif_frames(n=6, h=10, w=8):
+    frames = []
+    for i in range(n):
+        f = np.full((h, w, 3), (i * 40) % 256, dtype=np.uint8)
+        f[i % h, :, 0] = 255
+        frames.append(f)
+    return frames
+
+
+# ------------------------------------------------------------- codecs
+
+
+def test_png_roundtrip_all_channel_counts():
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (7, 5, ch), dtype=np.uint8)
+        assert (MC.decode_png(MC.encode_png(img)) == img).all()
+
+
+def test_png_all_filter_types_against_reference():
+    # hand-built IDAT with one scanline per filter type, checked
+    # against a straight-line spec implementation
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    w, h, ch = 6, 5, 3
+    raw = rng.integers(0, 256, (h, w * ch), dtype=np.uint8)
+    filts = [0, 1, 2, 3, 4]
+    exp = np.zeros((h, w * ch), dtype=int)
+    prev = np.zeros(w * ch, dtype=int)
+    for y in range(h):
+        rec = np.zeros(w * ch, dtype=int)
+        for i in range(w * ch):
+            a = rec[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            x = int(raw[y, i])
+            f = filts[y]
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x + a
+            elif f == 2:
+                v = x + b
+            elif f == 3:
+                v = x + (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v = x + (a if pa <= pb and pa <= pc else (b if pb <= pc else c))
+            rec[i] = v & 0xFF
+        exp[y] = rec
+        prev = rec
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    scan = b"".join(bytes([filts[y]]) + raw[y].tobytes() for y in range(h))
+    png = (
+        MC.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert (MC.decode_png(png).reshape(h, w * ch) == exp).all()
+
+
+def test_gif_multiframe_roundtrip():
+    frames = _gif_frames()
+    dec = MC.decode_gif(MC.encode_gif(frames))
+    assert len(dec) == len(frames)
+    for a, b in zip(dec, frames):
+        assert (a == b).all()
+
+
+def test_wav_roundtrip():
+    t = np.linspace(0, 1, 400)
+    sig = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 220 * t)], axis=1)
+    rate, dec = MC.decode_wav(MC.encode_wav(8000, sig))
+    assert rate == 8000 and dec.shape == (400, 2)
+    assert np.abs(dec - sig).max() < 1e-3
+
+
+def test_sniff_and_stub_fallback():
+    assert MC.sniff_format(b"not media at all") is None
+    assert MM.decode_real(b"not media at all") is None
+    # malformed PNG (magic only) must fall back, not raise
+    assert MM.decode_real(MC.PNG_MAGIC + b"garbage") is None
+
+
+# ------------------------------------------------- operators on Spark
+
+
+@pytest.fixture()
+def media_df(spark):
+    img = _png()
+    payloads = [
+        (0, MC.encode_png(img), "image/png"),
+        (1, MC.encode_gif(_gif_frames()), "image/gif"),
+        (2, MC.encode_wav(8000, np.sin(np.linspace(0, 20, 800))), "audio/wav"),
+        (3, b"opaque junk payload bytes", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary, media_type string")
+    return MM.to_media_table(df, "media_id", "payload", "mixed")
+
+
+def test_extract_features_real_vs_stub(spark, media_df):
+    feats = {r["media_id"]: r["feature"] for r in MM.extract_features(media_df).collect()}
+    # PNG: [h, w, c, mean, std, min, max, n_frames]
+    img = _png()
+    px = img.astype(np.float64) / 255.0
+    assert feats[0][:3] == [12.0, 9.0, 3.0]
+    assert feats[0][3] == pytest.approx(px.mean(), abs=1e-8)
+    assert feats[0][7] == 1.0
+    # GIF: 6 frames of 10x8
+    assert feats[1][:3] == [10.0, 8.0, 3.0] and feats[1][7] == 6.0
+    # WAV: 800 samples, 1 channel, 8 kHz, 0.1 s
+    assert feats[2][:3] == [800.0, 1.0, 8000.0]
+    assert feats[2][7] == pytest.approx(0.1)
+    # junk: exact stub output (all histogram mass in [0, 1))
+    assert feats[3] == MM.decode_stub(b"opaque junk payload bytes", "x")
+    assert all(0.0 <= v < 1.0 for v in feats[3])
+
+
+def test_resize_media_real_decode(spark, media_df):
+    out = {r["media_id"]: bytes(r["payload"]) for r in MM.resize_media(media_df, target=5).collect()}
+    dec = MC.decode_png(out[0])
+    assert dec.shape == (5, 5, 3)
+    # nearest-neighbor: pixel (y, x) comes from source (y*12//5, x*9//5)
+    img = _png()
+    exp = img[(np.arange(5) * 12) // 5][:, (np.arange(5) * 9) // 5]
+    assert (dec == exp).all()
+    # GIF resizes its first frame
+    assert MC.decode_png(out[1]).shape == (5, 5, 3)
+    # junk falls back to byte striding: exactly 5 bytes
+    assert out[3] == MM.resize_stub(b"opaque junk payload bytes", 5)
+
+
+def test_sample_frames_real_gif(spark, media_df):
+    rows = MM.sample_frames(media_df.where("media_id = 1"), n_frames=4).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+    frames = _gif_frames()
+    # evenly spaced picks: i*6//4 -> frames 0, 1, 3, 4
+    exp_idx = [0, 1, 3, 4]
+    for r in rows:
+        got = MC.decode_png(bytes(r["frame"]))
+        assert (got == frames[exp_idx[r["frame_idx"]]]).all()
+
+
+def test_mm_query_fixtures_still_stub_path(spark):
+    # the driver artifact's mm fixtures feed text payloads — they must
+    # keep taking the stub path (hash-matched against the stub oracle)
+    df = spark.createDataFrame([(1, "plain text body")], "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    media = MM.to_media_table(
+        df.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        "doc_id",
+        "payload",
+        "text/plain",
+    )
+    feat = MM.extract_features(media).collect()[0]["feature"]
+    assert feat == MM.decode_stub(b"plain text body", "text/plain")
