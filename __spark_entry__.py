@@ -439,10 +439,13 @@ def q_ml_tuned(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
-    """Streaming/batch agreement as a driver-visible query (rows-only):
-    the tumbling-window agg drained through Structured Streaming
-    (availableNow trigger, memory sink) full-outer joined against its
-    batch twin. One summary row; all_agree must be true."""
+    """Streaming/batch agreement as a driver-visible query: the
+    tumbling-window agg drained through Structured Streaming
+    (availableNow trigger, PARQUET sink — the production drain path:
+    ``foreachBatch`` writes the complete state distributed, nothing
+    funnels through the driver) full-outer joined against its batch
+    twin. One summary row; all_agree must be true. The memory-sink
+    drain stays covered by tests/test_streaming.py."""
     import uuid
 
     from data_integration_and_harmonization_spark.streaming import pipeline as SP
@@ -454,7 +457,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     batch = EV.tumbling_agg(SP.ensure_event_time(EV.load_events(spark, sf)))
     stream_ev = SP.ensure_event_time(SP.stream_events(spark, f"{sf}/events.parquet"))
     drained = SP.run_availablenow(
-        SP.tumbling_stream(stream_ev), f"twin_{uuid.uuid4().hex[:8]}"
+        SP.tumbling_stream(stream_ev), f"twin_{uuid.uuid4().hex[:8]}", sink="parquet"
     )
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")

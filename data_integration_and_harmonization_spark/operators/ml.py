@@ -35,13 +35,12 @@ from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.operators.clean import numeric_cols
 
-CLS_METRICS = {
-    "Accuracy": "accuracy",
-    "Precision": "weightedPrecision",  # ref:111 average='weighted'
-    "Recall": "weightedRecall",
-    "F1 Score": "f1",
-}
-REG_METRICS = {"MAE": "mae", "MSE": "mse", "R2 Score": "r2"}
+# Metric display names (ref:110-119): classification reports
+# accuracy + weighted precision/recall/F1 (ref:111 average='weighted');
+# regression reports MAE/MSE/R2. evaluate_model computes all of them
+# in one aggregation pass — the per-metric evaluator objects
+# (MulticlassClassificationEvaluator / RegressionEvaluator) define the
+# semantics and still drive CrossValidator model selection.
 
 
 def _model_zoo(is_classification: bool, seed: int) -> dict[str, Any]:

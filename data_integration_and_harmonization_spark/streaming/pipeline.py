@@ -97,18 +97,55 @@ def session_stream(events: DataFrame, gap: str = "10 minutes", watermark: str = 
     )
 
 
-def run_availablenow(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_availablenow(
+    stream_df: DataFrame,
+    query_name: str,
+    sink: str = "memory",
+    out_dir: str | None = None,
+) -> DataFrame:
     """Drain a bounded source through the streaming plan (single
-    availableNow trigger, complete mode, memory sink) and return the
-    result as a static DataFrame.
+    availableNow trigger, complete mode) and return the result as a
+    static DataFrame.
 
-    The memory sink's temp view (and the full result it pins in driver
-    memory) is dropped before returning — repeated drains in a
-    long-lived session would otherwise each leak a complete result
-    set. The copy-out is a driver collect of the AGGREGATED stream
-    result, which is bounded by (windows x keys), not input size.
+    ``sink='parquet'`` — the production path: each micro-batch's
+    complete state is written DISTRIBUTED to a parquet target via
+    ``foreachBatch`` (availableNow may split the backlog into several
+    batches; complete mode makes every write the full result, so the
+    last overwrite wins). Nothing funnels through the driver; the
+    return value is a lazy reader over the written files. Pass
+    ``out_dir`` to keep the output somewhere durable — otherwise a
+    temp dir that outlives the call (OS tmp reaper cleans it).
+
+    ``sink='memory'`` — the test/smoke path: memory sink + one driver
+    collect. The collect is bounded by the AGGREGATED stream result
+    (windows x keys), not input size — fine for twin checks and tests,
+    but at 100 TB of events with fine windows that product is itself
+    large: use the parquet sink there. The memory sink's temp view
+    (and the result it pins in driver memory) is dropped before
+    returning so repeated drains don't leak.
     """
     spark = stream_df.sparkSession
+    if sink == "parquet":
+        import os
+
+        base = out_dir or tempfile.mkdtemp(prefix=f"dih_stream_{query_name}_")
+        target = os.path.join(base, "result")
+
+        def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(target)
+
+        with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
+            q = (
+                stream_df.writeStream.foreachBatch(write_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.parquet(target)
+    if sink != "memory":
+        raise ValueError(f"unknown sink {sink!r} (memory | parquet)")
     with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
         q = (
             stream_df.writeStream.format("memory")
@@ -119,7 +156,7 @@ def run_availablenow(stream_df: DataFrame, query_name: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    sink = spark.table(query_name)
-    out = spark.createDataFrame(sink.collect(), sink.schema)
+    sink_df = spark.table(query_name)
+    out = spark.createDataFrame(sink_df.collect(), sink_df.schema)
     spark.catalog.dropTempView(query_name)
     return out

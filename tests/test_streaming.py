@@ -54,3 +54,21 @@ def test_session_stream_matches_batch(spark, sf_dir):
 
     keys = ["user_id", "session_start", "n_events"]
     assert _canon(got, keys) == _canon(expected, keys)
+
+
+def test_parquet_sink_drain_matches_memory(spark, sf_dir):
+    # the production drain path: foreachBatch -> distributed parquet
+    # write, no driver collect; must agree with the memory-sink drain
+    # and with the batch twin
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_ev = SP.ensure_event_time(EV.load_events(spark, sf_dir))
+    expected = EV.tumbling_agg(batch_ev)
+
+    stream_ev = SP.ensure_event_time(
+        SP.stream_events(spark, f"{sf_dir}/events.parquet")
+    )
+    got = SP.run_availablenow(
+        SP.tumbling_stream(stream_ev), "t_parquet_drain", sink="parquet"
+    )
+    keys = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _canon(got, keys) == _canon(expected, keys)

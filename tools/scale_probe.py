@@ -1,0 +1,148 @@
+"""Scale probe: reproduce the PLANS.md measured-scaling table.
+
+Generates a synthetic N-x replica of an sf directory (default 10x
+sf0.1 — keys shifted per replica so composite keys stay unique; doc
+text perturbed per replica so each document becomes a near-dup of its
+N-1 siblings, the adversarial shape for the dedup family), then times
+the six headline operators at sf0.01, sf0.1, and the replica, warm
+(one untimed pass per plan before the timed pass, matching bench.py's
+steady-state methodology).
+
+Usage:
+    python tools/scale_probe.py [--replicas 10] [--out DIR] [--keep]
+
+One command, one markdown table on stdout. The replica dir is built
+under a temp dir (or --out) and removed afterwards unless --keep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL = "/root/testdata/sf0.01"
+BASE = "/root/testdata/sf0.1"
+
+# query name -> the tables its plan scans (only these get replicated)
+OPERATORS = {
+    "clean_repair": "global-order interpolate+ffill",
+    "rel_pricing_summary": "decimal money aggs",
+    "dedup_lsh_pipeline": "MinHash propose + Jaccard verify",
+    "dedup_simhash": "banded Hamming near-dup",
+    "text_lm_quality": "corpus LM fit + per-doc score",
+    "dedup_embedding_cosine": "bucketed cosine pairs",
+}
+TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "embeddings")
+
+
+def build_replica(spark, src: str, out: str, n: int) -> None:
+    """N-x replica with per-replica key shifts (and text perturbation
+    for documents). Fact keys are shifted by rep * (max_key + 1) so
+    every composite key stays globally unique; dimension tables are
+    copied once (joins against them stay valid)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+
+    def rep_union(df, shift_col: str, perturb=None):
+        mx = df.agg(F.max(shift_col)).first()[0] + 1
+        parts = []
+        for r in range(n):
+            p = df.withColumn(shift_col, F.col(shift_col) + F.lit(r * mx))
+            if perturb is not None:
+                p = perturb(p, r)
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    rep_union(li, "l_orderkey").write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    rep_union(orders, "o_orderkey").write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    rep_union(
+        docs,
+        "doc_id",
+        # near-dup perturbation: replica r of a doc appends a tiny
+        # distinct suffix — same shingle mass, different fingerprint
+        perturb=lambda d, r: d.withColumn(
+            "text", F.concat(F.col("text"), F.lit(f" replica marker {r}"))
+        )
+        if r
+        else d,
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    rep_union(emb, "vec_id").write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    for dim in ("customer", "nation", "region", "supplier", "part", "events"):
+        p = f"{src}/{dim}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).write.mode("overwrite").parquet(f"{out}/{dim}.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--small", default=SMALL)
+    ap.add_argument("--base", default=BASE)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from data_integration_and_harmonization_spark import get_spark
+
+    spark = get_spark("scale_probe")
+    qs = entrymod.queries()
+    missing = set(OPERATORS) - set(qs)
+    if missing:
+        print(f"unknown operators: {sorted(missing)}", file=sys.stderr)
+        return 2
+
+    out = args.out or tempfile.mkdtemp(prefix="dih_scale_probe_")
+    t0 = time.time()
+    print(f"# building {args.replicas}x replica of {args.base} -> {out}", file=sys.stderr)
+    build_replica(spark, args.base, out, args.replicas)
+    print(f"# replica built in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    dirs = [("sf0.01", args.small), ("sf0.1", args.base), (f"{args.replicas}x", out)]
+    results: dict[str, dict[str, float]] = {}
+    try:
+        for name in OPERATORS:
+            results[name] = {}
+            for label, d in dirs:
+                qs[name](spark, d).count()  # warm: codegen + AQE shape
+                t0 = time.time()
+                n_rows = qs[name](spark, d).count()
+                dt = time.time() - t0
+                results[name][label] = dt
+                print(f"# {name} @ {label}: {dt:.2f}s ({n_rows} rows)", file=sys.stderr)
+    finally:
+        if not args.keep and args.out is None:
+            shutil.rmtree(out, ignore_errors=True)
+
+    print(f"| operator | sf0.01 | sf0.1 | {args.replicas}x sf0.1 | growth over 100x data |")
+    print("|---|---|---|---|---|")
+    for name, desc in OPERATORS.items():
+        r = results[name]
+        small, base, big = r["sf0.01"], r["sf0.1"], r[f"{args.replicas}x"]
+        growth = big / small if small > 0 else float("inf")
+        print(
+            f"| {name} ({desc}) | {small:.1f} s | {base:.1f} s | {big:.1f} s "
+            f"| {growth:.1f}x |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
