@@ -191,28 +191,45 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           order-SENSITIVE checksum — sum((pos+1) * l_quantity) per
           group changes under any row permutation, and the products
           stay integral so the double sum is exact at any partition
-          order;
+          order. Ranked over the 10% hash-sample subset (composing the
+          two operators): the subset's shuffle order is the full
+          order restricted, so the order contract is pinned at a
+          tenth of the rank-pass cost;
         - 'mix_<source>': mix_sources weighted union (even orderkeys
           kept at 30%, odd kept whole), per-source accounting via the
           source tag.
         """
-        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        from data_integration_and_harmonization_spark.functions.caching import track
+
         # the synthetic lineitem duplicates (l_orderkey, l_linenumber);
         # sampling keys must be a UNIQUE composite or cutoff-boundary
         # ties pick nondeterministically across sessions. All-integer
         # columns only: a double in the key would hash its STRING form,
         # and Spark/DuckDB double-to-string formats differ.
         keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+        # Four legs = four consumers of the same projection. Read once,
+        # spread across the session parallelism, persist: the md5 work
+        # is the per-row cost and the test parquet is a single row
+        # group (scan parallelism 1), so each leg re-scanning would
+        # serialize four times over one core. Tracked persist — the
+        # driver wrapper releases it at the next query boundary.
+        slim = track(
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .select(*keys, "l_returnflag", "l_quantity")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist()
+        )
         agg = [
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
         ]
-        h = hash_sample(li, keys, rate=0.1).groupBy("l_returnflag").agg(*agg)
-        s = stratified_sample(li, "l_returnflag", keys, rate=0.05).groupBy(
+        h = hash_sample(slim, keys, rate=0.1).groupBy("l_returnflag").agg(*agg)
+        s = stratified_sample(slim, "l_returnflag", keys, rate=0.05).groupBy(
             "l_returnflag"
         ).agg(*agg)
-        slim = li.select(*keys, "l_returnflag", "l_quantity")
-        sh = deterministic_shuffle(slim, keys, rank_col="__pos").groupBy(
+        sh = deterministic_shuffle(
+            hash_sample(slim, keys, rate=0.1), keys, rank_col="__pos"
+        ).groupBy(
             "l_returnflag"
         ).agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -284,7 +301,7 @@ SELECT 'shuffle' AS kind, l_returnflag, count(*)::BIGINT AS n_rows,
 FROM (
   SELECT l_returnflag, l_quantity,
          row_number() OVER (ORDER BY {shuf}) AS pos
-  FROM lineitem
+  FROM lineitem WHERE {hu} < 100000
 )
 GROUP BY 2
 UNION ALL

@@ -122,9 +122,10 @@ def test_scoring_joins_never_hint_broadcast_corpus(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # hints present: dfreq + stats (bm25), vocab (bigram). Counting
-    # them pins that no NEW hint lands on a corpus-sized frame.
-    assert _analyzed(bm25_scores(docs, QUERY_TERMS)).count("ResolvedHint") == 2
+    # hints present: stats (bm25) and vocab (bigram) — document
+    # frequency / context counts attach via windows now, not joins.
+    # Counting pins that no NEW hint lands on a corpus-sized frame.
+    assert _analyzed(bm25_scores(docs, QUERY_TERMS)).count("ResolvedHint") == 1
     assert _analyzed(bigram_lm_scores(docs)).count("ResolvedHint") == 1
 
 
