@@ -340,13 +340,43 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text/plain",
         )
 
+    def _synthetic_media(spark):
+        """Two REAL media payloads with analytically-known pixel
+        stats, built with the engine's own encoders:
+
+        - media_id -1: 16x16 RGB PNG with px[y,x,c] = (x*16+y+c) % 256
+          — every stat (mean/std/min/max) is a closed-form expression
+          over that formula, so the oracle derives the expected
+          feature values from the SPEC, independent of the decoder.
+        - media_id -2: 3-frame 8x8 GIF of constant colors 30/60/90 —
+          first-frame stats are trivial, n_frames pins the animation
+          walk.
+
+        Payload BYTES vary with zlib/palette details, so only decoded
+        values (not n_bytes/digest) are oracle-compared for these.
+        """
+        import numpy as np
+
+        y, x, c = np.ogrid[0:16, 0:16, 0:3]
+        png = MC.encode_png(((x * 16 + y + c) % 256).astype(np.uint8))
+        gif = MC.encode_gif(
+            [np.full((8, 8, 3), v, dtype=np.uint8) for v in (30, 60, 90)]
+        )
+        return spark.createDataFrame(
+            [(-1, bytearray(png), "image/png"), (-2, bytearray(gif), "image/gif")],
+            "media_id long, payload binary, media_type string",
+        ).withColumn("n_bytes", F.length("payload").cast("long"))
+
     def q_meta_features(spark, sf):
         # metadata projection + pandas-UDF feature extraction in one
-        # tagged result (merged r2 under the 50-query cap; both halves
+        # tagged result (merged r2 under the 50-query cap; all halves
         # stay individually hash-checked). Feature half is long-format
         # (media_id, bucket, freq): every histogram bucket the decode
         # produced is checked against a DuckDB twin replaying the
-        # stub's (byte+pos)%dim binning.
+        # stub's (byte+pos)%dim binning. The 'real' half runs the
+        # ACTUAL codecs over synthetic media whose pixel stats are
+        # analytic — the oracle recomputes them from the pixel formula
+        # (spec-derived, not a tautology over the decoder).
         media = _media(spark, sf)
         meta = media.select(
             F.lit("meta").alias("kind"),
@@ -374,7 +404,20 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round("freq", 6).alias("freq"),
             )
         )
-        return meta.unionByName(feats)
+        real = (
+            extract_features(_synthetic_media(spark))
+            .select("media_id", F.posexplode("feature").alias("bucket", "freq"))
+            .select(
+                F.lit("real").alias("kind"),
+                "media_id",
+                F.lit(None).cast("string").alias("media_type"),
+                F.lit(None).cast("long").alias("n_bytes"),
+                "bucket",
+                F.lit(None).cast("string").alias("digest"),
+                F.round("freq", 6).alias("freq"),
+            )
+        )
+        return meta.unionByName(feats).unionByName(real)
 
     def q_frames(spark, sf):
         # rows-only: per-frame byte stats through the full
@@ -409,6 +452,9 @@ WITH m AS (
   FROM m, unnest(range(1, CAST(n_bytes AS INT) + 1)) AS t(i)
 ), counts AS (
   SELECT media_id, bucket, count(*)::BIGINT AS c FROM byte_rows GROUP BY 1, 2
+), png_px AS (
+  SELECT ((x.i * 16 + y.i + c.i) % 256) / 255.0 AS v
+  FROM range(16) AS y(i), range(16) AS x(i), range(3) AS c(i)
 )
 SELECT 'meta' AS kind, media_id, 'text/plain' AS media_type, n_bytes,
        CAST(NULL AS INT) AS bucket, digest, CAST(NULL AS DOUBLE) AS freq
@@ -419,6 +465,29 @@ SELECT 'feature' AS kind, m.media_id, CAST(NULL AS VARCHAR) AS media_type, m.n_b
        round(round(coalesce(c.c, 0) / greatest(m.n_bytes, 1)::DOUBLE, 9), 6) AS freq
 FROM m CROSS JOIN (SELECT unnest(range(8)) AS bucket) b
 LEFT JOIN counts c ON c.media_id = m.media_id AND c.bucket = b.bucket
+UNION ALL
+-- 'real' rows: the engine decodes two synthetic payloads built from
+-- known pixel formulas; the expected feature vector [h, w, c, mean,
+-- std(pop), min, max, n_frames] is recomputed here from the FORMULA
+-- (px[y,x,c] = ((x*16+y+c)%256)/255 for the PNG; constant 30/255
+-- first frame for the 3-frame GIF), so the oracle is spec-derived.
+SELECT 'real' AS kind, -1::BIGINT AS media_id, CAST(NULL AS VARCHAR) AS media_type,
+       CAST(NULL AS BIGINT) AS n_bytes, u.pos::INT AS bucket,
+       CAST(NULL AS VARCHAR) AS digest, round(round(u.val, 9), 6) AS freq
+FROM (
+  SELECT unnest(range(8)) AS pos,
+         unnest([16.0, 16.0, 3.0,
+                 (SELECT avg(v) FROM png_px),
+                 (SELECT sqrt(avg(v * v) - avg(v) * avg(v)) FROM png_px),
+                 0.0, 1.0, 1.0]) AS val
+) u
+UNION ALL
+SELECT 'real', -2::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(8)) AS pos,
+         unnest([8.0, 8.0, 3.0, 30 / 255.0, 0.0, 30 / 255.0, 30 / 255.0, 3.0]) AS val
+) u
 """,
         # resize_stub picks exactly least(len, 64) bytes; frame i's
         # window starts at least(i*stride, len-16) with stride =
