@@ -112,3 +112,47 @@ def test_mix_sources_weights_and_tags(spark, sf_dir):
     # deterministic: same mix twice is identical
     again = {r["__mix_source"]: r["n"] for r in mix_sources({"cust": cust, "supp": supp}, {"cust": 0.2}, key_cols=["id"]).groupBy("__mix_source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == by_src
+
+
+def test_hash_sample_netstring_keys_decorrelate_ambiguous_tuples(spark):
+    # ('x', 'y|z') and ('x|y', 'z') concat_ws-collide; the netstring
+    # encoding must keep their keep/drop decisions independent. Also:
+    # a null field must hash differently from the empty string.
+    from data_integration_and_harmonization_spark.operators.sampling import (
+        _hash_unit,
+        _injective_key,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "y|z"), ("x|y", "z"), (None, "a"), ("", "a")], "a string, b string"
+    )
+    hashes = [
+        r["h"]
+        for r in df.select(
+            _hash_unit(_injective_key(["a", "b"]), seed=42).alias("h")
+        ).collect()
+    ]
+    assert len(set(hashes)) == 4, hashes
+
+
+def test_deterministic_shuffle_rank_matches_hash_order(spark):
+    # rank_col positions must equal the rank of md5(netstring:seed) —
+    # computed independently here via a driver-side sort
+    import hashlib
+
+    from data_integration_and_harmonization_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    rows = [(i, f"v{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    got = {
+        r["k"]: r["pos"]
+        for r in deterministic_shuffle(df, ["k"], seed=9, rank_col="pos").collect()
+    }
+    def h(k):
+        ns = f"{len(str(k))}:{k}"
+        return hashlib.md5(f"{ns}:9".encode()).hexdigest()
+
+    expected = {k: i for i, (k, _) in enumerate(sorted(rows, key=lambda r: h(r[0])))}
+    assert got == expected
