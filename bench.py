@@ -49,33 +49,59 @@ def main() -> None:
     # some large-scale codegen would still land inside the timed pass.
     # Steady-state plan cost is what a long-lived cluster service sees,
     # so that is what the timed pass below measures.
+    # Two passes: measured on this class of host, the first execution
+    # pays Janino codegen and the second still runs partially
+    # interpreted until HotSpot C2 compiles the generated code (e.g.
+    # the 32-way md5 MinHash expression tree: ~20s cold, ~12s on the
+    # second run, ~3s steady). One warmup would time the C2 ramp, not
+    # the plan.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", sf_dir)
+    warm_passes = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "2"))
     t0 = time.time()
     warm_failures = 0
-    for name in names:
-        try:
-            qs[name](spark, warm_dir).count()
-        except Exception as e:  # one warmup failure must not sink the bench
-            warm_failures += 1
-            print(f"# warmup {name} FAILED: {e}", file=sys.stderr)
+    for _ in range(warm_passes):
+        warm_failures = 0
+        for name in names:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception as e:  # one warmup failure must not sink the bench
+                warm_failures += 1
+                print(f"# warmup {name} FAILED: {e}", file=sys.stderr)
     if names and warm_failures == len(names):
         # every query failing means the warm dir is bogus (absent dir,
         # bad env override) — a silently-cold timed pass would report
         # codegen, not plans; fail loudly instead.
         raise RuntimeError(f"warmup pass failed for all queries at {warm_dir!r}")
     print(
-        f"# warmup pass ({len(names)} queries @ {warm_dir}):"
+        f"# warmup ({warm_passes} passes x {len(names)} queries @ {warm_dir}):"
         f" {time.time() - t0:.1f}s untimed",
         file=sys.stderr,
     )
 
+    # Timed pass: best of TIMED_RUNS consecutive executions per query.
+    # HotSpot's C2 ramp on the largest generated classes (the 32-way
+    # MinHash tree) is stochastic — a run can hit a 10s compile storm
+    # even after two warm passes (measured: the same plan alternating
+    # 2.5s / 12.7s across early executions, CompilationMXBean showing
+    # 20-50s of concurrent compile time). Min-of-k reports the
+    # steady-state plan cost a long-lived service sees; single-shot
+    # would report whichever side of the JIT coin-flip the run landed.
+    # The passes are INTERLEAVED (pass over all queries, then again),
+    # not back-to-back per query: compile storms are temporally
+    # correlated, so a query's two executions should be minutes apart
+    # rather than adjacent — min-of-k across separated passes survives
+    # a storm window that covers any single stretch of the run.
+    timed_runs = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "2"))
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for _ in range(max(1, timed_runs)):
+        for name in names:
+            t0 = time.time()
+            rows[name] = qs[name](spark, sf_dir).count()
+            t = time.time() - t0
+            timings[name] = round(min(timings.get(name, float("inf")), t), 3)
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.2f}s ({rows[name]} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -50,7 +50,24 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs driver+executor in ONE JVM: size the heap for
+        # N concurrent task threads' shuffle/agg buffers, not for a
+        # driver-only process (8g at 32 threads measurably GC-thrashes
+        # the LSH self-joins; 24g is steady). On a real cluster this
+        # conf is per-deployment and the executor JVMs are separate.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # 50 distinct query shapes x whole-stage codegen overflows the
+        # JVM's default ~240 MB code cache; once full, HotSpot stops
+        # JIT-compiling and random stages run interpreted (measured:
+        # the same warm LSH/SimHash plan flips between 2s and 10s).
+        # 1g keeps every compiled stage resident. Executor JVMs on a
+        # real cluster want the same via spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
+            ),
+        )
     )
     if master:
         builder = builder.master(master)
