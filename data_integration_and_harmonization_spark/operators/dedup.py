@@ -646,12 +646,35 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cand.unionByName(ver)
 
     def q_clusters(spark, sf):
+        """Two tagged cluster families through one hash-matched result:
+
+        - kind='doc': LSH-propose -> Jaccard-verify -> connected
+          components over documents (md5 family => the component
+          assignment is checked node-for-node by a recursive-CTE
+          oracle);
+        - kind='er': entity resolution over customer records —
+          blocked (nation, mktsegment) Levenshtein<=1 name linkage
+          resolved by the same connected-components operator, the
+          classic record-linkage pipeline (operators/linkage.py).
+        """
+        from data_integration_and_harmonization_spark.operators.linkage import (
+            resolve_entities,
+        )
+
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        # the full pipeline: LSH-propose -> Jaccard-verify ->
-        # connected components; md5 family => the component assignment
-        # is hash-checked node-for-node by a recursive-CTE oracle.
         pairs = lsh_verified_pairs(docs, threshold=0.5, hash_family="md5")
-        return duplicate_clusters(pairs)
+        doc_cl = duplicate_clusters(pairs).select(
+            F.lit("doc").alias("kind"), "id", "cluster_id"
+        )
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        er_cl = resolve_entities(
+            cust,
+            id_col="c_custkey",
+            name_col="c_name",
+            block_cols=["c_nationkey", "c_mktsegment"],
+            max_edit=1,
+        ).select(F.lit("er").alias("kind"), "id", "cluster_id")
+        return doc_cl.unionByName(er_cl)
 
     def q_simhash(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -815,8 +838,24 @@ WHERE jaccard >= 0.5
   SELECT src, src FROM edges
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+), cust AS (
+  SELECT c_custkey AS id, c_name AS nm, c_nationkey AS nk, c_mktsegment AS seg
+  FROM customer
+), er_links AS (
+  SELECT l.id AS src, r.id AS dst
+  FROM cust l JOIN cust r
+    ON l.nk = r.nk AND l.seg = r.seg AND l.id < r.id
+   AND levenshtein(l.nm, r.nm) <= 1
+), er_edges AS (
+  SELECT src, dst FROM er_links UNION SELECT dst, src FROM er_links
+), er_reach(id, lbl) AS (
+  SELECT src, src FROM er_edges
+  UNION
+  SELECT e.dst, r.lbl FROM er_reach r JOIN er_edges e ON e.src = r.id
 )
-SELECT id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY id
+SELECT 'doc' AS kind, id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY id
+UNION ALL
+SELECT 'er' AS kind, id, min(lbl)::BIGINT AS cluster_id FROM er_reach GROUP BY id
 """,
         "dedup_ngram_jaccard": f"""
 WITH s AS (

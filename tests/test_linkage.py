@@ -1,0 +1,123 @@
+"""Entity-resolution pins: blocking confinement, edit-threshold
+semantics, transitive closure to a deterministic min-id entity, the
+singleton-completion contract of assign_entity_ids, and the plan shape
+(blocked equi-join, never a cartesian product)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_integration_and_harmonization_spark.operators.linkage import (
+    assign_entity_ids,
+    candidate_links,
+    merge_entities,
+    resolve_entities,
+)
+
+ROWS = [
+    # (id, name, country)
+    (1, "acme corp", "US"),
+    (2, "acme corpx", "US"),   # edit 1 from #1
+    (3, "acme corpxy", "US"),  # edit 1 from #2, edit 2 from #1
+    (4, "acme corp", "EU"),    # identical name, different block
+    (5, "zenith ltd", "US"),   # singleton
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "id long, name string, country string")
+
+
+def test_blocking_confines_pairs(spark):
+    links = candidate_links(_df(spark), "id", "name", ["country"], max_edit=2)
+    pairs = {(r.id_a, r.id_b) for r in links.collect()}
+    # 1-4 are identical names but in different blocks: never compared
+    assert (1, 4) not in pairs
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) in pairs
+
+
+def test_edit_threshold_and_distance_values(spark):
+    links = candidate_links(_df(spark), "id", "name", ["country"], max_edit=1)
+    got = {(r.id_a, r.id_b): r.edit_distance for r in links.collect()}
+    # the distance-2 pair is excluded; surviving distances are exact
+    assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_transitive_closure_min_id_label(spark):
+    # 1-2 and 2-3 link at edit<=1; 1-3 joins the entity transitively
+    ents = resolve_entities(_df(spark), "id", "name", ["country"], max_edit=1)
+    got = {r.id: r.cluster_id for r in ents.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_assign_entity_ids_completes_singletons(spark):
+    out = assign_entity_ids(_df(spark), "id", "name", ["country"], max_edit=1)
+    got = {r.id: r.entity_id for r in out.collect()}
+    # matched records share the component min; everyone else keeps
+    # their own id — every input record is present exactly once
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    assert out.count() == len(ROWS)
+
+
+def test_canonicalize_links_punctuation_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "Acme Corp.", "US"), (2, "acme corp", "US")],
+        "id long, name string, country string",
+    )
+    assert candidate_links(df, "id", "name", ["country"], max_edit=0).count() == 0
+    got = candidate_links(
+        df, "id", "name", ["country"], max_edit=0, canonicalize=True
+    ).collect()
+    assert [(r.id_a, r.id_b, r.edit_distance) for r in got] == [(1, 2, 0)]
+
+
+def test_empty_block_cols_rejected(spark):
+    with pytest.raises(ValueError, match="block_cols"):
+        candidate_links(_df(spark), "id", "name", [], max_edit=1)
+
+
+def test_null_block_key_matches_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "acme", None), (2, "acme", None), (3, "acme", "US")],
+        "id long, name string, country string",
+    )
+    assert candidate_links(df, "id", "name", ["country"], max_edit=2).count() == 0
+
+
+def test_merge_entities_survivorship(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "acme corp", 10.0, None),
+            (2, 1, "acme corpx", 5.0, "x@y.z"),
+            (3, 1, None, 7.0, "a@b.c"),
+            (4, 4, "zenith", 2.0, None),
+        ],
+        "id long, entity_id long, name string, bal double, email string",
+    )
+    out = merge_entities(
+        df, "id", "entity_id", rules={"bal": "max"}
+    ).orderBy("entity_id")
+    rows = out.collect()
+    assert [r.entity_id for r in rows] == [1, 4]
+    g = rows[0]
+    # default first_non_null = lowest-id record holding a value
+    assert g.n_records == 3 and g.name == "acme corp" and g.email == "x@y.z"
+    assert g.bal == 10.0  # explicit max rule
+    s = rows[1]
+    assert s.n_records == 1 and s.name == "zenith" and s.email is None
+
+
+def test_merge_entities_rejects_bad_rules(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], "id long, entity_id long, x double")
+    with pytest.raises(ValueError, match="unknown survivorship"):
+        merge_entities(df, "id", rules={"x": "mode"})
+    with pytest.raises(ValueError, match="absent columns"):
+        merge_entities(df, "id", rules={"nope": "max"})
+
+
+def test_plan_is_blocked_equi_join_not_cartesian(spark):
+    links = candidate_links(_df(spark), "id", "name", ["country"], max_edit=1)
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
