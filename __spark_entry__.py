@@ -281,30 +281,37 @@ def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.feature import VectorAssembler
 
-    small = labeled.where(F.col("l_quantity") <= 10).withColumn(
-        "label", F.col("target").cast("double")
+    # persisted: the fit plus both agreement-check transforms read it
+    # (3 executions of the filter chain otherwise)
+    small = (
+        labeled.where(F.col("l_quantity") <= 10)
+        .withColumn("label", F.col("target").cast("double"))
+        .persist()
     )
-    pipe = Pipeline(
-        stages=[
-            VectorAssembler(
-                inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
-            ),
-            DecisionTreeClassifier(seed=42),
-        ]
-    ).fit(small)
-    path = os.path.join(tempfile.mkdtemp(prefix="dih_model_"), "dt")
-    ML.save_model(pipe, path)
-    loaded = ML.load_model(path)
-    disagree = (
-        pipe.transform(small)
-        .select("l_quantity", "l_discount", "l_tax", "prediction")
-        .exceptAll(
-            loaded.transform(small).select(
-                "l_quantity", "l_discount", "l_tax", "prediction"
+    try:
+        pipe = Pipeline(
+            stages=[
+                VectorAssembler(
+                    inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
+                ),
+                DecisionTreeClassifier(seed=42),
+            ]
+        ).fit(small)
+        path = os.path.join(tempfile.mkdtemp(prefix="dih_model_"), "dt")
+        ML.save_model(pipe, path)
+        loaded = ML.load_model(path)
+        disagree = (
+            pipe.transform(small)
+            .select("l_quantity", "l_discount", "l_tax", "prediction")
+            .exceptAll(
+                loaded.transform(small).select(
+                    "l_quantity", "l_discount", "l_tax", "prediction"
+                )
             )
+            .count()
         )
-        .count()
-    )
+    finally:
+        small.unpersist(False)
     res["Persistence"] = {"SaveLoadPredictAgree": 1.0 if disagree == 0 else 0.0}
 
     # P8: the missing-target guard must trip (ref:56-57)

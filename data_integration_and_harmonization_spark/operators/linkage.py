@@ -40,11 +40,28 @@ from pyspark.sql import functions as F
 from data_integration_and_harmonization_spark.operators.dedup import duplicate_clusters
 
 __all__ = [
+    "phonetic_key",
     "candidate_links",
     "resolve_entities",
     "assign_entity_ids",
     "merge_entities",
 ]
+
+
+def phonetic_key(name_col: str | Column) -> Column:
+    """Soundex blocking key: records whose names SOUND alike land in
+    one block even when spelled differently ("Jon Smith" / "John
+    Smyth"), the standard recall-booster edit-distance blocking
+    misses. Derive it as a column and pass it as a block key:
+
+        df = df.withColumn("ph", phonetic_key("name"))
+        candidate_links(df, "id", "name", ["country", "ph"], ...)
+
+    Pure JVM (``F.soundex``), null-safe (null name -> null key, which
+    equi-join semantics then exclude from every block).
+    """
+    col = F.col(name_col) if isinstance(name_col, str) else name_col
+    return F.soundex(F.upper(F.trim(col)))
 
 
 def _name_expr(name_col: str, canonicalize: bool) -> Column:

@@ -12,6 +12,7 @@ from data_integration_and_harmonization_spark.operators.linkage import (
     assign_entity_ids,
     candidate_links,
     merge_entities,
+    phonetic_key,
     resolve_entities,
 )
 
@@ -83,6 +84,22 @@ def test_null_block_key_matches_nothing(spark):
         "id long, name string, country string",
     )
     assert candidate_links(df, "id", "name", ["country"], max_edit=2).count() == 0
+
+
+def test_phonetic_blocking_recalls_sound_alikes(spark):
+    df = spark.createDataFrame(
+        [(1, "John Smyth", "US"), (2, "Jon Smith", "US"), (3, None, "US")],
+        "id long, name string, country string",
+    )
+    blocked = df.withColumn("ph", phonetic_key("name"))
+    # a strict typo threshold misses Jon Smith/John Smyth at edit 2;
+    # the phonetic key confines the looser threshold to a sound-alike
+    # block instead of loosening it corpus-wide
+    assert candidate_links(df, "id", "name", ["country"], max_edit=1).count() == 0
+    got = candidate_links(blocked, "id", "name", ["country", "ph"], max_edit=2).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+    # null name -> null phonetic key -> no pairs, not a giant block
+    assert blocked.where(F.col("id") == 3).first().ph is None
 
 
 def test_merge_entities_survivorship(spark):
