@@ -117,3 +117,73 @@ def test_quantize_bounds_and_sign(spark, vec):
         assert max(abs(x) for x in q) == 127
         for code, x in zip(q, [float(v) for v in row["embedding"]]):
             assert abs(code / s - x) <= 0.5 / s + 1e-9
+
+
+name_strat = st.text(
+    alphabet="abcdef ", min_size=1, max_size=8
+).map(str.strip).filter(bool)
+
+
+@given(
+    st.lists(
+        st.tuples(name_strat, st.sampled_from(["x", "y"])),
+        min_size=2,
+        max_size=10,
+    )
+)
+@SET
+def test_entity_ids_total_and_stable(spark, rows):
+    """assign_entity_ids is total (every record labeled exactly once),
+    labels are component minima (entity_id <= id for every member),
+    and co-members always share a block — blocking is never crossed."""
+    from data_integration_and_harmonization_spark.operators.linkage import (
+        assign_entity_ids,
+    )
+
+    data = [(i, nm, blk) for i, (nm, blk) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, name string, blk string")
+    out = assign_entity_ids(df, "id", "name", ["blk"], max_edit=2).collect()
+    assert len(out) == len(data)
+    by_id = {r.id: r.entity_id for r in out}
+    assert set(by_id) == {i for i, _, _ in data}
+    blk_of = {i: b for i, _, b in data}
+    groups: dict = {}
+    for rid, ent in by_id.items():
+        assert ent <= rid  # label is the component minimum
+        groups.setdefault(ent, []).append(rid)
+    for ent, members in groups.items():
+        assert len({blk_of[m] for m in members}) == 1
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-8, 8, allow_nan=False, width=32), min_size=4, max_size=4),
+        min_size=3,
+        max_size=10,
+    )
+)
+@SET
+def test_pq_roundtrip_properties(spark, vecs):
+    """Codes index real centroids, and each vector's chosen centroid
+    is no farther than any other centroid in that subspace (argmin
+    property replayed in plain Python)."""
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    books = train_pq_codebooks(df, m=2, k=4, sample=len(vecs), iters=3)
+    got = {r.id: list(r.code) for r in pq_encode(df, books).collect()}
+    assert set(got) == set(range(len(vecs)))
+    for i, v in enumerate(vecs):
+        v = [float(x) for x in v]
+        for s, code in enumerate(got[i]):
+            assert 0 <= code < len(books[s])
+            sub = v[s * 2 : (s + 1) * 2]
+            dists = [
+                sum((a - b) ** 2 for a, b in zip(sub, c)) for c in books[s]
+            ]
+            assert dists[code] <= min(dists) + 1e-6
