@@ -412,14 +412,20 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
 
 
 def try_pil_decode(payload: bytes) -> np.ndarray | None:
-    """Decode an image payload with PIL when it's importable (the
-    production-preferred path); None when PIL is absent or fails."""
+    """Decode an image payload with PIL when it's importable — the
+    RESCUE path for variants the spec codec doesn't cover (interlaced
+    PNG, 16-bit depth, exotic modes); None when PIL is absent or
+    fails. Native band counts (L/LA/RGB/RGBA) are preserved so the
+    features match what :func:`decode_png` would produce for the same
+    pixel layout; other modes normalize to RGB."""
     try:
         from PIL import Image
     except ImportError:
         return None
     try:
         with Image.open(io.BytesIO(payload)) as im:
-            return np.asarray(im.convert("RGB"))
+            if im.mode not in ("L", "LA", "RGB", "RGBA"):
+                im = im.convert("RGB")
+            return np.asarray(im)
     except Exception:
         return None

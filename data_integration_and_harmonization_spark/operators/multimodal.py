@@ -88,9 +88,18 @@ def decode_real(payload: bytes, dim: int = 8) -> list[float] | None:
     try:
         if fmt in ("png", "gif"):
             if fmt == "png":
-                img = MC.try_pil_decode(payload)
-                if img is None:
+                # OWN spec codec is canonical — it produces the same
+                # bands everywhere; PIL only rescues payloads the own
+                # codec can't parse (interlaced, 16-bit, exotic), so a
+                # cluster with PIL on some executors and not others
+                # still computes identical features for every payload
+                # the canonical codec handles.
+                try:
                     img = MC.decode_png(payload)
+                except Exception:  # noqa: BLE001 — unsupported variant
+                    img = MC.try_pil_decode(payload)
+                    if img is None:
+                        return None
                 n_frames = 1.0
             else:
                 frames = MC.decode_gif(payload)

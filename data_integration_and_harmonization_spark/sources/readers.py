@@ -93,11 +93,22 @@ def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
         # empty workbook: zero rows AND no schema — surface the same
         # shape the empty-input guard (S6) expects
         return spark.createDataFrame([], "ignored string").limit(0).drop("ignored")
-    import pandas as pd
+    try:
+        import pandas as pd
 
-    # route through pandas so column dtype inference matches the
-    # pd.read_excel path (ints stay ints, mixed -> object)
-    return spark.createDataFrame(pd.DataFrame(rows, columns=header))
+        # route through pandas so column dtype inference matches the
+        # pd.read_excel path (ints stay ints, mixed -> object)
+        return spark.createDataFrame(pd.DataFrame(rows, columns=header))
+    except ImportError:
+        # no pandas AT ALL (the first try's ImportError catches both
+        # missing openpyxl and missing pandas): the stdlib codec has
+        # the rows already — feed them to Spark directly. Dtype
+        # inference is Spark's row-sampling instead of pandas'
+        # column-wise pass; for the uniform-typed columns xlsx dims
+        # carry, the two agree.
+        return spark.createDataFrame(
+            [tuple(r) for r in rows], list(header)
+        )
 
 
 def read_sources(

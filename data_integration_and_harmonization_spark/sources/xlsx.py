@@ -86,6 +86,10 @@ def write_xlsx(path: str, columns: Sequence[str], rows: Sequence[Sequence]) -> N
         for cn, v in enumerate(row):
             if v is None:
                 continue
+            if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+                # xsd:double has no nan/inf spelling Excel accepts;
+                # blank cell = missing, the same contract as None
+                continue
             ref = f"{_col_letter(cn)}{rn}"
             if rn > 1 and isinstance(v, bool):
                 body.append(f'<c r="{ref}" t="b"><v>{int(v)}</v></c>')
@@ -115,8 +119,12 @@ def write_xlsx(path: str, columns: Sequence[str], rows: Sequence[Sequence]) -> N
 def _cell_value(c: ET.Element, shared: list[str]):
     t = c.get("t", "n")
     if t == "inlineStr":
-        ts = c.findall(f"{_NS}is/{_NS}t")
-        return "".join(el.text or "" for el in ts) if ts else ""
+        node = c.find(f"{_NS}is")
+        if node is None:
+            return ""
+        # iter(): plain <is><t> AND rich-text runs <is><r><t> — the
+        # same flattening the sharedStrings path applies
+        return "".join(el.text or "" for el in node.iter(f"{_NS}t"))
     v = c.find(f"{_NS}v")
     if v is None or v.text is None:
         return None

@@ -143,6 +143,12 @@ def run_availablenow(
                 .start()
             )
             q.awaitTermination()
+        if not os.path.isdir(target):
+            # zero micro-batches (empty backlog): foreachBatch never
+            # ran, so nothing was written — return the typed empty
+            # result the memory sink produces for the same input
+            # instead of failing schema inference on a missing path
+            return spark.createDataFrame([], stream_df.schema)
         return spark.read.parquet(target)
     if sink != "memory":
         raise ValueError(f"unknown sink {sink!r} (memory | parquet)")

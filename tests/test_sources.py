@@ -186,3 +186,61 @@ def test_read_wholetext_doc_per_file(spark, tmp_path):
     df = read_any(spark, str(d), fmt="wholetext")
     got = sorted(r["text"] for r in df.collect())
     assert got == ["another doc", "line one\nline two"]
+
+
+def test_xlsx_rich_text_inline_strings(spark, tmpdir):
+    # inline strings written as rich-text runs (<is><r><t>) must
+    # flatten the same way the sharedStrings path does
+    import zipfile
+
+    from data_integration_and_harmonization_spark.sources import xlsx as X
+
+    p = os.path.join(tmpdir, "rich.xlsx")
+    X.write_xlsx(p, ["k"], [["placeholder"]])
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><r><t>ri</t></r><r><t>ch</t></r></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(p) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    parts["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+    header, rows = X.read_xlsx(p)
+    assert header == ["k"] and rows == [["rich"]]
+
+
+def test_xlsx_nonfinite_floats_become_blank(tmpdir):
+    # xsd:double has no nan/inf spelling Excel accepts: non-finite
+    # numerics round-trip as missing, same as None
+    from data_integration_and_harmonization_spark.sources import xlsx as X
+
+    p = os.path.join(tmpdir, "nan.xlsx")
+    X.write_xlsx(
+        p,
+        ["a", "b", "c"],
+        [[float("nan"), float("inf"), 1.5], [float("-inf"), 2, None]],
+    )
+    header, rows = X.read_xlsx(p)
+    assert header == ["a", "b", "c"]
+    assert rows == [[None, None, 1.5], [None, 2, None]]
+
+
+def test_xlsx_reader_without_pandas(spark, tmpdir, monkeypatch):
+    # a deployment with no pandas at all must still ingest via the
+    # stdlib codec straight into createDataFrame
+    import sys
+
+    from data_integration_and_harmonization_spark.sources import xlsx as X
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    p = os.path.join(tmpdir, "nopd.xlsx")
+    X.write_xlsx(p, ["k", "name"], [[1, "aa"], [2, "bb"]])
+    monkeypatch.setitem(sys.modules, "pandas", None)  # import -> ImportError
+    df = read_any(spark, p)
+    assert sorted(df.columns) == ["k", "name"]
+    assert {(r.k, r.name) for r in df.collect()} == {(1, "aa"), (2, "bb")}

@@ -72,3 +72,21 @@ def test_parquet_sink_drain_matches_memory(spark, sf_dir):
     )
     keys = ["window_start", "event_type", "n_events", "sum_value"]
     assert _canon(got, keys) == _canon(expected, keys)
+
+
+def test_parquet_sink_empty_backlog(spark, tmp_path):
+    # zero micro-batches: foreachBatch never runs; the drain must
+    # return the typed empty frame the memory sink would, not crash
+    # on schema inference over a missing path
+    import os
+
+    src = str(tmp_path / "empty_events")
+    os.makedirs(src, exist_ok=True)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(src)
+    )
+    agg = SP.tumbling_stream(SP.ensure_event_time(stream))
+    got = SP.run_availablenow(agg, "t_empty_drain", sink="parquet")
+    assert got.count() == 0
+    assert set(got.columns) == {"window_start", "event_type", "n_events", "sum_value"}

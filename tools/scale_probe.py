@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SMALL = "/root/testdata/sf0.01"
 BASE = "/root/testdata/sf0.1"
 
-# query name -> the tables its plan scans (only these get replicated)
+# query name -> display description for the report table
 OPERATORS = {
     "clean_repair": "global-order interpolate+ffill",
     "rel_pricing_summary": "decimal money aggs",
@@ -38,7 +38,6 @@ OPERATORS = {
     "text_lm_quality": "corpus LM fit + per-doc score",
     "dedup_embedding_cosine": "bucketed cosine pairs",
 }
-TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "embeddings")
 
 
 def build_replica(spark, src: str, out: str, n: int) -> None:
