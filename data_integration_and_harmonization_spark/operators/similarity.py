@@ -386,13 +386,24 @@ def pq_topk(
     Output: (query_id, rank, neighbor_id, d2), rank by ascending
     exact distance within the shortlist (ties by neighbor id).
     """
-    m = len(codebooks)
-    ds = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
         "id", "neighbor_id"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    lut_cols = [
+    lut = q.select("query_id", *_query_lut_cols(codebooks))
+    scored = (
+        enc.crossJoin(F.broadcast(lut))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adc_score(len(codebooks)).alias("approx_d2"))
+    )
+    return _refine_exact(scored, corpus, q, k, refine, id_col, vec_col)
+
+
+def _query_lut_cols(codebooks: list[list[list[float]]]) -> list[Column]:
+    """Per-subspace ADC lookup tables for a ``q_vec`` column: lut_i[c]
+    = squared distance from the query's i-th subvector to centroid c."""
+    ds = len(codebooks[0][0])
+    return [
         F.array(
             *[
                 squared_distance(
@@ -401,23 +412,35 @@ def pq_topk(
                 for c in codebooks[i]
             ]
         ).alias(f"lut{i}")
-        for i in range(m)
+        for i in range(len(codebooks))
     ]
-    lut = q.select("query_id", *lut_cols)
+
+
+def _adc_score(m: int) -> Column:
+    """sum_i lut_i[code_i] over a joined (code, lut*) row."""
     score = None
     for i in range(m):
         term = F.element_at(F.col(f"lut{i}"), F.col("code")[i] + 1)
         score = term if score is None else score + term
-    scored = (
-        enc.crossJoin(F.broadcast(lut))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", score.alias("approx_d2"))
-    )
+    return score
+
+
+def _refine_exact(
+    scored: DataFrame,
+    corpus: DataFrame,
+    q: DataFrame,
+    k: int,
+    refine: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Keep the k*refine best approx candidates per query, re-rank
+    that shortlist with exact distances (raw vectors joined in only
+    for shortlist rows), emit the final top-k."""
     w_adc = Window.partitionBy("query_id").orderBy(F.col("approx_d2"), F.col("neighbor_id"))
     shortlist = scored.withColumn("rank", F.row_number().over(w_adc)).where(
         F.col("rank") <= k * max(1, refine)
     )
-    # exact re-rank: raw vectors only for the shortlist rows
     vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"))
     exact = (
         shortlist.select("query_id", "neighbor_id")
@@ -435,6 +458,106 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("d2", 6).alias("d2"))
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production ANN layout — IVF coarse cells x PQ codes x
+    exact re-rank, the index structure behind every billion-scale
+    vector store:
+
+    1. coarse quantizer: seed centroids (first ``n_clusters`` corpus
+       vectors by id — deterministic, zero training) partition the
+       corpus; each point's cell AND its PQ code are computed in ONE
+       projection over the corpus scan;
+    2. each query probes its ``n_probe`` nearest cells, so the ADC
+       scan touches ~n_probe/n_clusters of the codes instead of all
+       of them — and those codes are ~64x narrower than the vectors;
+    3. ADC shortlist (k*refine per query) re-ranks with exact
+       distances, raw vectors joined in for shortlist rows only.
+
+    The corpus-side operand at every stage is as small as it can be:
+    codes for the probed cells, then vectors for the shortlist. Same
+    output shape as :func:`pq_topk`.
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_clusters)
+        .collect()
+    )
+    centers = [[float(x) for x in r["v"]] for r in seed_rows]
+
+    def nearest_cell(vec: Column) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        squared_distance(vec, F.array(*[F.lit(v) for v in c])).alias("d2"),
+                        F.lit(i).cast("int").alias("cell"),
+                    )
+                    for i, c in enumerate(centers)
+                ]
+            )
+        )["cell"]
+
+    ds = len(codebooks[0][0])
+
+    def code_of(i: int) -> Column:
+        sub = _subvec(F.col(vec_col), i, ds)
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        squared_distance(sub, F.array(*[F.lit(v) for v in c])).alias("d2"),
+                        F.lit(j).cast("int").alias("idx"),
+                    )
+                    for j, c in enumerate(codebooks[i])
+                ]
+            )
+        )["idx"]
+
+    # one corpus scan: cell + code together
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        nearest_cell(F.col(vec_col)).alias("cell"),
+        F.array(*[code_of(i) for i in range(len(codebooks))]).alias("code"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # per query: the n_probe nearest cells, plus the ADC LUTs
+    cell_d2 = F.array(
+        *[
+            F.struct(
+                squared_distance(F.col("q_vec"), F.array(*[F.lit(v) for v in c])).alias("d2"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    probes = (
+        q.select(
+            "query_id",
+            "q_vec",
+            F.explode(F.slice(F.array_sort(cell_d2), 1, n_probe)).alias("p"),
+        )
+        .select("query_id", "q_vec", F.col("p.cell").alias("cell"))
+        .select("query_id", "cell", *_query_lut_cols(codebooks))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adc_score(len(codebooks)).alias("approx_d2"))
+    )
+    return _refine_exact(scored, corpus, q, k, refine, id_col, vec_col)
 
 
 # ------------------------------------------------------- query registry
