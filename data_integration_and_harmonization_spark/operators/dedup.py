@@ -462,6 +462,77 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Batch-over-batch dedup against a persisted fingerprint store —
+    the shape a continuously-ingesting corpus pipeline needs: each
+    arriving batch is deduped (a) within itself (keep the minimum id
+    per fingerprint) and (b) against EVERY previously-admitted
+    document, without ever rereading the old corpora: the store holds
+    16-byte md5 fingerprints only, ~1/1000th of the text it stands
+    for.
+
+    Plan shape: one groupBy on the fingerprint (within-batch), one
+    left-anti join against the store's fingerprint column (history) —
+    both shuffle on the digest, nothing corpus-sized is broadcast, and
+    the store read is a plain parquet scan that partition-prunes like
+    any other.
+
+    SIDE EFFECT: the survivors' fingerprints are written to a NEW
+    batch subdirectory under ``store_path`` before returning, so the
+    next batch sees them. The write is distributed (executor-side
+    parquet). Batch subdirectories also make the returned frame
+    recompute-stable: the history read captures the EXPLICIT list of
+    batch paths that existed at call time, so re-executing the plan
+    after this batch's own write cannot anti-join the batch against
+    itself (a plain append into one directory would — parquet reads
+    re-list the live directory per action). Not atomic across
+    concurrent callers — serialize batches, which is how ingestion
+    pipelines run anyway. Returns the surviving rows of ``new_docs``
+    (original columns).
+
+    ``normalize=True`` fingerprints the :func:`~.text.normalized`
+    form, admitting only one case/whitespace/punct variant corpus-wide.
+    """
+    import os
+    import uuid
+
+    spark = new_docs.sparkSession
+    fp_expr = F.md5(normalized(text_col) if normalize else F.col(text_col))
+    fresh = new_docs.withColumn("__fp", fp_expr)
+    # (a) within-batch: keep the minimum id per fingerprint
+    keep = fresh.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
+    fresh = fresh.join(keep, "__fp").where(F.col(id_col) == F.col("__keep")).drop("__keep")
+    # (b) against history: anti-join the digests of every batch
+    # admitted so far (explicit path capture — see docstring)
+    try:
+        batches = sorted(
+            os.path.join(store_path, d)
+            for d in os.listdir(store_path)
+            if d.startswith("batch-")
+        )
+    except FileNotFoundError:  # first batch — no store yet
+        batches = []
+    if batches:
+        seen = spark.read.parquet(*batches)
+        fresh = fresh.join(seen.select(F.col("fp").alias("__fp")), "__fp", "left_anti")
+    # admit the survivors for the next batch; persist so the write and
+    # the caller's consumption compute the survivor set once
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    fresh = track(fresh.persist())
+    out_dir = os.path.join(
+        store_path, f"batch-{len(batches):06d}-{uuid.uuid4().hex[:8]}"
+    )
+    fresh.select(F.col("__fp").alias("fp")).write.parquet(out_dir)
+    return fresh.drop("__fp")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

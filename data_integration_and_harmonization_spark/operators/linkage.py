@@ -41,11 +41,58 @@ from data_integration_and_harmonization_spark.operators.dedup import duplicate_c
 
 __all__ = [
     "phonetic_key",
+    "blocking_stats",
     "candidate_links",
     "resolve_entities",
     "assign_entity_ids",
     "merge_entities",
 ]
+
+
+def blocking_stats(df: DataFrame, block_cols: Sequence[str]) -> DataFrame:
+    """Size the blocking scheme BEFORE paying for the pairwise pass —
+    the operational dial-check every linkage run at scale starts with.
+    One aggregate over the block-size distribution; no pairs are
+    generated.
+
+    One row: ``n_records`` (input rows), ``n_comparable`` (rows with
+    no null block key — the only rows the equi-join can pair),
+    ``n_blocks``, ``candidate_pairs`` (sum nb*(nb-1)/2 — exactly what
+    :func:`candidate_links` will score), ``all_pairs`` (unblocked
+    n*(n-1)/2), ``reduction_ratio`` (1 - candidate/all — the fraction
+    of the quadratic cost blocking eliminates), ``max_block_size``
+    (the skew hotspot: one huge block is where the plan's wall-clock
+    goes).
+    """
+    if not block_cols:
+        raise ValueError("block_cols must be non-empty")
+    n_records = df.count()
+    comparable = df
+    for c in block_cols:
+        comparable = comparable.where(F.col(c).isNotNull())
+    sizes = comparable.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("nb"))
+    row = sizes.agg(
+        F.sum("nb").alias("n_comparable"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long").alias("candidate_pairs"),
+        F.max("nb").alias("max_block_size"),
+    )
+    all_pairs = n_records * (n_records - 1) // 2
+    return row.select(
+        F.lit(n_records).alias("n_records"),
+        F.coalesce("n_comparable", F.lit(0)).alias("n_comparable"),
+        "n_blocks",
+        F.coalesce("candidate_pairs", F.lit(0)).alias("candidate_pairs"),
+        F.lit(all_pairs).alias("all_pairs"),
+        F.round(
+            F.when(
+                F.lit(all_pairs) > 0,
+                1.0 - F.coalesce("candidate_pairs", F.lit(0)) / F.lit(all_pairs),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("reduction_ratio"),
+        F.coalesce("max_block_size", F.lit(0)).alias("max_block_size"),
+    )
 
 
 def phonetic_key(name_col: str | Column) -> Column:

@@ -356,3 +356,33 @@ def test_repetition_columns_runs(spark):
     assert out[1]["top_token_ratio"] == 0.8 and out[1]["distinct_token_ratio"] == 0.4
     assert out[2]["top_token_ratio"] == 0.2 and out[2]["distinct_token_ratio"] == 1.0
     assert out[3]["top_token_ratio"] == 0.0 and out[3]["distinct_token_ratio"] == 0.0
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "fp_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    out1 = incremental_exact_dedup(b1, store)
+    # within-batch: the duplicate 'alpha' keeps the minimum id
+    assert {(r.doc_id, r.text) for r in out1.collect()} == {(1, "alpha"), (2, "beta")}
+
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma")], "doc_id long, text string"
+    )
+    out2 = incremental_exact_dedup(b2, store)
+    # 'beta' was admitted in batch 1 -> filtered; 'gamma' dedupes
+    # within the batch and is admitted once
+    assert {(r.doc_id, r.text) for r in out2.collect()} == {(11, "gamma")}
+
+    b3 = spark.createDataFrame([(20, "gamma")], "doc_id long, text string")
+    assert incremental_exact_dedup(b3, store).count() == 0
+
+    # the store holds exactly the admitted fingerprints (one batch
+    # subdirectory per call — read them all)
+    all_fps = spark.read.option("recursiveFileLookup", "true").parquet(store)
+    assert all_fps.distinct().count() == 3

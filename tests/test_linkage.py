@@ -138,3 +138,22 @@ def test_plan_is_blocked_equi_join_not_cartesian(spark):
     plan = links._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocking_stats_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "US"), (2, "b", "US"), (3, "c", "US"), (4, "d", "EU"), (5, "e", None)],
+        "id long, name string, country string",
+    )
+    from data_integration_and_harmonization_spark.operators.linkage import (
+        blocking_stats,
+    )
+
+    r = blocking_stats(df, ["country"]).first()
+    assert r.n_records == 5
+    assert r.n_comparable == 4  # the null-key row can never pair
+    assert r.n_blocks == 2
+    assert r.candidate_pairs == 3  # C(3,2) + C(1,2) = 3 + 0
+    assert r.all_pairs == 10
+    assert r.reduction_ratio == pytest.approx(0.7)
+    assert r.max_block_size == 3
