@@ -503,21 +503,39 @@ def incremental_exact_dedup(
     import uuid
 
     spark = new_docs.sparkSession
-    fp_expr = F.md5(normalized(text_col) if normalize else F.col(text_col))
+    # md5(NULL) is NULL and a null key matches nothing in the keep
+    # join / anti-join — a sentinel keeps null-text docs as ONE
+    # dedup group (first one admitted corpus-wide) instead of
+    # silently dropping them all
+    fp_expr = F.coalesce(
+        F.md5(normalized(text_col) if normalize else F.col(text_col)),
+        F.lit("__null_text__"),
+    )
     fresh = new_docs.withColumn("__fp", fp_expr)
     # (a) within-batch: keep the minimum id per fingerprint
     keep = fresh.groupBy("__fp").agg(F.min(id_col).alias("__keep"))
     fresh = fresh.join(keep, "__fp").where(F.col(id_col) == F.col("__keep")).drop("__keep")
-    # (b) against history: anti-join the digests of every batch
-    # admitted so far (explicit path capture — see docstring)
-    try:
-        batches = sorted(
-            os.path.join(store_path, d)
-            for d in os.listdir(store_path)
-            if d.startswith("batch-")
-        )
-    except FileNotFoundError:  # first batch — no store yet
-        batches = []
+    # (b) against history: anti-join the digests of every COMPLETE
+    # batch admitted so far. Listed through the Hadoop FileSystem API
+    # so remote stores (hdfs://, s3a://) work identically to local
+    # paths — a driver-local os.listdir would silently see no store
+    # and admit every duplicate forever. Batches without _SUCCESS
+    # (a crashed prior writer) are skipped the same way Spark's own
+    # committers ignore uncommitted output.
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    batches: list[str] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch-")
+                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+            ):
+                batches.append(st.getPath().toString())
+    batches.sort()
     if batches:
         seen = spark.read.parquet(*batches)
         fresh = fresh.join(seen.select(F.col("fp").alias("__fp")), "__fp", "left_anti")

@@ -66,28 +66,46 @@ def blocking_stats(df: DataFrame, block_cols: Sequence[str]) -> DataFrame:
     """
     if not block_cols:
         raise ValueError("block_cols must be non-empty")
-    n_records = df.count()
-    comparable = df
+    # ONE scan: group the full input (null keys form groups too), tag
+    # each group comparable iff no block key is null — exactly the
+    # rows the equi-join can pair
+    comparable = F.lit(True)
     for c in block_cols:
-        comparable = comparable.where(F.col(c).isNotNull())
-    sizes = comparable.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("nb"))
-    row = sizes.agg(
-        F.sum("nb").alias("n_comparable"),
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long").alias("candidate_pairs"),
-        F.max("nb").alias("max_block_size"),
+        comparable = comparable & F.max(F.col(c).isNotNull())
+    sizes = df.groupBy(*block_cols).agg(
+        F.count(F.lit(1)).alias("nb"),
+        # within a group every row has the SAME key values, so any
+        # row's nullness is the group's nullness
+        comparable.alias("cmp"),
     )
-    all_pairs = n_records * (n_records - 1) // 2
+    # pair counts in decimal(38,0): nb*(nb-1)/2 wraps int64 once a
+    # block passes ~3e9 rows — the degenerate-key hotspot this
+    # diagnostic exists to expose must not report garbage there
+    nbd = F.col("nb").cast("decimal(38,0)")
+    pair_d = (nbd * (nbd - F.lit(1)) / F.lit(2)).cast("decimal(38,0)")
+    cmp_nb = F.when(F.col("cmp"), F.col("nb")).otherwise(F.lit(0))
+    row = sizes.agg(
+        F.sum("nb").cast("decimal(38,0)").alias("n_records"),
+        F.sum(cmp_nb).cast("decimal(38,0)").alias("n_comparable"),
+        F.sum(F.when(F.col("cmp"), 1).otherwise(0)).alias("n_blocks"),
+        F.sum(F.when(F.col("cmp"), pair_d).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("candidate_pairs"),
+        F.max(F.when(F.col("cmp"), F.col("nb"))).alias("max_block_size"),
+    )
+    nr = F.coalesce(F.col("n_records"), F.lit(0).cast("decimal(38,0)"))
+    all_pairs = (nr * (nr - F.lit(1)) / F.lit(2)).cast("decimal(38,0)")
+    cand = F.coalesce(F.col("candidate_pairs"), F.lit(0).cast("decimal(38,0)"))
     return row.select(
-        F.lit(n_records).alias("n_records"),
-        F.coalesce("n_comparable", F.lit(0)).alias("n_comparable"),
-        "n_blocks",
-        F.coalesce("candidate_pairs", F.lit(0)).alias("candidate_pairs"),
-        F.lit(all_pairs).alias("all_pairs"),
+        nr.alias("n_records"),
+        F.coalesce("n_comparable", F.lit(0).cast("decimal(38,0)")).alias("n_comparable"),
+        F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+        cand.alias("candidate_pairs"),
+        all_pairs.alias("all_pairs"),
         F.round(
             F.when(
-                F.lit(all_pairs) > 0,
-                1.0 - F.coalesce("candidate_pairs", F.lit(0)) / F.lit(all_pairs),
+                all_pairs > 0,
+                F.lit(1.0) - (cand / all_pairs).cast("double"),
             ).otherwise(F.lit(1.0)),
             6,
         ).alias("reduction_ratio"),

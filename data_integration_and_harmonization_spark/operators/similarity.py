@@ -184,31 +184,13 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     if centroids == "seed":
-        seed_rows = (
-            corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-            .orderBy("i")
-            .limit(n_clusters)
-            .collect()
-        )
-        centers = [[float(x) for x in r["v"]] for r in seed_rows]
-
-        # argmin over (d2, cell) structs — struct ordering gives the
-        # same (min d2, then min cell) tie-break the oracle replays
-        cell_expr = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        squared_distance(
-                            F.col(vec_col), F.array(*[F.lit(v) for v in c])
-                        ).alias("d2"),
-                        F.lit(i).cast("int").alias("cell"),
-                    )
-                    for i, c in enumerate(centers)
-                ]
-            )
-        )["cell"]
+        centers = _seed_centers(corpus, n_clusters, id_col, vec_col)
+        # shared struct-argmin (same (min d2, then min idx) tie-break
+        # the oracle replays)
         assigned = corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), cell_expr.alias("cell")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _nearest_index(F.col(vec_col), centers).alias("cell"),
         )
     elif centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -315,6 +297,38 @@ def _subvec(vec: Column, i: int, ds: int) -> Column:
     return F.slice(vec, i * ds + 1, ds)
 
 
+def _nearest_index(vec: Column, centers: list[list[float]]) -> Column:
+    """Index of the squared-distance-nearest center — the (d2, idx)
+    struct-argmin every quantizer here shares (IVF cell assignment,
+    PQ subspace encode). Struct ordering compares d2 first, then idx,
+    so ties break toward the lower index deterministically."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    squared_distance(vec, F.array(*[F.lit(v) for v in c])).alias("d2"),
+                    F.lit(i).cast("int").alias("idx"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+    )["idx"]
+
+
+def _seed_centers(
+    corpus: DataFrame, n: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """First ``n`` corpus vectors by id — the zero-training,
+    fully-deterministic coarse-quantizer centroids."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -329,27 +343,22 @@ def pq_encode(
 
     Output: (id, code array<int> length m).
     """
-    ds = len(codebooks[0][0])
-
-    def code_of(i: int) -> Column:
-        sub = _subvec(F.col(vec_col), i, ds)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        squared_distance(
-                            sub, F.array(*[F.lit(v) for v in c])
-                        ).alias("d2"),
-                        F.lit(j).cast("int").alias("idx"),
-                    )
-                    for j, c in enumerate(codebooks[i])
-                ]
-            )
-        )["idx"]
-
     return df.select(
         F.col(id_col).alias("id"),
-        F.array(*[code_of(i) for i in range(len(codebooks))]).alias("code"),
+        _pq_code(F.col(vec_col), codebooks).alias("code"),
+    )
+
+
+def _pq_code(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """The m-subspace PQ code of a vector column — ONE definition
+    shared by :func:`pq_encode` and :func:`ivfpq_topk`, so a tie-break
+    or cast change can never diverge between them."""
+    ds = len(codebooks[0][0])
+    return F.array(
+        *[
+            _nearest_index(_subvec(vec, i, ds), codebooks[i])
+            for i in range(len(codebooks))
+        ]
     )
 
 
@@ -489,51 +498,19 @@ def ivfpq_topk(
     codes for the probed cells, then vectors for the shortlist. Same
     output shape as :func:`pq_topk`.
     """
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(n_clusters)
-        .collect()
-    )
-    centers = [[float(x) for x in r["v"]] for r in seed_rows]
+    centers = _seed_centers(corpus, n_clusters, id_col, vec_col)
 
-    def nearest_cell(vec: Column) -> Column:
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        squared_distance(vec, F.array(*[F.lit(v) for v in c])).alias("d2"),
-                        F.lit(i).cast("int").alias("cell"),
-                    )
-                    for i, c in enumerate(centers)
-                ]
-            )
-        )["cell"]
-
-    ds = len(codebooks[0][0])
-
-    def code_of(i: int) -> Column:
-        sub = _subvec(F.col(vec_col), i, ds)
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        squared_distance(sub, F.array(*[F.lit(v) for v in c])).alias("d2"),
-                        F.lit(j).cast("int").alias("idx"),
-                    )
-                    for j, c in enumerate(codebooks[i])
-                ]
-            )
-        )["idx"]
-
-    # one corpus scan: cell + code together
+    # one corpus scan: cell + code together, via the SAME shared
+    # quantizer expressions pq_encode / ivf_topk use
     assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        nearest_cell(F.col(vec_col)).alias("cell"),
-        F.array(*[code_of(i) for i in range(len(codebooks))]).alias("code"),
+        _nearest_index(F.col(vec_col), centers).alias("cell"),
+        _pq_code(F.col(vec_col), codebooks).alias("code"),
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    # per query: the n_probe nearest cells, plus the ADC LUTs
+    # LUTs are computed BEFORE the probe explode — they don't depend
+    # on the cell, so the m*k distance expressions evaluate once per
+    # query, not once per (query, cell)
     cell_d2 = F.array(
         *[
             F.struct(
@@ -544,13 +521,17 @@ def ivfpq_topk(
         ]
     )
     probes = (
-        q.select(
+        q.select("query_id", "q_vec", *_query_lut_cols(codebooks))
+        .select(
             "query_id",
-            "q_vec",
+            *[f"lut{i}" for i in range(len(codebooks))],
             F.explode(F.slice(F.array_sort(cell_d2), 1, n_probe)).alias("p"),
         )
-        .select("query_id", "q_vec", F.col("p.cell").alias("cell"))
-        .select("query_id", "cell", *_query_lut_cols(codebooks))
+        .select(
+            "query_id",
+            F.col("p.cell").alias("cell"),
+            *[f"lut{i}" for i in range(len(codebooks))],
+        )
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")

@@ -386,3 +386,28 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     # subdirectory per call — read them all)
     all_fps = spark.read.option("recursiveFileLookup", "true").parquet(store)
     assert all_fps.distinct().count() == 3
+
+
+def test_incremental_dedup_null_text_and_partial_batches(spark, tmp_path):
+    import os
+
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    store = str(tmp_path / "fp_store2")
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    out1 = incremental_exact_dedup(b1, store)
+    # null-text docs form ONE group: the minimum id survives, the
+    # rest dedupe — nothing silently vanishes
+    assert {r.doc_id for r in out1.collect()} == {1, 2}
+
+    # a crashed writer's partial batch dir (no _SUCCESS) must be
+    # ignored, not crash the listing or poison the history
+    os.makedirs(os.path.join(store, "batch-999999-dead"), exist_ok=True)
+    b2 = spark.createDataFrame([(10, None), (11, "y")], "doc_id long, text string")
+    out2 = incremental_exact_dedup(b2, store)
+    # the null-text group was admitted in batch 1 -> filtered here
+    assert {r.doc_id for r in out2.collect()} == {11}
