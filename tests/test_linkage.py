@@ -157,3 +157,46 @@ def test_blocking_stats_report(spark):
     assert r.all_pairs == 10
     assert r.reduction_ratio == pytest.approx(0.7)
     assert r.max_block_size == 3
+
+
+def test_token_links_catches_word_reorder(spark):
+    from data_integration_and_harmonization_spark.operators.linkage import (
+        token_links,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Smith, John", "US"),
+            (2, "John Smith", "US"),     # same token set, reordered
+            (3, "John Smythe", "US"),    # one shared token of three distinct
+            (4, "John Smith", "EU"),     # other block: never compared
+            (5, "Acme", "US"),           # no shared tokens with anyone
+        ],
+        "id long, name string, country string",
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           token_links(df, "id", "name", ["country"], threshold=0.5).collect()}
+    assert got == {(1, 2): 1.0}
+    # lowering the threshold admits the partial-overlap pair at 1/3
+    loose = {(r.id_a, r.id_b): r.jaccard for r in
+             token_links(df, "id", "name", ["country"], threshold=0.3).collect()}
+    assert loose[(1, 3)] == pytest.approx(1 / 3, abs=1e-6)
+    assert loose[(2, 3)] == pytest.approx(1 / 3, abs=1e-6)
+    assert (1, 4) not in loose and (2, 4) not in loose
+
+
+def test_token_links_edges_feed_clusters(spark):
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from data_integration_and_harmonization_spark.operators.linkage import (
+        token_links,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "X"), (2, "beta alpha", "X"), (3, "gamma delta", "X")],
+        "id long, name string, country string",
+    )
+    links = token_links(df, "id", "name", ["country"], threshold=0.9)
+    got = {r.id: r.cluster_id for r in duplicate_clusters(links).collect()}
+    assert got == {1: 1, 2: 1}
