@@ -12,10 +12,12 @@ fixtures need directly from their published specifications:
 
 Decoding is per-payload Python — the right cost model here, because
 the operators call these inside Arrow-batched ``mapInPandas`` where
-the parallelism unit is the batch, not the byte. When PIL is
-importable (:func:`try_pil_decode`), it is preferred for images —
-faster and broader coverage; these codecs are the dependency-free
-floor, not a PIL replacement.
+the parallelism unit is the batch, not the byte. These spec-level
+codecs are CANONICAL for decode (``multimodal.decode_real`` tries
+them first — deterministic, dependency-free, covered by the
+spec-derived oracle); :func:`try_pil_decode` is only the rescue path
+for format variants outside the supported subset, when PIL happens
+to be importable.
 
 Encoders exist so tests and fixtures can synthesize real media
 without any external dependency (PNG filter-0 rows; GIF with a

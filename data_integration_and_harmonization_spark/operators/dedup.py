@@ -396,13 +396,18 @@ def duplicate_clusters(
     # task PER ITERATION. ~100k edges per partition; fans out for
     # genuinely huge pair graphs.
     n = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
+        # explicit repartition(n, ...) pins the loop's parallelism; the
+        # groupBy exchanges inside the loop stay on the session default
+        # and AQE's runtime coalescing shrinks them to the data — no
+        # session-global conf is touched (a previous version flipped
+        # spark.sql.shuffle.partitions here, which a concurrent query
+        # in the same session would have observed).
         edges = edges0.repartition(n, "src").localCheckpoint(eager=True)
         labels = (
             edges.select(F.col("src").alias("id"))
             .distinct()
+            .repartition(n, "id")
             .withColumn("lbl", F.col("id"))
             .localCheckpoint(eager=True)
         )
@@ -417,6 +422,7 @@ def duplicate_clusters(
             new = (
                 labels.select("id", "lbl")
                 .union(prop)
+                .repartition(n, "id")
                 .groupBy("id")
                 .agg(F.min("lbl").alias("lbl"))
                 .localCheckpoint(eager=True)
@@ -439,7 +445,6 @@ def duplicate_clusters(
             )
     finally:
         base.unpersist(False)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

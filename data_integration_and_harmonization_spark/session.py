@@ -24,6 +24,17 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """24g on large hosts, else ~half of physical RAM (min 2g): the
+    steady-state heap for 32 concurrent task threads without assuming
+    every host has 64+ GiB. SPARK_GRAFT_DRIVER_MEM overrides."""
+    try:
+        total_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    except (ValueError, OSError):
+        return "24g"
+    return f"{min(24, max(2, int(total_gb // 2)))}g"
+
+
 def get_spark(
     app_name: str = "data_integration_and_harmonization_spark",
     master: str | None = None,
@@ -53,9 +64,12 @@ def get_spark(
         # local[N] runs driver+executor in ONE JVM: size the heap for
         # N concurrent task threads' shuffle/agg buffers, not for a
         # driver-only process (8g at 32 threads measurably GC-thrashes
-        # the LSH self-joins; 24g is steady). On a real cluster this
-        # conf is per-deployment and the executor JVMs are separate.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # the LSH self-joins; 24g is steady). Capped at ~half physical
+        # RAM so a smaller host doesn't get pushed into swap; override
+        # with SPARK_GRAFT_DRIVER_MEM (documented in README). On a real
+        # cluster this conf is per-deployment and the executor JVMs are
+        # separate.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
         # 50 distinct query shapes x whole-stage codegen overflows the
         # JVM's default ~240 MB code cache; once full, HotSpot stops
         # JIT-compiling and random stages run interpreted (measured:

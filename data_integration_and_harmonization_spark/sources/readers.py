@@ -102,13 +102,19 @@ def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
     except ImportError:
         # no pandas AT ALL (the first try's ImportError catches both
         # missing openpyxl and missing pandas): the stdlib codec has
-        # the rows already — feed them to Spark directly. Dtype
-        # inference is Spark's row-sampling instead of pandas'
-        # column-wise pass; for the uniform-typed columns xlsx dims
-        # carry, the two agree.
-        return spark.createDataFrame(
-            [tuple(r) for r in rows], list(header)
-        )
+        # the rows already — feed them to Spark with an EXPLICIT
+        # schema. Spark's row-sampling inference raises "can not infer
+        # schema" on a header-only sheet (zero rows) or an all-None
+        # column; deriving the type from the first non-None value per
+        # column (None-only / unknown -> string, matching the pandas
+        # path's object dtype) keeps those shapes loadable.
+        py_to_spark = {int: "bigint", float: "double", bool: "boolean", str: "string"}
+        fields = []
+        for i, name in enumerate(header):
+            first = next((r[i] for r in rows if r[i] is not None), None)
+            fields.append((name, py_to_spark.get(type(first), "string")))
+        schema = ", ".join(f"`{n}` {t}" for n, t in fields)
+        return spark.createDataFrame([tuple(r) for r in rows], schema)
 
 
 def read_sources(
