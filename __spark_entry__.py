@@ -25,6 +25,7 @@ from data_integration_and_harmonization_spark.operators import eda as E
 from data_integration_and_harmonization_spark.operators import events as EV
 from data_integration_and_harmonization_spark.operators import features as FE
 from data_integration_and_harmonization_spark.operators import harmonize as H
+from data_integration_and_harmonization_spark.operators import linkage as LK
 from data_integration_and_harmonization_spark.operators import ml as ML
 from data_integration_and_harmonization_spark.operators import multimodal as MM
 from data_integration_and_harmonization_spark.operators import embeddings as EMB
@@ -446,25 +447,39 @@ def q_ml_tuned(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
-    """Streaming/batch agreement as a driver-visible query: the
-    tumbling-window agg drained through Structured Streaming
-    (availableNow trigger, PARQUET sink — the production drain path:
-    ``foreachBatch`` writes the complete state distributed, nothing
-    funnels through the driver) full-outer joined against its batch
-    twin. One summary row; all_agree must be true. The memory-sink
-    drain stays covered by tests/test_streaming.py."""
+    """Streaming/batch agreement as a driver-visible query, one
+    summary row per streaming path (all three drain through the
+    production parquet sink — ``foreachBatch`` writes distributed,
+    nothing funnels through the driver):
+
+    - 'tumbling': the windowed agg (complete mode) full-outer joined
+      against its batch twin — n_windows windows, all must agree.
+    - 'dedup': ``dedup_stream`` (``dropDuplicatesWithinWatermark``,
+      append mode) with a horizon wider than the data's time range, so
+      its emitted key set must EQUAL the batch distinct set — compared
+      as a full-outer join on the key, not just by count.
+    - 'stateful': ``user_running_stats`` (``applyInPandasWithState``,
+      update mode): each user's final carried state (count, sum) after
+      all micro-batches must equal the batch groupBy. Last-writer-wins
+      via the drain's __batch_id.
+
+    The memory-sink drain stays covered by tests/test_streaming.py.
+    """
     import uuid
 
     from data_integration_and_harmonization_spark.streaming import pipeline as SP
+    from data_integration_and_harmonization_spark.streaming import stateful as ST
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    run_id = uuid.uuid4().hex[:8]
     # normalize BOTH twin sides' event time to TimestampType
     # (watermarks reject TIMESTAMP_NTZ; cast is value-preserving under
     # the pinned UTC session tz)
-    batch = EV.tumbling_agg(SP.ensure_event_time(EV.load_events(spark, sf)))
+    events = SP.ensure_event_time(EV.load_events(spark, sf))
+    batch = EV.tumbling_agg(events)
     stream_ev = SP.ensure_event_time(SP.stream_events(spark, f"{sf}/events.parquet"))
     drained = SP.run_availablenow(
-        SP.tumbling_stream(stream_ev), f"twin_{uuid.uuid4().hex[:8]}", sink="parquet"
+        SP.tumbling_stream(stream_ev), f"twin_{run_id}", sink="parquet"
     )
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
@@ -482,11 +497,72 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s_sum").eqNullSafe(F.col("b_sum")),
     ).otherwise(F.abs(F.col("s_sum") - F.col("b_sum")) < 1.5e-6)
     agree = F.col("s_n").eqNullSafe(F.col("b_n")) & sums_agree
-    return j.agg(
+    tumbling_row = j.agg(
+        F.lit("tumbling").alias("kind"),
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(agree.cast("long")).alias("n_agree"),
         F.min(agree).alias("all_agree"),
     )
+
+    # ---- dedup leg: emitted key set == batch distinct set. The
+    # horizon exceeds the dataset's span, so no id is ever evicted and
+    # the streaming dedup is exact; rows themselves are
+    # arrival-order-dependent (first occurrence wins), the KEY SET is
+    # not — compare that.
+    dd_keys = ["user_id", "event_type"]
+    dd = SP.run_availablenow(
+        ST.dedup_stream(
+            SP.stream_events(spark, f"{sf}/events.parquet"), dd_keys, "ts", delay="3650 days"
+        ),
+        f"twin_dd_{run_id}",
+        sink="parquet",
+        output_mode="append",
+    )
+    dj = (
+        dd.select(*dd_keys, F.lit(1).alias("s_seen"))
+        .join(
+            events.select(*dd_keys).distinct().withColumn("b_seen", F.lit(1)),
+            dd_keys,
+            "full_outer",
+        )
+    )
+    dd_agree = F.col("s_seen").isNotNull() & F.col("b_seen").isNotNull()
+    dedup_row = dj.agg(
+        F.lit("dedup").alias("kind"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(dd_agree.cast("long")).alias("n_agree"),
+        F.min(dd_agree).alias("all_agree"),
+    )
+
+    # ---- stateful leg: final carried (count, sum) per user vs the
+    # batch groupBy. Sum tolerance as above (state accumulates in
+    # micro-batch arrival order).
+    st = SP.run_availablenow(
+        ST.user_running_stats(SP.stream_events(spark, f"{sf}/events.parquet")),
+        f"twin_st_{run_id}",
+        sink="parquet",
+        output_mode="update",
+    )
+    st_final = SP.latest_by_key(st, ["user_id"]).select(
+        "user_id", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
+    )
+    st_batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("b_n"), F.sum("value").alias("b_sum")
+    )
+    sj = st_final.join(st_batch, "user_id", "full_outer")
+    st_agree = (
+        F.col("s_n").eqNullSafe(F.col("b_n"))
+        & F.col("s_sum").isNotNull()
+        & F.col("b_sum").isNotNull()
+        & (F.abs(F.col("s_sum") - F.col("b_sum")) < 1.5e-6)
+    )
+    stateful_row = sj.agg(
+        F.lit("stateful").alias("kind"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(st_agree.cast("long")).alias("n_agree"),
+        F.min(st_agree).alias("all_agree"),
+    )
+    return tumbling_row.unionByName(dedup_row).unionByName(stateful_row)
 
 
 # Registration order is deliberate: the driver's correctness pass
@@ -498,8 +574,10 @@ _QUERY_ORDER = [
     # unchecked in r1 (registered past the cap); session+props and
     # meta+features pairs each merged to one tagged query in r2
     "events_sessions_props",
+    # r5: mm_frames folded into mm_meta_features as its 'frame' leg;
+    # the freed slot carries the golden-record linkage pipeline
     "mm_meta_features",
-    "mm_frames",
+    "link_golden",
     # new in r2
     "text_decontaminate",
     "text_scrub",
@@ -587,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(SCRUB.scrub_queries())
     q.update(SC.scoring_queries())
     q.update(EMB.embeddings_queries())
+    q.update(LK.linkage_queries())
     # RuntimeError, not assert: these guards protect against the exact
     # silent-truncation failure r1 hit (driver records only the first
     # 50 queries), and asserts vanish under ``python -O``.
@@ -775,18 +854,25 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
-        # The streaming drain must reproduce the batch tumbling agg
-        # exactly, so the agreement summary is itself SQL-derivable:
-        # n_windows = n_agree = distinct (window, type) groups, and
-        # every window agrees. A dropped/duplicated/mis-aggregated
-        # window in the streaming path breaks the hash match.
+        # Each streaming path must reproduce its batch twin exactly,
+        # so every agreement summary is itself SQL-derivable:
+        # n_windows = n_agree = the batch-side group count per leg,
+        # and every group agrees. A dropped/duplicated/mis-aggregated
+        # window, a missed/phantom dedup key, or a wrong carried state
+        # in the streaming path breaks the hash match.
         "stream_batch_twin": """
-SELECT count(*)::BIGINT AS n_windows, count(*)::BIGINT AS n_agree,
-       true AS all_agree
+SELECT 'tumbling' AS kind, count(*)::BIGINT AS n_windows,
+       count(*)::BIGINT AS n_agree, true AS all_agree
 FROM (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type
   FROM events GROUP BY 1, 2
 )
+UNION ALL
+SELECT 'dedup', count(*)::BIGINT, count(*)::BIGINT, true
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+UNION ALL
+SELECT 'stateful', count(*)::BIGINT, count(*)::BIGINT, true
+FROM (SELECT DISTINCT user_id FROM events)
 """,
     }
     o.update(E.eda_oracles())
@@ -801,4 +887,5 @@ FROM (
     o.update(SCRUB.scrub_oracles())
     o.update(SC.scoring_oracles())
     o.update(EMB.embeddings_oracles())
+    o.update(LK.linkage_oracles())
     return o

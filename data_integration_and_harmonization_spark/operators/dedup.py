@@ -695,7 +695,17 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact + normalized-fingerprint dedup in one tagged result
         # (merged from r1's dedup_exact / dedup_fingerprint — the
         # driver's correctness pass records at most 50 queries, so
-        # same-shaped operators share an entry).
+        # same-shaped operators share an entry), plus the
+        # incremental_exact_dedup two-batch admit sequence as
+        # 'inc1'/'inc2' legs: the even-keyed half is admitted first,
+        # then the odd half runs against the persisted fingerprint
+        # store — batch-2 survivors are exactly the odd fingerprints
+        # never seen in batch 1, which the oracle replays as a
+        # groupBy + anti-join. The per-call temp store keeps repeated
+        # invocations (bench warm passes) independent; n_copies is
+        # null for the inc legs (survivor rows, not group counts).
+        import tempfile
+
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         e = exact_dedup(docs).select(
             F.lit("exact").alias("kind"),
@@ -706,7 +716,23 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fp = fingerprint_dedup(docs).select(
             F.lit("normalized").alias("kind"), "fp", "n_copies", "keep_id"
         )
-        return e.unionByName(fp)
+        store = tempfile.mkdtemp(prefix="dih_fp_store_") + "/store"
+        b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
+        b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
+
+        def inc_rows(b: DataFrame, kind: str) -> DataFrame:
+            return b.select(
+                F.lit(kind).alias("kind"),
+                F.md5("text").alias("fp"),
+                F.lit(None).cast("long").alias("n_copies"),
+                F.col("doc_id").alias("keep_id"),
+            )
+
+        return (
+            e.unionByName(fp)
+            .unionByName(inc_rows(b1, "inc1"))
+            .unionByName(inc_rows(b2, "inc2"))
+        )
 
     def q_jaccard(spark, sf):
         # Oracle-checked on a deterministic 20% subset (the all-pairs
@@ -894,6 +920,14 @@ UNION ALL
 SELECT 'normalized' AS kind, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
        count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY 2
+UNION ALL
+SELECT 'inc1', md5(text), CAST(NULL AS BIGINT), min(doc_id)
+FROM documents WHERE doc_id % 2 = 0 GROUP BY 2
+UNION ALL
+SELECT 'inc2', fp, CAST(NULL AS BIGINT), keep_id FROM (
+  SELECT md5(text) AS fp, min(doc_id) AS keep_id
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+) WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
 """,
         "dedup_lsh_pipeline": minhash_cte
         + """

@@ -377,15 +377,21 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("n_bytes", F.length("payload").cast("long"))
 
     def q_meta_features(spark, sf):
-        # metadata projection + pandas-UDF feature extraction in one
-        # tagged result (merged r2 under the 50-query cap; all halves
-        # stay individually hash-checked). Feature half is long-format
-        # (media_id, bucket, freq): every histogram bucket the decode
-        # produced is checked against a DuckDB twin replaying the
-        # stub's (byte+pos)%dim binning. The 'real' half runs the
-        # ACTUAL codecs over synthetic media whose pixel stats are
-        # analytic — the oracle recomputes them from the pixel formula
-        # (spec-derived, not a tautology over the decoder).
+        # metadata projection + pandas-UDF feature extraction + the
+        # resize->frame-sample chain in one tagged result (merged under
+        # the 50-query cap; every leg stays individually hash-checked).
+        # Feature half is long-format (media_id, bucket, freq): every
+        # histogram bucket the decode produced is checked against a
+        # DuckDB twin replaying the stub's (byte+pos)%dim binning. The
+        # 'real' rows run the ACTUAL codecs over synthetic media whose
+        # pixel stats are analytic — the oracle recomputes them from
+        # the pixel formula (spec-derived, not a tautology over the
+        # decoder). The synthetic payloads are UNIONED into the corpus
+        # before extract_features so the whole query pays ONE
+        # mapInPandas stage instead of two: a 2-row Python stage still
+        # costs a full Arrow worker round-trip (~1.4 s measured at
+        # sf0.1 — the r4 bench regression on this query was exactly
+        # that second stage, not the decode work).
         media = _media(spark, sf)
         meta = media.select(
             F.lit("meta").alias("kind"),
@@ -396,49 +402,49 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "digest",
             F.lit(None).cast("double").alias("freq"),
         )
+        # project the digest away BEFORE the Arrow transfer: the
+        # union's branches each execute the _media projection, and
+        # without this prune the feature branch would compute a second
+        # sha2 over every payload and ship it into Python
+        slim = media.select("media_id", "payload", "media_type", "n_bytes")
         feats = (
-            # project the digest away BEFORE the Arrow transfer: the
-            # union's two branches each execute the _media projection,
-            # and without this prune the feature branch would compute
-            # a second sha2 over every payload and ship it into Python
-            extract_features(media.select("media_id", "payload", "media_type", "n_bytes"))
+            extract_features(slim.unionByName(_synthetic_media(spark)))
             .select("media_id", "n_bytes", F.posexplode("feature").alias("bucket", "freq"))
             .select(
-                F.lit("feature").alias("kind"),
+                # synthetic ids are negative by construction
+                F.when(F.col("media_id") < 0, F.lit("real"))
+                .otherwise(F.lit("feature"))
+                .alias("kind"),
                 "media_id",
                 F.lit(None).cast("string").alias("media_type"),
-                "n_bytes",
+                F.when(F.col("media_id") >= 0, F.col("n_bytes")).alias("n_bytes"),
                 "bucket",
                 F.lit(None).cast("string").alias("digest"),
                 F.round("freq", 6).alias("freq"),
             )
         )
-        real = (
-            extract_features(_synthetic_media(spark))
-            .select("media_id", F.posexplode("feature").alias("bucket", "freq"))
-            .select(
-                F.lit("real").alias("kind"),
-                "media_id",
-                F.lit(None).cast("string").alias("media_type"),
-                F.lit(None).cast("long").alias("n_bytes"),
-                "bucket",
-                F.lit(None).cast("string").alias("digest"),
-                F.round("freq", 6).alias("freq"),
-            )
+        # 'frame' rows: per-frame byte stats through the full
+        # media -> resize -> frame-sample -> agg chain (the former
+        # mm_frames query, folded in to free a registry slot); pruned
+        # to (id, payload) so this branch never computes the digest
+        frames = sample_frames(
+            resize_media(media.select("media_id", "payload"), target=64), n_frames=4
         )
-        return meta.unionByName(feats).unionByName(real)
-
-    def q_frames(spark, sf):
-        # rows-only: per-frame byte stats through the full
-        # media -> resize -> frame-sample -> agg chain
-        media = _media(spark, sf)
-        frames = sample_frames(resize_media(media, target=64), n_frames=4)
-        return frames.groupBy("frame_idx").agg(
-            F.count(F.lit(1)).alias("n_frames"),
+        frame_rows = frames.groupBy("frame_idx").agg(
+            F.count(F.lit(1)).alias("nf"),
             F.sum(F.length("frame")).alias("total_bytes"),
+        ).select(
+            F.lit("frame").alias("kind"),
+            F.col("frame_idx").cast("long").alias("media_id"),
+            F.lit(None).cast("string").alias("media_type"),
+            F.col("total_bytes").cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("bucket"),
+            F.lit(None).cast("string").alias("digest"),
+            F.col("nf").cast("double").alias("freq"),
         )
+        return meta.unionByName(feats).unionByName(frame_rows)
 
-    return {"mm_meta_features": q_meta_features, "mm_frames": q_frames}
+    return {"mm_meta_features": q_meta_features}
 
 
 def multimodal_oracles() -> dict[str, str]:
@@ -497,24 +503,28 @@ FROM (
   SELECT unnest(range(8)) AS pos,
          unnest([8.0, 8.0, 3.0, 30 / 255.0, 0.0, 30 / 255.0, 30 / 255.0, 3.0]) AS val
 ) u
-""",
-        # resize_stub picks exactly least(len, 64) bytes; frame i's
-        # window starts at least(i*stride, len-16) with stride =
-        # greatest(len // 4, 1) and spans at most 16 bytes — all
-        # integer arithmetic, so the whole media -> resize -> frame
-        # chain is SQL-checkable without touching byte values.
-        "mm_frames": """
-WITH m AS (
-  SELECT doc_id, least(octet_length(encode(text)), 64)::BIGINT AS len
-  FROM documents
-), f AS (
-  SELECT doc_id, len, i AS frame_idx,
-         least(i * greatest(len // 4, 1), greatest(len - 16, 0)) AS fstart
-  FROM m, unnest(range(4)) AS t(i)
-  WHERE len > 0
+UNION ALL
+-- 'frame' rows (former mm_frames query): resize_stub picks exactly
+-- least(len, 64) bytes; frame i's window starts at
+-- least(i*stride, len-16) with stride = greatest(len // 4, 1) and
+-- spans at most 16 bytes — all integer arithmetic, so the whole
+-- media -> resize -> frame chain is SQL-checkable without touching
+-- byte values.
+SELECT 'frame', frame_idx::BIGINT, CAST(NULL AS VARCHAR), total_bytes,
+       CAST(NULL AS INT), CAST(NULL AS VARCHAR), n_frames::DOUBLE
+FROM (
+  WITH fm AS (
+    SELECT doc_id, least(octet_length(encode(text)), 64)::BIGINT AS len
+    FROM documents
+  ), ff AS (
+    SELECT doc_id, len, i AS frame_idx,
+           least(i * greatest(len // 4, 1), greatest(len - 16, 0)) AS fstart
+    FROM fm, unnest(range(4)) AS t(i)
+    WHERE len > 0
+  )
+  SELECT frame_idx, count(*)::BIGINT AS n_frames,
+         sum(least(16, len - fstart))::BIGINT AS total_bytes
+  FROM ff GROUP BY 1
 )
-SELECT frame_idx::INT AS frame_idx, count(*)::BIGINT AS n_frames,
-       sum(least(16, len - fstart))::BIGINT AS total_bytes
-FROM f GROUP BY 1
 """,
     }

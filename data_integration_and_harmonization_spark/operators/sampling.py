@@ -40,8 +40,28 @@ def _hash_unit(key: Column, seed: int) -> Column:
     return h % _DENOM
 
 
+def sample_hash(key_cols: Sequence[str], seed: int = 42) -> Column:
+    """The sampling hash as a reusable column expression — compute it
+    ONCE (e.g. into a persisted projection) when several sampling ops
+    share the same (keys, seed), then pass its column name as
+    ``hash_col``: one md5 pass instead of one per consumer. At 100 TB
+    the md5 over a composite key is the dominant per-row cost of the
+    sampling family, so hash-once-filter-many is the scale shape."""
+    return _hash_unit(_injective_key(key_cols), seed)
+
+
+def shuffle_hash(key_cols: Sequence[str], seed: int = 42) -> Column:
+    """:func:`deterministic_shuffle`'s full-width order key as a
+    reusable column expression (see :func:`sample_hash` for why)."""
+    return F.md5(F.concat(_injective_key(key_cols), F.lit(f":{seed}")))
+
+
 def hash_sample(
-    df: DataFrame, key_cols: Sequence[str], rate: float, seed: int = 42
+    df: DataFrame,
+    key_cols: Sequence[str],
+    rate: float,
+    seed: int = 42,
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Deterministic Bernoulli-style sample: row kept iff
     md5(key:seed) mod 1e6 < rate * 1e6. No shuffle; filter pushes to
@@ -49,8 +69,13 @@ def hash_sample(
     (:func:`_injective_key`) before hashing, so distinct composite
     keys can never collide into one hash input — a plain separator
     join would correlate keep/drop decisions for tuples like
-    ``('x', 'y|z')`` vs ``('x|y', 'z')`` and for null-skipping."""
-    return df.where(_hash_unit(_injective_key(key_cols), seed) < int(rate * _DENOM))
+    ``('x', 'y|z')`` vs ``('x|y', 'z')`` and for null-skipping.
+
+    ``hash_col``: name of a column already holding
+    ``sample_hash(key_cols, seed)`` — skips recomputing the md5 here
+    (the caller owns the equivalence; seed/keys are ignored then)."""
+    h = F.col(hash_col) if hash_col else _hash_unit(_injective_key(key_cols), seed)
+    return df.where(h < int(rate * _DENOM))
 
 
 def stratified_sample(
@@ -59,16 +84,23 @@ def stratified_sample(
     key_cols: Sequence[str],
     rate: float,
     seed: int = 42,
+    hash_col: str | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Exact per-stratum sample: ceil(rate * n) rows per stratum,
     chosen by hash order (deterministic, engine-reproducible). The
-    hash order also makes the pick independent of physical row order."""
-    key = _injective_key(key_cols)
+    hash order also makes the pick independent of physical row order.
+
+    ``hash_col``/``key_col``: columns already holding
+    :func:`sample_hash` / the netstring key — the hash-once path for
+    multi-consumer pipelines."""
+    key = F.col(key_col) if key_col else _injective_key(key_cols)
+    hu = F.col(hash_col) if hash_col else _hash_unit(key, seed)
     # hash ties break on the netstring-encoded key STRING (not the raw
     # columns): lexicographic order is what any external engine
     # reproduces — numeric-column ordering diverges from the oracle the
     # first time two keys collide on a stratum's cutoff boundary.
-    w = Window.partitionBy(stratum_col).orderBy(_hash_unit(key, seed), key)
+    w = Window.partitionBy(stratum_col).orderBy(hu, key)
     n = Window.partitionBy(stratum_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -103,6 +135,7 @@ def deterministic_shuffle(
     seed: int = 42,
     num_partitions: int | None = None,
     rank_col: str | None = None,
+    shuffle_col: str | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle for training order: sort by
     md5(key:seed). The same corpus + seed yields the same order on any
@@ -118,12 +151,16 @@ def deterministic_shuffle(
     on the hash — same one-range-shuffle pattern plus its tiny offsets
     job; the hash column ordering is reproducible externally as
     ``row_number() OVER (ORDER BY md5(netstring(key) || ':seed'))``).
+
+    ``shuffle_col``: a column already holding :func:`shuffle_hash` —
+    the hash-once path (seed/keys are ignored then).
     """
-    if "__shuf" in df.columns:
-        raise ValueError("input already has a __shuf column")
-    out = df.withColumn(
-        "__shuf", F.md5(F.concat(_injective_key(key_cols), F.lit(f":{seed}")))
-    )
+    if shuffle_col:
+        out = df.withColumn("__shuf", F.col(shuffle_col))
+    else:
+        if "__shuf" in df.columns:
+            raise ValueError("input already has a __shuf column")
+        out = df.withColumn("__shuf", shuffle_hash(key_cols, seed))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if rank_col is not None:
         from data_integration_and_harmonization_spark.functions.indexing import (
@@ -146,6 +183,7 @@ def mix_sources(
     key_cols: Sequence[str],
     seed: int = 42,
     source_col: str = "__mix_source",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Weighted training-data mix: deterministically downsample each
     source to its mix weight (hash sampling, shuffle-free) and union.
@@ -172,7 +210,11 @@ def mix_sources(
     parts = []
     for name, df in sources.items():
         rate = weights.get(name, 1.0)
-        part = df if rate >= 1.0 else hash_sample(df, key_cols, rate, seed=seed)
+        part = (
+            df
+            if rate >= 1.0
+            else hash_sample(df, key_cols, rate, seed=seed, hash_col=hash_col)
+        )
         parts.append(part.withColumn(source_col, F.lit(name)))
     out = parts[0]
     for p in parts[1:]:
@@ -208,14 +250,20 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and Spark/DuckDB double-to-string formats differ.
         keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
         # Four legs = four consumers of the same projection. Read once,
-        # spread across the session parallelism, persist: the md5 work
-        # is the per-row cost and the test parquet is a single row
-        # group (scan parallelism 1), so each leg re-scanning would
-        # serialize four times over one core. Tracked persist — the
-        # driver wrapper releases it at the next query boundary.
+        # spread across the session parallelism, persist — WITH the
+        # sampling hashes precomputed: the md5 over the netstring key
+        # is the family's dominant per-row cost, and without the
+        # hash_col reuse every leg recomputed it (5 md5 passes; the r4
+        # bench showed 6.1 s for what is otherwise a handful of
+        # filtered aggs). Hash once at persist time, filter many.
+        # Tracked persist — the driver wrapper releases it at the next
+        # query boundary.
         slim = track(
             spark.read.parquet(f"{sf}/lineitem.parquet")
             .select(*keys, "l_returnflag", "l_quantity")
+            .withColumn("__hu", sample_hash(keys, 42))
+            .withColumn("__net", _injective_key(keys))
+            .withColumn("__sh", shuffle_hash(keys, 42))
             .repartition(spark.sparkContext.defaultParallelism)
             .persist()
         )
@@ -223,12 +271,19 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
         ]
-        h = hash_sample(slim, keys, rate=0.1).groupBy("l_returnflag").agg(*agg)
-        s = stratified_sample(slim, "l_returnflag", keys, rate=0.05).groupBy(
-            "l_returnflag"
-        ).agg(*agg)
+        h = (
+            hash_sample(slim, keys, rate=0.1, hash_col="__hu")
+            .groupBy("l_returnflag")
+            .agg(*agg)
+        )
+        s = stratified_sample(
+            slim, "l_returnflag", keys, rate=0.05, hash_col="__hu", key_col="__net"
+        ).groupBy("l_returnflag").agg(*agg)
         sh = deterministic_shuffle(
-            hash_sample(slim, keys, rate=0.1), keys, rank_col="__pos"
+            hash_sample(slim, keys, rate=0.1, hash_col="__hu"),
+            keys,
+            rank_col="__pos",
+            shuffle_col="__sh",
         ).groupBy(
             "l_returnflag"
         ).agg(
@@ -244,6 +299,7 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             },
             weights={"even": 0.3},
             key_cols=keys,
+            hash_col="__hu",
         )
         m = mixed.groupBy(
             F.concat(F.lit("mix_"), F.col("__mix_source")).alias("kind"),

@@ -292,6 +292,31 @@ def train_pq_codebooks(
     return books
 
 
+def seed_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic zero-training PQ codebooks: subspace ``i``'s
+    centroids are the i-th subvectors of the first ``k`` corpus
+    vectors by id — the PQ analogue of :func:`_seed_centers`. Lower
+    quantization quality than Lloyd-trained :func:`train_pq_codebooks`
+    (which stays the production default), but fully reproducible by an
+    external engine from the corpus alone: the driver's DuckDB oracle
+    replays the encode -> ADC -> re-rank pipeline bit-for-bit against
+    these codebooks."""
+    rows = _seed_centers(corpus, k, id_col, vec_col)
+    if not rows:
+        raise ValueError("empty corpus: nothing to seed codebooks from")
+    d = len(rows[0])
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
+    ds = d // m
+    return [[r[i * ds : (i + 1) * ds] for r in rows] for i in range(m)]
+
+
 def _subvec(vec: Column, i: int, ds: int) -> Column:
     # slice is 1-indexed
     return F.slice(vec, i * ds + 1, ds)
@@ -572,14 +597,61 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pair_rows.unionByName(recall_rows)
 
     def q_ivf(spark, sf):
+        """Three tagged legs through one hash-matched result — the
+        full production ANN ladder, every stage oracle-replayed:
+
+        - 'ivf_recall': seed-centroid IVF (assign -> probe -> cell
+          scan -> top-k) recall@5 vs exact brute force; rows carry
+          val=recall (rank/neighbor null).
+        - 'pq': PQ-ADC with exact re-rank over seed codebooks
+          (:func:`seed_pq_codebooks` — zero-training, so the DuckDB
+          twin recomputes codes, LUTs, the ADC shortlist, and the
+          re-ranked top-k from the corpus alone); rows carry the final
+          (rank, neighbor_id, val=exact d2) — a bit-level check of the
+          ADC scan AND the re-rank.
+        - 'ivfpq': the combined layout (coarse cells x PQ codes x
+          exact re-rank), same row shape as 'pq'.
+
+        KMeans centroids / Lloyd-trained codebooks stay the quality
+        defaults in the API; the seed variants exist exactly so this
+        pipeline is engine-reproducible (tests/test_pq.py pins the
+        trained path's recall).
+        """
+        from data_integration_and_harmonization_spark.functions.caching import track
+
         corpus, queries = _load(spark, sf)
-        # seed-centroid quantizer => the FULL IVF pipeline (assign ->
-        # probe -> cell scan -> top-k -> recall) is replayed by the
-        # DuckDB oracle and hash-checked (KMeans stays the quality
-        # default in the API): recall@5 against exact brute force
+        # one small table feeds 4 pipelines + 2 driver collects
+        # (seed centers + codebooks) — persist; the driver wrapper
+        # releases it at the next query boundary
+        corpus = track(corpus.persist())
+        queries = corpus.where(F.col("vec_id") < N_QUERIES)
+        books = seed_pq_codebooks(corpus, m=4, k=8)
         exact = brute_force_topk(corpus, queries, k=5)
         approx = ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=2, centroids="seed")
-        return ann_recall(exact, approx)
+        recall_rows = ann_recall(exact, approx).select(
+            F.lit("ivf_recall").alias("kind"),
+            "query_id",
+            F.lit(None).cast("int").alias("rank"),
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.col("recall").alias("val"),
+        )
+        pq_rows = pq_topk(corpus, queries, books, k=5, refine=4).select(
+            F.lit("pq").alias("kind"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("d2").alias("val"),
+        )
+        ivfpq_rows = ivfpq_topk(
+            corpus, queries, books, k=5, n_clusters=8, n_probe=2, refine=4
+        ).select(
+            F.lit("ivfpq").alias("kind"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("d2").alias("val"),
+        )
+        return recall_rows.unionByName(pq_rows).unionByName(ivfpq_rows)
 
     return {
         "sim_topk_recall": q_topk_recall,
@@ -658,6 +730,52 @@ FROM ({recall})
         "* (CAST(c.embedding[i] AS DOUBLE) - ct.center[i])))"
     )
     qd2 = d2.replace("c.embedding", "q.embedding")
+    # PQ twin (m=4 subspaces x 16 dims, k=8 seed centroids, the same
+    # first-8-by-id vectors as the IVF cells): sub-d2 of entity e's
+    # i-th subvector to center ct — the element order and double casts
+    # mirror squared_distance's sequential fold exactly.
+    m, ds, refine_n = 4, 16, 20  # k*refine = 5*4
+    subd2_e = (
+        f"list_sum(list_transform(range(1, {ds} + 1), "
+        f"j -> (CAST(e.embedding[s.i * {ds} + j] AS DOUBLE) - ct.center[s.i * {ds} + j]) "
+        f"* (CAST(e.embedding[s.i * {ds} + j] AS DOUBLE) - ct.center[s.i * {ds} + j])))"
+    )
+    subd2_q = subd2_e.replace("e.embedding", "q.embedding")
+    full_d2 = (
+        "list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        "j -> (CAST(q.embedding[j] AS DOUBLE) - CAST(c.embedding[j] AS DOUBLE)) "
+        "* (CAST(q.embedding[j] AS DOUBLE) - CAST(c.embedding[j] AS DOUBLE))))"
+    )
+    # ADC sum written as 4 explicit lookups added left-to-right — the
+    # same order _adc_score evaluates, so float association matches.
+    adc_sum = " + ".join(f"l.lut{i}[cd.c{i} + 1]" for i in range(m))
+    code_pivot = ", ".join(
+        f"max(CASE WHEN i = {i} THEN code END) AS c{i}" for i in range(m)
+    )
+    lut_pivot = ", ".join(
+        f"max(CASE WHEN i = {i} THEN lut END) AS lut{i}" for i in range(m)
+    )
+
+    def shortlist_rerank(adc_cte: str, out: str) -> str:
+        return f"""{out}_short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rn
+    FROM {adc_cte}
+  ) WHERE rn <= {refine_n}
+), {out}_final AS (
+  SELECT query_id, rank, neighbor_id, round(d2, 6) AS d2 FROM (
+    SELECT query_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+    FROM (
+      SELECT s.query_id, s.neighbor_id, {full_d2} AS d2
+      FROM {out}_short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+    )
+  ) WHERE rank <= 5
+)"""
+
     ivf = f"""
 WITH cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -691,12 +809,50 @@ WITH cent AS (
   ) WHERE rank <= 5
 ), exact AS (
   {brute}
-)
-SELECT e.query_id,
-  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+), sub AS (
+  SELECT unnest(range({m})) AS i
+), codes AS (
+  -- PQ encode: per (vector, subspace) the nearest seed centroid, ties
+  -- to the lower index — cent doubles as the codebook source (the
+  -- subspace slice of the same first-8 vectors seed_pq_codebooks uses)
+  SELECT vec_id, i, code FROM (
+    SELECT e.vec_id, s.i, ct.cell AS code,
+           row_number() OVER (PARTITION BY e.vec_id, s.i ORDER BY {subd2_e}, ct.cell) AS rn
+    FROM embeddings e CROSS JOIN sub s CROSS JOIN cent ct
+  ) WHERE rn = 1
+), codesp AS (
+  SELECT vec_id, {code_pivot} FROM codes GROUP BY 1
+), lutrows AS (
+  SELECT q.vec_id AS query_id, s.i, ct.cell AS c, {subd2_q} AS d2c
+  FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN sub s CROSS JOIN cent ct
+), lutp AS (
+  SELECT query_id, {lut_pivot} FROM (
+    SELECT query_id, i, list(d2c ORDER BY c) AS lut FROM lutrows GROUP BY 1, 2
+  ) GROUP BY 1
+), pq_adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id, {adc_sum} AS approx_d2
+  FROM codesp cd CROSS JOIN lutp l
+  WHERE l.query_id <> cd.vec_id
+), {shortlist_rerank('pq_adc', 'pq')}
+, ivfpq_adc AS (
+  SELECT p.query_id, a.neighbor_id, {adc_sum} AS approx_d2
+  FROM assigned_cell a
+  JOIN probes p ON p.cell = a.cell
+  JOIN codesp cd ON cd.vec_id = a.neighbor_id
+  JOIN lutp l ON l.query_id = p.query_id
+  WHERE p.query_id <> a.neighbor_id
+), {shortlist_rerank('ivfpq_adc', 'ivfpq')}
+SELECT 'ivf_recall' AS kind, e.query_id, CAST(NULL AS INTEGER) AS rank,
+       CAST(NULL AS BIGINT) AS neighbor_id,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS val
 FROM exact e
 LEFT JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
+UNION ALL
+SELECT 'pq', query_id, rank::INTEGER, neighbor_id, d2 FROM pq_final
+UNION ALL
+SELECT 'ivfpq', query_id, rank::INTEGER, neighbor_id, d2 FROM ivfpq_final
 """
     return {
         "sim_topk_recall": topk_recall,

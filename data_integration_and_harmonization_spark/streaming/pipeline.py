@@ -102,19 +102,27 @@ def run_availablenow(
     query_name: str,
     sink: str = "memory",
     out_dir: str | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain a bounded source through the streaming plan (single
-    availableNow trigger, complete mode) and return the result as a
-    static DataFrame.
+    availableNow trigger) and return the result as a static DataFrame.
 
-    ``sink='parquet'`` — the production path: each micro-batch's
-    complete state is written DISTRIBUTED to a parquet target via
-    ``foreachBatch`` (availableNow may split the backlog into several
-    batches; complete mode makes every write the full result, so the
-    last overwrite wins). Nothing funnels through the driver; the
-    return value is a lazy reader over the written files. Pass
-    ``out_dir`` to keep the output somewhere durable — otherwise a
-    temp dir that outlives the call (OS tmp reaper cleans it).
+    ``sink='parquet'`` — the production path: each micro-batch is
+    written DISTRIBUTED to a parquet target via ``foreachBatch``;
+    nothing funnels through the driver, and the return value is a
+    lazy reader over the written files. Pass ``out_dir`` to keep the
+    output somewhere durable — otherwise a temp dir that outlives the
+    call (OS tmp reaper cleans it). Per ``output_mode``:
+
+    - ``'complete'`` (stateful aggs): every batch is the full result,
+      so the write overwrites and the last batch wins;
+    - ``'append'`` (dedup / stateless): batches are disjoint row sets,
+      so writes append;
+    - ``'update'`` (arbitrary-stateful ``applyInPandasWithState``):
+      batches re-emit updated keys, so writes append WITH a
+      ``__batch_id`` column — the caller takes the max-``__batch_id``
+      row per key for last-writer-wins (helper:
+      :func:`latest_by_key`).
 
     ``sink='memory'`` — the test/smoke path: memory sink + one driver
     collect. The collect is bounded by the AGGREGATED stream result
@@ -122,22 +130,33 @@ def run_availablenow(
     but at 100 TB of events with fine windows that product is itself
     large: use the parquet sink there. The memory sink's temp view
     (and the result it pins in driver memory) is dropped before
-    returning so repeated drains don't leak.
+    returning so repeated drains don't leak. (Memory sink has no
+    ``__batch_id``; update-mode drains that need last-writer-wins
+    should use the parquet sink.)
     """
     spark = stream_df.sparkSession
+    if output_mode not in ("complete", "append", "update"):
+        raise ValueError(f"unknown output_mode {output_mode!r}")
     if sink == "parquet":
         import os
 
         base = out_dir or tempfile.mkdtemp(prefix=f"dih_stream_{query_name}_")
         target = os.path.join(base, "result")
 
-        def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-            batch_df.write.mode("overwrite").parquet(target)
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if output_mode == "complete":
+                batch_df.write.mode("overwrite").parquet(target)
+            elif output_mode == "append":
+                batch_df.write.mode("append").parquet(target)
+            else:  # update: append + batch id for last-writer-wins
+                batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(target)
 
         with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
             q = (
                 stream_df.writeStream.foreachBatch(write_batch)
-                .outputMode("complete")
+                .outputMode(output_mode)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
@@ -156,7 +175,7 @@ def run_availablenow(
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -166,3 +185,17 @@ def run_availablenow(
     out = spark.createDataFrame(sink_df.collect(), sink_df.schema)
     spark.catalog.dropTempView(query_name)
     return out
+
+
+def latest_by_key(df: DataFrame, key_cols: list[str], batch_col: str = "__batch_id") -> DataFrame:
+    """Last-writer-wins over an update-mode parquet drain: keep each
+    key's row from the highest micro-batch (one window per key; the
+    drain is bounded by keys x batches)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(batch_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", batch_col)
+    )

@@ -37,6 +37,11 @@ OPERATORS = {
     "dedup_simhash": "banded Hamming near-dup",
     "text_lm_quality": "corpus LM fit + per-doc score",
     "dedup_embedding_cosine": "bucketed cosine pairs",
+    # r5 additions (the r4 verdict's coverage ask)
+    "dedup_clusters": "LSH verify + blocked ER -> connected components",
+    "samp_deterministic": "hash/stratified/rank/mix sampling",
+    "sim_ivf_recall": "IVF + PQ-ADC + IVF-PQ with exact re-rank",
+    "link_golden": "token blocking -> entity ids -> golden record",
 }
 
 
@@ -83,7 +88,22 @@ def build_replica(spark, src: str, out: str, n: int) -> None:
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     rep_union(emb, "vec_id").write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
-    for dim in ("customer", "nation", "region", "supplier", "part", "events"):
+    # customer is replicated as a FACT for the linkage probes: keys
+    # shifted, and the ER block key (nationkey) shifted into a fresh
+    # range per replica — modeling the production property that block
+    # COUNT grows with the corpus while block SIZE stays bounded
+    # (link_golden's derived blocks intentionally do NOT get this
+    # treatment — see the quadratic-block note in PLANS.md).
+    cust = spark.read.parquet(f"{src}/customer.parquet")
+    rep_union(
+        cust,
+        "c_custkey",
+        perturb=lambda d, r: d.withColumn(
+            "c_nationkey", F.col("c_nationkey") + F.lit(r * 25)
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+
+    for dim in ("nation", "region", "supplier", "part", "events"):
         p = f"{src}/{dim}.parquet"
         if os.path.exists(p):
             spark.read.parquet(p).write.mode("overwrite").parquet(f"{out}/{dim}.parquet")
