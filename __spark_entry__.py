@@ -478,9 +478,45 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     events = SP.ensure_event_time(EV.load_events(spark, sf))
     batch = EV.tumbling_agg(events)
     stream_ev = SP.ensure_event_time(SP.stream_events(spark, f"{sf}/events.parquet"))
-    drained = SP.run_availablenow(
-        SP.tumbling_stream(stream_ev), f"twin_{run_id}", sink="parquet"
-    )
+
+    # The three drains are independent Structured Streaming queries —
+    # start them from concurrent driver threads so their fixed
+    # per-query costs (checkpoint setup, micro-batch planning) overlap
+    # instead of serializing (~2.5 s each alone; ~one query's cost
+    # concurrent). Results are deterministic per drain, so concurrency
+    # cannot change values.
+    from concurrent.futures import ThreadPoolExecutor
+
+    dd_keys = ["user_id", "event_type"]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_tumble = pool.submit(
+            SP.run_availablenow,
+            SP.tumbling_stream(stream_ev),
+            f"twin_{run_id}",
+            "parquet",
+        )
+        f_dd = pool.submit(
+            SP.run_availablenow,
+            ST.dedup_stream(
+                SP.stream_events(spark, f"{sf}/events.parquet"),
+                dd_keys,
+                "ts",
+                delay="3650 days",
+            ),
+            f"twin_dd_{run_id}",
+            "parquet",
+            None,
+            "append",
+        )
+        f_st = pool.submit(
+            SP.run_availablenow,
+            ST.user_running_stats(SP.stream_events(spark, f"{sf}/events.parquet")),
+            f"twin_st_{run_id}",
+            "parquet",
+            None,
+            "update",
+        )
+        drained, dd, st = f_tumble.result(), f_dd.result(), f_st.result()
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
     )
@@ -509,15 +545,6 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     # the streaming dedup is exact; rows themselves are
     # arrival-order-dependent (first occurrence wins), the KEY SET is
     # not — compare that.
-    dd_keys = ["user_id", "event_type"]
-    dd = SP.run_availablenow(
-        ST.dedup_stream(
-            SP.stream_events(spark, f"{sf}/events.parquet"), dd_keys, "ts", delay="3650 days"
-        ),
-        f"twin_dd_{run_id}",
-        sink="parquet",
-        output_mode="append",
-    )
     dj = (
         dd.select(*dd_keys, F.lit(1).alias("s_seen"))
         .join(
@@ -537,12 +564,6 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     # ---- stateful leg: final carried (count, sum) per user vs the
     # batch groupBy. Sum tolerance as above (state accumulates in
     # micro-batch arrival order).
-    st = SP.run_availablenow(
-        ST.user_running_stats(SP.stream_events(spark, f"{sf}/events.parquet")),
-        f"twin_st_{run_id}",
-        sink="parquet",
-        output_mode="update",
-    )
     st_final = SP.latest_by_key(st, ["user_id"]).select(
         "user_id", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
     )

@@ -354,36 +354,84 @@ def _seed_centers(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def _centers_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Codebooks as a (subspace, centroid, center) table. Codebooks
+    are DATA, broadcast to the encode join — NOT expression literals:
+    a production m=8 x k=256 codebook inlined as literals builds a
+    ~2000-subtree plan whose Catalyst analysis dominates wall-clock
+    (measured: the literal design's PQ queries were near
+    size-INDEPENDENT at ~4-6 s — planning-bound, not execution-bound)
+    and eventually exceeds codegen limits. The broadcast table keeps
+    the plan O(m) regardless of k."""
+    rows = [
+        (i, c, [float(v) for v in codebooks[i][c]])
+        for i in range(len(codebooks))
+        for c in range(len(codebooks[i]))
+    ]
+    return spark.createDataFrame(rows, "i int, c int, center array<double>")
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: list[Column] | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` centroid indices — the 8x-64x
     wire/memory compression that makes billion-vector search fit on a
-    cluster. Pure column expressions: per subspace, argmin over the k
-    centroid distances via the same (d2, idx) struct-min trick as IVF
-    cell assignment; nothing leaves the JVM, no UDF.
+    cluster. Exploded-aggregate shape (same as
+    :func:`~.dedup.minhash_signatures`): each vector fans out to its
+    ``m`` subvectors, joins the BROADCAST centers table, and per-
+    subspace argmin is a struct-min aggregate — (d2, c) struct
+    ordering ties toward the lower centroid index, the same tie-break
+    every quantizer here uses. One shuffle of (id, m small structs)
+    with map-side partial combine; nothing leaves the JVM, no UDF.
 
-    Output: (id, code array<int> length m).
+    ``extra_cols``: per-row expressions (e.g. an IVF cell id) carried
+    through the encode — evaluated once pre-explode, aggregated with
+    ``min`` (constant within an id), so IVF-PQ's cell+code projection
+    stays one pass.
+
+    Output: (id, code array<int> length m[, extras]).
     """
-    return df.select(
-        F.col(id_col).alias("id"),
-        _pq_code(F.col(vec_col), codebooks).alias("code"),
-    )
-
-
-def _pq_code(vec: Column, codebooks: list[list[list[float]]]) -> Column:
-    """The m-subspace PQ code of a vector column — ONE definition
-    shared by :func:`pq_encode` and :func:`ivfpq_topk`, so a tie-break
-    or cast change can never diverge between them."""
+    m = len(codebooks)
     ds = len(codebooks[0][0])
-    return F.array(
-        *[
-            _nearest_index(_subvec(vec, i, ds), codebooks[i])
-            for i in range(len(codebooks))
-        ]
+    spark = df.sparkSession
+    extras = extra_cols or []
+    # extras evaluate in a generator-free projection: Spark's
+    # Generate-split rewrites the select around posexplode, and a
+    # lambda-bearing extra (e.g. the struct-argmin cell id) loses its
+    # struct field names under that rewrite (FIELD_NOT_FOUND) — two
+    # narrow projections sidestep it at zero cost
+    pre = df.select(F.col(id_col).alias("id"), *extras, F.col(vec_col).alias("__vec"))
+    extra_names = pre.columns[1:-1]
+    subs = pre.select(
+        "id",
+        *extra_names,
+        F.posexplode(
+            F.array(*[_subvec(F.col("__vec"), i, ds) for i in range(m)])
+        ).alias("i", "sub"),
+    )
+    d2 = squared_distance(F.col("sub"), F.col("center"))
+    joined = subs.join(F.broadcast(_centers_df(spark, codebooks)), "i")
+    aggs = [
+        F.min(
+            F.when(
+                F.col("i") == i, F.struct(d2.alias("d2"), F.col("c").alias("c"))
+            )
+        ).alias(f"m{i}")
+        for i in range(m)
+    ]
+    aggs += [F.min(n).alias(n) for n in extra_names]
+    return (
+        joined.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"m{i}.c") for i in range(m)]).alias("code"),
+            *extra_names,
+        )
     )
 
 
@@ -424,7 +472,7 @@ def pq_topk(
         "id", "neighbor_id"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    lut = q.select("query_id", *_query_lut_cols(codebooks))
+    lut = _query_luts(q, codebooks)
     scored = (
         enc.crossJoin(F.broadcast(lut))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -433,21 +481,42 @@ def pq_topk(
     return _refine_exact(scored, corpus, q, k, refine, id_col, vec_col)
 
 
-def _query_lut_cols(codebooks: list[list[list[float]]]) -> list[Column]:
-    """Per-subspace ADC lookup tables for a ``q_vec`` column: lut_i[c]
-    = squared distance from the query's i-th subvector to centroid c."""
+def _query_luts(q: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Per-query ADC lookup tables, (query_id, lut0..lut{m-1}) with
+    lut_i[c] = squared distance from the query's i-th subvector to
+    centroid c. Same broadcast-centers join shape as
+    :func:`pq_encode` (see :func:`_centers_df` for why codebooks are
+    data, not literals); the query frame is small by contract, so the
+    m*k min-aggregates per query are trivial."""
+    m = len(codebooks)
     ds = len(codebooks[0][0])
-    return [
-        F.array(
-            *[
-                squared_distance(
-                    _subvec(F.col("q_vec"), i, ds), F.array(*[F.lit(v) for v in c])
-                )
-                for c in codebooks[i]
-            ]
-        ).alias(f"lut{i}")
-        for i in range(len(codebooks))
+    spark = q.sparkSession
+    subs = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[_subvec(F.col("q_vec"), i, ds) for i in range(m)])
+        ).alias("i", "sub"),
+    )
+    d2 = squared_distance(F.col("sub"), F.col("center"))
+    joined = subs.join(F.broadcast(_centers_df(spark, codebooks)), "i")
+    aggs = [
+        F.min(F.when((F.col("i") == i) & (F.col("c") == c), d2)).alias(f"l_{i}_{c}")
+        for i in range(m)
+        for c in range(len(codebooks[i]))
     ]
+    return (
+        joined.groupBy("query_id")
+        .agg(*aggs)
+        .select(
+            "query_id",
+            *[
+                F.array(
+                    *[F.col(f"l_{i}_{c}") for c in range(len(codebooks[i]))]
+                ).alias(f"lut{i}")
+                for i in range(m)
+            ],
+        )
+    )
 
 
 def _adc_score(m: int) -> Column:
@@ -511,8 +580,9 @@ def ivfpq_topk(
 
     1. coarse quantizer: seed centroids (first ``n_clusters`` corpus
        vectors by id — deterministic, zero training) partition the
-       corpus; each point's cell AND its PQ code are computed in ONE
-       projection over the corpus scan;
+       corpus; each point's cell AND its PQ code come out of ONE
+       encode pass over the corpus scan (the cell rides through the
+       encode's aggregate);
     2. each query probes its ``n_probe`` nearest cells, so the ADC
        scan touches ~n_probe/n_clusters of the codes instead of all
        of them — and those codes are ~64x narrower than the vectors;
@@ -525,17 +595,19 @@ def ivfpq_topk(
     """
     centers = _seed_centers(corpus, n_clusters, id_col, vec_col)
 
-    # one corpus scan: cell + code together, via the SAME shared
-    # quantizer expressions pq_encode / ivf_topk use
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _nearest_index(F.col(vec_col), centers).alias("cell"),
-        _pq_code(F.col(vec_col), codebooks).alias("code"),
-    )
+    # one corpus pass: the encode's exploded-aggregate carries the
+    # cell id along (evaluated pre-explode, min-aggregated — constant
+    # within a vector), so cell + code still come out of one pipeline
+    assigned = pq_encode(
+        corpus,
+        codebooks,
+        id_col,
+        vec_col,
+        extra_cols=[_nearest_index(F.col(vec_col), centers).alias("cell")],
+    ).withColumnRenamed("id", "neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    # LUTs are computed BEFORE the probe explode — they don't depend
-    # on the cell, so the m*k distance expressions evaluate once per
-    # query, not once per (query, cell)
+    # LUTs are computed ONCE per query (they don't depend on the
+    # cell), then joined onto the query's n_probe nearest cells
     cell_d2 = F.array(
         *[
             F.struct(
@@ -545,21 +617,13 @@ def ivfpq_topk(
             for i, c in enumerate(centers)
         ]
     )
-    probes = (
-        q.select("query_id", "q_vec", *_query_lut_cols(codebooks))
-        .select(
-            "query_id",
-            *[f"lut{i}" for i in range(len(codebooks))],
-            F.explode(F.slice(F.array_sort(cell_d2), 1, n_probe)).alias("p"),
-        )
-        .select(
-            "query_id",
-            F.col("p.cell").alias("cell"),
-            *[f"lut{i}" for i in range(len(codebooks))],
-        )
-    )
+    probes = q.select(
+        "query_id",
+        F.explode(F.slice(F.array_sort(cell_d2), 1, n_probe)).alias("p"),
+    ).select("query_id", F.col("p.cell").alias("cell"))
+    probe_luts = probes.join(_query_luts(q, codebooks), "query_id")
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.join(F.broadcast(probe_luts), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _adc_score(len(codebooks)).alias("approx_d2"))
     )

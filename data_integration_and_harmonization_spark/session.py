@@ -74,12 +74,16 @@ def get_spark(
         # JVM's default ~240 MB code cache; once full, HotSpot stops
         # JIT-compiling and random stages run interpreted (measured:
         # the same warm LSH/SimHash plan flips between 2s and 10s).
-        # 1g keeps every compiled stage resident. Executor JVMs on a
-        # real cluster want the same via spark.executor.extraJavaOptions.
+        # r4 sized this at 1g; the r5 query set (PQ joins, linkage,
+        # three streaming plans) overflowed THAT too — unrelated warm
+        # queries drifted 2-5x (emb_pool_quantize 0.7s -> 3.4s) and 2g
+        # restored them, so the headroom matters more than the spill.
+        # Executor JVMs on a real cluster want the same via
+        # spark.executor.extraJavaOptions.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=2g"
             ),
         )
     )

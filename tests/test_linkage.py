@@ -200,3 +200,35 @@ def test_token_links_edges_feed_clusters(spark):
     links = token_links(df, "id", "name", ["country"], threshold=0.9)
     got = {r.id: r.cluster_id for r in duplicate_clusters(links).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_token_links_prefix_filter_is_lossless(spark):
+    """The AllPairs/PPJoin prefix filter prunes candidate GENERATION
+    only — for any threshold the result must equal the unfiltered
+    path pair-for-pair (including jaccard values). Names engineered
+    with a block-wide hot suffix token ('inc') so the prefix path
+    actually prunes something."""
+    from data_integration_and_harmonization_spark.operators.linkage import token_links
+
+    rows = [
+        (1, "alpha one inc", "US"),
+        (2, "one alpha inc", "US"),     # reorder of 1 -> jaccard 1.0
+        (3, "beta two inc", "US"),      # shares only 'inc' with 1/2
+        (4, "two beta inc", "US"),      # reorder of 3
+        (5, "gamma three inc", "US"),   # singleton-ish
+        (6, "alpha one inc", "EU"),     # other block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, country string")
+    for thr in (0.4, 0.6, 0.9):
+        fast = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in token_links(df, "id", "name", ["country"], thr).collect()
+        }
+        slow = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in token_links(
+                df, "id", "name", ["country"], thr, prefix_filter=False
+            ).collect()
+        }
+        assert fast == slow, f"threshold {thr}: {fast} != {slow}"
+    assert (1, 2) in fast and (3, 4) in fast

@@ -45,6 +45,10 @@ ALLOWED = {
     # label-map global rank runs over DISTINCT category values of one
     # column — bounded by category cardinality, not corpus size
     "feat_label_encode": {"Exchange SinglePartition"},
+    # blocking_stats' final global aggregate: the single-partition
+    # merge sees one partial row per upstream task (block-size
+    # distribution already reduced map-side) — bounded at any scale
+    "link_golden": {"Exchange SinglePartition"},
 }
 
 
