@@ -37,6 +37,7 @@ from data_integration_and_harmonization_spark.operators import sampling as SAMP
 from data_integration_and_harmonization_spark.operators import scrub as SCRUB
 from data_integration_and_harmonization_spark.operators import similarity as SIM
 from data_integration_and_harmonization_spark.operators import text as TX
+from data_integration_and_harmonization_spark.plans import curation as CUR
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -599,6 +600,9 @@ _QUERY_ORDER = [
     # the freed slot carries the golden-record linkage pipeline
     "mm_meta_features",
     "link_golden",
+    # r5: rel_set_ops folded into rel_semi_anti_join (both membership
+    # predicates); the freed slot carries the composed curation funnel
+    "curate_pipeline",
     # new in r2
     "text_decontaminate",
     "text_scrub",
@@ -636,7 +640,6 @@ _QUERY_ORDER = [
     "rel_semi_anti_join",
     "rel_distinct_agg",
     "rel_asof_join",
-    "rel_set_ops",
     "rel_range_join",
     "rel_date_breakdown",
     "rel_running_window",
@@ -687,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(SC.scoring_queries())
     q.update(EMB.embeddings_queries())
     q.update(LK.linkage_queries())
+    q.update(CUR.curation_queries())
     # RuntimeError, not assert: these guards protect against the exact
     # silent-truncation failure r1 hit (driver records only the first
     # 50 queries), and asserts vanish under ``python -O``.
@@ -909,4 +913,5 @@ FROM (SELECT DISTINCT user_id FROM events)
     o.update(SC.scoring_oracles())
     o.update(EMB.embeddings_oracles())
     o.update(LK.linkage_oracles())
+    o.update(CUR.curation_oracles())
     return o

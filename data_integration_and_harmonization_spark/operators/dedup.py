@@ -818,11 +818,22 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _md5_minhash_cte(shingles: str, num_hashes: int = 32, bands: int = 8) -> str:
+def _md5_minhash_cte(
+    shingles: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    source: str = "documents",
+    bare: bool = False,
+) -> str:
     """DuckDB twin of ``minhash_signatures(hash_family='md5')`` +
     ``minhash_lsh_candidates``: same shingle hash (first 15 md5 hex
     chars as a 60-bit int, reduced mod the Mersenne prime), same affine
-    permutation family, same band buckets (concatenated minima)."""
+    permutation family, same band buckets (concatenated minima).
+
+    ``source``: the relation the documents come from (a table name or
+    an inline subquery exposing ``doc_id``/``text``); ``bare=True``
+    omits the leading ``WITH `` so the CTE chain can be spliced into a
+    larger WITH block (e.g. the curation funnel's)."""
     rpb = num_hashes // bands
     base = "(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)"
     mins = ",\n    ".join(
@@ -836,8 +847,8 @@ def _md5_minhash_cte(shingles: str, num_hashes: int = 32, bands: int = 8) -> str
         for b in range(bands)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id AS id, {shingles} AS shl FROM documents
+{'' if bare else 'WITH '}sh AS MATERIALIZED (
+  SELECT doc_id AS id, {shingles} AS shl FROM {source}
 ), ex AS (
   SELECT id, unnest(shl) AS s FROM sh
 ), sig AS (

@@ -332,19 +332,41 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pivot_status(spark.read.parquet(f"{sf}/lineitem.parquet"))
 
     def q_semi_anti(spark, sf):
-        # left-semi + left-anti in one tagged result. The anti side
-        # runs against orders from 1998 onward so it is non-empty
-        # (every customer in the test data has SOME order).
+        # the set-membership family in one tagged result: left-semi +
+        # left-anti joins plus INTERSECT/EXCEPT legs (the former
+        # rel_set_ops query, folded in r5 to free a registry slot —
+        # all four are row-membership predicates). The anti side runs
+        # against orders from 1998 onward so it is non-empty (every
+        # customer in the test data has SOME order). Set-op rows map
+        # key=nationkey, segment=null.
         cust = spark.read.parquet(f"{sf}/customer.parquet")
         orders = spark.read.parquet(f"{sf}/orders.parquet")
+        supp = spark.read.parquet(f"{sf}/supplier.parquet")
         recent = orders.where(F.col("o_orderdate") >= F.lit("1998-01-01"))
         s = customers_with_orders(cust, orders).select(
-            F.lit("semi").alias("join_kind"), "c_custkey", "c_mktsegment"
+            F.lit("semi").alias("join_kind"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("segment"),
         )
         a = customers_without_orders(cust, recent).select(
-            F.lit("anti").alias("join_kind"), "c_custkey", "c_mktsegment"
+            F.lit("anti").alias("join_kind"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("segment"),
         )
-        return s.unionByName(a)
+        i = nations_with_both(cust, supp).select(
+            F.lit("intersect").alias("join_kind"),
+            F.col("nationkey").alias("key"),
+            F.lit(None).cast("string").alias("segment"),
+        )
+        e = nations_customers_only(
+            cust.where(F.col("c_acctbal") > 9000),
+            supp.where(F.col("s_acctbal") > 5000),
+        ).select(
+            F.lit("except").alias("join_kind"),
+            F.col("nationkey").alias("key"),
+            F.lit(None).cast("string").alias("segment"),
+        )
+        return s.unionByName(a).unionByName(i).unionByName(e)
 
     def q_distinct(spark, sf):
         # approx_count_distinct is rows-only territory; split it out so
@@ -382,18 +404,6 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("event_id", "user_id", F.col("asof_o_orderdate"))
 
-    def q_set_ops(spark, sf):
-        # INTERSECT + EXCEPT in one tagged result (merged from r1's
-        # rel_intersect / rel_except — correctness-runner query cap)
-        cust = spark.read.parquet(f"{sf}/customer.parquet")
-        supp = spark.read.parquet(f"{sf}/supplier.parquet")
-        i = nations_with_both(cust, supp).select(F.lit("intersect").alias("op"), "nationkey")
-        e = nations_customers_only(
-            cust.where(F.col("c_acctbal") > 9000),
-            supp.where(F.col("s_acctbal") > 5000),
-        ).select(F.lit("except").alias("op"), "nationkey")
-        return i.unionByName(e)
-
     return {
         "rel_pricing_summary": q_pricing,
         "rel_revenue_by_nation": q_revenue,
@@ -403,7 +413,6 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_anti_join": q_semi_anti,
         "rel_distinct_agg": q_distinct,
         "rel_asof_join": q_asof,
-        "rel_set_ops": q_set_ops,
         "rel_range_join": q_range_join,
         "rel_date_breakdown": lambda s, sf: orders_by_quarter(
             s.read.parquet(f"{sf}/orders.parquet")
@@ -463,13 +472,25 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """,
         "rel_semi_anti_join": """
-SELECT 'semi' AS join_kind, c_custkey, c_mktsegment FROM customer
+SELECT 'semi' AS join_kind, c_custkey AS key, c_mktsegment AS segment FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 UNION ALL
-SELECT 'anti' AS join_kind, c_custkey, c_mktsegment FROM customer
+SELECT 'anti' AS join_kind, c_custkey AS key, c_mktsegment AS segment FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1998-01-01')
+UNION ALL
+SELECT 'intersect' AS join_kind, nationkey AS key, CAST(NULL AS VARCHAR) AS segment FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except' AS join_kind, nationkey AS key, CAST(NULL AS VARCHAR) AS segment FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+  EXCEPT
+  SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+)
 """,
         "rel_distinct_agg": """
 SELECT l_returnflag,
@@ -483,19 +504,7 @@ FROM events e
 ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
-        "rel_set_ops": """
-SELECT 'intersect' AS op, nationkey FROM (
-  SELECT c_nationkey AS nationkey FROM customer
-  INTERSECT
-  SELECT s_nationkey FROM supplier
-)
-UNION ALL
-SELECT 'except' AS op, nationkey FROM (
-  SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
-  EXCEPT
-  SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
-)
-""",
+
         "rel_range_join": """
 WITH intervals AS (
   SELECT DISTINCT date_trunc('hour', ts) AS w_start,

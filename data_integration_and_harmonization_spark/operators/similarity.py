@@ -443,6 +443,8 @@ def pq_topk(
     refine: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    luts: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate nearest neighbors with exact re-ranking —
     the production IVF-PQ shape. Stage 1 scores every corpus point
@@ -465,14 +467,23 @@ def pq_topk(
     bigger — but still tiny — re-rank join; with ``k * refine >=
     |corpus|`` the result is exact by construction.
 
+    ``codes`` / ``luts``: a precomputed (persisted) :func:`pq_encode`
+    output / :func:`_query_luts` table — the build-once-query-many
+    split every production ANN index uses. An index served for many
+    query batches encodes the corpus exactly once; callers running
+    several PQ variants over one corpus (e.g. PQ and IVF-PQ) share
+    one encode the same way.
+
     Output: (query_id, rank, neighbor_id, d2), rank by ascending
     exact distance within the shortlist (ties by neighbor id).
     """
-    enc = pq_encode(corpus, codebooks, id_col, vec_col).withColumnRenamed(
-        "id", "neighbor_id"
-    )
+    enc = (
+        codes.select("id", "code")
+        if codes is not None
+        else pq_encode(corpus, codebooks, id_col, vec_col)
+    ).withColumnRenamed("id", "neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    lut = _query_luts(q, codebooks)
+    lut = luts if luts is not None else _query_luts(q, codebooks)
     scored = (
         enc.crossJoin(F.broadcast(lut))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -573,6 +584,8 @@ def ivfpq_topk(
     refine: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    luts: DataFrame | None = None,
 ) -> DataFrame:
     """The full production ANN layout — IVF coarse cells x PQ codes x
     exact re-rank, the index structure behind every billion-scale
@@ -592,18 +605,26 @@ def ivfpq_topk(
     The corpus-side operand at every stage is as small as it can be:
     codes for the probed cells, then vectors for the shortlist. Same
     output shape as :func:`pq_topk`.
+
+    ``codes`` / ``luts``: the build-once-query-many split (see
+    :func:`pq_topk`); ``codes`` here must be a :func:`pq_encode`
+    output that carried the ``cell`` column through ``extra_cols``.
     """
     centers = _seed_centers(corpus, n_clusters, id_col, vec_col)
 
     # one corpus pass: the encode's exploded-aggregate carries the
     # cell id along (evaluated pre-explode, min-aggregated — constant
     # within a vector), so cell + code still come out of one pipeline
-    assigned = pq_encode(
-        corpus,
-        codebooks,
-        id_col,
-        vec_col,
-        extra_cols=[_nearest_index(F.col(vec_col), centers).alias("cell")],
+    assigned = (
+        codes.select("id", "code", "cell")
+        if codes is not None
+        else pq_encode(
+            corpus,
+            codebooks,
+            id_col,
+            vec_col,
+            extra_cols=[_nearest_index(F.col(vec_col), centers).alias("cell")],
+        )
     ).withColumnRenamed("id", "neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     # LUTs are computed ONCE per query (they don't depend on the
@@ -621,7 +642,9 @@ def ivfpq_topk(
         "query_id",
         F.explode(F.slice(F.array_sort(cell_d2), 1, n_probe)).alias("p"),
     ).select("query_id", F.col("p.cell").alias("cell"))
-    probe_luts = probes.join(_query_luts(q, codebooks), "query_id")
+    probe_luts = probes.join(
+        luts if luts is not None else _query_luts(q, codebooks), "query_id"
+    )
     scored = (
         assigned.join(F.broadcast(probe_luts), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -699,7 +722,24 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("long").alias("neighbor_id"),
             F.col("recall").alias("val"),
         )
-        pq_rows = pq_topk(corpus, queries, books, k=5, refine=4).select(
+        # build-once-query-many: ONE persisted encode (codes + cell)
+        # and ONE persisted LUT table serve both the PQ and IVF-PQ
+        # legs — the way a served index amortizes its build
+        centers = _seed_centers(corpus, 8, "vec_id", "embedding")
+        enc = track(
+            pq_encode(
+                corpus,
+                books,
+                extra_cols=[_nearest_index(F.col("embedding"), centers).alias("cell")],
+            ).persist()
+        )
+        q = queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        )
+        luts = track(_query_luts(q, books).persist())
+        pq_rows = pq_topk(
+            corpus, queries, books, k=5, refine=4, codes=enc, luts=luts
+        ).select(
             F.lit("pq").alias("kind"),
             "query_id",
             "rank",
@@ -707,7 +747,8 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("d2").alias("val"),
         )
         ivfpq_rows = ivfpq_topk(
-            corpus, queries, books, k=5, n_clusters=8, n_probe=2, refine=4
+            corpus, queries, books, k=5, n_clusters=8, n_probe=2, refine=4,
+            codes=enc, luts=luts,
         ).select(
             F.lit("ivfpq").alias("kind"),
             "query_id",
