@@ -128,6 +128,19 @@ def curate_annotate(
         _FLAG["exact_dedup"],
         F.col(_FLAG["language"]) & (F.col("doc_id") == F.col("__keep")),
     )
+    # Materialize the profile+exact-dedup frame HERE: the near-dedup
+    # stage below ends in a driver-side connected-components collect,
+    # and downstream consumers (decon join, funnel report, the packing
+    # tail's offsets job, the caller's final action) each trigger
+    # their own jobs — without this cache the whole
+    # tokenize/langid/fingerprint subtree re-executes per consumer
+    # (measured 3-4 executions = ~3.5 s of pure recompute at sf0.1).
+    # Tracked persist: released at the driver's next query boundary;
+    # library callers can release via functions.caching.release_all.
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    ann = track(ann.persist())
+    ann.count()
     # near_dedup: LSH-verified clusters over exact survivors (md5
     # family so the oracle replays the candidate graph); a doc not in
     # any cluster keeps itself, a clustered doc survives iff it is the
