@@ -721,9 +721,11 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
 
         def inc_rows(b: DataFrame, kind: str) -> DataFrame:
+            # same null-text sentinel the store uses, so a null-text
+            # survivor reports the fingerprint it was admitted under
             return b.select(
                 F.lit(kind).alias("kind"),
-                F.md5("text").alias("fp"),
+                F.coalesce(F.md5("text"), F.lit("__null_text__")).alias("fp"),
                 F.lit(None).cast("long").alias("n_copies"),
                 F.col("doc_id").alias("keep_id"),
             )
@@ -932,13 +934,19 @@ SELECT 'normalized' AS kind, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', 
        count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY 2
 UNION ALL
-SELECT 'inc1', md5(text), CAST(NULL AS BIGINT), min(doc_id)
+SELECT 'inc1', coalesce(md5(text), '__null_text__'), CAST(NULL AS BIGINT), min(doc_id)
 FROM documents WHERE doc_id % 2 = 0 GROUP BY 2
 UNION ALL
+-- NOT EXISTS, not NOT IN: a null-text doc in the even half would
+-- NULL-poison a NOT IN subquery and empty the whole inc2 leg; the
+-- sentinel mirrors the Spark store's null-text handling
 SELECT 'inc2', fp, CAST(NULL AS BIGINT), keep_id FROM (
-  SELECT md5(text) AS fp, min(doc_id) AS keep_id
+  SELECT coalesce(md5(text), '__null_text__') AS fp, min(doc_id) AS keep_id
   FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
-) WHERE fp NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+) o WHERE NOT EXISTS (
+  SELECT 1 FROM documents e
+  WHERE e.doc_id % 2 = 0 AND coalesce(md5(e.text), '__null_text__') = o.fp
+)
 """,
         "dedup_lsh_pipeline": minhash_cte
         + """

@@ -106,7 +106,11 @@ def curate_annotate(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         t.alias("text"),
-        token_count(t).alias("n_tokens"),
+        # null text = 0 tokens on BOTH sides (size() of a null array is
+        # engine/config-dependent — NULL, or -1 under legacy sizeOfNull,
+        # and the oracle's len(toks) is NULL; pin the semantics with an
+        # explicit null guard instead)
+        F.when(t.isNull(), F.lit(0)).otherwise(token_count(t)).alias("n_tokens"),
         language_id_column(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("__fp"),
         sample_hash([id_col], seed).alias("__hu"),
@@ -327,7 +331,7 @@ WITH RECURSIVE t AS MATERIALIZED (
          {langid_case} AS lang_pred
   FROM documents
 ), f AS (
-  SELECT doc_id, text, toks, len(toks) AS n_tok, lang_pred,
+  SELECT doc_id, text, toks, coalesce(len(toks), 0) AS n_tok, lang_pred,
          (len(toks) BETWEEN 20 AND 10000)
          AND (CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE) / n_chars ELSE 0.0 END >= 0.5)
            AS q_pass,

@@ -232,3 +232,30 @@ def test_token_links_prefix_filter_is_lossless(spark):
         }
         assert fast == slow, f"threshold {thr}: {fast} != {slow}"
     assert (1, 2) in fast and (3, 4) in fast
+
+
+def test_token_links_prefix_boundary_threshold(spark):
+    """Float-ceil boundary (review finding): 25-token A vs B sharing
+    exactly 14 tokens, threshold 0.56 -> Jaccard = 14/25 = 0.56, ON
+    the threshold. 0.56 * 25 = 14.000000000000002 in doubles; a naive
+    ceil makes the required overlap 15 and shortens A's prefix by one,
+    silently dropping the pair. The epsilon-guarded ceil must keep the
+    prefix path identical to the unfiltered path here."""
+    from data_integration_and_harmonization_spark.operators.linkage import token_links
+
+    a = " ".join(f"t{i:02d}" for i in range(1, 26))    # t01..t25
+    b = " ".join(f"t{i:02d}" for i in range(12, 26))   # t12..t25 (14 shared)
+    df = spark.createDataFrame(
+        [(1, a, "US"), (2, b, "US")], "id long, name string, country string"
+    )
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in token_links(df, "id", "name", ["country"], 0.56).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in token_links(
+            df, "id", "name", ["country"], 0.56, prefix_filter=False
+        ).collect()
+    }
+    assert fast == slow == {(1, 2): 0.56}

@@ -67,7 +67,13 @@ def _single_partition_split(plan: str) -> tuple[int, int]:
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
-        if any("bloom_filter_agg" in c for c in lines[max(0, i - 2) : i]):
+        # classify by the exchange's DIRECT CHILD (printed on the next
+        # line): only a partial bloom build below it makes this a
+        # runtime-filter merge — looking at preceding lines instead
+        # could misclassify a genuine offender that happens to sit
+        # next to an inlined bloom subquery
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "partial_bloom_filter_agg" in child:
             bloom += 1
         else:
             off += 1
