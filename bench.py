@@ -101,7 +101,14 @@ def main() -> None:
     for _ in range(max(1, timed_runs)):
         for name in names:
             t0 = time.time()
-            rows[name] = qs[name](spark, sf_dir).count()
+            try:
+                rows[name] = qs[name](spark, sf_dir).count()
+            except Exception as e:  # rare transient (e.g. concurrent-fit
+                # py4j race) — one retry keeps a single flake from
+                # sinking the whole bench; a persistent failure raises
+                print(f"# timed {name} failed once ({e}); retrying", file=sys.stderr)
+                t0 = time.time()
+                rows[name] = qs[name](spark, sf_dir).count()
             t = time.time() - t0
             timings[name] = round(min(timings.get(name, float("inf")), t), 3)
     for name in names:

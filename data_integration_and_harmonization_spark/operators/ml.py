@@ -315,9 +315,18 @@ def train_models(
                 seed=seed,
                 parallelism=4,
             )
-            fitted = est.fit(train)
         else:
-            fitted = model.fit(train)
+            est = model
+        # One retry: concurrent driver-thread fits (this pool x
+        # CrossValidator's own parallelism) very rarely trip a py4j/
+        # Instrumentation race inside Spark ("NumberFormatException:
+        # Cannot parse null string" out of est.fit). The fits are
+        # seeded and side-effect-free, so a single retry is safe and
+        # deterministic; a persistent error still raises.
+        try:
+            fitted = est.fit(train)
+        except Exception:  # noqa: BLE001 — transient driver-side race
+            fitted = est.fit(train)
         # no cache: evaluate_model is single-pass, so the transform
         # lineage executes exactly once
         return evaluate_model(fitted.transform(test), is_classification)

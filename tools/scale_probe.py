@@ -42,6 +42,7 @@ OPERATORS = {
     "samp_deterministic": "hash/stratified/rank/mix sampling",
     "sim_ivf_recall": "IVF + PQ-ADC + IVF-PQ with exact re-rank",
     "link_golden": "token blocking -> entity ids -> golden record",
+    "curate_pipeline": "full curation funnel incl. LSH near-dedup + pack",
 }
 
 
