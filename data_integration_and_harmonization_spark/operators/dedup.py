@@ -556,6 +556,59 @@ def incremental_exact_dedup(
     return fresh.drop("__fp")
 
 
+def duplicated_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 5,
+) -> DataFrame:
+    """Per-document duplicated n-gram fraction: the share of a doc's
+    DISTINCT word ``gram``-grams that occur in at least one OTHER
+    document — the standard corpus-level duplication diagnostic
+    (used as a quality filter in web-scale curation pipelines: a high
+    fraction means boilerplate / templated / near-duplicate content
+    even when no single pair crosses a dedup threshold).
+
+    Scale shape: one explode to (id, 16-byte digest) rows, one
+    digest groupBy for global document frequency (map-side combine —
+    per-doc grams are DISTINCT so count(*) IS the doc frequency), one
+    join back, one per-doc agg. Only digests shuffle, never gram
+    text; a boilerplate mega-gram skews an AQE-splittable join.
+
+    Output: (id, n_grams, n_dup_grams, dup_frac) — docs with fewer
+    than ``gram`` tokens report (0, 0, 0.0).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, gram)).alias("g"),
+    ).select("id", F.md5("g").alias("h"))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        ex.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    frac = F.round(
+        F.when(F.col("n_grams") > 0, F.col("n_dup_grams") / F.col("n_grams")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        )
+        .withColumn("dup_frac", frac)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

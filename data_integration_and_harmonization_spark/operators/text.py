@@ -206,9 +206,21 @@ def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one query covering quality + langid + fingerprints + token
         # counts (merged from r1's four text_* queries — the driver's
         # correctness pass records at most 50 queries; one projection
-        # also IS the right scale shape: one scan, not four)
+        # also IS the right scale shape: one scan, not four), plus the
+        # corpus-level duplicated-5-gram fraction (r5): the one
+        # profile column that needs a cross-document pass — a digest
+        # groupBy + join, see dedup.duplicated_ngram_stats
+        from data_integration_and_harmonization_spark.operators.dedup import (
+            duplicated_ngram_stats,
+        )
+
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        return document_profile(docs)
+        dup = duplicated_ngram_stats(docs, gram=5).select(
+            F.col("id").alias("doc_id"),
+            F.col("n_grams").alias("n_5grams"),
+            F.col("dup_frac").alias("dup_5gram_frac"),
+        )
+        return document_profile(docs).join(dup, "doc_id")
 
     return {"text_profile": q_profile}
 
@@ -252,8 +264,21 @@ WITH t AS (
               d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE) / len(toks)
          ELSE 0.0 END AS top_ratio
   FROM t
+), g5 AS (
+  SELECT doc_id,
+         md5(unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                || ' ' || toks[i+3] || ' ' || toks[i+4])))) AS h
+  FROM t
+), fr AS (
+  SELECT h, count(*)::BIGINT AS df FROM g5 GROUP BY 1
+), pd AS (
+  SELECT g5.doc_id, count(*)::BIGINT AS n_5grams,
+         sum(CASE WHEN fr.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM g5 JOIN fr ON fr.h = g5.h GROUP BY 1
 )
-SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
+SELECT s.doc_id AS doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
   round(avg_tok, 6) AS avg_token_len,
   round(alpha_ok, 6) AS alpha_ratio,
   round(stop_ratio, 6) AS stopword_ratio,
@@ -269,7 +294,10 @@ SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
            regexp_extract_all(lower(text), '{TOKEN_RE}')[i+1] || ' ' ||
            regexp_extract_all(lower(text), '{TOKEN_RE}')[i+2]
     ), sh -> md5(sh))) AS min_shingle_fp,
-  len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::INTEGER AS n_bpe_tokens
-FROM s
+  len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::INTEGER AS n_bpe_tokens,
+  coalesce(pd.n_5grams, 0)::BIGINT AS n_5grams,
+  round(CASE WHEN coalesce(pd.n_5grams, 0) > 0
+        THEN pd.n_dup::DOUBLE / pd.n_5grams ELSE 0.0 END, 6) AS dup_5gram_frac
+FROM s LEFT JOIN pd ON pd.doc_id = s.doc_id
 """,
     }
