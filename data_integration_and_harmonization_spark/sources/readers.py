@@ -105,16 +105,40 @@ def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:
         # the rows already — feed them to Spark with an EXPLICIT
         # schema. Spark's row-sampling inference raises "can not infer
         # schema" on a header-only sheet (zero rows) or an all-None
-        # column; deriving the type from the first non-None value per
-        # column (None-only / unknown -> string, matching the pandas
-        # path's object dtype) keeps those shapes loadable.
+        # column. Types are merged across ALL values per column (not
+        # just the first non-None one — a [1, 2.5] column is double,
+        # not bigint): int+float -> double (values cast), bool-only ->
+        # boolean, anything heterogeneous -> string via str(), and an
+        # all-None column -> string, matching the pandas path's object
+        # dtype.
         py_to_spark = {int: "bigint", float: "double", bool: "boolean", str: "string"}
-        fields = []
+        fields: list[tuple[str, str]] = []
         for i, name in enumerate(header):
-            first = next((r[i] for r in rows if r[i] is not None), None)
-            fields.append((name, py_to_spark.get(type(first), "string")))
+            kinds = {type(r[i]) for r in rows if r[i] is not None}
+            if not kinds:
+                t = "string"
+            elif kinds <= {int, float}:
+                t = "double" if float in kinds else "bigint"
+            elif len(kinds) == 1:
+                t = py_to_spark.get(next(iter(kinds)), "string")
+            else:
+                t = "string"
+            fields.append((name, t))
+
+        def _coerce(v, t):
+            if v is None:
+                return None
+            if t == "double":
+                return float(v)
+            if t == "string" and not isinstance(v, str):
+                return str(v)
+            return v
+
         schema = ", ".join(f"`{n}` {t}" for n, t in fields)
-        return spark.createDataFrame([tuple(r) for r in rows], schema)
+        data = [
+            tuple(_coerce(v, t) for v, (_, t) in zip(r, fields)) for r in rows
+        ]
+        return spark.createDataFrame(data, schema)
 
 
 def read_sources(

@@ -12,8 +12,16 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    # Hermetic warehouse: saveAsTable tests otherwise land in the repo's
+    # ./spark-warehouse, and a killed run leaves orphan table dirs a fresh
+    # in-memory catalog can't DROP (LOCATION_ALREADY_EXISTS on re-run).
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     yield s
 
 

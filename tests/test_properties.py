@@ -53,9 +53,13 @@ def test_zscore_normalizes(spark, xs):
     # [0.0, 0.0, 5.36e-223] underflow to var==0.0, and the engine's
     # sklearn-parity zero-variance guard (features.py) correctly maps them
     # to all-zeros instead of dividing by ~0.
+    # Both guards are needed: the naive two-pass variance of a CONSTANT
+    # list with a non-representable mean (e.g. [0.1]*3) is ~1e-34 > 0
+    # while Spark's Welford stddev_pop is exactly 0.0 — the engine then
+    # centers-only and pstd is 0, so also require >1 distinct value.
     in_mean = sum(xs) / len(xs)
     in_var = sum((x - in_mean) ** 2 for x in xs) / len(xs)
-    if in_var > 1e-300:
+    if len(set(xs)) > 1 and in_var > 1e-300:
         pstd = math.sqrt(sum((x - mean) ** 2 for x in out) / len(out))
         assert abs(pstd - 1.0) < 1e-6
 

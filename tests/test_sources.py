@@ -244,3 +244,32 @@ def test_xlsx_reader_without_pandas(spark, tmpdir, monkeypatch):
     df = read_any(spark, p)
     assert sorted(df.columns) == ["k", "name"]
     assert {(r.k, r.name) for r in df.collect()} == {(1, "aa"), (2, "bb")}
+
+
+def test_xlsx_no_pandas_mixed_numeric_and_hetero_columns(spark, tmpdir, monkeypatch):
+    # Type MERGE across all values (not first-non-None): [1, 2.5] is a
+    # double column; [1, "x"] is a string column (str()-coerced);
+    # all-None stays string; bools stay boolean.
+    import sys
+
+    from data_integration_and_harmonization_spark.sources import xlsx as X
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    p = os.path.join(tmpdir, "mixed.xlsx")
+    X.write_xlsx(
+        p,
+        ["mix", "het", "nul", "flag"],
+        [[1, 1, None, True], [2.5, "x", None, False]],
+    )
+    monkeypatch.setitem(sys.modules, "pandas", None)  # import -> ImportError
+    df = read_any(spark, p)
+    types = dict(df.dtypes)
+    assert types["mix"] == "double"
+    assert types["het"] == "string"
+    assert types["nul"] == "string"
+    assert types["flag"] == "boolean"
+    rows = sorted(df.collect(), key=lambda r: r.mix)
+    assert [r.mix for r in rows] == [1.0, 2.5]
+    assert [r.het for r in rows] == ["1", "x"]
+    assert [r.nul for r in rows] == [None, None]
+    assert [r.flag for r in rows] == [True, False]
