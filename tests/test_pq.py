@@ -160,3 +160,18 @@ def test_ivfpq_probe_all_cells_matches_pq(spark, emb):
     ka = {(r.query_id, r.rank, r.neighbor_id, r.d2) for r in a.collect()}
     kb = {(r.query_id, r.rank, r.neighbor_id, r.d2) for r in b.collect()}
     assert ka == kb
+
+
+def test_pq_distortion_trained_beats_seed(spark, emb):
+    # Lloyd's objective: trained codebooks quantize with lower mean
+    # reconstruction error than the zero-training seed books; one
+    # corpus scan measures both.
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        pq_distortion,
+        seed_pq_codebooks,
+    )
+
+    seed = seed_pq_codebooks(emb, m=4, k=8)
+    trained = train_pq_codebooks(emb, m=4, k=8, sample=256, iters=5)
+    d_trained, d_seed = pq_distortion(emb, trained, seed)
+    assert 0 < d_trained <= d_seed + 1e-9
