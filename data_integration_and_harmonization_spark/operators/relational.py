@@ -303,11 +303,85 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pricing_summary(spark.read.parquet(f"{sf}/lineitem.parquet"))
 
     def q_revenue(spark, sf):
-        return revenue_by_nation(
-            spark.read.parquet(f"{sf}/customer.parquet"),
-            spark.read.parquet(f"{sf}/orders.parquet"),
-            spark.read.parquet(f"{sf}/nation.parquet"),
+        """Broadcast-dim revenue rollup plus the skew-mitigation leg:
+
+        - base rows: :func:`revenue_by_nation` (n_name, c_mktsegment,
+          revenue, n_orders), oracle-replayed by the plain SQL join.
+        - '__skew' rows: a synthesized hot key over orders (key 0
+          carries ~3/4 of the fact side, the rest spread over the 25
+          nation keys) joined to the nation dim through
+          :func:`~..functions.skew.salted_join` — the hot key fans out
+          over 8 salt sub-keys (small side exploded x8, big side
+          salt-hashed; `shuffle_hash` hint keeps it a real shuffle
+          join so the fan-out is in the plan, not broadcast away).
+          Values are oracle-replayed by the same CASE-keyed SQL join:
+          a hash match proves salting changed the schedule, not the
+          answer.
+        - '__salted_agree' row: full-outer comparison of the salted
+          vs unsalted aggregates — n_orders carries the compared
+          group count (SQL-derivable), revenue=1.0 iff every group
+          agrees exactly (decimal money sums, so no float drift).
+        """
+        from data_integration_and_harmonization_spark.functions.skew import (
+            salted_join,
         )
+
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        base = revenue_by_nation(cust, orders, nation)
+
+        hot = orders.withColumn(
+            "hk",
+            F.when(F.col("o_orderkey") % 4 != 0, F.lit(0).cast("long")).otherwise(
+                F.pmod(F.col("o_custkey"), F.lit(25)).cast("long")
+            ),
+        )
+        dim = nation.select(
+            F.col("n_nationkey").cast("long").alias("hk"), "n_name"
+        )
+
+        def rollup(joined):
+            return joined.groupBy("n_name").agg(
+                F.round(F.sum(money("o_totalprice")).cast("double"), 6).alias(
+                    "revenue"
+                ),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+
+        salted = rollup(
+            salted_join(hot, dim.hint("shuffle_hash"), ["hk"], salt=8)
+        )
+        unsalted = rollup(hot.join(F.broadcast(dim), "hk"))
+        skew_rows = salted.select(
+            "n_name",
+            F.lit("__skew").alias("c_mktsegment"),
+            "revenue",
+            "n_orders",
+        )
+        j = salted.select(
+            "n_name",
+            F.col("revenue").alias("s_rev"),
+            F.col("n_orders").alias("s_n"),
+        ).join(
+            unsalted.select(
+                "n_name",
+                F.col("revenue").alias("b_rev"),
+                F.col("n_orders").alias("b_n"),
+            ),
+            "n_name",
+            "full_outer",
+        )
+        agree = F.col("s_rev").eqNullSafe(F.col("b_rev")) & F.col("s_n").eqNullSafe(
+            F.col("b_n")
+        )
+        agree_row = j.agg(
+            F.lit("__salted_agree").alias("n_name"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.when(F.min(agree), F.lit(1.0)).otherwise(F.lit(0.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        return base.unionByName(skew_rows).unionByName(agree_row)
 
     def q_topk(spark, sf):
         return top_orders_per_segment(
@@ -438,6 +512,17 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """,
         "rel_revenue_by_nation": """
+WITH skew AS (
+  -- the synthesized-hot-key join the engine runs SALTED: key 0 holds
+  -- ~3/4 of orders; a value match proves the salt preserved the join
+  SELECT n_name,
+    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue,
+    count(*)::BIGINT AS n_orders
+  FROM orders
+  JOIN nation
+    ON (CASE WHEN o_orderkey % 4 <> 0 THEN 0 ELSE o_custkey % 25 END) = n_nationkey
+  GROUP BY n_name
+)
 SELECT n_name, c_mktsegment,
   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue,
   count(*)::BIGINT AS n_orders
@@ -445,6 +530,13 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name, c_mktsegment
+UNION ALL
+SELECT n_name, '__skew' AS c_mktsegment, revenue, n_orders FROM skew
+UNION ALL
+-- salted vs unsalted agreement: deterministic decimal sums, so every
+-- group agrees and the count is the skew join's group count
+SELECT '__salted_agree', CAST(NULL AS VARCHAR), 1.0,
+       (SELECT count(*) FROM skew)::BIGINT
 """,
         "rel_topk_per_segment": """
 SELECT c_mktsegment, rk::INTEGER AS rk, o_orderkey, round(o_totalprice, 6) AS o_totalprice
