@@ -345,7 +345,17 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     dispatch, empty-input guard), harmonize, aggregate. A final
     '__preview' row pins the preview sink (S7): its n_rows is the
     bounded ``preview()`` collect's length, least(5, |union|). Oracle
-    = the same aggregate straight off the parquet tables."""
+    = the same aggregate straight off the parquet tables.
+
+    The '__part_R' row pins the PARTITIONED parquet sink
+    (``write_parquet(partition_by=...)``): a third lineitem slice is
+    written partitioned by l_returnflag, read back with a
+    partition-key predicate — Catalyst turns that into partition
+    pruning (PartitionFilters on the scan; only the R directory is
+    listed/read — pinned by tests/test_sources.py's plan assertion) —
+    and aggregated; the oracle replays the same filter off the raw
+    table, so a hash match proves the partitioned write+pruned read
+    lost nothing."""
     import json
     import os
 
@@ -408,7 +418,29 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("sum_nkey"),
         F.lit(None).cast("long").alias("sum_rkey"),
     )
-    return agg.unionByName(prev_row)
+    # partitioned sink + pruned read-back (see docstring)
+    from data_integration_and_harmonization_spark.sources.readers import (
+        write_parquet,
+    )
+
+    part_dir = base + "_li_part.parquet"
+    write_parquet(
+        li.where(F.col("l_orderkey") % 10 == 3).select(*cols),
+        part_dir,
+        partition_by=["l_returnflag"],
+    )
+    part_row = (
+        spark.read.parquet(part_dir)
+        .where(F.col("l_returnflag") == "R")
+        .agg(
+            F.lit("__part_R").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.lit(None).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
+        )
+    )
+    return agg.unionByName(prev_row).unionByName(part_row)
 
 
 def q_ml_exact_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -829,6 +861,12 @@ FROM src GROUP BY 1
 UNION ALL
 SELECT '__preview', least(5, (SELECT count(*) FROM src))::BIGINT,
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+-- partitioned-sink leg: the engine wrote this slice partitioned by
+-- l_returnflag and read it back partition-pruned to flag R
+SELECT '__part_R', count(*)::BIGINT, round(sum(l_quantity), 6),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM lineitem WHERE l_orderkey % 10 = 3 AND l_returnflag = 'R'
 """,
         "ml_exact_split": """
 WITH ranked AS (

@@ -7,6 +7,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.sources import readers as R
 
@@ -273,3 +274,32 @@ def test_xlsx_no_pandas_mixed_numeric_and_hetero_columns(spark, tmpdir, monkeypa
     assert [r.het for r in rows] == ["1", "x"]
     assert [r.nul for r in rows] == [None, None]
     assert [r.flag for r in rows] == [True, False]
+
+
+def test_partitioned_sink_prunes_on_readback(spark, tmpdir):
+    # write_parquet(partition_by=...) + a partition-key predicate on
+    # read-back must plan PARTITION PRUNING: the predicate appears as
+    # a PartitionFilter on the scan (directory-level skip), not a data
+    # filter, and only the matching partition's rows are read.
+    from data_integration_and_harmonization_spark.sources.readers import (
+        write_parquet,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("pk")
+    )
+    target = os.path.join(tmpdir, "part_tbl")
+    write_parquet(df, target, partition_by=["pk"])
+    back = spark.read.parquet(target).where(F.col("pk") == "2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "pk" in m.group(1), f"no partition filter in scan:\n{plan}"
+    # the pk predicate must NOT fall through to PushedFilters (that
+    # would mean it's evaluated per-row instead of per-directory)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "pk" not in pushed.group(1)
+    assert back.count() == 25
+    # partition-column type inference may read pk back as int
+    assert {str(r.pk) for r in back.collect()} == {"2"}
