@@ -569,19 +569,28 @@ def duplicated_ngram_stats(
     fraction means boilerplate / templated / near-duplicate content
     even when no single pair crosses a dedup threshold).
 
-    Scale shape: one explode to (id, 16-byte digest) rows, one
-    digest groupBy for global document frequency (map-side combine —
-    per-doc grams are DISTINCT so count(*) IS the doc frequency), one
-    join back, one per-doc agg. Only digests shuffle, never gram
-    text; a boilerplate mega-gram skews an AQE-splittable join.
+    Scale shape: one explode to (id, 16-byte digest) rows — PERSISTED,
+    because it feeds both the frequency groupBy and the join-back side
+    and AQE re-planning defeats exchange reuse between them (unpersisted
+    the tokenize->shingle->md5 subtree executed 4x per action, the
+    dominant cost at corpus scale; with the persist it computes once) —
+    then one digest groupBy for global document frequency (map-side
+    combine — per-doc grams are DISTINCT so count(*) IS the doc
+    frequency), one join back, one per-doc agg. Only digests shuffle,
+    never gram text; a boilerplate mega-gram skews an AQE-splittable
+    join. The persist is registered with the caching tracker, so driver
+    queries release it at the next query boundary.
 
     Output: (id, n_grams, n_dup_grams, dup_frac) — docs with fewer
     than ``gram`` tokens report (0, 0, 0.0).
     """
+    from data_integration_and_harmonization_spark.functions.caching import track
+
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, gram)).alias("g"),
     ).select("id", F.md5("g").alias("h"))
+    ex = track(ex.persist())
     freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (
         ex.join(freq, "h")
