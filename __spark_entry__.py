@@ -495,6 +495,11 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
       update mode): each user's final carried state (count, sum) after
       all micro-batches must equal the batch groupBy. Last-writer-wins
       via the drain's __batch_id.
+    - 'join': ``interval_join_stream`` — a watermarked STREAM-STREAM
+      interval join (views attributed to same-user purchases within 30
+      minutes, both sides streams with bounded join state) — its
+      emitted (l_id, r_id) pair SET full-outer compared against the
+      batch interval join's.
 
     The memory-sink drain stays covered by tests/test_streaming.py.
     """
@@ -521,7 +526,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     dd_keys = ["user_id", "event_type"]
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_tumble = pool.submit(
             SP.run_availablenow,
             SP.tumbling_stream(stream_ev),
@@ -549,7 +554,23 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
             None,
             "update",
         )
-        drained, dd, st = f_tumble.result(), f_dd.result(), f_st.result()
+        f_join = pool.submit(
+            SP.run_availablenow,
+            SP.interval_join_stream(
+                SP.stream_events(spark, f"{sf}/events.parquet"),
+                SP.stream_events(spark, f"{sf}/events.parquet"),
+            ),
+            f"twin_j_{run_id}",
+            "parquet",
+            None,
+            "append",
+        )
+        drained, dd, st, sj_pairs = (
+            f_tumble.result(),
+            f_dd.result(),
+            f_st.result(),
+            f_join.result(),
+        )
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
     )
@@ -616,7 +637,46 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(st_agree.cast("long")).alias("n_agree"),
         F.min(st_agree).alias("all_agree"),
     )
-    return tumbling_row.unionByName(dedup_row).unionByName(stateful_row)
+
+    # ---- stream-stream join leg: emitted (l_id, r_id) pair set vs
+    # the batch interval join. Inner-join emission is eager (not
+    # watermark-gated), so with a horizon-spanning watermark the sets
+    # must be EQUAL — compared pair-for-pair, not by count.
+    v = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("__r_key"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch_pairs = v.join(
+        p,
+        (F.col("user_id") == F.col("__r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
+        "inner",
+    ).select("l_id", "r_id")
+    jj = (
+        sj_pairs.select("l_id", "r_id", F.lit(1).alias("s_seen"))
+        .join(
+            batch_pairs.withColumn("b_seen", F.lit(1)),
+            ["l_id", "r_id"],
+            "full_outer",
+        )
+    )
+    jn_agree = F.col("s_seen").isNotNull() & F.col("b_seen").isNotNull()
+    join_row = jj.agg(
+        F.lit("join").alias("kind"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(jn_agree.cast("long")).alias("n_agree"),
+        F.min(jn_agree).alias("all_agree"),
+    )
+    return (
+        tumbling_row.unionByName(dedup_row)
+        .unionByName(stateful_row)
+        .unionByName(join_row)
+    )
 
 
 # Registration order is deliberate: the driver's correctness pass
@@ -936,6 +996,15 @@ FROM (SELECT DISTINCT user_id, event_type FROM events)
 UNION ALL
 SELECT 'stateful', count(*)::BIGINT, count(*)::BIGINT, true
 FROM (SELECT DISTINCT user_id FROM events)
+UNION ALL
+SELECT 'join', count(*)::BIGINT, count(*)::BIGINT, true
+FROM (
+  SELECT v.event_id, p.event_id
+  FROM events v JOIN events p
+    ON v.user_id = p.user_id
+   AND v.event_type = 'view' AND p.event_type = 'purchase'
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+)
 """,
     }
     o.update(E.eda_oracles())

@@ -85,6 +85,61 @@ def tumbling_stream(events: DataFrame, width: str = "1 hour", watermark: str = "
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+    left_type: str = "view",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the attribution
+    shape: each left event (default: a view) matched to the same
+    key's right events (purchases) landing within ``horizon`` after
+    it.
+
+    Both inputs are streams; Spark buffers each side's rows in join
+    state and the combination of per-side watermarks + the two-sided
+    time-range predicate bounds that state: a buffered left row is
+    droppable once the right watermark passes ``l_ts + horizon``, a
+    right row once the left watermark passes its ``r_ts``. Inner join,
+    so matches emit eagerly (no watermark hold-back on output — only
+    outer stream-stream joins wait to emit nulls). State is
+    partitioned by the join key, the same sharding the batch twin's
+    shuffle uses.
+
+    Output: (``on``, l_id, r_id, l_ts, r_ts) — event-id pairs, so a
+    batch twin can compare the exact match SET, not just counts.
+    """
+    l = (
+        ensure_event_time(left)
+        .where(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col(on),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        ensure_event_time(right)
+        .where(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col(on).alias("__r_key"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    cond = (
+        (F.col(on) == F.col("__r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "inner").drop("__r_key")
+
+
 def session_stream(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
     """Incremental session windows (stateful merge of overlapping
     sessions per user)."""

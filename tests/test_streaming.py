@@ -90,3 +90,36 @@ def test_parquet_sink_empty_backlog(spark, tmp_path):
     got = SP.run_availablenow(agg, "t_empty_drain", sink="parquet")
     assert got.count() == 0
     assert set(got.columns) == {"window_start", "event_type", "n_events", "sum_value"}
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir):
+    # stream-stream watermarked interval join (view -> purchase within
+    # 30 min per user): emitted pair set == the batch interval join's.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = SP.ensure_event_time(EV.load_events(spark, sf_dir))
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("rk"),
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    expected = v.join(
+        p,
+        (F.col("user_id") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
+    ).select("l_id", "r_id")
+
+    got = SP.run_availablenow(
+        SP.interval_join_stream(
+            SP.stream_events(spark, f"{sf_dir}/events.parquet"),
+            SP.stream_events(spark, f"{sf_dir}/events.parquet"),
+        ),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    keys = ["l_id", "r_id"]
+    assert expected.count() > 0
+    assert _canon(got.select(*keys), keys) == _canon(expected, keys)
