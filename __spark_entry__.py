@@ -363,18 +363,20 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         preview,
         read_sources,
     )
+    from data_integration_and_harmonization_spark.functions.caching import (
+        scratch_dir,
+    )
     from data_integration_and_harmonization_spark.sources.xlsx import write_xlsx
-
-    import tempfile
 
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
-    # per-invocation scratch dir: portable (no repo-path assumption)
-    # and race-free when concurrent sessions run the same query. The
-    # files must outlive this call (the returned frame reads them
-    # lazily), so cleanup is left to the OS tmp reaper.
+    # per-invocation scratch dir under the process scratch root:
+    # portable, race-free across concurrent invocations, and reaped at
+    # interpreter exit (the files must outlive this CALL — the
+    # returned frame reads them lazily — so exit is the earliest safe
+    # cleanup point).
     base = os.path.join(
-        tempfile.mkdtemp(prefix="dih_roundtrip_"),
+        scratch_dir("roundtrip"),
         f"roundtrip_{os.path.basename(sf.rstrip('/'))}",
     )
     csv_dir = base + "_li.csv"

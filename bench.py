@@ -103,10 +103,27 @@ def main() -> None:
             t0 = time.time()
             try:
                 rows[name] = qs[name](spark, sf_dir).count()
-            except Exception as e:  # rare transient (e.g. concurrent-fit
-                # py4j race) — one retry keeps a single flake from
-                # sinking the whole bench; a persistent failure raises
-                print(f"# timed {name} failed once ({e}); retrying", file=sys.stderr)
+            except Exception:  # noqa: BLE001 — filtered just below
+                # One retry, ONLY for the known-transient signatures
+                # (concurrent-fit py4j race / py4j transport hiccup) —
+                # keeps a single flake from sinking the whole bench. A
+                # deterministic failure re-raises immediately with its
+                # original traceback; the swallowed first traceback is
+                # printed so the flake stays diagnosable.
+                import traceback
+
+                tb = traceback.format_exc()
+                transient = any(
+                    sig in tb
+                    for sig in (
+                        "Cannot parse null string",
+                        "Py4JNetworkError",
+                        "Answer from Java side is empty",
+                    )
+                )
+                if not transient:
+                    raise
+                print(f"# timed {name} failed once; retrying. First traceback:\n{tb}", file=sys.stderr)
                 t0 = time.time()
                 rows[name] = qs[name](spark, sf_dir).count()
             t = time.time() - t0

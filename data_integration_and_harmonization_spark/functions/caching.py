@@ -52,3 +52,34 @@ def release_all() -> int:
             pass
     _TRACKED.clear()
     return n
+
+
+# ------------------------------------------------------- scratch space
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str = "dih") -> str:
+    """A fresh subdirectory under ONE per-process scratch root that is
+    removed at interpreter exit.
+
+    Queries that materialize side state (fingerprint stores, roundtrip
+    files) used to ``mkdtemp`` per invocation and lean on the OS tmp
+    reaper — a bench run's warm passes accumulated dozens of orphan
+    directories. Rooting them here bounds the leak to the process
+    lifetime: the files must outlive the *call* (returned frames read
+    them lazily), and process exit is the first point they are provably
+    dead."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+    import os
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="dih_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, f"{prefix}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    return d

@@ -763,10 +763,13 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then the odd half runs against the persisted fingerprint
         # store — batch-2 survivors are exactly the odd fingerprints
         # never seen in batch 1, which the oracle replays as a
-        # groupBy + anti-join. The per-call temp store keeps repeated
-        # invocations (bench warm passes) independent; n_copies is
-        # null for the inc legs (survivor rows, not group counts).
-        import tempfile
+        # groupBy + anti-join. The per-call store (under the process
+        # scratch root, reaped at exit) keeps repeated invocations
+        # (bench warm passes) independent; n_copies is null for the
+        # inc legs (survivor rows, not group counts).
+        from data_integration_and_harmonization_spark.functions.caching import (
+            scratch_dir,
+        )
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         e = exact_dedup(docs).select(
@@ -778,7 +781,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fp = fingerprint_dedup(docs).select(
             F.lit("normalized").alias("kind"), "fp", "n_copies", "keep_id"
         )
-        store = tempfile.mkdtemp(prefix="dih_fp_store_") + "/store"
+        store = scratch_dir("fp_store") + "/store"
         b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
         b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
 

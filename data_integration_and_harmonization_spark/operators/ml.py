@@ -317,15 +317,28 @@ def train_models(
             )
         else:
             est = model
-        # One retry: concurrent driver-thread fits (this pool x
-        # CrossValidator's own parallelism) very rarely trip a py4j/
-        # Instrumentation race inside Spark ("NumberFormatException:
-        # Cannot parse null string" out of est.fit). The fits are
-        # seeded and side-effect-free, so a single retry is safe and
-        # deterministic; a persistent error still raises.
+        # One retry, ONLY for the known-transient signature:
+        # concurrent driver-thread fits (this pool x CrossValidator's
+        # own parallelism) very rarely trip a py4j/Instrumentation
+        # race inside Spark ("NumberFormatException: Cannot parse null
+        # string" out of est.fit). The fits are seeded and
+        # side-effect-free, so that single retry is safe and
+        # deterministic; any OTHER error is deterministic and
+        # re-raises immediately, and the swallowed first traceback is
+        # logged so the race stays diagnosable.
         try:
             fitted = est.fit(train)
-        except Exception:  # noqa: BLE001 — transient driver-side race
+        except Exception as exc:  # noqa: BLE001 — filtered just below
+            if "Cannot parse null string" not in str(exc):
+                raise
+            import logging
+            import traceback
+
+            logging.getLogger(__name__).warning(
+                "retrying %s fit after transient py4j race:\n%s",
+                name,
+                traceback.format_exc(),
+            )
             fitted = est.fit(train)
         # no cache: evaluate_model is single-pass, so the transform
         # lineage executes exactly once

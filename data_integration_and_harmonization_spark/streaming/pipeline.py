@@ -166,8 +166,9 @@ def run_availablenow(
     written DISTRIBUTED to a parquet target via ``foreachBatch``;
     nothing funnels through the driver, and the return value is a
     lazy reader over the written files. Pass ``out_dir`` to keep the
-    output somewhere durable — otherwise a temp dir that outlives the
-    call (OS tmp reaper cleans it). Per ``output_mode``:
+    output somewhere durable — otherwise a process-scratch dir that
+    outlives the call and is reaped at interpreter exit. Per
+    ``output_mode``:
 
     - ``'complete'`` (stateful aggs): every batch is the full result,
       so the write overwrites and the last batch wins;
@@ -195,7 +196,11 @@ def run_availablenow(
     if sink == "parquet":
         import os
 
-        base = out_dir or tempfile.mkdtemp(prefix=f"dih_stream_{query_name}_")
+        from data_integration_and_harmonization_spark.functions.caching import (
+            scratch_dir,
+        )
+
+        base = out_dir or scratch_dir(f"stream_{query_name}")
         target = os.path.join(base, "result")
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
