@@ -750,6 +750,98 @@ def embedding_near_dup_pairs(
     return pairs.where(F.col("cosine_sim") >= threshold)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "seed",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    near-dedup WITHIN each cluster by exact cosine, keeping one
+    representative per semantic-duplicate component. The clustering
+    bounds the pairwise pass — each vector is compared only inside its
+    cell, so the join is quadratic per cell and near-linear overall
+    (the same cost shape as the IVF scan in :mod:`.similarity`).
+
+    ``centroids='seed'`` uses the deterministic first-``n_clusters``
+    vectors as cell centers (engine-reproducible by an external
+    oracle); pass ``'kmeans'`` for Lloyd-trained centers (the quality
+    default at scale, same trade as :func:`~.similarity.ivf_topk`).
+
+    Scale shape: one narrow projection computes cell assignment
+    (centers inline, JVM expressions), one repartition on cell, one
+    in-cell self-join, then :func:`duplicate_clusters` over only the
+    duplicate EDGES (scales with real near-dups, not corpus size).
+
+    Output: (id, cell, cluster_id, keep) — every input id labeled;
+    singletons are their own cluster and kept; within a component
+    only the minimum id has keep=true.
+    """
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        _nearest_index,
+        _seed_centers,
+        cosine,
+    )
+
+    if centroids == "seed":
+        centers = _seed_centers(emb, n_clusters, id_col, vec_col)
+        assigned = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _nearest_index(F.col(vec_col), centers).alias("cell"),
+        )
+    elif centroids == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        emb_v = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            ),
+        )
+        km = KMeans(
+            k=n_clusters,
+            seed=42,
+            maxIter=8,
+            featuresCol="features",
+            predictionCol="cell",
+        )
+        assigned = km.fit(emb_v).transform(emb_v).select("id", "v", "cell")
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
+    n = emb.sparkSession.sparkContext.defaultParallelism
+    assigned = assigned.repartition(n, "cell")
+    l, r = assigned.alias("l"), assigned.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    comp = duplicate_clusters(pairs)
+    return (
+        assigned.select("id", "cell")
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("id"))
+    )
+
+
 # ------------------------------------------------------- query registry
 
 def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -870,18 +962,50 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays the 64-bit scale default in the API).
         return simhash_pairs(docs, max_hamming=3, bands=4, hash_family="md5")
 
+    def q_emb_cosine(spark, sf):
+        """Tagged embedding-dedup entry, every leg oracle-replayed:
+
+        - 'pair': sign-bucket LSH near-dup pairs (id_a, id_b,
+          val=cosine) — the unclustered family.
+        - 'sem_cell': SemDeDup cell assignment (id_a=id, id_b=cell) —
+          pins the coarse quantizer argmin node-for-node.
+        - 'sem': SemDeDup verdicts (id_a=id, id_b=cluster_id,
+          val=keep) — in-cell cosine components, min-id survivor.
+
+        Synthetic embeddings top out near cosine 0.43, so both
+        families run at threshold 0.3 to keep the checked output
+        non-trivial; seed centroids keep the oracle replay exact
+        (kmeans stays the scale default in the API).
+        """
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        pairs = embedding_near_dup_pairs(emb, threshold=0.3).select(
+            F.lit("pair").alias("kind"),
+            "id_a",
+            "id_b",
+            F.col("cosine_sim").alias("val"),
+        )
+        sd = semantic_dedup(emb, n_clusters=8, threshold=0.3, centroids="seed")
+        cell_rows = sd.select(
+            F.lit("sem_cell").alias("kind"),
+            F.col("id").alias("id_a"),
+            F.col("cell").cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("val"),
+        )
+        sem_rows = sd.select(
+            F.lit("sem").alias("kind"),
+            F.col("id").alias("id_a"),
+            F.col("cluster_id").alias("id_b"),
+            F.col("keep").cast("double").alias("val"),
+        )
+        return pairs.unionByName(cell_rows).unionByName(sem_rows)
+
     return {
         "dedup_exact_fp": q_exact_fp,
         "dedup_ngram_jaccard": q_jaccard,
         "dedup_simhash": q_simhash,
         "dedup_lsh_pipeline": q_lsh_pipeline,
         "dedup_clusters": q_clusters,
-        "dedup_embedding_cosine": lambda s, sf: embedding_near_dup_pairs(
-            s.read.parquet(f"{sf}/embeddings.parquet"),
-            # synthetic embeddings top out near cosine 0.43 — a low
-            # threshold keeps the oracle-checked output non-trivial
-            threshold=0.3,
-        ),
+        "dedup_embedding_cosine": q_emb_cosine,
     }
 
 
@@ -1085,22 +1209,63 @@ ORDER BY jaccard DESC, id_a, id_b
 LIMIT 200
 """,
         "dedup_embedding_cosine": """
-WITH s AS (
+WITH RECURSIVE s AS (
   SELECT vec_id AS id, embedding AS v,
     list_sum(list_transform(range(1, 9),
       i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0 THEN (1 << (i - 1)) ELSE 0 END)) AS bucket
   FROM embeddings
+), cent AS (
+  -- SemDeDup seed centroids: the first 8 vectors by id (the same
+  -- zero-training coarse quantizer the ivf oracle replays)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS center
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT id, cell FROM (
+    SELECT e.vec_id AS id, ct.cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> (CAST(e.embedding[i] AS DOUBLE) - ct.center[i])
+             * (CAST(e.embedding[i] AS DOUBLE) - ct.center[i]))), ct.cell) AS rn
+    FROM embeddings e CROSS JOIN cent ct
+  ) WHERE rn = 1
+), sem_links AS (
+  SELECT l.id AS src, r.id AS dst
+  FROM s l
+  JOIN s r ON l.id < r.id
+  JOIN assigned al ON al.id = l.id
+  JOIN assigned ar ON ar.id = r.id AND ar.cell = al.cell
+  WHERE round(
+      list_sum(list_transform(range(1, len(l.v) + 1),
+        i -> CAST(l.v[i] AS DOUBLE) * CAST(r.v[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(l.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(r.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    6) >= 0.3
+), sem_edges AS (
+  SELECT src, dst FROM sem_links UNION SELECT dst, src FROM sem_links
+), sem_reach(id, lbl) AS (
+  SELECT src, src FROM sem_edges
+  UNION
+  SELECT e.dst, r.lbl FROM sem_reach r JOIN sem_edges e ON e.src = r.id
+), sem_comp AS (
+  SELECT id, min(lbl) AS cluster_id FROM sem_reach GROUP BY id
 )
-SELECT id_a, id_b, cosine_sim FROM (
+SELECT 'pair' AS kind, id_a, id_b, val FROM (
   SELECT l.id AS id_a, r.id AS id_b,
     round(
       list_sum(list_transform(range(1, len(l.v) + 1),
         i -> CAST(l.v[i] AS DOUBLE) * CAST(r.v[i] AS DOUBLE)))
       / (sqrt(list_sum(list_transform(l.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
          * sqrt(list_sum(list_transform(r.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-    6) AS cosine_sim
+    6) AS val
   FROM s l JOIN s r ON l.bucket = r.bucket AND l.id < r.id
 )
-WHERE cosine_sim >= 0.3
+WHERE val >= 0.3
+UNION ALL
+SELECT 'sem_cell', id, cell::BIGINT, CAST(NULL AS DOUBLE) FROM assigned
+UNION ALL
+SELECT 'sem', a.id, coalesce(c.cluster_id, a.id)::BIGINT,
+       CASE WHEN coalesce(c.cluster_id, a.id) = a.id THEN 1.0 ELSE 0.0 END
+FROM assigned a LEFT JOIN sem_comp c ON c.id = a.id
 """,
     }

@@ -118,3 +118,56 @@ def test_parquet_shapes(spark, sf_dir):
     pooled = mean_pool(l2_normalize(emb), "label")
     row = pooled.first()
     assert len(row["pooled"]) == 64
+
+
+def test_semantic_dedup_hand_computed(spark):
+    # Two cells (seed centers = first 2 vectors); a/b near-identical in
+    # one cell, c orthogonal-ish in the other, d a near-dup of c.
+    # Components: {0, 2} (a≈dup-of-a), {1, 3}; min id kept per group.
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0, lands in cell 0
+        (3, [0.02, 0.98, 0.0, 0.0]),   # near-dup of 1, lands in cell 1
+        (4, [0.0, 0.6, 0.8, 0.0]),     # cell 1, below threshold vs 1/3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.id: r for r in semantic_dedup(df, n_clusters=2, threshold=0.95).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0].cell == 0 and out[2].cell == 0
+    assert out[1].cell == 1 and out[3].cell == 1 and out[4].cell == 1
+    assert out[2].cluster_id == 0 and not out[2].keep
+    assert out[3].cluster_id == 1 and not out[3].keep
+    for i in (0, 1, 4):
+        assert out[i].cluster_id == i and out[i].keep
+
+
+def test_semantic_dedup_kmeans_labels_everyone_once(spark):
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            (F.col("id") % 3).cast("float"),
+            F.lit(1.0).cast("float"),
+            (F.col("id") % 2).cast("float"),
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(df, n_clusters=3, threshold=0.999, centroids="kmeans")
+    rows = out.collect()
+    assert len(rows) == 40
+    assert {r.id for r in rows} == set(range(40))
+    # every cluster's kept representative is its minimum id
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert min(m.id for m in members) == cid
+        assert sum(1 for m in members if m.keep) == 1
