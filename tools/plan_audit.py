@@ -42,6 +42,12 @@ ALLOWED = {
     # global no-groupBy aggregate: the final merge sees one partial row
     # per upstream task — bounded at any scale
     "stream_batch_twin": {"Exchange SinglePartition"},
+    # '__part_R' leg: global aggregate over the partition-pruned
+    # read-back — one partial row per upstream task, bounded
+    "src_roundtrip": {"Exchange SinglePartition"},
+    # '__salted_agree' leg: global aggregate over the 25-nation-group
+    # salted-vs-unsalted comparison — one partial row per task, bounded
+    "rel_revenue_by_nation": {"Exchange SinglePartition"},
     # label-map global rank runs over DISTINCT category values of one
     # column — bounded by category cardinality, not corpus size
     "feat_label_encode": {"Exchange SinglePartition"},
