@@ -781,17 +781,40 @@ def semantic_dedup(
     only the minimum id has keep=true.
     """
     from data_integration_and_harmonization_spark.operators.similarity import (
-        _nearest_index,
         _seed_centers,
         cosine,
     )
 
     if centroids == "seed":
+        # centers are DATA (broadcast table), not expression literals:
+        # an inlined k x d argmin is O(k*d) Catalyst-analysis work on
+        # every job of every invocation (same trade :func:`_centers_df`
+        # documents for PQ codebooks). The struct-min reproduces
+        # :func:`_nearest_index`'s (min d2, then min cell) tie-break;
+        # partial aggregation collapses the k candidate rows per id
+        # map-side, so the groupBy shuffles ~one row per vector.
         centers = _seed_centers(emb, n_clusters, id_col, vec_col)
-        assigned = emb.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _nearest_index(F.col(vec_col), centers).alias("cell"),
+        centers_df = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            "cell int, center array<double>",
+        )
+        from data_integration_and_harmonization_spark.operators.similarity import (
+            squared_distance,
+        )
+
+        assigned = (
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .crossJoin(F.broadcast(centers_df))
+            .groupBy("id")
+            .agg(
+                F.first("v").alias("v"),
+                F.min(
+                    F.struct(
+                        squared_distance(F.col("v"), F.col("center")).alias("d2"),
+                        F.col("cell").alias("cell"),
+                    )
+                )["cell"].alias("cell"),
+            )
         )
     elif centroids == "kmeans":
         from pyspark.ml.clustering import KMeans
@@ -815,7 +838,13 @@ def semantic_dedup(
     else:
         raise ValueError(f"unknown centroids mode {centroids!r}")
     n = emb.sparkSession.sparkContext.defaultParallelism
-    assigned = assigned.repartition(n, "cell")
+    # persist the cell assignment: it feeds three consumers (both join
+    # children and the final label join-back) across the several jobs
+    # duplicate_clusters runs — unpersisted, the centers argmin would
+    # recompute per job. Tracked, released at the query boundary.
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    assigned = track(assigned.repartition(n, "cell").persist())
     l, r = assigned.alias("l"), assigned.alias("r")
     pairs = (
         l.join(
@@ -975,7 +1004,11 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Synthetic embeddings top out near cosine 0.43, so both
         families run at threshold 0.3 to keep the checked output
         non-trivial; seed centroids keep the oracle replay exact
-        (kmeans stays the scale default in the API).
+        (kmeans stays the scale default in the API). 32 cells: the
+        whole point of SemDeDup's clustering is bounding the in-cell
+        quadratic pass, so the cell count must scale with the corpus —
+        8 cells over this corpus costs 4x the candidate pairs for no
+        extra dedup power.
         """
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         pairs = embedding_near_dup_pairs(emb, threshold=0.3).select(
@@ -984,7 +1017,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_b",
             F.col("cosine_sim").alias("val"),
         )
-        sd = semantic_dedup(emb, n_clusters=8, threshold=0.3, centroids="seed")
+        sd = semantic_dedup(emb, n_clusters=32, threshold=0.3, centroids="seed")
         cell_rows = sd.select(
             F.lit("sem_cell").alias("kind"),
             F.col("id").alias("id_a"),
@@ -1215,11 +1248,11 @@ WITH RECURSIVE s AS (
       i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0 THEN (1 << (i - 1)) ELSE 0 END)) AS bucket
   FROM embeddings
 ), cent AS (
-  -- SemDeDup seed centroids: the first 8 vectors by id (the same
-  -- zero-training coarse quantizer the ivf oracle replays)
+  -- SemDeDup seed centroids: the first 32 vectors by id (the same
+  -- zero-training coarse quantizer family the ivf oracle replays)
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS center
-  FROM embeddings ORDER BY vec_id LIMIT 8
+  FROM embeddings ORDER BY vec_id LIMIT 32
 ), assigned AS (
   SELECT id, cell FROM (
     SELECT e.vec_id AS id, ct.cell,
