@@ -527,52 +527,67 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     # cannot change values.
     from concurrent.futures import ThreadPoolExecutor
 
+    # Stateful streaming cost scales with STATE-STORE COUNT = shuffle
+    # partitions at query start: each micro-batch opens/commits one
+    # store per partition per stateful operator (the stream-stream
+    # join keeps 4+ per partition). 32 partitions for this bounded
+    # twin corpus measured 7.1 s for the join drain alone vs 3.0 s at
+    # 8 — so the drains run at 8 and the session value is restored
+    # before the batch twins plan. Production streams size this to
+    # their real key cardinality/throughput, not to a session default.
     dd_keys = ["user_id", "event_type"]
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_tumble = pool.submit(
-            SP.run_availablenow,
-            SP.tumbling_stream(stream_ev),
-            f"twin_{run_id}",
-            "parquet",
-        )
-        f_dd = pool.submit(
-            SP.run_availablenow,
-            ST.dedup_stream(
-                SP.stream_events(spark, f"{sf}/events.parquet"),
-                dd_keys,
-                "ts",
-                delay="3650 days",
-            ),
-            f"twin_dd_{run_id}",
-            "parquet",
-            None,
-            "append",
-        )
-        f_st = pool.submit(
-            SP.run_availablenow,
-            ST.user_running_stats(SP.stream_events(spark, f"{sf}/events.parquet")),
-            f"twin_st_{run_id}",
-            "parquet",
-            None,
-            "update",
-        )
-        f_join = pool.submit(
-            SP.run_availablenow,
-            SP.interval_join_stream(
-                SP.stream_events(spark, f"{sf}/events.parquet"),
-                SP.stream_events(spark, f"{sf}/events.parquet"),
-            ),
-            f"twin_j_{run_id}",
-            "parquet",
-            None,
-            "append",
-        )
-        drained, dd, st, sj_pairs = (
-            f_tumble.result(),
-            f_dd.result(),
-            f_st.result(),
-            f_join.result(),
-        )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_tumble = pool.submit(
+                SP.run_availablenow,
+                SP.tumbling_stream(stream_ev),
+                f"twin_{run_id}",
+                "parquet",
+            )
+            f_dd = pool.submit(
+                SP.run_availablenow,
+                ST.dedup_stream(
+                    SP.stream_events(spark, f"{sf}/events.parquet"),
+                    dd_keys,
+                    "ts",
+                    delay="3650 days",
+                ),
+                f"twin_dd_{run_id}",
+                "parquet",
+                None,
+                "append",
+            )
+            f_st = pool.submit(
+                SP.run_availablenow,
+                ST.user_running_stats(
+                    SP.stream_events(spark, f"{sf}/events.parquet")
+                ),
+                f"twin_st_{run_id}",
+                "parquet",
+                None,
+                "update",
+            )
+            f_join = pool.submit(
+                SP.run_availablenow,
+                SP.interval_join_stream(
+                    SP.stream_events(spark, f"{sf}/events.parquet"),
+                    SP.stream_events(spark, f"{sf}/events.parquet"),
+                ),
+                f"twin_j_{run_id}",
+                "parquet",
+                None,
+                "append",
+            )
+            drained, dd, st, sj_pairs = (
+                f_tumble.result(),
+                f_dd.result(),
+                f_st.result(),
+                f_join.result(),
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
     )
