@@ -131,6 +131,25 @@ def main() -> None:
     for name in names:
         print(f"# {name}: {timings[name]:.2f}s ({rows[name]} rows)", file=sys.stderr)
 
+    try:
+        # JVM code-cache usage at end of run (stderr diagnostic): this
+        # repo has twice had warm-query drift from a silently-full code
+        # cache (r4: 240m default, r5: 1g) — report it so a future
+        # drift is attributable without re-instrumenting.
+        beans = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+        it = beans.iterator()
+        while it.hasNext():
+            b = it.next()
+            if "CodeHeap" in b.getName():
+                u = b.getUsage()
+                print(
+                    f"# codecache {b.getName()}: "
+                    f"{u.getUsed() // (1024 * 1024)}/{u.getMax() // (1024 * 1024)} MB",
+                    file=sys.stderr,
+                )
+    except Exception:  # noqa: BLE001 — diagnostics must never sink a bench
+        pass
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
