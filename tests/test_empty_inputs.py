@@ -79,3 +79,13 @@ def test_repair_on_empty(empty_kv):
     # zero rows -> every column is all-null -> v dropped by C5,
     # matching pandas dropna(axis=1, how='all') on an empty frame
     assert out.count() == 0
+
+
+def test_semantic_dedup_empty_and_singleton(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert DD.semantic_dedup(empty, n_clusters=4, threshold=0.9).count() == 0
+    one = spark.createDataFrame([(7, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    rows = DD.semantic_dedup(one, n_clusters=4, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id, r.cell, r.cluster_id, r.keep) == (7, 0, 7, True)
