@@ -1004,12 +1004,16 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Synthetic embeddings top out near cosine 0.43, so both
         families run at threshold 0.3 to keep the checked output
         non-trivial; seed centroids keep the oracle replay exact
-        (kmeans stays the scale default in the API). 32 cells: the
-        whole point of SemDeDup's clustering is bounding the in-cell
-        quadratic pass, so the cell count must scale with the corpus —
-        8 cells over this corpus costs 4x the candidate pairs for no
-        extra dedup power.
+        (kmeans stays the scale default in the API). The cell count is
+        ADAPTIVE — max(32, ceil(sqrt(n))) — because the clustering is
+        the bound on the in-cell quadratic pass: a fixed cell count
+        turns 10x corpus into ~100x candidate pairs (the 10x scale
+        probe measured exactly that with k=32 pinned: 2.8 s -> 37.6 s);
+        sqrt scaling keeps candidate pairs ~n^1.5, the standard
+        SemDeDup/IVF trade. The oracle computes the identical k in SQL.
         """
+        import math
+
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         pairs = embedding_near_dup_pairs(emb, threshold=0.3).select(
             F.lit("pair").alias("kind"),
@@ -1017,7 +1021,8 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_b",
             F.col("cosine_sim").alias("val"),
         )
-        sd = semantic_dedup(emb, n_clusters=32, threshold=0.3, centroids="seed")
+        k = max(32, int(math.ceil(math.sqrt(emb.count()))))
+        sd = semantic_dedup(emb, n_clusters=k, threshold=0.3, centroids="seed")
         cell_rows = sd.select(
             F.lit("sem_cell").alias("kind"),
             F.col("id").alias("id_a"),
@@ -1248,11 +1253,16 @@ WITH RECURSIVE s AS (
       i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0 THEN (1 << (i - 1)) ELSE 0 END)) AS bucket
   FROM embeddings
 ), cent AS (
-  -- SemDeDup seed centroids: the first 32 vectors by id (the same
-  -- zero-training coarse quantizer family the ivf oracle replays)
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS center
-  FROM embeddings ORDER BY vec_id LIMIT 32
+  -- SemDeDup seed centroids: the first max(32, ceil(sqrt(n))) vectors
+  -- by id — the same adaptive cell count the engine computes (cells
+  -- must scale with the corpus to bound the in-cell quadratic pass)
+  SELECT cell, center FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS center
+    FROM embeddings
+  ) WHERE cell < (
+    SELECT greatest(32, CAST(ceil(sqrt(count(*))) AS INTEGER)) FROM embeddings
+  )
 ), assigned AS (
   SELECT id, cell FROM (
     SELECT e.vec_id AS id, ct.cell,

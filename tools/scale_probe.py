@@ -43,6 +43,9 @@ OPERATORS = {
     "sim_ivf_recall": "IVF + PQ-ADC + IVF-PQ with exact re-rank",
     "link_golden": "token blocking -> entity ids -> golden record",
     "curate_pipeline": "full curation funnel incl. LSH near-dedup + pack",
+    # r8 additions (new driver legs)
+    "rel_revenue_by_nation": "broadcast rollup + salted hot-key join",
+    "stream_batch_twin": "4 streaming drains incl. stream-stream join",
 }
 
 
@@ -104,7 +107,20 @@ def build_replica(spark, src: str, out: str, n: int) -> None:
         ),
     ).write.mode("overwrite").parquet(f"{out}/customer.parquet")
 
-    for dim in ("nation", "region", "supplier", "part", "events"):
+    # events replicate as a FACT (the streaming-twin probe must see N x
+    # the stream): ids shifted, and users shifted into fresh ranges so
+    # state cardinality grows with the corpus like production traffic.
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    u_mx = ev.agg(F.max("user_id")).first()[0] + 1
+    rep_union(
+        ev,
+        "event_id",
+        perturb=lambda d, r: d.withColumn(
+            "user_id", F.col("user_id") + F.lit(r * u_mx)
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    for dim in ("nation", "region", "supplier", "part"):
         p = f"{src}/{dim}.parquet"
         if os.path.exists(p):
             spark.read.parquet(p).write.mode("overwrite").parquet(f"{out}/{dim}.parquet")
