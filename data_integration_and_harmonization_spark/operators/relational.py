@@ -443,10 +443,36 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.unionByName(a).unionByName(i).unionByName(e)
 
     def q_distinct(spark, sf):
-        # approx_count_distinct is rows-only territory; split it out so
-        # the exact columns stay oracle-checked
-        return distinct_agg(spark.read.parquet(f"{sf}/lineitem.parquet")).drop(
-            "approx_orders"
+        """Exact distinct counts per group, plus a `sketch_ok` column
+        pinning the SKETCH family — the one-pass profiling path at
+        100 TB, where exact distincts/medians need a full expand +
+        shuffle per column: per group, HyperLogLog++
+        (approx_count_distinct, 5% default rsd) must land within 10%
+        of the in-query exact count, and the KLL approximate median
+        (percentile_approx) must land between the exact 45th and 55th
+        percentiles. Sketch OUTPUTS are approximate so they can't be
+        hash-matched; the error-envelope verdicts can (oracle emits
+        the exact counts and the constant 1.0)."""
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        g = li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.approx_count_distinct("l_orderkey").alias("hll"),
+            F.countDistinct("l_orderkey").alias("exact_o"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        )
+        ok = (
+            (F.abs(F.col("hll") - F.col("exact_o")) <= 0.1 * F.col("exact_o"))
+            & (F.col("amed") >= F.col("p45"))
+            & (F.col("amed") <= F.col("p55"))
+        )
+        return g.select(
+            "l_returnflag",
+            "n_parts",
+            "n_supps",
+            F.when(ok, F.lit(1.0)).otherwise(F.lit(0.0)).alias("sketch_ok"),
         )
 
     def q_range_join(spark, sf):
@@ -585,9 +611,12 @@ SELECT 'except' AS join_kind, nationkey AS key, CAST(NULL AS VARCHAR) AS segment
 )
 """,
         "rel_distinct_agg": """
+-- sketch_ok: HLL++ and KLL-median outputs are approximate so only the
+-- engine's error-envelope verdict is hash-checkable (constant 1.0)
 SELECT l_returnflag,
        count(DISTINCT l_partkey)::BIGINT AS n_parts,
-       count(DISTINCT l_suppkey)::BIGINT AS n_supps
+       count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+       CAST(1.0 AS DOUBLE) AS sketch_ok
 FROM lineitem GROUP BY l_returnflag
 """,
         "rel_asof_join": """
