@@ -222,6 +222,42 @@ def mix_sources(
     return out
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_cols: Sequence[str],
+    n: int,
+    seed: int = 42,
+    shuffle_col: str | None = None,
+) -> DataFrame:
+    """Per-group quota cap: keep at most ``n`` rows per group, chosen
+    by the deterministic shuffle hash — the per-domain/per-source cap
+    every web-scale curation pipeline applies so one mega-domain can't
+    dominate the training mix. Hash order (not arrival order) makes
+    the kept subset a uniform, reproducible sample of each group.
+
+    Scale shape: one shuffle on the group key and a rank window per
+    group — parallel across groups; no global sort, no collect. A
+    pathologically hot group is one window partition: cap it upstream
+    with AQE skew handling or pre-filter if a single group approaches
+    executor memory.
+
+    ``shuffle_col`` reuses a precomputed :func:`shuffle_hash` column
+    (the hash-once-filter-many contract shared by the whole family).
+    """
+    if n < 0:
+        raise ValueError(f"cap must be >= 0, got {n}")
+    h = F.col(shuffle_col) if shuffle_col else shuffle_hash(key_cols, seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        h, *[F.col(k) for k in key_cols]
+    )
+    return (
+        df.withColumn("__cap_rank", F.row_number().over(w))
+        .where(F.col("__cap_rank") <= n)
+        .drop("__cap_rank")
+    )
+
+
 # ------------------------------------------------------- query registry
 
 def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -240,6 +276,10 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - 'mix_<source>': mix_sources weighted union (even orderkeys
           kept at 30%, odd kept whole), per-source accounting via the
           source tag.
+        - 'cap': cap_per_group quota — at most 1000 rows per
+          returnflag group by deterministic hash order (the
+          per-domain cap of a curation mix), group sums replayed by
+          the oracle's rank window.
         """
         from data_integration_and_harmonization_spark.functions.caching import track
 
@@ -305,11 +345,17 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.lit("mix_"), F.col("__mix_source")).alias("kind"),
             "l_returnflag",
         ).agg(*agg)
+        cap = (
+            cap_per_group(slim, ["l_returnflag"], keys, 1000, shuffle_col="__sh")
+            .groupBy("l_returnflag")
+            .agg(*agg)
+        )
         return (
             h.select(F.lit("hash").alias("kind"), "*")
             .unionByName(s.select(F.lit("stratified").alias("kind"), "*"))
             .unionByName(sh.select(F.lit("shuffle").alias("kind"), "*"))
             .unionByName(m)
+            .unionByName(cap.select(F.lit("cap").alias("kind"), "*"))
         )
 
     return {"samp_deterministic": q_sample}
@@ -371,5 +417,18 @@ FROM (
   FROM lineitem WHERE l_orderkey % 2 = 1
 )
 GROUP BY 1, 2
+UNION ALL
+SELECT 'cap' AS kind, l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY {shuf}, l_orderkey, l_linenumber, l_partkey, l_suppkey
+         ) AS rn
+  FROM lineitem
+)
+WHERE rn <= 1000
+GROUP BY 2
 """,
     }

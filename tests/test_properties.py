@@ -198,3 +198,29 @@ def test_pq_roundtrip_properties(spark, vecs):
                 sum((a - b) ** 2 for a, b in zip(sub, c)) for c in books[s]
             ]
             assert dists[code] <= min(dists) + 1e-6
+
+
+@given(ids)
+@SET
+def test_cap_per_group_bounds_and_nests(spark, keys):
+    """cap_per_group keeps min(n, |group|) rows per group, the kept
+    set is a SUBSET of the bigger cap's kept set (hash-rank order
+    nests, so tightening a domain quota never swaps documents), and
+    survivors are real input rows."""
+    from data_integration_and_harmonization_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(k, k % 3) for k in keys], "id long, grp long"
+    )
+    small = {r.id for r in cap_per_group(df, ["grp"], ["id"], 2).collect()}
+    big = {r.id for r in cap_per_group(df, ["grp"], ["id"], 5).collect()}
+    assert small <= big <= set(keys)
+    from collections import Counter
+
+    grp_of = {k: k % 3 for k in keys}
+    sizes = Counter(grp_of[k] for k in keys)
+    small_sizes = Counter(grp_of[k] for k in small)
+    for g, n in sizes.items():
+        assert small_sizes[g] == min(2, n)
