@@ -502,6 +502,13 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
       minutes, both sides streams with bounded join state) — its
       emitted (l_id, r_id) pair SET full-outer compared against the
       batch interval join's.
+    - 'session': ``session_stream`` (``F.session_window``, the
+      stateful MERGING window — state is per-session intervals that
+      coalesce as late events bridge gaps, unlike tumbling's fixed
+      buckets) — every (user_id, session_start, n_events) session
+      full-outer compared against the batch ``session_agg`` twin;
+      the oracle independently replays the session set as
+      gaps-and-islands SQL.
 
     The memory-sink drain stays covered by tests/test_streaming.py.
     """
@@ -539,7 +546,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
             f_tumble = pool.submit(
                 SP.run_availablenow,
                 SP.tumbling_stream(stream_ev),
@@ -580,11 +587,20 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
                 None,
                 "append",
             )
-            drained, dd, st, sj_pairs = (
+            f_sess = pool.submit(
+                SP.run_availablenow,
+                SP.session_stream(
+                    SP.stream_events(spark, f"{sf}/events.parquet")
+                ),
+                f"twin_sess_{run_id}",
+                "parquet",
+            )
+            drained, dd, st, sj_pairs, sess = (
                 f_tumble.result(),
                 f_dd.result(),
                 f_st.result(),
                 f_join.result(),
+                f_sess.result(),
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -689,10 +705,29 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(jn_agree.cast("long")).alias("n_agree"),
         F.min(jn_agree).alias("all_agree"),
     )
+    # ---- session leg: the streamed merging-window result must equal
+    # the batch session_agg session-for-session (session_start is the
+    # merged window's start, so a mis-merged session shifts the key
+    # and shows up as two unmatched rows, not a near-miss).
+    s_sess = sess.select(
+        "user_id", "session_start", F.col("n_events").alias("s_n")
+    )
+    b_sess = EV.session_agg(events).select(
+        "user_id", "session_start", F.col("n_events").alias("b_n")
+    )
+    sessj = s_sess.join(b_sess, ["user_id", "session_start"], "full_outer")
+    sess_agree = F.col("s_n").eqNullSafe(F.col("b_n"))
+    session_row = sessj.agg(
+        F.lit("session").alias("kind"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(sess_agree.cast("long")).alias("n_agree"),
+        F.min(sess_agree).alias("all_agree"),
+    )
     return (
         tumbling_row.unionByName(dedup_row)
         .unionByName(stateful_row)
         .unionByName(join_row)
+        .unionByName(session_row)
     )
 
 
@@ -1021,6 +1056,29 @@ FROM (
     ON v.user_id = p.user_id
    AND v.event_type = 'view' AND p.event_type = 'purchase'
    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+)
+UNION ALL
+-- session: the streamed merging-window session set, replayed as
+-- gaps-and-islands (new session when the gap EXCEEDS 10 minutes —
+-- session_window treats an exactly-10-minute gap as one session)
+SELECT 'session', count(*)::BIGINT, count(*)::BIGINT, true
+FROM (
+  SELECT user_id, sid
+  FROM (
+    SELECT user_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+    FROM (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+  )
+  GROUP BY user_id, sid
 )
 """,
     }

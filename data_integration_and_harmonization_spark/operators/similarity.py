@@ -414,6 +414,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: list[Column] | None = None,
+    err_col: str | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` centroid indices — the 8x-64x
     wire/memory compression that makes billion-vector search fit on a
@@ -430,7 +431,16 @@ def pq_encode(
     ``min`` (constant within an id), so IVF-PQ's cell+code projection
     stays one pass.
 
-    Output: (id, code array<int> length m[, extras]).
+    ``err_col``: also emit the vector's quantization error — the sum
+    over subspaces of the squared distance to the CHOSEN (nearest)
+    centroid. The struct-min already carries that d2, so the column is
+    a post-aggregate projection, zero extra passes — and
+    ``avg(err_col)`` over the encode IS the codebooks' mean
+    distortion, exactly the objective Lloyd minimizes (the one-scan
+    index-quality gauge; :func:`pq_distortion` computes the same
+    number standalone when no encode is being built).
+
+    Output: (id, code array<int> length m[, extras][, err]).
     """
     m = len(codebooks)
     ds = len(codebooks[0][0])
@@ -461,6 +471,11 @@ def pq_encode(
         for i in range(m)
     ]
     aggs += [F.min(n).alias(n) for n in extra_names]
+    err = [
+        sum((F.col(f"m{i}.d2") for i in range(1, m)), F.col("m0.d2")).alias(
+            err_col
+        )
+    ] if err_col else []
     return (
         joined.groupBy("id")
         .agg(*aggs)
@@ -468,6 +483,7 @@ def pq_encode(
             "id",
             F.array(*[F.col(f"m{i}.c") for i in range(m)]).alias("code"),
             *extra_names,
+            *err,
         )
     )
 
@@ -741,10 +757,11 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           ladder. Lloyd iterations aren't SQL-replayable, so the
           driver row is an in-query quality assertion (val=1.0 when it
           holds): trained mean quantization DISTORTION — Lloyd's own
-          objective, via :func:`pq_distortion` — must be <= the seed
-          books', and the trained ladder must return a full k rows per
-          query. Training is deterministic (ordered sample, seeded
-          RNG), so the check is stable run to run.
+          objective, read off each persisted encode's ``err_col`` at
+          agg cost (standalone gauge: :func:`pq_distortion`) — must be
+          <= the seed books', and the trained ladder must return a
+          full k rows per query. Training is deterministic (ordered
+          sample, seeded RNG), so the check is stable run to run.
 
         KMeans centroids stay the quality default for IVF cells; the
         seed variants exist exactly so the 'pq'/'ivfpq' legs are
@@ -778,6 +795,7 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 corpus,
                 books,
                 extra_cols=[_nearest_index(F.col("embedding"), centers).alias("cell")],
+                err_col="__err",
             ).persist()
         )
         q = queries.select(
@@ -802,20 +820,28 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "neighbor_id",
             F.col("d2").alias("val"),
         )
-        # Lloyd-trained leg: same ladder, production codebooks. One
-        # fresh encode pass (different books can't reuse `enc`); the
-        # persisted corpus feeds both the train sample and the scan.
+        # Lloyd-trained leg: same ladder, production codebooks — and
+        # the same build-once-query-many split as the seed leg: ONE
+        # persisted trained encode (different books can't reuse `enc`)
+        # feeds the ADC scan, the re-rank, AND the distortion gauge.
         # Quality assertion = DISTORTION, Lloyd's own objective (the
         # trained books must quantize the corpus with lower mean
         # reconstruction error than the zero-training seeds; recall@k
         # would be the wrong gauge — the seed centroids ARE the query
-        # vectors, which query-aligns their shortlists). Measured here:
-        # trained ~0.81 vs seed ~1.22 at every sf, a 3x margin over
+        # vectors, which query-aligns their shortlists). Both
+        # distortions are avg(err_col) over the already-persisted
+        # encodes — two tiny aggs, no extra corpus scans. Measured:
+        # trained ~0.84 vs seed ~1.22 at every sf, a 3x margin over
         # the tolerance.
         t_books = train_pq_codebooks(corpus, m=4, k=8, sample=2048, iters=5)
-        t_n = pq_topk(corpus, queries, t_books, k=5, refine=4).count()
+        t_enc = track(pq_encode(corpus, t_books, err_col="__err").persist())
+        t_luts = track(_query_luts(q, t_books).persist())
+        t_n = pq_topk(
+            corpus, queries, t_books, k=5, refine=4, codes=t_enc, luts=t_luts
+        ).count()
         n_q = queries.count()
-        d_trained, d_seed = pq_distortion(corpus, t_books, books)
+        d_trained = t_enc.agg(F.avg("__err")).collect()[0][0]
+        d_seed = enc.agg(F.avg("__err")).collect()[0][0]
         ok = d_trained <= d_seed + 1e-9 and t_n == 5 * n_q
         trained_row = spark.range(1).select(
             F.lit("pq_trained").alias("kind"),

@@ -175,3 +175,21 @@ def test_pq_distortion_trained_beats_seed(spark, emb):
     trained = train_pq_codebooks(emb, m=4, k=8, sample=256, iters=5)
     d_trained, d_seed = pq_distortion(emb, trained, seed)
     assert 0 < d_trained <= d_seed + 1e-9
+
+
+def test_pq_encode_err_col_matches_distortion(spark, emb):
+    # the encode-carried quantization error (chosen-center d2 summed
+    # over subspaces) must average to exactly what the standalone
+    # pq_distortion scan reports — same objective, zero extra passes
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        pq_distortion,
+        pq_encode,
+        seed_pq_codebooks,
+    )
+
+    books = seed_pq_codebooks(emb, m=4, k=8)
+    enc = pq_encode(emb, books, err_col="err")
+    assert enc.columns == ["id", "code", "err"]
+    (d_standalone,) = pq_distortion(emb, books)
+    d_enc = enc.agg(F.avg("err")).collect()[0][0]
+    assert abs(d_enc - d_standalone) < 1e-9
