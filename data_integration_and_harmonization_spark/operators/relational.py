@@ -452,8 +452,27 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (percentile_approx) must land between the exact 45th and 55th
         percentiles. Sketch OUTPUTS are approximate so they can't be
         hash-matched; the error-envelope verdicts can (oracle emits
-        the exact counts and the constant 1.0)."""
+        the exact counts and the constant 1.0).
+
+        `hh_ok` adds the third sketch family — HEAVY HITTERS:
+        ``df.stat.freqItems`` (the Karp-Papadimitriou-Shenker one-pass
+        counter merge) at support 0.1 must return a SUPERSET of the
+        return flags whose exact frequency exceeds 10% — the guarantee
+        the algorithm makes (false positives allowed, false negatives
+        never), checked against an in-query exact frequency count.
+        freqItems is a global sketch, so the verdict is one value
+        broadcast onto every group row. Both collects are bounded by
+        the flag cardinality (3), never by corpus size."""
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        hot_rows = (
+            li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        total = sum(r["n"] for r in hot_rows)
+        exact_hot = {r["l_returnflag"] for r in hot_rows if r["n"] > 0.1 * total}
+        approx_hot = set(
+            li.stat.freqItems(["l_returnflag"], support=0.1).collect()[0][0]
+        )
+        hh_ok = 1.0 if exact_hot <= approx_hot else 0.0
         g = li.groupBy("l_returnflag").agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supps"),
@@ -473,6 +492,7 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_parts",
             "n_supps",
             F.when(ok, F.lit(1.0)).otherwise(F.lit(0.0)).alias("sketch_ok"),
+            F.lit(hh_ok).alias("hh_ok"),
         )
 
     def q_range_join(spark, sf):
@@ -611,12 +631,14 @@ SELECT 'except' AS join_kind, nationkey AS key, CAST(NULL AS VARCHAR) AS segment
 )
 """,
         "rel_distinct_agg": """
--- sketch_ok: HLL++ and KLL-median outputs are approximate so only the
--- engine's error-envelope verdict is hash-checkable (constant 1.0)
+-- sketch_ok / hh_ok: HLL++, KLL-median and freqItems heavy-hitter
+-- outputs are approximate so only the engine's error-envelope /
+-- superset-guarantee verdicts are hash-checkable (constant 1.0)
 SELECT l_returnflag,
        count(DISTINCT l_partkey)::BIGINT AS n_parts,
        count(DISTINCT l_suppkey)::BIGINT AS n_supps,
-       CAST(1.0 AS DOUBLE) AS sketch_ok
+       CAST(1.0 AS DOUBLE) AS sketch_ok,
+       CAST(1.0 AS DOUBLE) AS hh_ok
 FROM lineitem GROUP BY l_returnflag
 """,
         "rel_asof_join": """
