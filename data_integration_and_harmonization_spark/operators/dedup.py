@@ -556,6 +556,46 @@ def incremental_exact_dedup(
     return fresh.drop("__fp")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots — the
+    data-versioning primitive behind incremental training refreshes
+    ("retrain on what changed"): classify every id as 'added' (only in
+    the new snapshot), 'removed' (only in the old), or 'changed' (in
+    both, content fingerprint differs). Ids whose content is identical
+    drop out, so the OUTPUT scales with churn, never corpus size.
+
+    Plan shape: each side reduces to (id, 16-byte md5) — text never
+    shuffles — then one full-outer equi-join on id. At 100 TB both
+    snapshot scans pushdown-project to (id, text) and the join
+    co-locates if the snapshots share id bucketing; otherwise it's one
+    digest-width shuffle per side. md5(NULL) gets the same sentinel
+    treatment as :func:`incremental_exact_dedup`, so a null-text doc
+    diffs like any other value rather than classifying as changed
+    against itself.
+
+    Output: (id, old_fp, new_fp, status) — fp columns null on the
+    side the id is absent from.
+    """
+    fp = lambda c: F.coalesce(F.md5(F.col(c)), F.lit("__null_text__"))  # noqa: E731
+    o = old.select(F.col(id_col).alias("id"), fp(text_col).alias("old_fp"))
+    n = new.select(F.col(id_col).alias("id"), fp(text_col).alias("new_fp"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+    )
+    return (
+        j.select("id", "old_fp", "new_fp", status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )
+
+
 def duplicated_ngram_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -888,6 +928,13 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scratch root, reaped at exit) keeps repeated invocations
         # (bench warm passes) independent; n_copies is null for the
         # inc legs (survivor rows, not group counts).
+        #
+        # 'diff_added'/'diff_removed'/'diff_changed' legs: snapshot_diff
+        # between two deterministic corpus versions — old drops ids
+        # with doc_id % 11 == 3 (so those classify 'added'), new drops
+        # doc_id % 7 == 0 ('removed') and rewrites the text of
+        # doc_id % 5 == 0 survivors ('changed'). The oracle replays the
+        # same two snapshots and the same full-outer fp compare in SQL.
         from data_integration_and_harmonization_spark.functions.caching import (
             scratch_dir,
         )
@@ -916,10 +963,25 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("doc_id").alias("keep_id"),
             )
 
+        v_old = docs.where(F.col("doc_id") % 11 != 3)
+        v_new = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text")),
+        )
+        diff = snapshot_diff(v_old, v_new).select(
+            F.concat(F.lit("diff_"), F.col("status")).alias("kind"),
+            F.coalesce("new_fp", "old_fp").alias("fp"),
+            F.lit(None).cast("long").alias("n_copies"),
+            F.col("id").alias("keep_id"),
+        )
+
         return (
             e.unionByName(fp)
             .unionByName(inc_rows(b1, "inc1"))
             .unionByName(inc_rows(b2, "inc2"))
+            .unionByName(diff)
         )
 
     def q_jaccard(spark, sf):
@@ -1174,6 +1236,27 @@ SELECT 'inc2', fp, CAST(NULL AS BIGINT), keep_id FROM (
   SELECT 1 FROM documents e
   WHERE e.doc_id % 2 = 0 AND coalesce(md5(e.text), '__null_text__') = o.fp
 )
+UNION ALL
+-- snapshot_diff legs: same two synthesized corpus versions, same
+-- full-outer fingerprint compare (sentinel for null text)
+SELECT 'diff_' || status, coalesce(new_fp, old_fp), CAST(NULL AS BIGINT), id
+FROM (
+  SELECT coalesce(o.id, n.id) AS id, o.old_fp, n.new_fp,
+         CASE WHEN o.old_fp IS NULL THEN 'added'
+              WHEN n.new_fp IS NULL THEN 'removed'
+              WHEN o.old_fp <> n.new_fp THEN 'changed' END AS status
+  FROM (
+    SELECT doc_id AS id, coalesce(md5(text), '__null_text__') AS old_fp
+    FROM documents WHERE doc_id % 11 <> 3
+  ) o
+  FULL OUTER JOIN (
+    SELECT doc_id AS id,
+           coalesce(md5(CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END),
+                    '__null_text__') AS new_fp
+    FROM documents WHERE doc_id % 7 <> 0
+  ) n ON o.id = n.id
+)
+WHERE status IS NOT NULL
 """,
         "dedup_lsh_pipeline": minhash_cte
         + """

@@ -411,3 +411,27 @@ def test_incremental_dedup_null_text_and_partial_batches(spark, tmp_path):
     out2 = incremental_exact_dedup(b2, store)
     # the null-text group was admitted in batch 1 -> filtered here
     assert {r.doc_id for r in out2.collect()} == {11}
+
+
+def test_snapshot_diff_classifies_churn(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, None), (5, "e")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: r.status for r in DD.snapshot_diff(old, new).collect()
+    }
+    # 1 only in old; 5 only in new; 3's content changed; 2 identical
+    # and 4 null-on-both-sides (sentinel) drop out of the diff
+    assert got == {1: "removed", 5: "added", 3: "changed"}
+
+
+def test_snapshot_diff_output_scales_with_churn(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    assert DD.snapshot_diff(df, df).count() == 0
