@@ -258,6 +258,45 @@ def cap_per_group(
     )
 
 
+def budget_cap(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_cols: Sequence[str],
+    cost_col: str,
+    budget: float,
+    seed: int = 42,
+    shuffle_col: str | None = None,
+) -> DataFrame:
+    """Cost-budgeted quota: keep rows per group, in the deterministic
+    shuffle-hash order, while the group's RUNNING cost (including the
+    current row) stays within ``budget`` — :func:`cap_per_group` in
+    cost units instead of row counts. This is how a training mix is
+    actually specified ("N tokens of web, M of code"): pass token
+    counts as ``cost_col`` and the per-source token budget, and the
+    kept subset is a uniform, reproducible sample of each group that
+    lands at (never over) the budget.
+
+    Same scale shape as :func:`cap_per_group`: one shuffle on the
+    group key, one running-sum window per group, parallel across
+    groups; no global sort, no collect. ``shuffle_col`` reuses a
+    precomputed :func:`shuffle_hash` column (the hash-once-filter-many
+    contract shared by the whole family).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    h = F.col(shuffle_col) if shuffle_col else shuffle_hash(key_cols, seed)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(h, *[F.col(k) for k in key_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__cap_cost", F.sum(cost_col).over(w))
+        .where(F.col("__cap_cost") <= budget)
+        .drop("__cap_cost")
+    )
+
+
 # ------------------------------------------------------- query registry
 
 def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -280,6 +319,11 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           returnflag group by deterministic hash order (the
           per-domain cap of a curation mix), group sums replayed by
           the oracle's rank window.
+        - 'budget': budget_cap quota — rows kept per returnflag group
+          in the same hash order while the running l_quantity stays
+          within 20000 (the token-budget dial of a training mix,
+          with quantity standing in for token counts), replayed by
+          the oracle's running-sum window.
         """
         from data_integration_and_harmonization_spark.functions.caching import track
 
@@ -350,12 +394,21 @@ def sampling_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("l_returnflag")
             .agg(*agg)
         )
+        budget = (
+            budget_cap(
+                slim, ["l_returnflag"], keys, "l_quantity", 20000,
+                shuffle_col="__sh",
+            )
+            .groupBy("l_returnflag")
+            .agg(*agg)
+        )
         return (
             h.select(F.lit("hash").alias("kind"), "*")
             .unionByName(s.select(F.lit("stratified").alias("kind"), "*"))
             .unionByName(sh.select(F.lit("shuffle").alias("kind"), "*"))
             .unionByName(m)
             .unionByName(cap.select(F.lit("cap").alias("kind"), "*"))
+            .unionByName(budget.select(F.lit("budget").alias("kind"), "*"))
         )
 
     return {"samp_deterministic": q_sample}
@@ -429,6 +482,20 @@ FROM (
   FROM lineitem
 )
 WHERE rn <= 1000
+GROUP BY 2
+UNION ALL
+SELECT 'budget' AS kind, l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM (
+  SELECT l_returnflag, l_quantity,
+         sum(l_quantity) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY {shuf}, l_orderkey, l_linenumber, l_partkey, l_suppkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS run_qty
+  FROM lineitem
+)
+WHERE run_qty <= 20000
 GROUP BY 2
 """,
     }

@@ -224,3 +224,25 @@ def test_cap_per_group_bounds_and_nests(spark, keys):
     small_sizes = Counter(grp_of[k] for k in small)
     for g, n in sizes.items():
         assert small_sizes[g] == min(2, n)
+
+
+@given(ids)
+@SET
+def test_budget_cap_bounds_and_nests(spark, keys):
+    """budget_cap never exceeds the group budget, a bigger budget's
+    kept set contains a smaller one's (same hash order -> prefixes
+    nest), and unit costs make it coincide with cap_per_group."""
+    from data_integration_and_harmonization_spark.operators.sampling import (
+        budget_cap,
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(k, k % 3, 1.0) for k in keys], "id long, grp long, cost double"
+    )
+    small = {r.id for r in budget_cap(df, ["grp"], ["id"], "cost", 2).collect()}
+    big = {r.id for r in budget_cap(df, ["grp"], ["id"], "cost", 5).collect()}
+    assert small <= big <= set(keys)
+    # with every row costing 1.0, a budget of 2 IS a row cap of 2
+    capped = {r.id for r in cap_per_group(df, ["grp"], ["id"], 2).collect()}
+    assert small == capped
