@@ -127,6 +127,29 @@ def quantize_int8(
     )
 
 
+def truncate_dim(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka-style dimension truncation: keep the first ``dim``
+    components and (by default) re-unit-normalize — the standard way
+    MRL-trained embeddings trade recall for index size (a 4x-shorter
+    prefix costs a few recall points but quarters every ANN
+    structure's memory and the brute-force FLOPs). Pure narrow
+    column expressions, no shuffle; vectors shorter than ``dim`` pass
+    through unchanged (slice caps at length).
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    out = df.withColumn(out_col or vec_col, F.slice(_as_double(F.col(vec_col)), 1, dim))
+    if renormalize:
+        out = l2_normalize(out, out_col or vec_col)
+    return out
+
+
 # ------------------------------------------------------- query registry
 
 
@@ -138,6 +161,11 @@ def embeddings_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - kind='pool':  key=label, pos, val=round(pooled component, 6)
         - kind='quant': key=vec_id, pos=-1, val=sum(q) (code checksum)
         - kind='scale': key=vec_id, pos=-1, val=round(scale, 6)
+        - kind='trunc': key=vec_id, pos=-1, val=round(sum of the
+          16-dim matryoshka prefix after re-normalization, 6) — the
+          oracle replays the identical slice -> norm -> divide -> sum
+          ladder, element order and all, so the checksum pins
+          truncate_dim's exact arithmetic.
         """
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         unit = l2_normalize(emb)
@@ -159,7 +187,17 @@ def embeddings_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(-1).cast("long").alias("pos"),
             F.round("q_scale", 6).alias("val"),
         )
-        return pooled.unionByName(quant).unionByName(scales)
+        trunc = truncate_dim(emb, 16).select(
+            F.lit("trunc").alias("kind"),
+            F.col("vec_id").alias("key"),
+            F.lit(-1).cast("long").alias("pos"),
+            F.round(
+                F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("val"),
+        )
+        return (
+            pooled.unionByName(quant).unionByName(scales).unionByName(trunc)
+        )
 
     return {"emb_pool_quantize": q_pool_quantize}
 
@@ -201,7 +239,25 @@ WITH unit AS (
   SELECT 'scale' AS kind, vec_id AS key, -1::BIGINT AS pos,
          round(scale, 6) AS val
   FROM scl
+), trunc AS (
+  -- matryoshka 16-dim prefix, re-normalized: the same slice -> norm ->
+  -- divide -> left-to-right sum ladder truncate_dim runs, so the
+  -- checksum matches bit-for-bit before the 6-decimal round
+  SELECT 'trunc' AS kind, vec_id AS key, -1::BIGINT AS pos,
+         round(CASE WHEN nrm > 0
+                    THEN list_sum(list_transform(p, x -> x / nrm))
+                    ELSE coalesce(list_sum(p), 0.0) END, 6) AS val
+  FROM (
+    SELECT vec_id, p,
+           sqrt(list_sum(list_transform(p, x -> x * x))) AS nrm
+    FROM (
+      SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS p
+      FROM embeddings
+    )
+  )
 )
-SELECT * FROM pool UNION ALL SELECT * FROM quant UNION ALL SELECT * FROM scale_rows
+SELECT * FROM pool UNION ALL SELECT * FROM quant
+UNION ALL SELECT * FROM scale_rows UNION ALL SELECT * FROM trunc
 """,
     }

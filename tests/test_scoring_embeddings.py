@@ -171,3 +171,27 @@ def test_semantic_dedup_kmeans_labels_everyone_once(spark):
     for cid, members in by_cluster.items():
         assert min(m.id for m in members) == cid
         assert sum(1 for m in members if m.keep) == 1
+
+
+def test_truncate_dim_prefix_and_renorm(vecs):
+    from data_integration_and_harmonization_spark.operators.embeddings import (
+        truncate_dim,
+    )
+
+    out = {r["vec_id"]: r["embedding"] for r in truncate_dim(vecs, 1).collect()}
+    # 1-dim prefix renormalized to a unit vector; zero stays zero
+    assert out[0] == pytest.approx([1.0], abs=1e-9)
+    assert out[1] == [0.0]
+    # dim beyond the vector length passes it through (renormalized)
+    full = {
+        r["vec_id"]: r["embedding"] for r in truncate_dim(vecs, 99).collect()
+    }
+    assert len(full[0]) == 2
+    n = math.sqrt(sum(x * x for x in full[0]))
+    assert n == pytest.approx(1.0, abs=1e-9)
+    # renormalize=False keeps the raw prefix
+    raw = {
+        r["vec_id"]: r["embedding"]
+        for r in truncate_dim(vecs, 1, renormalize=False).collect()
+    }
+    assert raw[0] == pytest.approx([3.0], abs=1e-6)
