@@ -658,6 +658,88 @@ def duplicated_ngram_stats(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """C4-style cross-document line deduplication: drop every line
+    whose trimmed form occurs in at least ``min_doc_freq`` DISTINCT
+    documents (the boilerplate filter of C4 / RefinedWeb-class web
+    curation — nav bars, cookie banners, and licence footers repeat
+    verbatim across pages while real prose does not). Lines repeated
+    only WITHIN one document survive; frequency is distinct-document
+    frequency, not occurrence count. Blank (all-space) lines share one
+    trimmed form, so corpora with >= ``min_doc_freq`` blank-line docs
+    collapse blank lines too — deterministic and documented.
+
+    Scale shape: posexplode to (id, pos, line), reduce each line to a
+    16-byte md5 of its trimmed form for the frequency pass — ONE digest
+    groupBy over (h, id)-distinct rows gives document frequency without
+    ever shuffling line text — then one join back on the digest and one
+    per-doc reassembly groupBy. Line text shuffles exactly once (the
+    reassembly, which must move it by construction); the frequency side
+    moves only digests. A viral boilerplate line is one hot digest in
+    the join — AQE-splittable, and its post-filter rows are dropped
+    before reassembly. Reassembly orders by the exploded position via
+    array_sort on struct(pos, line) — whole-stage-codegen array ops,
+    no Python.
+
+    Output: one row per input document — (id, n_lines, n_dup_lines,
+    text_deduped). Documents whose every line was boilerplate come back
+    with text_deduped = '' (never dropped: downstream joins must see
+    the full id set).
+
+    Reference scope: the reference's 233-line pandas script has no
+    corpus-level text curation at all; this extends the engine toward
+    the training-data pipelines the ref's harmonization step feeds.
+    """
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.trim(F.col("line"))))
+    # the explode feeds both the frequency groupBy and the join-back
+    # side; persist so the split+md5 subtree computes once per action
+    # (same rationale as duplicated_ngram_stats above)
+    lines = track(lines.persist())
+    freq = (
+        lines.select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__ldf"))
+    )
+    kept = (
+        lines.join(freq, "h")
+        .select("id", "pos", "line", (F.col("__ldf") >= min_doc_freq).alias("__dup"))
+    )
+    per_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__dup").cast("long")).alias("n_dup_lines"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__dup"), F.struct(F.col("pos"), F.col("line"))
+                        )
+                    )
+                ),
+                lambda s: s.line,
+            ),
+        ).alias("text_deduped"),
+    )
+    # collect_list drops the NULL structs F.when leaves for dup lines,
+    # so the sorted survivors ARE the kept lines in original order;
+    # a fully-boilerplate doc yields an empty array -> ''. Every input
+    # id appears: posexplode of split() never drops a row (split of ''
+    # is ['']), so per_doc is already total over df's ids.
+    return per_doc
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

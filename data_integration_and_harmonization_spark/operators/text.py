@@ -212,6 +212,7 @@ def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # groupBy + join, see dedup.duplicated_ngram_stats
         from data_integration_and_harmonization_spark.operators.dedup import (
             duplicated_ngram_stats,
+            line_dedup,
         )
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -220,7 +221,18 @@ def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_grams").alias("n_5grams"),
             F.col("dup_frac").alias("dup_5gram_frac"),
         )
-        return document_profile(docs).join(dup, "doc_id")
+        # r8: C4-style cross-document line dedup as three more profile
+        # columns — same per-doc join shape as the 5-gram pass; the
+        # reassembled text rides as an md5 so only 16 bytes/doc reach
+        # the result (the full text_deduped column is for pipelines,
+        # not profiles)
+        ld = line_dedup(docs).select(
+            F.col("id").alias("doc_id"),
+            "n_lines",
+            "n_dup_lines",
+            F.md5("text_deduped").alias("dedup_text_md5"),
+        )
+        return document_profile(docs).join(dup, "doc_id").join(ld, "doc_id")
 
     return {"text_profile": q_profile}
 
@@ -277,6 +289,18 @@ WITH t AS (
   SELECT g5.doc_id, count(*)::BIGINT AS n_5grams,
          sum(CASE WHEN fr.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
   FROM g5 JOIN fr ON fr.h = g5.h GROUP BY 1
+), ld AS (
+  SELECT id, pos, line, md5(trim(line)) AS h FROM (
+    SELECT doc_id AS id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents))
+), lf AS (
+  SELECT h, count(DISTINCT id)::BIGINT AS ldf FROM ld GROUP BY 1
+), lpd AS (
+  SELECT ld.id, count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN lf.ldf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_lines,
+         md5(coalesce(string_agg(CASE WHEN lf.ldf < 2 THEN ld.line END,
+                                 chr(10) ORDER BY ld.pos), '')) AS dedup_text_md5
+  FROM ld JOIN lf ON lf.h = ld.h GROUP BY 1
 )
 SELECT s.doc_id AS doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
   round(avg_tok, 6) AS avg_token_len,
@@ -297,7 +321,11 @@ SELECT s.doc_id AS doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_
   len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::INTEGER AS n_bpe_tokens,
   coalesce(pd.n_5grams, 0)::BIGINT AS n_5grams,
   round(CASE WHEN coalesce(pd.n_5grams, 0) > 0
-        THEN pd.n_dup::DOUBLE / pd.n_5grams ELSE 0.0 END, 6) AS dup_5gram_frac
+        THEN pd.n_dup::DOUBLE / pd.n_5grams ELSE 0.0 END, 6) AS dup_5gram_frac,
+  lpd.n_lines AS n_lines,
+  lpd.n_dup_lines AS n_dup_lines,
+  lpd.dedup_text_md5 AS dedup_text_md5
 FROM s LEFT JOIN pd ON pd.doc_id = s.doc_id
+JOIN lpd ON lpd.id = s.doc_id
 """,
     }

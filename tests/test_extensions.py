@@ -435,3 +435,41 @@ def test_snapshot_diff_output_scales_with_churn(spark):
         F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
     )
     assert DD.snapshot_diff(df, df).count() == 0
+
+
+def test_line_dedup_drops_cross_doc_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            # "FOOTER" appears (trim-normalized) in docs 1+2 -> dropped
+            # everywhere; "alpha"/"beta" are unique -> kept; the repeat
+            # of "alpha" WITHIN doc 1 is kept (distinct-doc frequency)
+            (1, "alpha\n FOOTER \nalpha"),
+            (2, "beta\nFOOTER"),
+            # doc 3 is pure boilerplate -> empty survivor text
+            (3, "FOOTER"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in DD.line_dedup(docs).collect()}
+    assert got[1].n_lines == 3 and got[1].n_dup_lines == 1
+    assert got[1].text_deduped == "alpha\nalpha"
+    assert got[2].text_deduped == "beta"
+    assert got[3].n_dup_lines == 1 and got[3].text_deduped == ""
+    # every input id survives even when all its lines were dropped
+    assert set(got) == {1, 2, 3}
+
+
+def test_line_dedup_blank_lines_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            # blank lines share one trimmed form across docs -> dropped;
+            # survivor order must match original position order
+            (1, "z\n\nm\n  \na"),
+            (2, "q\n\nr"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in DD.line_dedup(docs).collect()}
+    assert got[1].text_deduped == "z\nm\na"
+    assert got[2].text_deduped == "q\nr"
+    assert got[1].n_lines == 5 and got[1].n_dup_lines == 2
