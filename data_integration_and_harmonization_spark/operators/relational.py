@@ -296,6 +296,85 @@ def running_revenue(orders: DataFrame) -> DataFrame:
     )
 
 
+def scd2_build(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    tracked: list[str],
+    old_as_of: str,
+    new_as_of: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build from two
+    dimension snapshots — the warehouse-maintenance primitive behind
+    "what did this customer's segment look like when that order
+    shipped": every key becomes one or two effective-dated rows.
+
+      - unchanged key  -> one open row   [old_as_of, NULL), current
+      - changed key    -> closed old row [old_as_of, new_as_of) +
+                          open new row   [new_as_of, NULL), current
+      - deleted key    -> closed old row [old_as_of, new_as_of)
+      - added key      -> open new row   [new_as_of, NULL), current
+
+    Change detection compares an md5 over the ``tracked`` columns with
+    a unit-separator join and a null sentinel (NULL and '' hash apart).
+
+    Scale shape: each side projects to (key, tracked..., 16-byte
+    hash) — one full-outer equi-join on the key (co-located if both
+    snapshots share key bucketing, else one shuffle per side), then the
+    one-or-two output rows materialize via an inline array -> filter ->
+    explode, so the join executes ONCE (a union of per-case selects
+    would re-plan it per branch). No window, nothing driver-side,
+    output is at most 2x the churned keys plus 1x the stable ones.
+    """
+    sep, nul = "\x1f", "\x00"
+    h = F.md5(
+        F.concat_ws(
+            sep, *[F.coalesce(F.col(c).cast("string"), F.lit(nul)) for c in tracked]
+        )
+    )
+    o = old.select(
+        F.col(key_col).alias("key"),
+        F.struct(*[F.col(c) for c in tracked]).alias("__o_attrs"),
+        h.alias("__oh"),
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        F.struct(*[F.col(c) for c in tracked]).alias("__n_attrs"),
+        h.alias("__nh"),
+    )
+    j = o.join(n, "key", "full_outer")
+    in_old, in_new = F.col("__oh").isNotNull(), F.col("__nh").isNotNull()
+    changed = in_old & in_new & (F.col("__oh") != F.col("__nh"))
+    from_old, from_new = F.lit(old_as_of).cast("date"), F.lit(new_as_of).cast("date")
+    nodate = F.lit(None).cast("date")
+    row = lambda attrs, vf, vt, cur: F.struct(  # noqa: E731
+        F.col(attrs).alias("attrs"),
+        vf.alias("valid_from"),
+        vt.alias("valid_to"),
+        F.lit(cur).alias("is_current"),
+    )
+    versions = F.array(
+        # closed old version: key churned (changed or deleted)
+        F.when(
+            in_old & (changed | ~in_new), row("__o_attrs", from_old, from_new, False)
+        ),
+        # open current version: since old_as_of if stable, new_as_of if
+        # the key was added or its tracked attributes changed
+        F.when(in_old & in_new & ~changed, row("__o_attrs", from_old, nodate, True)),
+        F.when(
+            in_new & (changed | ~in_old), row("__n_attrs", from_new, nodate, True)
+        ),
+    )
+    ex = j.select("key", F.explode(F.filter(versions, lambda v: v.isNotNull())).alias("v"))
+    return ex.select(
+        "key",
+        *[F.col(f"v.attrs.{c}").alias(c) for c in tracked],
+        F.col("v.valid_from").alias("valid_from"),
+        F.col("v.valid_to").alias("valid_to"),
+        F.col("v.is_current").alias("is_current"),
+    )
+
+
 # ------------------------------------------------------- query registry
 
 def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -440,7 +519,42 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("nationkey").alias("key"),
             F.lit(None).cast("string").alias("segment"),
         )
-        return s.unionByName(a).unionByName(i).unionByName(e)
+        # r8 'scd2_*' legs: SCD2 history build between two
+        # deterministic customer-dimension snapshots — old drops
+        # c_custkey % 10 == 0 (those classify 'added'), new drops
+        # % 13 == 0 ('deleted') and rewrites c_mktsegment of % 7 == 0
+        # survivors ('changed'). The two as-of dates are constants, so
+        # each history row is fully described by (which validity case,
+        # key, tracked attr): scd2_closed = closed old version,
+        # scd2_cur_old = open row valid since the OLD as-of (stable
+        # key), scd2_cur_new = open row valid since the NEW as-of
+        # (added or changed key). The oracle replays the same
+        # snapshots and the same full-outer compare in SQL.
+        v_old = cust.where(F.col("c_custkey") % 10 != 0)
+        v_new = cust.where(F.col("c_custkey") % 13 != 0).withColumn(
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 7 == 0,
+                F.concat(F.col("c_mktsegment"), F.lit("*")),
+            ).otherwise(F.col("c_mktsegment")),
+        )
+        hist = scd2_build(
+            v_old, v_new, "c_custkey", ["c_mktsegment"], "2024-01-01", "2024-06-01"
+        )
+        scd = hist.select(
+            F.concat(
+                F.lit("scd2_"),
+                F.when(~F.col("is_current"), F.lit("closed"))
+                .when(
+                    F.col("valid_from") == F.lit("2024-01-01").cast("date"),
+                    F.lit("cur_old"),
+                )
+                .otherwise(F.lit("cur_new")),
+            ).alias("join_kind"),
+            F.col("key"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        return s.unionByName(a).unionByName(i).unionByName(e).unionByName(scd)
 
     def q_distinct(spark, sf):
         """Exact distinct counts per group, plus a `sketch_ok` column
@@ -628,6 +742,27 @@ SELECT 'except' AS join_kind, nationkey AS key, CAST(NULL AS VARCHAR) AS segment
   SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
   EXCEPT
   SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+)
+UNION ALL
+SELECT join_kind, key, segment FROM (
+  WITH v_old AS (
+    SELECT c_custkey AS key, c_mktsegment AS seg FROM customer WHERE c_custkey % 10 != 0
+  ), v_new AS (
+    SELECT c_custkey AS key,
+           CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '*' ELSE c_mktsegment END AS seg
+    FROM customer WHERE c_custkey % 13 != 0
+  ), j AS (
+    SELECT coalesce(o.key, n.key) AS key, o.seg AS oseg, n.seg AS nseg,
+           o.key IS NOT NULL AS in_old, n.key IS NOT NULL AS in_new
+    FROM v_old o FULL OUTER JOIN v_new n ON o.key = n.key
+  )
+  SELECT 'scd2_closed' AS join_kind, key, oseg AS segment FROM j
+  WHERE in_old AND (NOT in_new OR oseg != nseg)
+  UNION ALL
+  SELECT 'scd2_cur_old', key, oseg FROM j WHERE in_old AND in_new AND oseg = nseg
+  UNION ALL
+  SELECT 'scd2_cur_new', key, nseg FROM j
+  WHERE in_new AND (NOT in_old OR oseg != nseg)
 )
 """,
         "rel_distinct_agg": """

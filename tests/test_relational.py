@@ -60,3 +60,36 @@ def test_semi_anti_partition(spark, sf_dir):
     w = REL.customers_with_orders(cust, orders).count()
     wo = REL.customers_without_orders(cust, orders).count()
     assert w + wo == cust.count()
+
+
+def test_scd2_build_classifies_history(spark):
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", None)],
+        "k long, seg string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B2", 25.0), (4, "D", 40.0)],
+        "k long, seg string, bal double",
+    )
+    rows = REL.scd2_build(old, new, "k", ["seg", "bal"], "2024-01-01", "2024-06-01")
+    got = {(r.key, r.is_current): r for r in rows.collect()}
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 6, 1)
+    # stable key: one open row since the OLD as-of
+    assert got[(1, True)].valid_from == d0 and got[(1, True)].valid_to is None
+    assert (1, False) not in got
+    # changed key: closed old version + open new version
+    assert got[(2, False)].seg == "B" and got[(2, False)].valid_to == d1
+    assert got[(2, True)].seg == "B2" and got[(2, True)].valid_from == d1
+    # deleted key: closed only; added key: open only, since NEW as-of
+    assert got[(3, False)].valid_to == d1 and (3, True) not in got
+    assert got[(4, True)].valid_from == d1 and (4, False) not in got
+    assert rows.count() == 5
+
+
+def test_scd2_null_vs_empty_attr_hash_apart(spark):
+    old = spark.createDataFrame([(1, None)], "k long, seg string")
+    new = spark.createDataFrame([(1, "")], "k long, seg string")
+    rows = REL.scd2_build(old, new, "k", ["seg"], "2024-01-01", "2024-06-01")
+    kinds = {(r.is_current, r.seg) for r in rows.collect()}
+    # NULL -> '' must register as a CHANGE, not a stable row
+    assert kinds == {(False, None), (True, "")}
