@@ -442,7 +442,35 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("sum_rkey"),
         )
     )
-    return agg.unionByName(prev_row).unionByName(part_row)
+    # '__zorder' row: Z-order-clustered parquet sink + range-predicate
+    # read-back (write_zordered): a fourth lineitem slice is laid out
+    # by the Morton key of (l_orderkey, l_quantity), read back with a
+    # range predicate on l_orderkey, and aggregated; the oracle replays
+    # the same filter off the raw table, so a hash match proves the
+    # clustered rewrite lost nothing — while the layout gives every
+    # file a tight min/max envelope on BOTH keyed columns (skipping
+    # effectiveness is pinned by tests/test_sources.py's per-file
+    # span assertion).
+    from data_integration_and_harmonization_spark.sources.writers import (
+        write_zordered,
+    )
+
+    z_dir = base + "_li_zorder.parquet"
+    z_slice = li.where(F.col("l_orderkey") % 10 == 7).select(*cols)
+    write_zordered(z_slice, z_dir, ["l_orderkey", "l_quantity"], num_files=8)
+    lo, hi = 1000, 2000
+    z_row = (
+        spark.read.parquet(z_dir)
+        .where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+        .agg(
+            F.lit("__zorder").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.lit(None).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
+        )
+    )
+    return agg.unionByName(prev_row).unionByName(part_row).unionByName(z_row)
 
 
 def q_ml_exact_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -979,6 +1007,14 @@ UNION ALL
 SELECT '__part_R', count(*)::BIGINT, round(sum(l_quantity), 6),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM lineitem WHERE l_orderkey % 10 = 3 AND l_returnflag = 'R'
+UNION ALL
+-- z-order leg: the engine rewrote this slice clustered by the Morton
+-- key of (l_orderkey, l_quantity) and read it back with a range
+-- predicate on l_orderkey (file/row-group skipping on parquet stats)
+SELECT '__zorder', count(*)::BIGINT, round(sum(l_quantity), 6),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM lineitem
+WHERE l_orderkey % 10 = 7 AND l_orderkey >= 1000 AND l_orderkey < 2000
 """,
         "ml_exact_split": """
 WITH ranked AS (

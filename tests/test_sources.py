@@ -303,3 +303,54 @@ def test_partitioned_sink_prunes_on_readback(spark, tmpdir):
     assert back.count() == 25
     # partition-column type inference may read pk back as int
     assert {str(r.pk) for r in back.collect()} == {"2"}
+
+
+def test_zorder_write_clusters_both_dims(spark, tmpdir):
+    # Z-order layout: every output file must cover a SMALL slice of
+    # each keyed dimension's range, so parquet min/max stats skip most
+    # files for a predicate on EITHER column. A plain unsorted write
+    # has near-full-range files for at least one dimension.
+    from data_integration_and_harmonization_spark.sources.writers import (
+        write_zordered,
+    )
+
+    n = 4096
+    # two independent dimensions (bit-reversed id breaks correlation)
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),
+    )
+    target = os.path.join(tmpdir, "ztbl")
+    write_zordered(df, target, ["x", "y"], num_files=16)
+    back = spark.read.parquet(target)
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+        .first()
+    )
+    # 16 z-range files over a 2-D grid -> each covers ~1/4 of each
+    # axis; assert well under the ~full-range spans a row-order write
+    # would produce on at least one axis
+    assert spans.ax < n * 0.55, spans
+    assert spans.ay < n * 0.55, spans
+    # content survives the rewrite
+    assert back.count() == n
+    assert back.agg(F.sum("x"), F.sum("y")).first() == df.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
+
+
+def test_zorder_key_null_and_constant_cols(spark):
+    from data_integration_and_harmonization_spark.sources.writers import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, None, 7), (2, None, 7), (3, None, 7)], "a long, b long, c long"
+    )
+    # all-null and constant columns contribute nothing but don't crash;
+    # the key still orders by the varying column
+    keys = [r.z for r in df.select(zorder_key(df, ["a", "b", "c"]).alias("z")).collect()]
+    assert keys == sorted(keys) and len(set(keys)) == 3
