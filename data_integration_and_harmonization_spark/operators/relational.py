@@ -576,7 +576,20 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         never), checked against an in-query exact frequency count.
         freqItems is a global sketch, so the verdict is one value
         broadcast onto every group row. Both collects are bounded by
-        the flag cardinality (3), never by corpus size."""
+        the flag cardinality (3), never by corpus size.
+
+        `cms_ok` / `bloom_ok` (r8) complete the one-pass sketch
+        toolbox. COUNT-MIN (``df.stat.countMinSketch``, eps=0.01,
+        conf=0.95): per flag, the estimate must be >= the exact count
+        (CM only over-counts) and <= exact + eps * N — the
+        (eps, delta) guarantee, checked for all 3 flags. BLOOM
+        (``df.stat.bloomFilter`` over l_orderkey, 1% fpp): every
+        orderkey actually present in a bounded 64-key probe must hit
+        (NO false negatives, the structural guarantee), and at most
+        20% of 64 known-absent keys may hit (fpp=0.01 leaves huge
+        slack). Both sketches are merged tree-wise executor-side and
+        only the fixed-size summary reaches the driver — the property
+        that makes them the 100-TB profiling path."""
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         hot_rows = (
             li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -587,6 +600,36 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.stat.freqItems(["l_returnflag"], support=0.1).collect()[0][0]
         )
         hh_ok = 1.0 if exact_hot <= approx_hot else 0.0
+        # count-min: (eps, conf) guarantee per flag against the exact
+        # counts already collected for the heavy-hitter verdict. Spark
+        # 4 dropped the PYTHON stat wrappers for these two sketches;
+        # the JVM DataFrameStatFunctions build (executor-side
+        # tree-merged, fixed-size summary to the driver) is intact, so
+        # we call it through the bridge.
+        cms = li._jdf.stat().countMinSketch("l_returnflag", 0.01, 0.95, 42)
+        cms_ok = 1.0
+        for r in hot_rows:
+            est = cms.estimateCount(r["l_returnflag"])
+            if not (r["n"] <= est <= r["n"] + 0.01 * total):
+                cms_ok = 0.0
+        # bloom over orderkeys: probe 64 present keys (must ALL hit —
+        # no false negatives) and 64 absent ones (max key + 1..64;
+        # fpp=0.01 makes even 12/64 false hits astronomically unlikely)
+        present = [
+            r["l_orderkey"]
+            for r in li.select("l_orderkey").distinct().limit(64).collect()
+        ]
+        max_key = li.agg(F.max("l_orderkey")).first()[0]
+        n_keys = li.select("l_orderkey").distinct().count()
+        bloom = li._jdf.stat().bloomFilter("l_orderkey", n_keys, 0.01)
+        absent_hits = sum(
+            1 for k in range(max_key + 1, max_key + 65) if bloom.mightContain(k)
+        )
+        bloom_ok = (
+            1.0
+            if all(bloom.mightContain(k) for k in present) and absent_hits <= 12
+            else 0.0
+        )
         g = li.groupBy("l_returnflag").agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supps"),
@@ -607,6 +650,8 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_supps",
             F.when(ok, F.lit(1.0)).otherwise(F.lit(0.0)).alias("sketch_ok"),
             F.lit(hh_ok).alias("hh_ok"),
+            F.lit(cms_ok).alias("cms_ok"),
+            F.lit(bloom_ok).alias("bloom_ok"),
         )
 
     def q_range_join(spark, sf):
@@ -766,14 +811,17 @@ SELECT join_kind, key, segment FROM (
 )
 """,
         "rel_distinct_agg": """
--- sketch_ok / hh_ok: HLL++, KLL-median and freqItems heavy-hitter
--- outputs are approximate so only the engine's error-envelope /
--- superset-guarantee verdicts are hash-checkable (constant 1.0)
+-- sketch_ok / hh_ok / cms_ok / bloom_ok: HLL++, KLL-median,
+-- freqItems heavy-hitter, count-min and Bloom-filter outputs are
+-- approximate so only the engine's error-envelope / structural-
+-- guarantee verdicts are hash-checkable (constant 1.0)
 SELECT l_returnflag,
        count(DISTINCT l_partkey)::BIGINT AS n_parts,
        count(DISTINCT l_suppkey)::BIGINT AS n_supps,
        CAST(1.0 AS DOUBLE) AS sketch_ok,
-       CAST(1.0 AS DOUBLE) AS hh_ok
+       CAST(1.0 AS DOUBLE) AS hh_ok,
+       CAST(1.0 AS DOUBLE) AS cms_ok,
+       CAST(1.0 AS DOUBLE) AS bloom_ok
 FROM lineitem GROUP BY l_returnflag
 """,
         "rel_asof_join": """
