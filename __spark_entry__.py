@@ -323,6 +323,14 @@ def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
     except ValueError:
         raised = 1.0
     res["TargetValidation"] = {"MissingTargetRaises": raised}
+
+    # r8: model-based corpus quality filtering (FineWeb-style) — a
+    # hashed-TF-IDF logistic classifier trained on weak heuristic
+    # labels over the documents table; the BeatsMajority verdict pins
+    # the tokenize->HashingTF->IDF->LR wiring end-to-end (rows-only:
+    # an iterative LBFGS fit is not SQL-expressible)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    res["QualityClassifier"] = ML.quality_classifier(docs)
     return ML.train_models_df(spark, res)
 
 

@@ -234,6 +234,90 @@ def load_model(path: str):
     return PipelineModel.load(path)
 
 
+def quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 1 << 15,
+    seed: int = 42,
+) -> dict[str, float]:
+    """Model-based document quality filtering — the FineWeb-Edu /
+    DCLM-class curation step where a cheap linear classifier, trained
+    on weak labels, replaces hand-tuned heuristics as the corpus
+    gatekeeper. Weak labels here are the engine's own heuristic
+    quality score dichotomized at its exact median (top half = 1);
+    features are hashed unigram counts + IDF (the fastText-ish
+    bag-of-words shape); the model is L2 logistic regression. The
+    point the verdicts pin is the PIPELINE — tokenize -> HashingTF ->
+    IDF -> LR, all executor-side, label medians exact — not the
+    modest accuracy of a 4-feature heuristic teacher.
+
+    Split is deterministic (md5 of the id, ~25% holdout), so every
+    metric is reproducible run-to-run. Returns holdout accuracy, the
+    majority-class baseline, and areaUnderROC; a classifier that
+    can't beat majority on its own teacher's labels means the wiring
+    is broken, which is what the driver-row verdict checks.
+
+    Scale shape: HashingTF and IDF are single-pass distributed
+    aggregations over the token arrays; LR is Spark ML's LBFGS
+    (maxIter bounded data passes, vector-width driver traffic). At
+    100 TB the fit runs on a deterministic subsample (caller filters)
+    and only transform() touches the full corpus.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
+
+    from data_integration_and_harmonization_spark.operators.text import (
+        quality_columns,
+    )
+
+    scored = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).select("id", "text", *quality_columns("text"))
+    med = scored.agg(F.expr("percentile(quality_score, 0.5)")).first()[0]
+    labeled = scored.select(
+        "id",
+        "text",
+        (F.col("quality_score") >= F.lit(med)).cast("double").alias("label"),
+    )
+    test_bucket = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 2), 16, 10)
+    labeled = labeled.withColumn(
+        "is_test", (test_bucket.cast("long") % 4 == 0)
+    ).persist()
+    try:
+        train = labeled.where(~F.col("is_test"))
+        test = labeled.where(F.col("is_test"))
+        pipe = Pipeline(
+            stages=[
+                RegexTokenizer(
+                    inputCol="text", outputCol="toks", pattern=r"[^\p{L}\p{N}]+"
+                ),
+                HashingTF(
+                    inputCol="toks", outputCol="tf", numFeatures=num_features
+                ),
+                IDF(inputCol="tf", outputCol="features"),
+                LogisticRegression(maxIter=20, regParam=0.01),
+            ]
+        )
+        model = pipe.fit(train)
+        pred = model.transform(test).select("label", "prediction", "rawPrediction")
+        agg = pred.agg(
+            F.avg((F.col("label") == F.col("prediction")).cast("double")).alias("acc"),
+            F.greatest(F.avg("label"), 1 - F.avg("label")).alias("majority"),
+        ).first()
+        auc = BinaryClassificationEvaluator(metricName="areaUnderROC").evaluate(pred)
+        return {
+            "HoldoutAccuracy": round(float(agg["acc"]), 6),
+            "MajorityBaseline": round(float(agg["majority"]), 6),
+            "AreaUnderROC": round(float(auc), 6),
+            "BeatsMajority": 1.0 if agg["acc"] > agg["majority"] else 0.0,
+        }
+    finally:
+        labeled.unpersist(False)
+
+
 def train_models(
     df: DataFrame,
     target_column: str,

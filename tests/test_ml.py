@@ -171,3 +171,26 @@ def test_resolve_grid_rekeys_foreign_params():
     ovr = OneVsRest(classifier=GBTClassifier())
     g = ML._resolve_grid({"maxIter": [5]}, ovr)
     assert list(g[0])[0].parent == ovr.getClassifier().uid
+
+
+def test_quality_classifier_learns_weak_labels(spark):
+    # two clearly-separable populations: long clean prose vs short
+    # junk — the heuristic teacher labels them apart and the hashed
+    # TF-IDF LR must recover that signal on the deterministic holdout
+    good = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    bad = "@@## zz"
+    docs = spark.createDataFrame(
+        [(i, good + f" marker{i}") for i in range(60)]
+        + [(i + 60, bad + f" junk{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    from data_integration_and_harmonization_spark.operators.ml import (
+        quality_classifier,
+    )
+
+    m = quality_classifier(docs)
+    assert m["BeatsMajority"] == 1.0
+    assert m["HoldoutAccuracy"] > 0.8
+    assert 0.0 <= m["AreaUnderROC"] <= 1.0
+    # deterministic split + fit: a second run reproduces the metrics
+    assert quality_classifier(docs) == m
