@@ -213,16 +213,37 @@ def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """F1 plus the r8 scaler family: the same rows carry z-score,
+    RobustScaler ((x - median)/IQR, exact interpolated percentiles)
+    and MinMaxScaler parity columns — three fit passes, each a
+    bounded scalar aggregate broadcast into one narrow projection."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
     )
-    z = FE.zscore(li, ["l_quantity", "l_extendedprice", "l_discount"])
-    return z.select(
+    zs = FE.zscore_fit(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    rs = FE.robust_scale_fit(li, ["l_quantity", "l_extendedprice"])
+    ms = FE.minmax_scale_fit(li, ["l_quantity", "l_extendedprice"])
+
+    def sc(stats, c, alias):
+        # (x - center) / scale with each family's zero-scale guard —
+        # the same arithmetic the *_transform functions apply, inlined
+        # so all three scalers ride ONE projection (no joins)
+        center, scale = stats[c]
+        denom = scale if (scale is not None and scale > 0.0) else 1.0
+        return F.round(
+            (F.col(c).cast("double") - F.lit(center)) / F.lit(denom), 6
+        ).alias(alias)
+
+    return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_quantity", 6).alias("z_qty"),
-        F.round("l_extendedprice", 6).alias("z_price"),
-        F.round("l_discount", 6).alias("z_disc"),
+        sc(zs, "l_quantity", "z_qty"),
+        sc(zs, "l_extendedprice", "z_price"),
+        sc(zs, "l_discount", "z_disc"),
+        sc(rs, "l_quantity", "r_qty"),
+        sc(rs, "l_extendedprice", "r_price"),
+        sc(ms, "l_quantity", "m_qty"),
+        sc(ms, "l_extendedprice", "m_price"),
     )
 
 
@@ -1045,11 +1066,30 @@ FROM customer
         "describe_all": _describe_all_oracle(),
         "corr_matrix": _corr_matrix_oracle(),
         "feat_zscore": """
+-- scaler family: z-score (pop std), RobustScaler (median/IQR with
+-- quantile_cont == Spark's exact interpolated percentile) and
+-- MinMaxScaler, all as window-free global stats
+WITH s AS (
+  SELECT avg(l_quantity) AS mq, stddev_pop(l_quantity) AS sq,
+         avg(l_extendedprice) AS mp, stddev_pop(l_extendedprice) AS sp,
+         avg(l_discount) AS md, stddev_pop(l_discount) AS sd,
+         quantile_cont(l_quantity, 0.5) AS medq,
+         quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqrq,
+         quantile_cont(l_extendedprice, 0.5) AS medp,
+         quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS iqrp,
+         min(l_quantity) AS mnq, max(l_quantity) - min(l_quantity) AS rngq,
+         min(l_extendedprice) AS mnp, max(l_extendedprice) - min(l_extendedprice) AS rngp
+  FROM lineitem
+)
 SELECT l_orderkey, l_linenumber,
-  round((l_quantity - avg(l_quantity) OVER ()) / stddev_pop(l_quantity) OVER (), 6) AS z_qty,
-  round((l_extendedprice - avg(l_extendedprice) OVER ()) / stddev_pop(l_extendedprice) OVER (), 6) AS z_price,
-  round((l_discount - avg(l_discount) OVER ()) / stddev_pop(l_discount) OVER (), 6) AS z_disc
-FROM lineitem
+  round((l_quantity - mq) / (CASE WHEN sq > 0 THEN sq ELSE 1 END), 6) AS z_qty,
+  round((l_extendedprice - mp) / (CASE WHEN sp > 0 THEN sp ELSE 1 END), 6) AS z_price,
+  round((l_discount - md) / (CASE WHEN sd > 0 THEN sd ELSE 1 END), 6) AS z_disc,
+  round((l_quantity - medq) / (CASE WHEN iqrq > 0 THEN iqrq ELSE 1 END), 6) AS r_qty,
+  round((l_extendedprice - medp) / (CASE WHEN iqrp > 0 THEN iqrp ELSE 1 END), 6) AS r_price,
+  round((l_quantity - mnq) / (CASE WHEN rngq > 0 THEN rngq ELSE 1 END), 6) AS m_qty,
+  round((l_extendedprice - mnp) / (CASE WHEN rngp > 0 THEN rngp ELSE 1 END), 6) AS m_price
+FROM lineitem, s
 """,
         "feat_label_encode": """
 SELECT 'map' AS kind, value AS key, (row_number() OVER (ORDER BY value) - 1)::BIGINT AS code

@@ -59,6 +59,109 @@ def zscore(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     return zscore_transform(df, zscore_fit(df, cols))
 
 
+def robust_scale(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """sklearn ``RobustScaler`` parity: (x - median) / (p75 - p25),
+    with EXACT linearly-interpolated percentiles (Spark's ``percentile``
+    aggregate == numpy's default interpolation == DuckDB
+    ``quantile_cont``) and the zero-IQR guard (center only, scale 1 —
+    sklearn maps a zero denominator to 1.0). The robust companion to
+    :func:`zscore` for heavy-tailed features where mean/std are
+    outlier-dominated.
+
+    Fit is ONE aggregation pass producing 3 scalars per column
+    (bounded driver traffic); the transform is a broadcast of those
+    literals into a narrow projection — identical scale shape to
+    zscore. Exact percentile costs a sort-based aggregate; at 100 TB
+    swap ``percentile`` for ``percentile_approx`` if the fit pass
+    dominates (the API is the same shape, parity tests pin the exact
+    variant).
+    """
+    return robust_scale_transform(df, robust_scale_fit(df, cols))
+
+
+def robust_scale_fit(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> dict[str, tuple[float, float]]:
+    """One agg pass: {col: (median, IQR)} with exact percentiles."""
+    cols = list(cols if cols is not None else numeric_cols(df))
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.expr(f"percentile({c}, 0.5)").alias(f"med_{c}"),
+            F.expr(f"percentile({c}, 0.25)").alias(f"q1_{c}"),
+            F.expr(f"percentile({c}, 0.75)").alias(f"q3_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = {}
+    for c in cols:
+        q1, q3 = row[f"q1_{c}"], row[f"q3_{c}"]
+        iqr = (q3 - q1) if (q1 is not None and q3 is not None) else None
+        out[c] = (row[f"med_{c}"], iqr)
+    return out
+
+
+def robust_scale_transform(
+    df: DataFrame, stats: dict[str, tuple[float, float]]
+) -> DataFrame:
+    out = []
+    for c in df.columns:
+        if c in stats:
+            med, iqr = stats[c]
+            denom = iqr if (iqr is not None and iqr > 0.0) else 1.0
+            out.append(
+                ((F.col(c).cast("double") - F.lit(med)) / F.lit(denom)).alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
+def minmax_scale(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """sklearn ``MinMaxScaler`` parity: (x - min) / (max - min) onto
+    [0, 1], constant columns mapping to 0.0 (sklearn's zero-range
+    guard sets scale to 1). One min/max aggregation pass, then a
+    broadcast-literal projection — the cheapest of the scaler family
+    and the one bounded-output normalization for quantization /
+    histogram pipelines."""
+    return minmax_scale_transform(df, minmax_scale_fit(df, cols))
+
+
+def minmax_scale_fit(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> dict[str, tuple[float, float]]:
+    """One agg pass: {col: (min, range)}."""
+    cols = list(cols if cols is not None else numeric_cols(df))
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [F.min(col).alias(f"mn_{c}"), F.max(col).alias(f"mx_{c}")]
+    row = df.agg(*aggs).first()
+    out = {}
+    for c in cols:
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        rng = (mx - mn) if (mn is not None and mx is not None) else None
+        out[c] = (mn, rng)
+    return out
+
+
+def minmax_scale_transform(
+    df: DataFrame, stats: dict[str, tuple[float, float]]
+) -> DataFrame:
+    out = []
+    for c in df.columns:
+        if c in stats:
+            mn, rng = stats[c]
+            denom = rng if (rng is not None and rng > 0.0) else 1.0
+            out.append(
+                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(denom)).alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
 def label_encode_fit(df: DataFrame, col: str) -> DataFrame:
     """Build the label map for one column: (value, code) with codes
     0..k-1 over sorted distinct stringified values — sklearn

@@ -61,3 +61,29 @@ def test_describe_object_top_freq(spark):
     row = P.describe_object(df, ["v"]).first()
     assert row["count"] == 4 and row["unique"] == 3
     assert row["top"] == "b" and row["freq"] == 2
+
+
+def test_robust_scale_median_iqr(spark):
+    # values 0..8: median 4, q1 2, q3 6 (numpy linear interpolation)
+    df = spark.createDataFrame([(float(i),) for i in range(9)], "v double")
+    out = sorted(r.v for r in FE.robust_scale(df, ["v"]).collect())
+    exp = sorted((i - 4.0) / 4.0 for i in range(9))
+    assert all(abs(a - b) < 1e-9 for a, b in zip(out, exp))
+
+
+def test_robust_scale_zero_iqr_centers_only(spark):
+    # constant column: IQR 0 -> sklearn scale_=1, center only
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
+    assert [r.v for r in FE.robust_scale(df, ["v"]).collect()] == [0.0, 0.0, 0.0]
+
+
+def test_minmax_scale_unit_interval(spark):
+    df = spark.createDataFrame([(2.0,), (4.0,), (6.0,)], "v double")
+    assert sorted(r.v for r in FE.minmax_scale(df, ["v"]).collect()) == [
+        0.0,
+        0.5,
+        1.0,
+    ]
+    # constant column maps to 0.0 (zero-range guard)
+    c = spark.createDataFrame([(3.0,), (3.0,)], "v double")
+    assert [r.v for r in FE.minmax_scale(c, ["v"]).collect()] == [0.0, 0.0]
