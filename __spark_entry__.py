@@ -220,9 +220,44 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
     )
-    zs = FE.zscore_fit(li, ["l_quantity", "l_extendedprice", "l_discount"])
-    rs = FE.robust_scale_fit(li, ["l_quantity", "l_extendedprice"])
-    ms = FE.minmax_scale_fit(li, ["l_quantity", "l_extendedprice"])
+    # ONE fit pass for all three scaler families (the separate
+    # *_fit helpers each scan once; at bench this tripled the scan +
+    # paid two standalone percentile sorts — 0.4 s -> 5.3 s at sf0.1,
+    # fixed by fusing the aggregates into a single job)
+    stats = li.agg(
+        *[
+            a
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+            for a in (
+                F.avg(F.col(c).cast("double")).alias(f"m_{c}"),
+                F.stddev_pop(F.col(c).cast("double")).alias(f"s_{c}"),
+            )
+        ],
+        *[
+            a
+            for c in ("l_quantity", "l_extendedprice")
+            for a in (
+                # array form: ONE percentile state per column (three
+                # scalar percentile exprs each keep their own
+                # value->count map and each sort it at merge)
+                F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"q_{c}"),
+                F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+            )
+        ],
+    ).first()
+    zs = {
+        c: (stats[f"m_{c}"], stats[f"s_{c}"])
+        for c in ("l_quantity", "l_extendedprice", "l_discount")
+    }
+    rs = {
+        c: (stats[f"q_{c}"][1], stats[f"q_{c}"][2] - stats[f"q_{c}"][0])
+        for c in ("l_quantity", "l_extendedprice")
+    }
+    ms = {
+        c: (stats[f"mn_{c}"], stats[f"mx_{c}"] - stats[f"mn_{c}"])
+        for c in ("l_quantity", "l_extendedprice")
+    }
 
     def sc(stats, c, alias):
         # (x - center) / scale with each family's zero-scale guard —

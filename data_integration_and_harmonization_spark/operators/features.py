@@ -84,19 +84,19 @@ def robust_scale_fit(
 ) -> dict[str, tuple[float, float]]:
     """One agg pass: {col: (median, IQR)} with exact percentiles."""
     cols = list(cols if cols is not None else numeric_cols(df))
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.expr(f"percentile({c}, 0.5)").alias(f"med_{c}"),
-            F.expr(f"percentile({c}, 0.25)").alias(f"q1_{c}"),
-            F.expr(f"percentile({c}, 0.75)").alias(f"q3_{c}"),
-        ]
+    # array form: ONE percentile state (value->count map) per column;
+    # three scalar percentile exprs would each keep and sort their own
+    aggs = [
+        F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"q_{c}")
+        for c in cols
+    ]
     row = df.agg(*aggs).first()
     out = {}
     for c in cols:
-        q1, q3 = row[f"q1_{c}"], row[f"q3_{c}"]
+        q = row[f"q_{c}"]
+        q1, med, q3 = (q[0], q[1], q[2]) if q is not None else (None, None, None)
         iqr = (q3 - q1) if (q1 is not None and q3 is not None) else None
-        out[c] = (row[f"med_{c}"], iqr)
+        out[c] = (med, iqr)
     return out
 
 

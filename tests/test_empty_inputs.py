@@ -89,3 +89,35 @@ def test_semantic_dedup_empty_and_singleton(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.id, r.cell, r.cluster_id, r.keep) == (7, 0, 7, True)
+
+
+def test_r8_ops_on_empty(spark, empty_docs, tmp_path):
+    # line_dedup: empty corpus -> empty per-doc frame, right columns
+    ld = DD.line_dedup(empty_docs)
+    assert ld.count() == 0
+    assert ld.columns == ["id", "n_lines", "n_dup_lines", "text_deduped"]
+    # scd2_build: both snapshots empty -> empty history
+    from data_integration_and_harmonization_spark.operators.relational import (
+        scd2_build,
+    )
+
+    e = spark.createDataFrame([], "k long, seg string")
+    assert scd2_build(e, e, "k", ["seg"], "2024-01-01", "2024-06-01").count() == 0
+    # one-sided: every old row closes, every new row opens
+    old = spark.createDataFrame([(1, "A")], "k long, seg string")
+    closed = scd2_build(old, e, "k", ["seg"], "2024-01-01", "2024-06-01").collect()
+    assert len(closed) == 1 and not closed[0].is_current
+    opened = scd2_build(e, old, "k", ["seg"], "2024-01-01", "2024-06-01").collect()
+    assert len(opened) == 1 and opened[0].is_current
+    # zorder: empty bounds (all-null mins) must not crash the key or
+    # the write
+    from data_integration_and_harmonization_spark.sources.writers import (
+        write_zordered,
+        zorder_key,
+    )
+
+    ekv = spark.createDataFrame([], "x long, y long")
+    assert ekv.select(zorder_key(ekv, ["x", "y"]).alias("z")).count() == 0
+    target = str(tmp_path / "zempty")
+    write_zordered(ekv, target, ["x", "y"], num_files=2)
+    assert spark.read.parquet(target).count() == 0

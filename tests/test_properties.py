@@ -246,3 +246,36 @@ def test_budget_cap_bounds_and_nests(spark, keys):
     # with every row costing 1.0, a budget of 2 IS a row cap of 2
     capped = {r.id for r in cap_per_group(df, ["grp"], ["id"], 2).collect()}
     assert small == capped
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", " ", ""]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SET
+def test_line_dedup_invariants(spark, doc_lines):
+    from data_integration_and_harmonization_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in DD.line_dedup(docs).collect()}
+    # every doc appears; per-doc line count preserved; dropped <= total
+    assert set(out) == set(range(len(doc_lines)))
+    # recompute expected doc-frequencies in python
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for i, ls in enumerate(doc_lines):
+        for ln in ls:
+            docs_per_line[ln.strip()].add(i)
+    for i, ls in enumerate(doc_lines):
+        kept = [ln for ln in ls if len(docs_per_line[ln.strip()]) < 2]
+        r = out[i]
+        assert r.n_lines == len(ls)
+        assert r.n_dup_lines == len(ls) - len(kept)
+        assert r.text_deduped == "\n".join(kept)
