@@ -619,8 +619,11 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             r["l_orderkey"]
             for r in li.select("l_orderkey").distinct().limit(64).collect()
         ]
-        max_key = li.agg(F.max("l_orderkey")).first()[0]
-        n_keys = li.select("l_orderkey").distinct().count()
+        mk = li.agg(
+            F.max("l_orderkey").alias("mx"),
+            F.countDistinct("l_orderkey").alias("nk"),
+        ).first()
+        max_key, n_keys = mk["mx"], mk["nk"]
         bloom = li._jdf.stat().bloomFilter("l_orderkey", n_keys, 0.01)
         absent_hits = sum(
             1 for k in range(max_key + 1, max_key + 65) if bloom.mightContain(k)
