@@ -47,6 +47,12 @@ OPERATORS = {
     "rel_revenue_by_nation": "broadcast rollup + salted hot-key join",
     "stream_batch_twin": "5 streaming drains incl. stream-stream join + sessions",
     "dedup_exact_fp": "exact/normalized/incremental dedup + snapshot diff",
+    # late-r8 additions
+    "text_profile": "per-doc profile + dup-5gram + C4 line dedup",
+    "feat_zscore": "z-score/robust/minmax scaler family (fused fit)",
+    "rel_semi_anti_join": "membership family + SCD2 history build",
+    "src_roundtrip": "multi-format roundtrip + partitioned + zorder sinks",
+    "rel_distinct_agg": "exact distincts + HLL/KLL/HH/CMS/bloom verdicts",
 }
 
 
@@ -134,17 +140,25 @@ def main() -> int:
     ap.add_argument("--base", default=BASE)
     ap.add_argument("--out", default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("only", nargs="*", help="probe only these operators")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from data_integration_and_harmonization_spark import get_spark
 
+    global OPERATORS
     spark = get_spark("scale_probe")
     qs = entrymod.queries()
     missing = set(OPERATORS) - set(qs)
     if missing:
         print(f"unknown operators: {sorted(missing)}", file=sys.stderr)
         return 2
+    if args.only:
+        unknown = set(args.only) - set(OPERATORS)
+        if unknown:
+            print(f"not in OPERATORS: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        OPERATORS = {k: v for k, v in OPERATORS.items() if k in set(args.only)}
 
     out = args.out or tempfile.mkdtemp(prefix="dih_scale_probe_")
     t0 = time.time()
