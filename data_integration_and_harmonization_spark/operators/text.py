@@ -50,6 +50,108 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0))
 
 
+def train_bpe_merges(
+    df,
+    text_col: str = "text",
+    n_merges: int = 50,
+):
+    """Train byte-pair-encoding merge rules over a corpus — the
+    Sennrich et al. (2016) algorithm, distributed: the pair statistics
+    each round come from ONE Spark aggregation over the distinct-word
+    table, and only the (pair, count) winner reaches the driver.
+
+    Round structure (the driver loop is inherent — each merge depends
+    on the statistics AFTER the previous merge):
+
+    1. distinct words + corpus frequencies (one groupBy, done once —
+       all later rounds operate on this ~|vocab|-row table, NOT the
+       corpus);
+    2. per round: adjacent-symbol-pair counts weighted by word
+       frequency (explode + groupBy, max-by-count with lexicographic
+       tie-break so training is deterministic), then a codegen'd
+       left-to-right greedy merge of the winning pair inside every
+       word's symbol array (``aggregate`` fold — no Python);
+    3. stop early when no pair repeats.
+
+    Returns the ordered merge list [(a, b), ...]. At 100 TB step 1 is
+    the only corpus-sized pass; the per-round work scales with
+    DISTINCT words (Zipf-bounded), which is why classic BPE trainers
+    are feasible at web scale. ``n_merges`` Spark jobs of vocab-table
+    size are the honest cost of the sequential algorithm.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .select("syms", "freq")
+        .persist()
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                words.select(
+                    F.explode(
+                        F.expr(
+                            "transform(slice(syms, 1, size(syms) - 1),"
+                            " (s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))"
+                        )
+                    ).alias("p"),
+                    "freq",
+                )
+                .groupBy("p")
+                .agg(F.sum("freq").alias("n"))
+                .where(F.col("n") >= 2)
+                # deterministic winner: max count, then lexicographic
+                .orderBy(F.desc("n"), F.col("p.a"), F.col("p.b"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            a, b = pairs[0]["p"]["a"], pairs[0]["p"]["b"]
+            merges.append((a, b))
+            merged = a + b
+            # greedy non-overlapping left-to-right merge as a fold:
+            # append x, except when the accumulated tail is 'a' and x
+            # is 'b' — then replace the tail with the merged symbol
+            words = words.withColumn(
+                "syms",
+                F.expr(
+                    f"aggregate(syms, cast(array() AS array<string>),"
+                    f" (acc, x) -> CASE WHEN size(acc) > 0"
+                    f"   AND element_at(acc, -1) = '{a}' AND x = '{b}'"
+                    f"  THEN concat(slice(acc, 1, size(acc) - 1),"
+                    f"              array('{merged}'))"
+                    f"  ELSE concat(acc, array(x)) END)"
+                ),
+            )
+        return merges
+    finally:
+        words.unpersist(False)
+
+
+def bpe_segment_sql(col_sql: str, merges: list[tuple[str, str]]) -> Column:
+    """SQL-composed variant of merge replay: pass a column NAME (or
+    SQL expression) and get the segmented symbol array after all
+    merges. Each merge nests one ``aggregate`` fold around the
+    previous — n_merges folds in one whole-stage-codegen projection."""
+    src = f"split({col_sql}, '')"
+    for a, b in merges:
+        ae = a.replace("'", "\\'")
+        be = b.replace("'", "\\'")
+        me = (a + b).replace("'", "\\'")
+        src = (
+            f"aggregate({src}, cast(array() AS array<string>),"
+            f" (acc, x) -> CASE WHEN size(acc) > 0"
+            f"   AND element_at(acc, -1) = '{ae}' AND x = '{be}'"
+            f"  THEN concat(slice(acc, 1, size(acc) - 1), array('{me}'))"
+            f"  ELSE concat(acc, array(x)) END)"
+        )
+    return F.expr(src)
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text form for fingerprinting: lower, non-alnum runs to
     single spaces, trimmed. (Byte-identical formula in the oracle.)"""
