@@ -150,6 +150,60 @@ def truncate_dim(
     return out
 
 
+def projection_matrix(in_dim: int, out_dim: int, seed: int = 42):
+    """Deterministic Gaussian JL matrix, rows scaled by 1/sqrt(k) so
+    E[||Pv||^2] = ||v||^2. Shared by the engine and the oracle (the
+    oracle inlines the same literals), so the projection is exactly
+    reproducible anywhere."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((out_dim, in_dim)) / (out_dim ** 0.5)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    seed: int = 42,
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dense seeded-Gaussian
+    dimensionality reduction for the embedding column — the cheap
+    alternative to PCA when you need distance-approximate shorter
+    vectors for ANN shortlisting (norms and pairwise distances are
+    preserved within 1±eps w.h.p., the JL lemma).
+
+    Plan shape: the k x d matrix rides as k literal-array dot-product
+    expressions (zip_with multiply + aggregate fold, all inside
+    whole-stage codegen) — ONE narrow projection, no shuffle, no
+    join, no Python. n*d*k FLOPs is the irreducible dense-projection
+    cost; at k*d beyond ~10^4 terms switch the matrix to a broadcast
+    table + exploded aggregate (the PQ-centers trade documented in
+    q_dedup's SemDeDup notes).
+    """
+    if in_dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            return df.withColumn(out_col or vec_col, F.col(vec_col))
+        in_dim = row["d"]
+    R = projection_matrix(in_dim, out_dim, seed)
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                _as_double(F.col(vec_col)),
+                F.array(*[F.lit(float(w)) for w in R[j]]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        for j in range(out_dim)
+    ]
+    return df.withColumn(out_col or vec_col, F.array(*comps))
+
+
 # ------------------------------------------------------- query registry
 
 
@@ -195,8 +249,42 @@ def embeddings_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6
             ).alias("val"),
         )
+        # r8 'jl' legs: JL random projection of the unit vectors to 32
+        # dims — val is round(||Pv||^2, 6) per vector (the quantity the
+        # JL lemma bounds; the oracle inlines the SAME seeded Gaussian
+        # literals via list_dot_product), plus one 'jl_ok' verdict row:
+        # the fraction of vectors whose projected squared norm lands in
+        # [0.4, 1.6] must be >= 0.95 (k=32, unit inputs — far inside
+        # the lemma's envelope; a wiring bug nukes it to ~0).
+        proj = random_projection(unit, 32, out_col="p")
+        jl = proj.select(
+            F.lit("jl").alias("kind"),
+            F.col("vec_id").alias("key"),
+            F.lit(-1).cast("long").alias("pos"),
+            F.round(
+                F.aggregate("p", F.lit(0.0), lambda a, x: a + x * x), 6
+            ).alias("val"),
+        )
+        jl_ok = jl.agg(
+            F.lit("jl_ok").alias("kind"),
+            F.lit(-1).cast("long").alias("key"),
+            F.lit(-1).cast("long").alias("pos"),
+            F.when(
+                F.avg(
+                    F.col("val").between(0.4, 1.6).cast("double")
+                )
+                >= 0.95,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("val"),
+        )
         return (
-            pooled.unionByName(quant).unionByName(scales).unionByName(trunc)
+            pooled.unionByName(quant)
+            .unionByName(scales)
+            .unionByName(trunc)
+            .unionByName(jl)
+            .unionByName(jl_ok)
         )
 
     return {"emb_pool_quantize": q_pool_quantize}
@@ -210,6 +298,16 @@ def embeddings_oracles() -> dict[str, str]:
         "sqrt(list_sum(list_transform(embedding, "
         "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) "
         "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END"
+    )
+    # the SAME seeded Gaussian literals the engine projects with
+    # (full-precision repr round-trips identically into both engines'
+    # doubles); ||Pv||^2 = sum_j dot(v, R_j)^2
+    R = projection_matrix(64, 32, seed=42)
+    jl_sq = " + ".join(
+        "power(list_dot_product(v, ["
+        + ", ".join(repr(float(w)) for w in R[j])
+        + "]), 2)"
+        for j in range(32)
     )
     return {
         "emb_pool_quantize": f"""
@@ -259,5 +357,11 @@ WITH unit AS (
 )
 SELECT * FROM pool UNION ALL SELECT * FROM quant
 UNION ALL SELECT * FROM scale_rows UNION ALL SELECT * FROM trunc
+UNION ALL
+SELECT 'jl' AS kind, vec_id AS key, -1::BIGINT AS pos,
+       round({jl_sq}, 6) AS val
+FROM unit
+UNION ALL
+SELECT 'jl_ok', -1::BIGINT, -1::BIGINT, CAST(1.0 AS DOUBLE)
 """,
     }

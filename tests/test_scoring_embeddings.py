@@ -195,3 +195,33 @@ def test_truncate_dim_prefix_and_renorm(vecs):
         for r in truncate_dim(vecs, 1, renormalize=False).collect()
     }
     assert raw[0] == pytest.approx([3.0], abs=1e-6)
+
+
+def test_random_projection_jl_properties(spark):
+    import numpy as np
+
+    from data_integration_and_harmonization_spark.operators.embeddings import (
+        projection_matrix,
+        random_projection,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((50, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: np.array(r["p"])
+        for r in random_projection(df, 16, out_col="p").collect()
+    }
+    # matches the exact numpy matmul with the same seeded matrix
+    R = projection_matrix(64, 16, seed=42)
+    for i in range(50):
+        assert np.allclose(out[i], R @ vecs[i], atol=1e-12)
+    # JL norm preservation: unit inputs land near unit projected norm
+    sq = np.array([float(v @ v) for v in out.values()])
+    assert (np.abs(sq - 1.0) < 0.9).mean() >= 0.9
+    # empty input passes through
+    assert random_projection(df.limit(0), 16, out_col="p").count() == 0
