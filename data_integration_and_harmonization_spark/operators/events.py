@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +69,131 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def _event_micros(col: str = "ts") -> F.Column:
+    """Microsecond-precision long ordering key for time-range windows.
+    The batch scan may keep TIMESTAMP_NTZ; the cast to TIMESTAMP is
+    value-preserving under the engine's pinned UTC session timezone,
+    and integer micros (< 2^53 for any sane epoch) make Spark's
+    rangeBetween boundary arithmetic EXACTLY match an external
+    engine's ``RANGE BETWEEN INTERVAL ... PRECEDING`` on
+    microsecond timestamps — a seconds-granularity ``cast(long)``
+    would silently widen the window by up to a second."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def rolling_agg(events: DataFrame, width_s: int = 3600, key: str = "user_id") -> DataFrame:
+    """Trailing time-range rolling stats per key: for every event, the
+    count and mean value over the window ``[ts - width, ts]`` of the
+    same key's events (inclusive both ends, current row included).
+
+    Scale shape: ONE shuffle on ``key`` (high-cardinality — user_id,
+    not event_type) then an in-partition sort; the range frame is a
+    single forward sweep per partition, no self-join, no explode. At
+    100 TB the cost is the keyed sort; per-user event counts bound
+    partition size."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(_event_micros())
+        .rangeBetween(-width_s * 1_000_000, 0)
+    )
+    return events.select(
+        key,
+        "event_type",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.round(F.avg("value").over(w), 6).alias("avg_value"),
+        F.stddev_samp("value").over(w).alias("_std_value"),
+    )
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    width_s: int = 3600,
+    z: float = 3.0,
+    min_n: int = 5,
+    key: str = "user_id",
+) -> DataFrame:
+    """Rolling z-score anomaly counts: an event is anomalous when its
+    value exceeds ``mean + z*std`` of its key's trailing window
+    EXCLUDING the current row (frame ``[ts - width, ts)`` — a spike
+    inside its own baseline inflates the std enough to mask itself;
+    the strictly-preceding frame is the standard fix). Baselines
+    thinner than ``min_n`` events never flag. Returns per-event_type
+    anomaly counts.
+
+    The threshold is rounded to 6 decimals BEFORE the comparison so an
+    external oracle computing the same window reproduces the exact
+    flag set (both engines compare the raw value against an identical
+    rounded threshold, rather than two independently-accumulated
+    doubles). The -1 upper bound is exact: the ordering key is integer
+    microseconds, so "strictly before" is "at least 1 micro earlier",
+    and identical-timestamp peers are excluded in both engines."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(_event_micros())
+        .rangeBetween(-width_s * 1_000_000, -1)
+    )
+    flagged = events.select(
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.round(F.avg("value").over(w), 6).alias("m"),
+        F.stddev_samp("value").over(w).alias("s"),
+    ).where(
+        (F.col("n_prev") >= min_n)
+        & (F.col("value") > F.round(F.col("m") + F.lit(z) * F.col("s"), 6))
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_anomalies")
+    )
+
+
+def resample_ffill(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Resample to a regular 1-hour grid per key, gap-filled: every key
+    gets a contiguous hourly spine from its first to its last event;
+    hours with no events carry ``n_events = 0`` and forward-fill the
+    last seen hourly sum (the classic time-series densify + ffill).
+
+    Scale shape: the raw events fold to per-(key, hour) partials FIRST
+    (partial agg before any shuffle), the spine is a bounded
+    ``sequence``-explode per key (output is grid-sized — keys x hours —
+    not input-sized), and the forward fill is a window over grid rows
+    only. The per-key window partition holds #hours rows, never raw
+    events, so low key cardinality does not recreate the input skew."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        F.col(key),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    bounds = events.groupBy(key).agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        key,
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias(
+            "window_start"
+        ),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, [key, "window_start"], "left")
+        .select(
+            key,
+            "window_start",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value"),
+        )
+    )
+
+
 def json_props_agg(events: DataFrame) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` column and
     aggregate an extracted field — ``get_json_object`` stays JVM-side."""
@@ -102,7 +228,16 @@ def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_events",
             F.lit(None).cast("double").alias("sum_value"),
         )
-        return t.unionByName(s)
+        # r8 'resample' leg: densified hourly spine per event_type with
+        # zero-count gap rows and forward-filled hourly sums
+        r = resample_ffill(ev).select(
+            F.lit("resample").alias("kind"),
+            "window_start",
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        return t.unionByName(s).unionByName(r)
 
     def q_sessions_props(spark, sf):
         # session windows + JSON-props agg in one tagged result (merged
@@ -127,7 +262,36 @@ def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sum_k",
             "avg_k",
         )
-        return s.unionByName(p)
+        # r8 'rolling' leg: per-event trailing-1h window stats keyed by
+        # user (exact microsecond range frame — see _event_micros);
+        # 'anomaly' leg: rolling z-score outlier counts per event_type
+        roll = rolling_agg(ev).select(
+            F.lit("rolling").alias("kind"),
+            "user_id",
+            "event_type",
+            F.col("ts").alias("t0"),
+            F.col("n_window").cast("long").alias("n_events"),
+            F.lit(None).cast("long").alias("sum_k"),
+            F.col("avg_value").alias("avg_k"),
+        )
+        # 24h baseline keyed by event_type (per-user 1h windows are
+        # too sparse on this table to ever reach min_n); z=2.0 flags
+        # a real set (~570 at sf0.01) so the leg binds. At 100 TB an
+        # event_type-keyed window partition is unbounded — production
+        # keys are high-cardinality entities (user, device), or
+        # sub-partition by (key, day) with boundary replay.
+        anom = rolling_anomalies(
+            ev, width_s=86400, z=2.0, key="event_type"
+        ).select(
+            F.lit("anomaly").alias("kind"),
+            F.lit(None).cast("long").alias("user_id"),
+            "event_type",
+            F.lit(None).cast("timestamp").alias("t0"),
+            F.col("n_anomalies").cast("long").alias("n_events"),
+            F.lit(None).cast("long").alias("sum_k"),
+            F.lit(None).cast("double").alias("avg_k"),
+        )
+        return s.unionByName(p).unionByName(roll).unionByName(anom)
 
     return {
         "events_windows": q_windows,
@@ -153,6 +317,24 @@ FROM (
   SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
 )
 GROUP BY 2
+UNION ALL
+SELECT 'resample' AS kind, g.window_start, g.event_type,
+       coalesce(h.n_events, 0)::BIGINT AS n_events,
+       last_value(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.window_start) AS sum_value
+FROM (
+  SELECT event_type,
+         unnest(generate_series(time_bucket(INTERVAL '1 hour', t0),
+                                time_bucket(INTERVAL '1 hour', t1),
+                                INTERVAL '1 hour')) AS window_start
+  FROM (SELECT event_type, min(ts) AS t0, max(ts) AS t1
+        FROM events GROUP BY 1)
+) g
+LEFT JOIN (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+) h USING (event_type, window_start)
 """,
         # session half: gaps-and-islands with a 10-minute gap;
         # props half: JSON-path extraction agg
@@ -180,5 +362,29 @@ SELECT 'props' AS kind, CAST(NULL AS BIGINT) AS user_id, event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
 FROM events GROUP BY 3
+UNION ALL
+SELECT 'rolling' AS kind, user_id, event_type, ts AS t0,
+       (count(*) OVER w)::BIGINT AS n_events,
+       CAST(NULL AS BIGINT) AS sum_k,
+       round(avg(value) OVER w, 6) AS avg_k
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+UNION ALL
+SELECT 'anomaly' AS kind, CAST(NULL AS BIGINT) AS user_id, event_type,
+       CAST(NULL AS TIMESTAMP) AS t0, count(*)::BIGINT AS n_events,
+       CAST(NULL AS BIGINT) AS sum_k, CAST(NULL AS DOUBLE) AS avg_k
+FROM (
+  SELECT event_type, value,
+         count(*) OVER w AS n_prev,
+         round(avg(value) OVER w, 6) AS m,
+         stddev_samp(value) OVER w AS s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts
+               RANGE BETWEEN INTERVAL '24 hours' PRECEDING
+                         AND INTERVAL '1 microsecond' PRECEDING)
+)
+WHERE n_prev >= 5 AND value > round(m + 2.0 * s, 6)
+GROUP BY event_type
 """,
     }

@@ -204,6 +204,70 @@ def test_events_session_gap_split(spark):
     assert per_user[2] == [1]
 
 
+def test_rolling_agg_hand_computed(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "a", 1.0),
+        (1, t0 + dt.timedelta(minutes=30), "a", 3.0),
+        # exactly 1h after the first event: range frame is inclusive,
+        # so the window holds all three
+        (1, t0 + dt.timedelta(hours=1), "a", 5.0),
+        # 61min after t0: the first event falls out
+        (1, t0 + dt.timedelta(minutes=61), "a", 7.0),
+        (2, t0, "b", 100.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {
+        (r["user_id"], r["ts"]): (r["n_window"], r["avg_value"])
+        for r in EV.rolling_agg(df).collect()
+    }
+    assert out[(1, t0)] == (1, 1.0)
+    assert out[(1, t0 + dt.timedelta(minutes=30))] == (2, 2.0)
+    assert out[(1, t0 + dt.timedelta(hours=1))] == (3, 3.0)
+    assert out[(1, t0 + dt.timedelta(minutes=61))] == (3, 5.0)
+    assert out[(2, t0)] == (1, 100.0)
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # nine calm events then one 100x spike inside the same hour; a
+    # second user stays calm throughout -> exactly one anomaly row
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), "a", 1.0 + 0.01 * i) for i in range(9)
+    ]
+    rows.append((1, t0 + dt.timedelta(minutes=9), "a", 100.0))
+    rows += [
+        (2, t0 + dt.timedelta(minutes=i), "b", 2.0 + 0.01 * (i % 3))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {r["event_type"]: r["n_anomalies"] for r in EV.rolling_anomalies(df).collect()}
+    assert out == {"a": 1}
+
+
+def test_resample_ffill_densifies_and_fills(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # events in hour 0 and hour 3 only -> hours 1 and 2 are gap rows
+    rows = [
+        (1, t0 + dt.timedelta(minutes=5), "a", 2.0),
+        (2, t0 + dt.timedelta(minutes=40), "a", 4.0),
+        (3, t0 + dt.timedelta(hours=3, minutes=10), "a", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = {r["window_start"]: (r["n_events"], r["sum_value"]) for r in EV.resample_ffill(df).collect()}
+    assert len(out) == 4
+    assert out[t0] == (2, 6.0)
+    assert out[t0 + dt.timedelta(hours=1)] == (0, 6.0)  # gap carries last sum
+    assert out[t0 + dt.timedelta(hours=2)] == (0, 6.0)
+    assert out[t0 + dt.timedelta(hours=3)] == (1, 10.0)
+
+
 def test_multimodal_features_shape(spark):
     docs = _docs(spark)
     media = MM.to_media_table(

@@ -58,6 +58,9 @@ ALLOWED = {
     # the funnel report + packed-row global aggregates: each merge
     # sees one partial row per upstream task — bounded at any scale
     "curate_pipeline": {"Exchange SinglePartition"},
+    # 'jl_ok' verdict row: global no-groupBy aggregate over the
+    # JL-projected norms — one partial row per upstream task, bounded
+    "emb_pool_quantize": {"Exchange SinglePartition"},
 }
 
 
