@@ -209,7 +209,21 @@ def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
 def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     cm = P.corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
-    return cm.select("col_x", "col_y", F.round("corr", 6).alias("pearson_r"))
+    cm = cm.select("col_x", "col_y", F.round("corr", 6).alias("pearson_r"))
+    # r8 drift legs: PSI / binned-KS / TVD between the pre-1995 and
+    # 1995+ order-value distributions, plus the shared-bin histogram
+    # shares that feed them — the data-contract check a recurring
+    # ingestion runs before accepting a new corpus version.
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cut = F.col("o_orderdate") < F.lit("1995-01-01").cast("date")
+    drift = P.drift_report(
+        orders.where(cut), orders.where(~cut), "o_totalprice", bins=10
+    ).select(
+        F.lit("__drift").alias("col_x"),
+        F.concat_ws(":", "kind", F.col("bucket").cast("string")).alias("col_y"),
+        F.col("value").alias("pearson_r"),
+    )
+    return cm.unionByName(drift)
 
 
 def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
@@ -1012,7 +1026,48 @@ def _corr_matrix_oracle() -> str:
                 f"SELECT '{ci}' AS col_x, '{cj}' AS col_y, "
                 f"round(corr({ci}, {cj}), 6) AS pearson_r FROM lineitem"
             )
-    return "\nUNION ALL\n".join(parts)
+    cte = """
+WITH u AS (
+  SELECT CASE WHEN o_orderdate < DATE '1995-01-01' THEN 0 ELSE 1 END AS side,
+         CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+), s AS (SELECT min(x) AS mn, max(x) AS mx FROM u),
+b AS (
+  SELECT side,
+         (CASE WHEN mx = mn THEN 0
+          ELSE LEAST(floor((x - mn) / ((mx - mn) / 10.0)), 9) END)::BIGINT AS bucket,
+         count(*)::BIGINT AS n
+  FROM u CROSS JOIN s GROUP BY 1, 2
+), bb AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN side = 0 THEN n ELSE 0 END) AS DOUBLE) AS n0,
+         CAST(sum(CASE WHEN side = 1 THEN n ELSE 0 END) AS DOUBLE) AS n1
+  FROM b GROUP BY 1
+), pq AS (
+  SELECT bucket,
+         n0 / (SELECT sum(n0) FROM bb) AS p,
+         n1 / (SELECT sum(n1) FROM bb) AS q,
+         sum(n0 / (SELECT sum(n0) FROM bb)) OVER (ORDER BY bucket) AS cp,
+         sum(n1 / (SELECT sum(n1) FROM bb)) OVER (ORDER BY bucket) AS cq
+  FROM bb
+)
+"""
+    drift = """
+SELECT '__drift' AS col_x, 'p:' || bucket::VARCHAR AS col_y,
+       round(p, 6) AS pearson_r FROM pq
+UNION ALL
+SELECT '__drift', 'q:' || bucket::VARCHAR, round(q, 6) FROM pq
+UNION ALL
+SELECT '__drift', 'psi:-1',
+       round(sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                 * ln(greatest(p, 1e-6) / greatest(q, 1e-6))), 6)
+FROM pq
+UNION ALL
+SELECT '__drift', 'ks:-1', round(max(abs(cp - cq)), 6) FROM pq
+UNION ALL
+SELECT '__drift', 'tvd:-1', round(sum(abs(p - q)) / 2.0, 6) FROM pq
+"""
+    return cte + "\nUNION ALL\n".join(parts) + "\nUNION ALL\n" + drift
 
 
 def oracle_sql() -> dict[str, str]:

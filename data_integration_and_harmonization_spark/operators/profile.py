@@ -140,3 +140,119 @@ def corr_matrix(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         ).alias("e")
     )
     return pairs.select("e.col_x", "e.col_y", "e.corr")
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution-drift report between two snapshots of the same
+    column (engine extension — the data-contract check a recurring
+    ingestion runs before accepting a new corpus version; SURVEY §2.8).
+
+    Shared fixed-width bin edges come from the COMBINED min/max (one
+    bounded agg, broadcast), then one grouped count per (side, bin):
+
+    - per-bin shares ``p``/``q`` (raw, not floored),
+    - **PSI** = sum (p'-q')*ln(p'/q') with both shares floored at
+      ``eps`` (the standard population-stability-index guard against
+      empty bins; bins empty on BOTH sides contribute exactly 0, so
+      omitting them is value-identical),
+    - **KS** (binned) = max |cum_p - cum_q| over bin boundaries,
+    - **TVD** = 0.5 * sum |p - q|.
+
+    Scale shape: two whole-table passes (min/max, then the grouped
+    count), everything after runs on <= 2*bins rows. The KS cumulative
+    window is a single partition of <= bins rows — bounded by the
+    ``bins`` constant, not the data. All arithmetic is plain double
+    division/log of exact integer counts, so any engine reproduces the
+    values bit-for-bit.
+
+    Output: (kind, bucket, value) — kind in p/q/psi/ks/tvd; bucket is
+    -1 on the three verdict rows.
+    """
+    from pyspark.sql.window import Window
+
+    u = df_a.select(F.lit(0).alias("side"), F.col(col).cast("double").alias("x")).unionByName(
+        df_b.select(F.lit(1).alias("side"), F.col(col).cast("double").alias("x"))
+    ).where(F.col("x").isNotNull())
+    stats = u.agg(F.min("x").alias("__mn"), F.max("x").alias("__mx"))
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    bucket = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("x") - F.col("__mn")) / width), F.lit(bins - 1))
+    )
+    counts = (
+        u.crossJoin(F.broadcast(stats))
+        .groupBy("side", bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    by_bin = counts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("side") == 0, F.col("n")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("n0"),
+        F.sum(F.when(F.col("side") == 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("n1"),
+    )
+    totals = by_bin.agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    pq = by_bin.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.col("n0") / F.col("t0")).alias("p"),
+        (F.col("n1") / F.col("t1")).alias("q"),
+    )
+    # ONE linear plan: a union of per-kind selects would re-execute
+    # the two whole-table passes once per branch, so instead the
+    # verdict scalars ride every row as full-frame window aggregates
+    # (the frame is <= bins rows) and explode only from bucket 0 —
+    # which always exists, the combined minimum lands there.
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pf = F.greatest(F.col("p"), F.lit(eps))
+    qf = F.greatest(F.col("q"), F.lit(eps))
+    cum = pq.select(
+        "bucket",
+        "p",
+        "q",
+        F.abs(F.sum("p").over(w) - F.sum("q").over(w)).alias("cdiff"),
+    ).select(
+        "bucket",
+        "p",
+        "q",
+        F.round(F.sum((pf - qf) * F.log(pf / qf)).over(wfull), 6).alias("psi"),
+        F.round(F.max("cdiff").over(wfull), 6).alias("ks"),
+        F.round(F.sum(F.abs(F.col("p") - F.col("q"))).over(wfull) / 2.0, 6).alias("tvd"),
+    )
+
+    def _row(kind: str, bucket, value) -> F.Column:
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            bucket.cast("long").alias("bucket"),
+            value.alias("value"),
+        )
+
+    base = F.array(
+        _row("p", F.col("bucket"), F.round("p", 6)),
+        _row("q", F.col("bucket"), F.round("q", 6)),
+    )
+    with_verdicts = F.concat(
+        base,
+        F.array(
+            _row("psi", F.lit(-1), F.col("psi")),
+            _row("ks", F.lit(-1), F.col("ks")),
+            _row("tvd", F.lit(-1), F.col("tvd")),
+        ),
+    )
+    return (
+        cum.select(
+            F.explode(
+                F.when(F.col("bucket") == 0, with_verdicts).otherwise(base)
+            ).alias("e")
+        ).select("e.kind", "e.bucket", "e.value")
+    )

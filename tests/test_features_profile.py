@@ -87,3 +87,34 @@ def test_minmax_scale_unit_interval(spark):
     # constant column maps to 0.0 (zero-range guard)
     c = spark.createDataFrame([(3.0,), (3.0,)], "v double")
     assert [r.v for r in FE.minmax_scale(c, ["v"]).collect()] == [0.0, 0.0]
+
+
+def test_drift_report_hand_computed(spark):
+    import math
+
+    from data_integration_and_harmonization_spark.operators.profile import drift_report
+
+    # A: 8 values in [0, 4); B: shifted up — combined range [0, 8],
+    # 4 bins of width 2. A -> bins 0,0,0,0,1,1,1,1 ; B -> 1,1,2,2,3,3
+    a = spark.createDataFrame([(float(x),) for x in [0, 0.5, 1, 1.5, 2, 2.5, 3, 3.5]], "x double")
+    b = spark.createDataFrame([(float(x),) for x in [2, 3, 4, 5, 6, 7.5]], "x double")
+    out = {(r["kind"], r["bucket"]): r["value"] for r in drift_report(a, b, "x", bins=4).collect()}
+    p = {0: 0.5, 1: 0.5}          # shares of A per bin (bins 2,3 absent)
+    q = {1: 2 / 6, 2: 2 / 6, 3: 2 / 6}
+    assert out[("p", 0)] == 0.5 and out[("p", 1)] == 0.5
+    assert out[("q", 1)] == round(2 / 6, 6) and out[("q", 3)] == round(2 / 6, 6)
+    # absent-on-one-side bins report share 0 for that side
+    assert out[("q", 0)] == 0.0 and out[("p", 2)] == 0.0 and out[("p", 3)] == 0.0
+    eps = 1e-6
+    psi = sum(
+        (max(p.get(i, 0.0), eps) - max(q.get(i, 0.0), eps))
+        * math.log(max(p.get(i, 0.0), eps) / max(q.get(i, 0.0), eps))
+        for i in range(4)
+    )
+    assert abs(out[("psi", -1)] - round(psi, 6)) < 1e-9
+    # cumulative |F_a - F_b|: after bin0 |0.5-0|, bin1 |1-1/3|, bin2 |1-2/3|, bin3 0
+    assert out[("ks", -1)] == round(2 / 3, 6)
+    assert out[("tvd", -1)] == round(0.5 * (0.5 + abs(0.5 - 2 / 6) + 2 / 6 + 2 / 6), 6)
+    # identical snapshots -> all three metrics exactly 0
+    same = {(r["kind"], r["bucket"]): r["value"] for r in drift_report(a, a, "x", bins=4).collect()}
+    assert same[("psi", -1)] == 0.0 and same[("ks", -1)] == 0.0 and same[("tvd", -1)] == 0.0
