@@ -194,6 +194,87 @@ def resample_ffill(events: DataFrame, key: str = "event_type") -> DataFrame:
     )
 
 
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered-sequence funnel: how many users performed step 1, then
+    step 2 strictly after their first step 1, then step 3 strictly
+    after that first valid step 2, ... The min-time recursion
+    (t_k = earliest step-k event after t_{k-1}) is the greedy
+    subsequence match, which maximizes reach at every depth.
+
+    Plan: ONE shuffle (partition by user), then k chained
+    conditional window-mins over the same partitioning — Spark plans
+    a single sort and evaluates the window stack in-place; no arrays
+    are collected, so a user with millions of events costs a sort,
+    not memory. The final per-step counts are a bounded global agg.
+
+    Output: (step_idx, step, n_users).
+    """
+    steps = steps or ["view", "click", "purchase"]
+    w = Window.partitionBy(user_col)
+    cur = events.where(F.col("event_type").isin(steps))
+    prev_t = None
+    for i, s in enumerate(steps):
+        cond = F.col("event_type") == s
+        if prev_t is not None:
+            cond = cond & (F.col("ts") > F.col(prev_t))
+        cur = cur.withColumn(f"__t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev_t = f"__t{i}"
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(f"__t{i}").alias(f"t{i}") for i in range(len(steps))]
+    )
+    reached = per_user.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    return reached.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("e")
+    ).select("e.step_idx", "e.step", "e.n_users")
+
+
+def cohort_retention(
+    events: DataFrame, granularity: str = "day", user_col: str = "user_id"
+) -> DataFrame:
+    """Cohort retention: users grouped by first-seen period; for each
+    (cohort, period-offset) the count of distinct cohort members
+    active at that offset — the classic retention triangle.
+
+    Plan: per-user first-seen agg (keyed shuffle), per-(user, period)
+    distinct (map-side partial), one join on the user key, then the
+    (cohort, offset) count-distinct. Output is cohorts x offsets —
+    grid-sized, never input-sized."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(granularity, F.min("ts")).alias("cohort")
+    )
+    act = events.select(
+        user_col, F.date_trunc(granularity, "ts").alias("period")
+    ).distinct()
+    return (
+        act.join(first, user_col)
+        .groupBy(
+            "cohort",
+            F.datediff("period", "cohort").cast("long").alias("offset_days"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_active"))
+    )
+
+
 def json_props_agg(events: DataFrame) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` column and
     aggregate an extracted field — ``get_json_object`` stays JVM-side."""
@@ -237,7 +318,28 @@ def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_events",
             "sum_value",
         )
-        return t.unionByName(s).unionByName(r)
+        # r8 'funnel' + 'cohort' legs: ordered view->click->purchase
+        # reach counts and the daily retention triangle
+        fu = funnel_counts(ev).select(
+            F.lit("funnel").alias("kind"),
+            F.lit(None).cast(dict(r.dtypes)["window_start"]).alias("window_start"),
+            F.col("step").alias("event_type"),
+            F.col("n_users").cast("long").alias("n_events"),
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+        co = cohort_retention(ev).select(
+            F.lit("cohort").alias("kind"),
+            F.col("cohort").alias("window_start"),
+            F.col("offset_days").cast("string").alias("event_type"),
+            F.col("n_active").cast("long").alias("n_events"),
+            F.lit(None).cast("double").alias("sum_value"),
+        )
+        return (
+            t.unionByName(s)
+            .unionByName(r)
+            .unionByName(fu)
+            .unionByName(co)
+        )
 
     def q_sessions_props(spark, sf):
         # session windows + JSON-props agg in one tagged result (merged
@@ -305,6 +407,16 @@ def events_oracles() -> dict[str, str]:
         # one-hour windows on a 30-min grid: the one starting at its
         # 30-min bucket and the previous one)
         "events_windows": """
+WITH f1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), f2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > f1.t GROUP BY 1
+), f3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN f2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > f2.t GROUP BY 1
+)
 SELECT 'tumbling' AS kind, time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 2, 3
@@ -335,6 +447,28 @@ LEFT JOIN (
          count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
   FROM events GROUP BY 1, 2
 ) h USING (event_type, window_start)
+UNION ALL
+SELECT 'funnel' AS kind, CAST(NULL AS TIMESTAMP) AS window_start,
+       step AS event_type, n::BIGINT AS n_events,
+       CAST(NULL AS DOUBLE) AS sum_value
+FROM (
+  SELECT 'view' AS step, (SELECT count(*) FROM f1) AS n
+  UNION ALL SELECT 'click', (SELECT count(*) FROM f2)
+  UNION ALL SELECT 'purchase', (SELECT count(*) FROM f3)
+)
+UNION ALL
+SELECT 'cohort' AS kind, cohort AS window_start,
+       CAST(date_diff('day', cohort, period) AS VARCHAR) AS event_type,
+       count(DISTINCT user_id)::BIGINT AS n_events,
+       CAST(NULL AS DOUBLE) AS sum_value
+FROM (
+  SELECT a.user_id, a.period, fs.cohort
+  FROM (SELECT DISTINCT user_id, date_trunc('day', ts) AS period
+        FROM events) a
+  JOIN (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        FROM events GROUP BY 1) fs USING (user_id)
+)
+GROUP BY 1, 2, 3
 """,
         # session half: gaps-and-islands with a 10-minute gap;
         # props half: JSON-path extraction agg

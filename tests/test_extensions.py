@@ -268,6 +268,50 @@ def test_resample_ffill_densifies_and_fills(spark):
     assert out[t0 + dt.timedelta(hours=3)] == (1, 10.0)
 
 
+def test_funnel_counts_strict_order(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1 completes the funnel in order
+        (1, t0, "view", 0.0), (1, t0 + m, "click", 0.0), (1, t0 + 2 * m, "purchase", 0.0),
+        # user 2 clicks BEFORE viewing -> click doesn't count
+        (2, t0, "click", 0.0), (2, t0 + m, "view", 0.0),
+        # user 3 views only
+        (3, t0, "view", 0.0),
+        # user 4 purchases with no view at all
+        (4, t0, "purchase", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {r["step"]: r["n_users"] for r in EV.funnel_counts(df).collect()}
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # user 1: first seen day 0, active days 0 and 2
+        (1, d0, "view", 0.0), (1, d0 + 2 * day, "view", 0.0),
+        (1, d0 + 2 * day + dt.timedelta(hours=3), "click", 0.0),  # same day, dedup
+        # user 2: first seen day 0, active day 0 only
+        (2, d0 + dt.timedelta(hours=5), "view", 0.0),
+        # user 3: first seen day 1, active days 1 and 2
+        (3, d0 + day, "view", 0.0), (3, d0 + 2 * day, "view", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {(r["cohort"], r["offset_days"]): r["n_active"] for r in EV.cohort_retention(df).collect()}
+    assert out == {
+        (d0, 0): 2,
+        (d0, 2): 1,
+        (d0 + day, 0): 1,
+        (d0 + day, 1): 1,
+    }
+
+
 def test_multimodal_features_shape(spark):
     docs = _docs(spark)
     media = MM.to_media_table(
