@@ -61,6 +61,9 @@ ALLOWED = {
     # 'jl_ok' verdict row: global no-groupBy aggregate over the
     # JL-projected norms — one partial row per upstream task, bounded
     "emb_pool_quantize": {"Exchange SinglePartition"},
+    # 'funnel' leg: the per-step reach counts are a global no-groupBy
+    # aggregate over per-user rows — one partial row per task, bounded
+    "events_windows": {"Exchange SinglePartition"},
 }
 
 
