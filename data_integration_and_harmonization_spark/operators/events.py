@@ -194,6 +194,51 @@ def resample_ffill(events: DataFrame, key: str = "event_type") -> DataFrame:
     )
 
 
+def bucketed_anomalies(
+    events: DataFrame,
+    bucket: str = "day",
+    z: float = 2.0,
+    min_n: int = 5,
+    key: str = "event_type",
+) -> DataFrame:
+    """Anomaly counts against a BUCKETED baseline: an event is
+    anomalous when its value exceeds ``mean + z*std`` of its key's
+    PREVIOUS bucket (day by default). This is the linear-scale form of
+    :func:`rolling_anomalies` — Spark evaluates sliding range frames
+    without retraction (SlidingWindowFunctionFrame re-aggregates the
+    frame per row, O(n*w); the 24h-window leg cost 12 s at sf0.1 —
+    measured, see PLANS.md), while this is one map-side-combinable
+    groupBy over (key, bucket), a lag over the tiny bucket grid, and
+    one join back — O(n) at any window width. Baselines thinner than
+    ``min_n`` never flag; mean and std are rounded to 6dp before the
+    threshold compare so any engine reproduces the exact flag set."""
+    bkt = F.date_trunc(bucket, "ts").alias("bucket")
+    d = events.groupBy(F.col(key), bkt).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.stddev_samp("value"), 6).alias("s"),
+    )
+    w = Window.partitionBy(key).orderBy("bucket")
+    b = d.select(
+        key,
+        "bucket",
+        F.lag("n").over(w).alias("n_prev"),
+        F.lag("m").over(w).alias("m_prev"),
+        F.lag("s").over(w).alias("s_prev"),
+    )
+    j = events.withColumn("bucket", F.date_trunc(bucket, "ts")).join(
+        b, [key, "bucket"]
+    )
+    flagged = j.where(
+        (F.col("n_prev") >= min_n)
+        & (
+            F.col("value")
+            > F.round(F.col("m_prev") + F.lit(z) * F.col("s_prev"), 6)
+        )
+    )
+    return flagged.groupBy(key).agg(F.count(F.lit(1)).alias("n_anomalies"))
+
+
 def funnel_counts(
     events: DataFrame,
     steps: list[str] | None = None,
@@ -376,14 +421,16 @@ def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("long").alias("sum_k"),
             F.col("avg_value").alias("avg_k"),
         )
-        # 24h baseline keyed by event_type (per-user 1h windows are
-        # too sparse on this table to ever reach min_n); z=2.0 flags
-        # a real set (~570 at sf0.01) so the leg binds. At 100 TB an
-        # event_type-keyed window partition is unbounded — production
-        # keys are high-cardinality entities (user, device), or
-        # sub-partition by (key, day) with boundary replay.
-        anom = rolling_anomalies(
-            ev, width_s=86400, z=2.0, key="event_type"
+        # previous-day baseline keyed by event_type (per-user 1h
+        # windows are too sparse on this table to ever reach min_n);
+        # z=2.0 flags a real set at sf0.01 so the leg binds. The
+        # BUCKETED variant, not the sliding one: Spark's sliding
+        # range frame is O(n*w) (no retraction) — the 24h sliding
+        # form of this exact leg measured 12 s at sf0.1 vs ~0 for
+        # the bucketed join, and only the bucketed shape survives
+        # 100 TB anyway.
+        anom = bucketed_anomalies(
+            ev, bucket="day", z=2.0, key="event_type"
         ).select(
             F.lit("anomaly").alias("kind"),
             F.lit(None).cast("long").alias("user_id"),
@@ -509,16 +556,23 @@ SELECT 'anomaly' AS kind, CAST(NULL AS BIGINT) AS user_id, event_type,
        CAST(NULL AS TIMESTAMP) AS t0, count(*)::BIGINT AS n_events,
        CAST(NULL AS BIGINT) AS sum_k, CAST(NULL AS DOUBLE) AS avg_k
 FROM (
-  SELECT event_type, value,
-         count(*) OVER w AS n_prev,
-         round(avg(value) OVER w, 6) AS m,
-         stddev_samp(value) OVER w AS s
-  FROM events
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts
-               RANGE BETWEEN INTERVAL '24 hours' PRECEDING
-                         AND INTERVAL '1 microsecond' PRECEDING)
+  SELECT e.event_type, e.value, b.n_prev, b.m_prev, b.s_prev
+  FROM events e
+  JOIN (
+    SELECT event_type, day,
+           lag(n) OVER w AS n_prev, lag(m) OVER w AS m_prev,
+           lag(s) OVER w AS s_prev
+    FROM (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS n, round(avg(value), 6) AS m,
+             round(stddev_samp(value), 6) AS s
+      FROM events GROUP BY 1, 2
+    )
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+  ) b ON e.event_type = b.event_type
+     AND date_trunc('day', e.ts) = b.day
 )
-WHERE n_prev >= 5 AND value > round(m + 2.0 * s, 6)
+WHERE n_prev >= 5 AND value > round(m_prev + 2.0 * s_prev, 6)
 GROUP BY event_type
 """,
     }

@@ -104,6 +104,67 @@ def cube_summary(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def copurchase_pairs(lineitem: DataFrame, min_support: int = 3) -> DataFrame:
+    """Frequent co-occurring item pairs with lift — market-basket
+    analysis over (order, part) baskets (engine extension; the
+    reference has no association mining).
+
+    Apriori-pruned: items below ``min_support`` are dropped BEFORE the
+    pair join (any pair at support s needs both items at >= s, so the
+    prune is lossless) — at scale this is what keeps the quadratic
+    per-basket pair expansion bounded to the frequent-item subset.
+    Remaining cost is quadratic in basket size (TPC-H baskets are
+    <= 7 lines; a production recipe caps or samples oversized baskets
+    first). Plan: distinct baskets (one shuffle), item counts +
+    lossless prune, orderkey-keyed self-join with ``p1 < p2``, pair
+    count with HAVING, two partkey-keyed joins for the item counts and
+    a broadcast 1-row basket total for lift.
+
+    Output: (p1, p2, support, lift); lift > 1 means the pair co-occurs
+    more often than independence predicts.
+    """
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    item_n = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    keep = item_n.where(F.col("n_item") >= min_support)
+    pruned = baskets.join(keep.select("l_partkey"), "l_partkey")
+    a = pruned.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p1")
+    )
+    b = pruned.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    total = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_baskets")
+    )
+    i1 = item_n.select(F.col("l_partkey").alias("__pk1"), F.col("n_item").alias("n1"))
+    i2 = item_n.select(F.col("l_partkey").alias("__pk2"), F.col("n_item").alias("n2"))
+    return (
+        pairs.join(i1, F.col("p1") == F.col("__pk1"))
+        .join(i2, F.col("p2") == F.col("__pk2"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 def pivot_status(lineitem: DataFrame) -> DataFrame:
     """Pivot linestatus into columns (explicit value list => no extra
     distinct-discovery job, required at scale)."""
@@ -518,7 +579,16 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = cube_summary(li).select(
             F.lit("cube").alias("gset"), "l_returnflag", "l_linestatus", "n", "sum_qty"
         )
-        return r.unionByName(c)
+        # r8 'copairs' leg: apriori-pruned frequent part pairs with
+        # lift, mapped into the tagged grouping-set schema
+        cp = copurchase_pairs(li).select(
+            F.lit("copairs").alias("gset"),
+            F.col("p1").cast("string").alias("l_returnflag"),
+            F.col("p2").cast("string").alias("l_linestatus"),
+            F.col("support").alias("n"),
+            F.col("lift").alias("sum_qty"),
+        )
+        return r.unionByName(c).unionByName(cp)
 
     def q_pivot(spark, sf):
         return pivot_status(spark.read.parquet(f"{sf}/lineitem.parquet"))
@@ -803,6 +873,25 @@ UNION ALL
 SELECT 'cube' AS gset, l_returnflag, l_linestatus, count(*)::BIGINT AS n,
        round(sum(l_quantity), 6) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'copairs' AS gset, CAST(pp.p1 AS VARCHAR) AS l_returnflag,
+       CAST(pp.p2 AS VARCHAR) AS l_linestatus, pp.sup::BIGINT AS n,
+       round(CAST(pp.sup AS DOUBLE) * t.nb / (i1.n_item * i2.n_item), 6) AS sum_qty
+FROM (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS sup
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+) pp
+JOIN (SELECT l_partkey, count(*) AS n_item
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      GROUP BY 1) i1 ON pp.p1 = i1.l_partkey
+JOIN (SELECT l_partkey, count(*) AS n_item
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      GROUP BY 1) i2 ON pp.p2 = i2.l_partkey
+CROSS JOIN (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS nb
+            FROM lineitem) t
 """,
         "rel_pivot": """
 SELECT l_returnflag,

@@ -685,3 +685,22 @@ def test_merge_upsert_applies_cdc_batch(spark):
     bad = spark.createDataFrame([(9, "z", "Q")], "k long, v string, op string")
     with _pytest.raises(ValueError):
         merge_upsert(base, bad, "k")
+
+
+def test_bucketed_anomalies_prev_day_baseline(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1)
+    # day 0: six calm events (the baseline); day 1: one spike + calm;
+    # day 0 itself can never flag (no previous bucket)
+    rows = [(1, d0 + dt.timedelta(hours=h), "a", 1.0 + 0.01 * h) for h in range(6)]
+    rows += [
+        (1, d0 + dt.timedelta(days=1, hours=1), "a", 50.0),   # flagged
+        (1, d0 + dt.timedelta(days=1, hours=2), "a", 1.02),   # calm
+    ]
+    # type b: only 3 baseline events -> below min_n, spike NOT flagged
+    rows += [(2, d0 + dt.timedelta(hours=h), "b", 1.0) for h in range(3)]
+    rows.append((2, d0 + dt.timedelta(days=1), "b", 99.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {r["event_type"]: r["n_anomalies"] for r in EV.bucketed_anomalies(df).collect()}
+    assert out == {"a": 1}

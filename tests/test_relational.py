@@ -93,3 +93,20 @@ def test_scd2_null_vs_empty_attr_hash_apart(spark):
     kinds = {(r.is_current, r.seg) for r in rows.collect()}
     # NULL -> '' must register as a CHANGE, not a stable row
     assert kinds == {(False, None), (True, "")}
+
+
+def test_copurchase_pairs_hand_computed(spark):
+    # baskets: {A,B,C}, {A,B}, {A,B}, {C}, {A} -> pair (A,B) support 3;
+    # (A,C) and (B,C) support 1 (below min_support)
+    rows = []
+    for ok, parts in [(1, [10, 20, 30]), (2, [10, 20]), (3, [10, 20]), (4, [30]), (5, [10])]:
+        rows += [(ok, p) for p in parts]
+    # duplicate line within a basket must not inflate support
+    rows.append((2, 10))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = REL.copurchase_pairs(li, min_support=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p1"], r["p2"], r["support"]) == (10, 20, 3)
+    # lift = sup * N / (n_10 * n_20) = 3 * 5 / (4 * 3)
+    assert r["lift"] == round(3 * 5 / (4 * 3), 6)
