@@ -113,7 +113,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 def q_harmonize_union(spark: SparkSession, sf: str) -> DataFrame:
-    return H.harmonize(_messy_sources(spark, sf))
+    out = H.harmonize(_messy_sources(spark, sf))
+    # r8 '__schema_match' leg: column-correspondence suggestions
+    # between the RAW customer/supplier schemas (name similarity +
+    # type family + distinct-value-overlap jaccard), mapped into the
+    # harmonized schema — n_common/n_a/n_b ride the key slots, the
+    # combined score rides acct_bal.
+    sm = H.schema_match(
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+    ).select(
+        F.col("n_common").alias("cust_key"),
+        F.concat_ws("->", "col_a", "col_b").alias("name"),
+        F.col("n_a").cast("int").alias("nation_key"),
+        F.col("score").alias("acct_bal"),
+        F.lit("__schema_match").alias("mktsegment"),
+        F.col("n_b").alias("supp_key"),
+    )
+    return out.unionByName(sm)
 
 
 def q_clean_coerce(spark: SparkSession, sf: str) -> DataFrame:
@@ -1070,6 +1087,72 @@ SELECT '__drift', 'tvd:-1', round(sum(abs(p - q)) / 2.0, 6) FROM pq
     return cte + "\nUNION ALL\n".join(parts) + "\nUNION ALL\n" + drift
 
 
+def _schema_match_oracle() -> str:
+    """The '__schema_match' legs: VALUES literals for the
+    (pair, name_sim) metadata come from the SAME python helper the
+    engine uses (full-precision repr round-trips identically), the
+    value-overlap counts from the same unpivot+join the engine runs."""
+    from data_integration_and_harmonization_spark.operators.harmonize import (
+        name_similarity,
+    )
+
+    cust = [
+        ("c_custkey", "num", "CAST(c_custkey AS VARCHAR)"),
+        ("c_nationkey", "num", "CAST(c_nationkey AS VARCHAR)"),
+        ("c_acctbal", "num", None),
+        ("c_name", "str", "c_name"),
+        ("c_mktsegment", "str", "c_mktsegment"),
+    ]
+    supp = [
+        ("s_suppkey", "num", "CAST(s_suppkey AS VARCHAR)"),
+        ("s_nationkey", "num", "CAST(s_nationkey AS VARCHAR)"),
+        ("s_acctbal", "num", None),
+        ("s_name", "str", "s_name"),
+    ]
+    va = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_a, {e} AS v FROM customer"
+        for c, _, e in cust
+        if e
+    )
+    vb = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_b, {e} AS v FROM supplier"
+        for c, _, e in supp
+        if e
+    )
+    vals = ", ".join(
+        f"('{ca}', '{cb}', CAST({name_similarity(ca, cb)!r} AS DOUBLE))"
+        for ca, fa, _ in cust
+        for cb, fb, _ in supp
+        if fa == fb
+    )
+    return f"""
+SELECT p.n_common AS cust_key, p.col_a || '->' || p.col_b AS name,
+       CAST(p.n_a AS INTEGER) AS nation_key,
+       round(0.6 * coalesce(p.jac, 0.0) + 0.4 * p.name_sim, 6) AS acct_bal,
+       '__schema_match' AS mktsegment, p.n_b AS supp_key
+FROM (
+  SELECT pr.col_a, pr.col_b, pr.name_sim, na.n_a, nb.n_b,
+         coalesce(i.n_common, 0)::BIGINT AS n_common,
+         CASE WHEN na.n_a IS NOT NULL AND nb.n_b IS NOT NULL
+              THEN CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                   / (na.n_a + nb.n_b - coalesce(i.n_common, 0))
+         END AS jac
+  FROM (VALUES {vals}) pr(col_a, col_b, name_sim)
+  LEFT JOIN (SELECT col_a, count(*)::BIGINT AS n_a
+             FROM (SELECT DISTINCT col_a, v FROM ({va}) WHERE v IS NOT NULL)
+             GROUP BY 1) na USING (col_a)
+  LEFT JOIN (SELECT col_b, count(*)::BIGINT AS n_b
+             FROM (SELECT DISTINCT col_b, v FROM ({vb}) WHERE v IS NOT NULL)
+             GROUP BY 1) nb USING (col_b)
+  LEFT JOIN (SELECT col_a, col_b, count(*)::BIGINT AS n_common
+             FROM (SELECT DISTINCT col_a, v FROM ({va}) WHERE v IS NOT NULL) x
+             JOIN (SELECT DISTINCT col_b, v FROM ({vb}) WHERE v IS NOT NULL) y
+               USING (v)
+             GROUP BY 1, 2) i USING (col_a, col_b)
+) p
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     o = {
         "harmonize_union": """
@@ -1081,7 +1164,9 @@ UNION ALL
 SELECT CAST(NULL AS BIGINT), s_name, s_nationkey, s_acctbal,
        CAST(NULL AS VARCHAR), s_suppkey
 FROM supplier
-""",
+UNION ALL
+"""
+        + _schema_match_oracle(),
         "clean_coerce": """
 SELECT l_orderkey, l_linenumber,
   CASE WHEN l_linenumber = 1 THEN NULL

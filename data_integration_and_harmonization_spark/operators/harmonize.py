@@ -139,3 +139,158 @@ def harmonize(
             num_partitions=index_partitions,
         ).drop("_row_in_source")
     return out
+
+
+# ---------------------------------------------------------------- matching
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _type_family(dt: T.DataType) -> str:
+    if isinstance(dt, _INT_TYPES) or isinstance(dt, _FLOAT_TYPES):
+        return "numeric"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    return "other"
+
+
+def strip_prefix(name: str) -> str:
+    """Drop a leading 1-2 letter underscore prefix (TPC-H style
+    ``c_``/``ps_``) from a normalized column name."""
+    import re
+
+    return re.sub(r"^[a-z]{1,2}_", "", name)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance — integer-exact, so the engine and any
+    SQL oracle (``levenshtein()``) agree bit-for-bit on the derived
+    similarity doubles."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def name_similarity(a: str, b: str) -> float:
+    """1 - lev/max_len over prefix-stripped normalized names."""
+    sa, sb = strip_prefix(normalize_name(a)), strip_prefix(normalize_name(b))
+    if not sa and not sb:
+        return 1.0
+    return 1.0 - levenshtein(sa, sb) / float(max(len(sa), len(sb)))
+
+
+def _canon_expr(col: str, dt: T.DataType) -> F.Column | None:
+    """Engine-portable canonical string rendering for value-overlap:
+    integers and dates render identically in Spark and ANSI SQL
+    engines; strings are themselves. Floats/decimals/timestamps are
+    EXCLUDED — their string formats are engine-specific ('12.0' vs
+    '12'), so overlap for those pairs reports null and the match
+    score falls back to name+type evidence."""
+    if isinstance(dt, _INT_TYPES):
+        return F.col(col).cast("long").cast("string")
+    if isinstance(dt, T.StringType):
+        return F.col(col)
+    if isinstance(dt, T.DateType):
+        return F.col(col).cast("string")
+    return None
+
+
+def _canon_values(df: DataFrame, side: str) -> DataFrame:
+    entries = []
+    for f in df.schema.fields:
+        e = _canon_expr(f.name, f.dataType)
+        if e is not None:
+            entries.append(
+                F.struct(F.lit(f.name).alias(side), e.alias("v"))
+            )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select(f"e.{side}", "e.v")
+        .where(F.col("v").isNotNull())
+        .distinct()
+    )
+
+
+def schema_match(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Schema-matching suggestions between two sources — the
+    column-correspondence half of data integration (the reference
+    harmonizes by EXACT normalized name only, ref:22; this proposes
+    the pairings a human would otherwise hand-write).
+
+    Evidence per candidate pair (same type family only):
+
+    - ``name_sim``: 1 - levenshtein/max_len over prefix-stripped
+      normalized names (schema metadata, computed driver-side —
+      bounded by ncols^2, never touches data);
+    - ``jaccard``: distinct-value overlap |A∩B| / |A∪B| via ONE
+      unpivot per table (explode to (col, canonical_value), distinct)
+      and ONE value-keyed join that scores ALL column pairs at once —
+      no per-pair jobs, which is what keeps wide schemas cheap at
+      100 TB (cost is the two distincts + one join, not
+      O(ncols^2) scans);
+    - ``score`` = round(0.6*jaccard + 0.4*name_sim, 6).
+
+    Output: (col_a, col_b, n_a, n_b, n_common, jaccard, name_sim,
+    score) for every type-compatible pair.
+    """
+    spark = df_a.sparkSession
+    meta = []
+    for fa in df_a.schema.fields:
+        for fb in df_b.schema.fields:
+            famA, famB = _type_family(fa.dataType), _type_family(fb.dataType)
+            if famA != famB or famA == "other":
+                continue
+            meta.append(
+                (fa.name, fb.name, float(name_similarity(fa.name, fb.name)))
+            )
+    pairs = spark.createDataFrame(
+        meta, "col_a string, col_b string, name_sim double"
+    )
+    va = _canon_values(df_a, "col_a")
+    vb = _canon_values(df_b, "col_b")
+    inter = va.join(vb, "v").groupBy("col_a", "col_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    na = va.groupBy("col_a").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = vb.groupBy("col_b").agg(F.count(F.lit(1)).alias("n_b"))
+    out = (
+        pairs.join(na, "col_a", "left")
+        .join(nb, "col_b", "left")
+        .join(inter, ["col_a", "col_b"], "left")
+    )
+    jac = F.when(
+        F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))),
+    )
+    return out.select(
+        "col_a",
+        "col_b",
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round("name_sim", 6).alias("name_sim"),
+        F.round(
+            0.6 * F.coalesce(jac, F.lit(0.0)) + 0.4 * F.col("name_sim"), 6
+        ).alias("score"),
+    )

@@ -62,3 +62,40 @@ def test_type_promotion_decimal_pairs():
     assert H._promote(T.DoubleType(), T.DecimalType(10, 0)) == T.DoubleType()
     # same decimal on both sides stays itself
     assert H._promote(T.DecimalType(12, 2), T.DecimalType(12, 2)) == T.DecimalType(12, 2)
+
+
+def test_schema_match_evidence(spark):
+    from data_integration_and_harmonization_spark.operators.harmonize import (
+        levenshtein,
+        name_similarity,
+        schema_match,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", 2.5), (3, "z", 3.5)],
+        "c_key long, c_tag string, c_bal double",
+    )
+    b = spark.createDataFrame(
+        [(2, "y"), (3, "q"), (4, "r")], "s_key long, s_tag string"
+    )
+    out = {(r["col_a"], r["col_b"]): r for r in schema_match(a, b).collect()}
+    # numeric x numeric and string x string pairs only
+    assert set(out) == {
+        ("c_key", "s_key"), ("c_bal", "s_key"), ("c_tag", "s_tag")
+    }
+    k = out[("c_key", "s_key")]
+    # values {1,2,3} vs {2,3,4}: |∩|=2, |∪|=4
+    assert (k["n_a"], k["n_b"], k["n_common"]) == (3, 3, 2)
+    assert k["jaccard"] == 0.5
+    assert k["name_sim"] == 1.0  # prefix-stripped names both 'key'
+    assert k["score"] == round(0.6 * 0.5 + 0.4 * 1.0, 6)
+    # float column: no canonical rendering -> null overlap evidence,
+    # score falls back to name similarity alone
+    bal = out[("c_bal", "s_key")]
+    assert bal["n_a"] is None and bal["jaccard"] is None
+    assert bal["score"] == round(0.4 * name_similarity("c_bal", "s_key"), 6)
+    t = out[("c_tag", "s_tag")]
+    assert (t["n_common"], t["jaccard"]) == (1, round(1 / 5, 6))
+    # helper sanity
+    assert levenshtein("kitten", "sitting") == 3
+    assert name_similarity("Nation Key", "s_nation_key") == 1.0
