@@ -249,7 +249,8 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
     and MinMaxScaler parity columns — three fit passes, each a
     bounded scalar aggregate broadcast into one narrow projection."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag",
     )
     # ONE fit pass for all three scaler families (the separate
     # *_fit helpers each scan once; at bench this tripled the scan +
@@ -300,7 +301,13 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
             (F.col(c).cast("double") - F.lit(center)) / F.lit(denom), 6
         ).alias(alias)
 
-    return li.select(
+    # r8 'te_flag' column: smoothed leave-one-out target encoding of
+    # l_returnflag against l_quantity (two bounded fits broadcast into
+    # the same projection — see features.target_encode)
+    enc = FE.target_encode(
+        li, "l_returnflag", "l_quantity", smoothing=10.0, out_col="__te"
+    )
+    return enc.select(
         "l_orderkey",
         "l_linenumber",
         sc(zs, "l_quantity", "z_qty"),
@@ -310,6 +317,7 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
         sc(rs, "l_extendedprice", "r_price"),
         sc(ms, "l_quantity", "m_qty"),
         sc(ms, "l_extendedprice", "m_price"),
+        F.round("__te", 6).alias("te_flag"),
     )
 
 
@@ -1253,8 +1261,12 @@ WITH s AS (
          quantile_cont(l_extendedprice, 0.5) AS medp,
          quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS iqrp,
          min(l_quantity) AS mnq, max(l_quantity) - min(l_quantity) AS rngq,
-         min(l_extendedprice) AS mnp, max(l_extendedprice) - min(l_extendedprice) AS rngp
+         min(l_extendedprice) AS mnp, max(l_extendedprice) - min(l_extendedprice) AS rngp,
+         sum(l_quantity) / count(l_quantity) AS prior
   FROM lineitem
+), c AS (
+  SELECT l_returnflag AS f, sum(l_quantity) AS sc_, count(l_quantity) AS nc
+  FROM lineitem GROUP BY 1
 )
 SELECT l_orderkey, l_linenumber,
   round((l_quantity - mq) / (CASE WHEN sq > 0 THEN sq ELSE 1 END), 6) AS z_qty,
@@ -1263,8 +1275,12 @@ SELECT l_orderkey, l_linenumber,
   round((l_quantity - medq) / (CASE WHEN iqrq > 0 THEN iqrq ELSE 1 END), 6) AS r_qty,
   round((l_extendedprice - medp) / (CASE WHEN iqrp > 0 THEN iqrp ELSE 1 END), 6) AS r_price,
   round((l_quantity - mnq) / (CASE WHEN rngq > 0 THEN rngq ELSE 1 END), 6) AS m_qty,
-  round((l_extendedprice - mnp) / (CASE WHEN rngp > 0 THEN rngp ELSE 1 END), 6) AS m_price
-FROM lineitem, s
+  round((l_extendedprice - mnp) / (CASE WHEN rngp > 0 THEN rngp ELSE 1 END), 6) AS m_price,
+  round(CASE WHEN l_quantity IS NULL
+             THEN (sc_ + 10.0 * prior) / (nc + 10.0)
+             ELSE (sc_ - l_quantity + 10.0 * prior) / (nc - 1 + 10.0)
+        END, 6) AS te_flag
+FROM lineitem JOIN c ON lineitem.l_returnflag = c.f, s
 """,
         "feat_label_encode": """
 SELECT 'map' AS kind, value AS key, (row_number() OVER (ORDER BY value) - 1)::BIGINT AS code

@@ -232,3 +232,66 @@ def preprocess_data(df: DataFrame) -> tuple[DataFrame, dict[str, DataFrame]]:
     """The full ref:36-52 pipeline: scale numerics, encode strings."""
     scaled = zscore(df)
     return label_encode(scaled)
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    out_col: str | None = None,
+    loo: bool = True,
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column (engine
+    extension — the supervised encoder for high-cardinality
+    categories, where F2's ordinal codes carry no signal):
+
+        enc = (sum_cat [- own y] + smoothing * prior) /
+              (n_cat   [- 1]     + smoothing)
+
+    ``loo=True`` (default) excludes the row's own target —
+    leave-one-out, the standard leakage guard when encoding the
+    training table itself; rows with a null target use the plain
+    smoothed mean. ``prior`` is the global target mean, pulling rare
+    categories toward it.
+
+    Plan: one map-side-combinable groupBy for the per-category
+    (sum, count), one 1-row global agg, both broadcast back into a
+    single narrow projection — two bounded fits + zero extra
+    shuffles on the main table at any scale. Sums of integral
+    targets stay exact in doubles (< 2^53), so any engine
+    reproduces the encoding bit-for-bit.
+    """
+    t = F.col(target_col).cast("double")
+    g = df.groupBy(F.col(cat_col).alias("__te_cat")).agg(
+        F.sum(t).alias("__te_s"), F.count(t).alias("__te_n")
+    )
+    glob = df.agg((F.sum(t) / F.count(t)).alias("__te_prior"))
+    # null-safe key: a NULL category is its own group (mirrors the
+    # groupBy), not an unmatched row silently falling to the prior
+    j = (
+        df.join(
+            F.broadcast(g),
+            F.col(cat_col).eqNullSafe(F.col("__te_cat")),
+            "left",
+        )
+        .drop("__te_cat")
+        .crossJoin(F.broadcast(glob))
+    )
+    m = F.lit(float(smoothing))
+    prior = F.col("__te_prior")
+    plain = (F.col("__te_s") + m * prior) / (F.col("__te_n") + m)
+    if loo:
+        enc = F.when(
+            t.isNull() | F.col("__te_s").isNull(), plain
+        ).otherwise(
+            (F.col("__te_s") - t + m * prior) / (F.col("__te_n") - 1 + m)
+        )
+    else:
+        enc = plain
+    # a category entirely absent from the fit (all-null targets) or a
+    # null category falls back to the prior
+    enc = F.coalesce(enc, prior)
+    return j.withColumn(out_col or f"{cat_col}_te", enc).drop(
+        "__te_s", "__te_n", "__te_prior"
+    )

@@ -118,3 +118,30 @@ def test_drift_report_hand_computed(spark):
     # identical snapshots -> all three metrics exactly 0
     same = {(r["kind"], r["bucket"]): r["value"] for r in drift_report(a, a, "x", bins=4).collect()}
     assert same[("psi", -1)] == 0.0 and same[("ks", -1)] == 0.0 and same[("tvd", -1)] == 0.0
+
+
+def test_target_encode_loo_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), (None, 5.0), ("c", None)],
+        "cat string, y double",
+    )
+    out = {
+        (r["cat"], r["y"]): r["enc"]
+        for r in FE.target_encode(df, "cat", "y", smoothing=2.0, out_col="enc").collect()
+    }
+    prior = (1 + 2 + 3 + 10 + 5) / 5.0
+    # LOO for 'a' row y=1: (6 - 1 + 2*prior) / (3 - 1 + 2)
+    assert out[("a", 1.0)] == (6 - 1 + 2 * prior) / 4
+    assert out[("a", 3.0)] == (6 - 3 + 2 * prior) / 4
+    # singleton category: LOO leaves only the prior smoothing mass
+    assert out[("b", 10.0)] == (10 - 10 + 2 * prior) / (1 - 1 + 2)
+    # null target -> plain smoothed mean of its category (count skips null)
+    assert out[("c", None)] == (0 + 2 * prior) / (0 + 2)
+    # null category row: grouped with the NULL key -> its own stats
+    assert out[(None, 5.0)] == (5 - 5 + 2 * prior) / (1 - 1 + 2)
+    # loo=False: plain smoothed mean everywhere
+    plain = {
+        (r["cat"], r["y"]): r["enc"]
+        for r in FE.target_encode(df, "cat", "y", smoothing=2.0, out_col="enc", loo=False).collect()
+    }
+    assert plain[("a", 1.0)] == (6 + 2 * prior) / 5
