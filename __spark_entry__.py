@@ -220,7 +220,34 @@ def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
         "top",
         "freq",
     )
-    return num.unionByName(obj)
+    # r8 'dq' legs: Deequ-style declarative validation — four rule
+    # families in ONE agg pass over orders plus the referential-
+    # integrity anti-join, mapped into the describe schema
+    # (count=n_checked, n_unique=n_violations, mean=violation_rate,
+    # freq=ok).
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    rules = P.dq_report(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("unique", "o_orderkey"),
+            ("in_range", "o_totalprice", 0.0, 1e9),
+            ("accepted", "o_orderstatus", ["O", "F", "P"]),
+        ],
+    ).unionByName(
+        P.dq_ref_integrity(orders, "o_custkey", cust, "c_custkey")
+    )
+    dq = rules.select(
+        F.lit("dq").alias("kind"),
+        F.col("rule").alias("col_name"),
+        F.col("n_checked").alias("count"),
+        F.col("violation_rate").alias("mean"),
+        *[F.lit(None).cast("double").alias(c) for c in stats[1:]],
+        F.col("n_violations").alias("n_unique"),
+        F.col("col_name").alias("top"),
+        F.col("ok").alias("freq"),
+    )
+    return num.unionByName(obj).unionByName(dq)
 
 
 def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
@@ -1039,6 +1066,47 @@ FROM (
   )
 )"""
         )
+    # 'dq' legs — same rule arithmetic as profile.dq_report /
+    # dq_ref_integrity, one scalar subquery block per rule
+    dq_rules = [
+        ("not_null:o_custkey", "o_custkey",
+         "count(*)", "count(CASE WHEN o_custkey IS NULL THEN 1 END)"),
+        ("unique:o_orderkey", "o_orderkey",
+         "count(o_orderkey)", "count(o_orderkey) - count(DISTINCT o_orderkey)"),
+        ("in_range:o_totalprice", "o_totalprice",
+         "count(o_totalprice)",
+         "count(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1e9 THEN 1 END)"),
+        ("accepted:o_orderstatus", "o_orderstatus",
+         "count(o_orderstatus)",
+         "count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)"),
+    ]
+    for rule, col, checked, viol in dq_rules:
+        parts.append(
+            f"""SELECT 'dq' AS kind, '{rule}' AS col_name,
+  c AS count, round(v / (CASE WHEN c > 0 THEN c ELSE 1 END), 6) AS mean,
+  CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS min,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS max,
+  v AS n_unique, '{col}' AS top,
+  (CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS freq
+FROM (SELECT {checked}::BIGINT AS c, {viol}::BIGINT AS v FROM orders)"""
+        )
+    parts.append(
+        """SELECT 'dq' AS kind, 'ref_integrity:o_custkey' AS col_name,
+  c AS count, round(v / (CASE WHEN c > 0 THEN c ELSE 1 END), 6) AS mean,
+  CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS min,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS max,
+  v AS n_unique, 'o_custkey' AS top,
+  (CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS freq
+FROM (
+  SELECT count(*)::BIGINT AS c,
+         count(CASE WHEN c_custkey IS NULL THEN 1 END)::BIGINT AS v
+  FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) cc
+    ON o.o_custkey = cc.c_custkey
+)"""
+    )
     return "\nUNION ALL\n".join(parts)
 
 

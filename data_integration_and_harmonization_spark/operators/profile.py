@@ -256,3 +256,102 @@ def drift_report(
             ).alias("e")
         ).select("e.kind", "e.bucket", "e.value")
     )
+
+
+def dq_report(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
+    """Declarative data-quality checks (engine extension — the
+    Deequ/dbt-test family: the validation gate an integration pipeline
+    runs before publishing a harmonized table).
+
+    ``rules`` is a list of specs:
+
+    - ``("not_null", col)`` — null count violates;
+    - ``("unique", col)`` — duplicate-occurrence count violates
+      (rows with a null key are not checked, matching ANSI
+      ``count(DISTINCT ...)``);
+    - ``("in_range", col, lo, hi)`` — non-null values outside
+      [lo, hi] violate;
+    - ``("accepted", col, values)`` — non-null values outside the
+      accepted set violate.
+
+    ALL rules compile into ONE map-side-combinable aggregate pass
+    (conditional counts + count-distincts), exploded into one row per
+    rule — adding a rule never adds a scan. Output: (rule, col_name,
+    n_checked, n_violations, violation_rate, ok).
+    """
+    aggs = []
+    metas = []
+    for i, spec in enumerate(rules):
+        kind, col = spec[0], spec[1]
+        c = F.col(col)
+        if kind == "not_null":
+            checked = F.count(F.lit(1))
+            viol = F.count(F.when(c.isNull(), 1))
+        elif kind == "unique":
+            checked = F.count(c)
+            viol = F.count(c) - F.countDistinct(c)
+        elif kind == "in_range":
+            lo, hi = spec[2], spec[3]
+            checked = F.count(c)
+            viol = F.count(F.when((c < F.lit(lo)) | (c > F.lit(hi)), 1))
+        elif kind == "accepted":
+            vals = list(spec[2])
+            checked = F.count(c)
+            viol = F.count(F.when(~c.isin(vals), 1))
+        else:
+            raise ValueError(f"unknown dq rule kind: {kind}")
+        aggs.append(checked.cast("long").alias(f"__c{i}"))
+        aggs.append(viol.cast("long").alias(f"__v{i}"))
+        metas.append((f"{kind}:{col}", col))
+    row = df.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.lit(col).alias("col_name"),
+                        F.col(f"__c{i}").alias("n_checked"),
+                        F.col(f"__v{i}").alias("n_violations"),
+                        F.round(
+                            F.col(f"__v{i}")
+                            / F.when(F.col(f"__c{i}") > 0, F.col(f"__c{i}")).otherwise(F.lit(1)),
+                            6,
+                        ).alias("violation_rate"),
+                        (F.col(f"__v{i}") == 0).cast("long").alias("ok"),
+                    )
+                    for i, (name, col) in enumerate(metas)
+                ]
+            )
+        ).alias("e")
+    ).select("e.*")
+
+
+def dq_ref_integrity(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str
+) -> DataFrame:
+    """Referential-integrity check: non-null foreign-key values with
+    no match in the parent key set. One left-anti join against the
+    DISTINCT parent keys (broadcast when small, shuffle otherwise —
+    Catalyst/AQE decides), then a bounded global count. Same output
+    shape as :func:`dq_report` rows."""
+    orphans = (
+        child.select(F.col(fk)).where(F.col(fk).isNotNull())
+        .join(
+            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+        )
+    )
+    tot = child.select(F.col(fk)).where(F.col(fk).isNotNull())
+    stats = orphans.agg(F.count(F.lit(1)).alias("__v")).crossJoin(
+        F.broadcast(tot.agg(F.count(F.lit(1)).alias("__c")))
+    )
+    return stats.select(
+        F.lit(f"ref_integrity:{fk}").alias("rule"),
+        F.lit(fk).alias("col_name"),
+        F.col("__c").cast("long").alias("n_checked"),
+        F.col("__v").cast("long").alias("n_violations"),
+        F.round(
+            F.col("__v") / F.when(F.col("__c") > 0, F.col("__c")).otherwise(F.lit(1)), 6
+        ).alias("violation_rate"),
+        (F.col("__v") == 0).cast("long").alias("ok"),
+    )

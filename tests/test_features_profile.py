@@ -145,3 +145,43 @@ def test_target_encode_loo_hand_computed(spark):
         for r in FE.target_encode(df, "cat", "y", smoothing=2.0, out_col="enc", loo=False).collect()
     }
     assert plain[("a", 1.0)] == (6 + 2 * prior) / 5
+
+
+def test_dq_report_rules(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 5.0), (2, "F", -1.0), (2, "X", 50.0), (None, "O", None)],
+        "k long, st string, amt double",
+    )
+    out = {
+        r["rule"]: r
+        for r in P.dq_report(
+            df,
+            [
+                ("not_null", "k"),
+                ("unique", "k"),
+                ("in_range", "amt", 0.0, 10.0),
+                ("accepted", "st", ["O", "F"]),
+            ],
+        ).collect()
+    }
+    nn = out["not_null:k"]
+    assert (nn["n_checked"], nn["n_violations"], nn["ok"]) == (4, 1, 0)
+    uq = out["unique:k"]  # non-null keys {1,2,2}: 3 checked, 1 dup
+    assert (uq["n_checked"], uq["n_violations"], uq["ok"]) == (3, 1, 0)
+    rg = out["in_range:amt"]  # {5,-1,50}: two outside [0,10]; null skipped
+    assert (rg["n_checked"], rg["n_violations"]) == (3, 2)
+    assert rg["violation_rate"] == round(2 / 3, 6)
+    ac = out["accepted:st"]
+    assert (ac["n_checked"], ac["n_violations"], ac["ok"]) == (4, 1, 0)
+
+
+def test_dq_ref_integrity(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = P.dq_ref_integrity(child, "fk", parent, "pk").collect()[0]
+    # null fk not checked; 9 is the one orphan
+    assert (r["n_checked"], r["n_violations"], r["ok"]) == (3, 1, 0)
+    clean = P.dq_ref_integrity(
+        child.where("fk < 3"), "fk", parent, "pk"
+    ).collect()[0]
+    assert (clean["n_violations"], clean["ok"]) == (0, 1)
