@@ -704,3 +704,22 @@ def test_bucketed_anomalies_prev_day_baseline(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
     out = {r["event_type"]: r["n_anomalies"] for r in EV.bucketed_anomalies(df).collect()}
     assert out == {"a": 1}
+
+
+def test_daily_uniques_rollup_sketch_merges(spark):
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1)
+    # 200 users spread over 4 days with heavy cross-day overlap: the
+    # union-merged estimate must track the exact global distinct, not
+    # the sum of dailies (which would be ~2x)
+    rows = [
+        (u, d0 + dt.timedelta(days=d, hours=u % 12), "view", 0.0)
+        for d in range(4)
+        for u in range(d * 30, d * 30 + 110)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    r = EV.daily_uniques_rollup(df).collect()[0]
+    assert r["exact"] == 200
+    assert r["ok"] == 1
+    assert abs(r["est"] - 200) <= 10
