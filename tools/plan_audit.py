@@ -64,6 +64,15 @@ ALLOWED = {
     # 'funnel' leg: the per-step reach counts are a global no-groupBy
     # aggregate over per-user rows — one partial row per task, bounded
     "events_windows": {"Exchange SinglePartition"},
+    # 'hll_rollup' leg: the union-merge of ~days fixed-size HLL
+    # sketches and the exact-distinct final merge are both global
+    # aggregates — one bounded partial per upstream task
+    "events_sessions_props": {"Exchange SinglePartition"},
+    # target_encode's global-prior fit: 1-row aggregate, bounded
+    "feat_zscore": {"Exchange SinglePartition"},
+    # 'copairs' basket-total fit: global distinct-count final merge —
+    # one partial row per upstream task, bounded
+    "rel_grouping_sets": {"Exchange SinglePartition"},
 }
 
 
