@@ -53,6 +53,14 @@ OPERATORS = {
     "rel_semi_anti_join": "membership family + SCD2 history build",
     "src_roundtrip": "multi-format roundtrip + partitioned + zorder sinks",
     "rel_distinct_agg": "exact distincts + HLL/KLL/HH/CMS/bloom verdicts",
+    # late-r8 analytics additions
+    "events_windows": "tumbling/sliding + resample-ffill + funnel + cohort",
+    "events_sessions_props": "sessions/props + rolling windows + anomalies + HLL rollup",
+    "corr_matrix": "corr pairs + PSI/KS/TVD drift report",
+    "describe_all": "describe(all) + dq rule engine",
+    "harmonize_union": "typed union + schema_match suggestions",
+    "rel_grouping_sets": "rollup/cube + apriori co-purchase pairs",
+    "emb_pool_quantize": "pool/quantize/truncate + JL projection",
 }
 
 
