@@ -18,7 +18,7 @@ the dims (verified via explain) and AQE handles skew at scale.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -175,6 +175,24 @@ def pivot_status(lineitem: DataFrame) -> DataFrame:
         .withColumnRenamed("O", "qty_open")
         .withColumnRenamed("F", "qty_filled")
     )
+
+
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide-to-long unpivot (pandas ``melt``) via Spark's native
+    :meth:`DataFrame.unpivot` — an Expand node: each input row fans out
+    to ``len(value_cols)`` output rows JVM-side inside whole-stage
+    codegen, no shuffle, no UDF, so the op is a narrow map however wide
+    the input. Null measure values are RETAINED (pandas-melt
+    semantics, unlike SQL ``UNPIVOT``'s default null-drop), which makes
+    ``melt(pivot(x))`` lossless — the property the ``rel_pivot``
+    roundtrip leg asserts."""
+    return df.unpivot(list(id_cols), list(value_cols), var_name, value_name)
 
 
 def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
@@ -591,7 +609,26 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.unionByName(c).unionByName(cp)
 
     def q_pivot(spark, sf):
-        return pivot_status(spark.read.parquet(f"{sf}/lineitem.parquet"))
+        # pivot + melt roundtrip: the wide pivot is melted back to long
+        # with the native unpivot and compared (null-safe) against the
+        # direct long-form aggregate; `melt_ok` certifies the roundtrip
+        # is lossless per flag. Quantities are integral-valued, so the
+        # two differently-ordered double sums are bit-exact.
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        wide = pivot_status(li)
+        long = melt(wide, ["l_returnflag"], ["qty_open", "qty_filled"], "status", "qty")
+        direct = li.groupBy(
+            "l_returnflag",
+            F.when(F.col("l_linestatus") == "O", F.lit("qty_open"))
+            .otherwise(F.lit("qty_filled"))
+            .alias("status"),
+        ).agg(F.round(F.sum("l_quantity"), 6).alias("qty_d"))
+        agree = (
+            long.join(direct, ["l_returnflag", "status"], "full_outer")
+            .groupBy("l_returnflag")
+            .agg(F.min(F.col("qty").eqNullSafe(F.col("qty_d"))).alias("melt_ok"))
+        )
+        return wide.join(agree, "l_returnflag")
 
     def q_semi_anti(spark, sf):
         # the set-membership family in one tagged result: left-semi +
@@ -894,10 +931,27 @@ CROSS JOIN (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS nb
             FROM lineitem) t
 """,
         "rel_pivot": """
-SELECT l_returnflag,
-  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_open,
-  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_filled
-FROM lineitem GROUP BY l_returnflag
+WITH wide AS (
+  SELECT l_returnflag,
+    round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_open,
+    round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_filled
+  FROM lineitem GROUP BY l_returnflag
+), longf AS (
+  SELECT l_returnflag, 'qty_open' AS status, qty_open AS qty FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'qty_filled' AS status, qty_filled AS qty FROM wide
+), direct AS (
+  SELECT l_returnflag,
+         CASE WHEN l_linestatus = 'O' THEN 'qty_open' ELSE 'qty_filled' END AS status,
+         round(sum(l_quantity), 6) AS qty_d
+  FROM lineitem GROUP BY 1, 2
+), agree AS (
+  SELECT l_returnflag, bool_and(qty IS NOT DISTINCT FROM qty_d) AS melt_ok
+  FROM longf FULL OUTER JOIN direct USING (l_returnflag, status)
+  GROUP BY 1
+)
+SELECT w.l_returnflag, w.qty_open, w.qty_filled, a.melt_ok
+FROM wide w JOIN agree a USING (l_returnflag)
 """,
         "rel_semi_anti_join": """
 SELECT 'semi' AS join_kind, c_custkey AS key, c_mktsegment AS segment FROM customer

@@ -54,6 +54,25 @@ def test_pivot_explicit_columns(spark, sf_dir):
     assert set(out.columns) == {"l_returnflag", "qty_open", "qty_filled"}
 
 
+def test_melt_retains_nulls_and_roundtrips_pivot(spark):
+    wide = spark.createDataFrame(
+        [("A", 1.0, 2.0), ("B", None, 3.0)],
+        "k string, m1 double, m2 double",
+    )
+    long = REL.melt(wide, ["k"], ["m1", "m2"], "var", "val")
+    rows = {(r["k"], r["var"]): r["val"] for r in long.collect()}
+    # pandas-melt semantics: the null measure is kept as a row
+    assert rows == {
+        ("A", "m1"): 1.0,
+        ("A", "m2"): 2.0,
+        ("B", "m1"): None,
+        ("B", "m2"): 3.0,
+    }
+    # narrow plan: no Exchange in the unpivot subtree
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_semi_anti_partition(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
