@@ -160,6 +160,56 @@ def bigram_lm_scores(
     )
 
 
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings_cap: int = 8,
+) -> DataFrame:
+    """Search-index construction: ``term -> (df, cf, postings_head)``
+    — document frequency, collection frequency, and the first
+    ``postings_cap`` doc ids of the term's posting list (ascending).
+
+    Scale shape: the (term, doc) occurrence stream is hash-aggregated
+    on the composite key with map-side combine (the ``tf`` table — the
+    index's only corpus-sized shuffle), then PERSISTED and consumed by
+    two bounded follow-ups: per-term df/cf (second grouped agg) and the
+    posting head. The head is capped *before* aggregation by a
+    ``row_number`` window over ``(term ORDER BY id)`` — the window sort
+    is spillable executor-side work, and the ``collect_list`` that
+    follows only ever sees ``postings_cap`` rows per term, so a
+    stop-word's corpus-sized posting list never materializes as
+    aggregation state (the classic skew hazard of naive
+    ``collect_list`` indexing).
+    """
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    pairs = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("term")
+    )
+    td = track(
+        pairs.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    stats = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.partitionBy("term").orderBy("id")
+    heads = (
+        td.select("term", "id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= postings_cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(heads, "term")
+
+
 # ------------------------------------------------------- query registry
 
 QUERY_TERMS = ["spark", "window", "hash", "table", "fast"]
@@ -167,11 +217,29 @@ QUERY_TERMS = ["spark", "window", "hash", "table", "fast"]
 
 def scoring_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bm25(spark, sf):
+        # two tagged legs in one frame: 'score' = the BM25 top-50
+        # (deterministic: ordered by the ROUNDED score with doc_id as
+        # the tiebreak), 'postings' = the 25 highest-df entries of the
+        # inverted index with capped posting heads. Uniform schema
+        # (leg, key, m1, m2, aux).
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        s = bm25_scores(docs, QUERY_TERMS)
-        # deterministic top-50: order by the ROUNDED score (identical
-        # in both engines) with doc_id as the tiebreak
-        return s.orderBy(F.desc("bm25"), "doc_id").limit(50)
+        s = bm25_scores(docs, QUERY_TERMS).orderBy(F.desc("bm25"), "doc_id").limit(50)
+        score_rows = s.select(
+            F.lit("score").alias("leg"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_terms_hit").cast("double").alias("m1"),
+            F.col("bm25").alias("m2"),
+            F.lit(None).cast("string").alias("aux"),
+        )
+        idx = inverted_index(docs).orderBy(F.desc("df"), "term").limit(25)
+        post_rows = idx.select(
+            F.lit("postings").alias("leg"),
+            F.col("term").alias("key"),
+            F.col("df").cast("double").alias("m1"),
+            F.col("cf").cast("double").alias("m2"),
+            F.col("postings_head").alias("aux"),
+        )
+        return score_rows.unionByName(post_rows)
 
     def q_lm(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -197,16 +265,38 @@ WITH tok AS (
   FROM tok WHERE term IN ({terms_sql}) GROUP BY 1, 2
 ), dfreq AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), scores AS (
+  SELECT id AS doc_id, count(*)::BIGINT AS n_terms_hit,
+    round(sum(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    ), 6) AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY id
+  ORDER BY bm25 DESC, doc_id
+  LIMIT 50
+), td AS (
+  SELECT term, id, count(*)::BIGINT AS itf FROM tok GROUP BY 1, 2
+), istats AS (
+  SELECT term, count(*)::BIGINT AS df, sum(itf)::BIGINT AS cf FROM td GROUP BY 1
+), heads AS (
+  SELECT term, array_to_string(list_sort(list(id)), ',') AS postings_head
+  FROM (SELECT term, id, row_number() OVER (PARTITION BY term ORDER BY id) AS rn
+        FROM td)
+  WHERE rn <= 8 GROUP BY 1
+), idx AS (
+  SELECT s.term, s.df, s.cf, h.postings_head
+  FROM istats s JOIN heads h USING (term)
+  ORDER BY s.df DESC, s.term
+  LIMIT 25
 )
-SELECT id AS doc_id, count(*)::BIGINT AS n_terms_hit,
-  round(sum(
-    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-    * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-  ), 6) AS bm25
-FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-GROUP BY id
-ORDER BY bm25 DESC, doc_id
-LIMIT 50
+SELECT 'score' AS leg, CAST(doc_id AS VARCHAR) AS key,
+       CAST(n_terms_hit AS DOUBLE) AS m1, bm25 AS m2,
+       CAST(NULL AS VARCHAR) AS aux
+FROM scores
+UNION ALL
+SELECT 'postings', term, CAST(df AS DOUBLE), CAST(cf AS DOUBLE), postings_head
+FROM idx
 """,
         "text_lm_quality": f"""
 WITH pairs AS (

@@ -17,6 +17,7 @@ from data_integration_and_harmonization_spark.operators.embeddings import (
 from data_integration_and_harmonization_spark.operators.scoring import (
     bigram_lm_scores,
     bm25_scores,
+    inverted_index,
 )
 
 
@@ -43,6 +44,21 @@ def test_bm25_hand_computed(corpus):
     expect = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
     assert out[2]["bm25"] == pytest.approx(expect, abs=1e-6)
     assert out[2]["n_terms_hit"] == 1
+
+
+def test_inverted_index_df_cf_and_capped_head(corpus):
+    idx = {r["term"]: r for r in inverted_index(corpus, postings_cap=2).collect()}
+    # 'the' occurs in docs 0 (1x) and 1 (2x): df=2, cf=3
+    assert idx["the"]["df"] == 2 and idx["the"]["cf"] == 3
+    assert idx["the"]["postings_head"] == "0,1"
+    # 'spark' in docs 0 (1x) and 2 (3x)
+    assert idx["spark"]["df"] == 2 and idx["spark"]["cf"] == 4
+    assert idx["spark"]["postings_head"] == "0,2"
+    # hapax: df=cf=1, head is the single doc
+    assert idx["unrelated"]["df"] == 1 and idx["unrelated"]["postings_head"] == "3"
+    # the cap truncates the head to the FIRST ids in ascending order
+    wide = inverted_index(corpus, postings_cap=1).collect()
+    assert {r["term"]: r["postings_head"] for r in wide}["the"] == "0"
 
 
 def test_bm25_more_hits_scores_higher(corpus):
