@@ -1,4 +1,4 @@
-"""Skew mitigation: salted joins.
+"""Skew diagnostics and mitigation: hot-key reports and salted joins.
 
 AQE's skew-join splitting (enabled in the engine session) handles most
 skew at runtime; explicit salting remains the tool when one join key
@@ -16,6 +16,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT = "__dih_salt"
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str], top_n: int = 5) -> DataFrame:
+    """Hot-key diagnostic — the report you run BEFORE choosing a
+    mitigation (salt fan-out, AQE skew thresholds, broadcast).
+
+    Output: the ``top_n`` heaviest keys, one row each, with
+    ``(key, n_rows, share, x_mean, n_groups)`` — ``share`` is the key's
+    fraction of all rows, ``x_mean`` its size relative to the mean
+    group (the top row's ``x_mean`` IS the skew factor), ``n_groups``
+    the total distinct-key count (constant across rows).
+
+    Scale shape: ONE map-side-combined grouped count over the keys (the
+    only corpus-sized work), a 1-row global summary broadcast back, and
+    a bounded top-n merge — nothing is collected, and the report cost
+    is that of a single ``groupBy(...).count()``.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").cast("double").alias("n_total"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.avg("n_rows").alias("avg_rows"),
+    )
+    return (
+        counts.orderBy(F.desc("n_rows"), "key")
+        .limit(top_n)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
+            F.round(F.col("n_rows") / F.col("avg_rows"), 6).alias("x_mean"),
+            "n_groups",
+        )
+    )
 
 
 def salted_join(

@@ -578,7 +578,33 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(F.min(agree), F.lit(1.0)).otherwise(F.lit(0.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        return base.unionByName(skew_rows).unionByName(agree_row)
+        # '__hot_*' / '__skew_summary' rows: the hot-key diagnostic
+        # report over the same synthesized key — the measurement that
+        # JUSTIFIES the salted leg (key 0 carries ~3/4 of rows; the
+        # summary's revenue column is the skew factor max/mean).
+        from data_integration_and_harmonization_spark.functions.skew import (
+            key_skew_report,
+        )
+
+        rep = key_skew_report(hot.select("hk"), ["hk"], top_n=5)
+        hot_rows = rep.select(
+            F.concat(F.lit("__hot_"), F.col("key")).alias("n_name"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.col("share").alias("revenue"),
+            F.col("n_rows").alias("n_orders"),
+        )
+        summary_row = rep.agg(
+            F.lit("__skew_summary").alias("n_name"),
+            F.max("n_groups").cast("string").alias("c_mktsegment"),
+            F.max("x_mean").alias("revenue"),
+            F.max("n_rows").alias("n_orders"),
+        )
+        return (
+            base.unionByName(skew_rows)
+            .unionByName(agree_row)
+            .unionByName(hot_rows)
+            .unionByName(summary_row)
+        )
 
     def q_topk(spark, sf):
         return top_orders_per_segment(
@@ -891,6 +917,32 @@ UNION ALL
 -- group agrees and the count is the skew join's group count
 SELECT '__salted_agree', CAST(NULL AS VARCHAR), 1.0,
        (SELECT count(*) FROM skew)::BIGINT
+UNION ALL
+-- hot-key diagnostic report over the same synthesized key: top-5
+-- heaviest keys (share of rows) + the skew-factor summary row.
+-- Tie-break on the STRINGIFIED key to match the engine's report.
+SELECT * FROM (
+  WITH counts AS (
+    SELECT (CASE WHEN o_orderkey % 4 <> 0 THEN 0 ELSE o_custkey % 25 END) AS hk,
+           count(*)::BIGINT AS n_rows
+    FROM orders GROUP BY 1
+  ), tot AS (
+    SELECT sum(n_rows)::DOUBLE AS n_total, count(*)::BIGINT AS n_groups,
+           avg(n_rows) AS avg_rows, max(n_rows)::BIGINT AS max_rows
+    FROM counts
+  ), top AS (
+    SELECT hk, n_rows FROM counts
+    ORDER BY n_rows DESC, CAST(hk AS VARCHAR) LIMIT 5
+  )
+  SELECT '__hot_' || CAST(hk AS VARCHAR) AS n_name,
+         CAST(NULL AS VARCHAR) AS c_mktsegment,
+         round(n_rows / n_total, 6) AS revenue, n_rows AS n_orders
+  FROM top CROSS JOIN tot
+  UNION ALL
+  SELECT '__skew_summary', CAST(n_groups AS VARCHAR),
+         round(max_rows / avg_rows, 6), max_rows
+  FROM tot
+)
 """,
         "rel_topk_per_segment": """
 SELECT c_mktsegment, rk::INTEGER AS rk, o_orderkey, round(o_totalprice, 6) AS o_totalprice

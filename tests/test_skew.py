@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_integration_and_harmonization_spark.functions.skew import SALT, salted_join
+from data_integration_and_harmonization_spark.functions.skew import (
+    SALT,
+    key_skew_report,
+    salted_join,
+)
 
 
 def _skewed_sides(spark, hot_rows=20_000, cold_keys=50):
@@ -39,6 +43,22 @@ def test_salted_join_matches_unsalted(spark):
     ).first()
     assert (plain["n"], plain["ks"]) == (salted["n"], salted["ks"])
     assert abs((plain["chk"] or 0) - (salted["chk"] or 0)) < 1e-6
+
+
+def test_key_skew_report_identifies_hot_key(spark):
+    big, _ = _skewed_sides(spark)  # k=0 holds 20k of 20.5k rows
+    rep = key_skew_report(big, ["k"], top_n=3).collect()
+    assert len(rep) == 3
+    top = rep[0] if rep[0]["key"] == "0" else max(rep, key=lambda r: r["n_rows"])
+    assert top["key"] == "0" and top["n_rows"] == 20_000
+    assert abs(top["share"] - 20_000 / 20_500) < 1e-6
+    # 51 groups: mean ~402 rows; the hot key's x_mean IS the skew factor
+    assert top["n_groups"] == 51
+    assert top["x_mean"] > 40
+    # cold keys each have 10 rows
+    for r in rep:
+        if r["key"] != "0":
+            assert r["n_rows"] == 10
 
 
 def test_salted_join_plan_shape(spark):
