@@ -331,8 +331,16 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
     # r8 'te_flag' column: smoothed leave-one-out target encoding of
     # l_returnflag against l_quantity (two bounded fits broadcast into
     # the same projection — see features.target_encode)
+    # 'qb_qty' column: equal-frequency decile of l_quantity — ntile
+    # semantics from a distributed global rank (range exchange +
+    # broadcast offsets), no single-task window anywhere. Runs on the
+    # narrow scan BEFORE the encode joins so the rank/count jobs see
+    # five columns, not the joined projection.
+    qb = FE.quantile_bucketize(
+        li, "l_quantity", 10, ["l_orderkey", "l_linenumber"], "qb_qty"
+    )
     enc = FE.target_encode(
-        li, "l_returnflag", "l_quantity", smoothing=10.0, out_col="__te"
+        qb, "l_returnflag", "l_quantity", smoothing=10.0, out_col="__te"
     )
     return enc.select(
         "l_orderkey",
@@ -345,6 +353,7 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
         sc(ms, "l_quantity", "m_qty"),
         sc(ms, "l_extendedprice", "m_price"),
         F.round("__te", 6).alias("te_flag"),
+        "qb_qty",
     )
 
 
@@ -362,7 +371,34 @@ def q_feat_label_encode(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_custkey").cast("string").alias("key"),
         F.col("c_mktsegment").alias("code"),
     )
-    return m.unionByName(rows)
+    # one-hot legs: the derived-vocabulary indicator matrix is
+    # verified by its column sums (kind='onehot': per-category
+    # indicator totals == group counts) and by the row-sum invariant
+    # (kind='onehot_ok': every row has exactly one hot indicator —
+    # oracle-derivable as "no null categories"). The 1-row sums frame
+    # is turned into rows with the melt operator.
+    oh, cats = FE.one_hot(cust, "c_mktsegment")
+    ind_cols = [f"c_mktsegment__{c}" for c in cats]
+    rowsum = sum([F.col(c) for c in ind_cols], F.lit(0))
+    sums = oh.agg(
+        *[F.sum(F.col(c)).cast("long").alias(c) for c in ind_cols],
+        F.min(rowsum).alias("__mn"),
+        F.max(rowsum).alias("__mx"),
+    )
+    onehot_rows = REL.melt(sums, ["__mn", "__mx"], ind_cols, "key", "code").select(
+        F.lit("onehot").alias("kind"),
+        F.regexp_replace("key", "^c_mktsegment__", "").alias("key"),
+        "code",
+    )
+    ok_row = sums.select(
+        F.lit("onehot_ok").alias("kind"),
+        F.lit("*").alias("key"),
+        F.when((F.col("__mn") == 1) & (F.col("__mx") == 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("code"),
+    )
+    return m.unionByName(rows).unionByName(onehot_rows).unionByName(ok_row)
 
 
 def _q_sql_shipping(spark: SparkSession, sf: str) -> DataFrame:
@@ -1347,7 +1383,8 @@ SELECT l_orderkey, l_linenumber,
   round(CASE WHEN l_quantity IS NULL
              THEN (sc_ + 10.0 * prior) / (nc + 10.0)
              ELSE (sc_ - l_quantity + 10.0 * prior) / (nc - 1 + 10.0)
-        END, 6) AS te_flag
+        END, 6) AS te_flag,
+  ntile(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)::INTEGER AS qb_qty
 FROM lineitem JOIN c ON lineitem.l_returnflag = c.f, s
 """,
         "feat_label_encode": """
@@ -1357,6 +1394,16 @@ UNION ALL
 SELECT 'row' AS kind, CAST(c_custkey AS VARCHAR) AS key,
        (dense_rank() OVER (ORDER BY coalesce(CAST(c_mktsegment AS VARCHAR), 'nan')) - 1)::BIGINT AS code
 FROM customer
+UNION ALL
+-- one-hot indicator column sums == per-category group counts
+SELECT 'onehot' AS kind, CAST(c_mktsegment AS VARCHAR) AS key, count(*)::BIGINT AS code
+FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 2
+UNION ALL
+-- exactly-one-hot row invariant holds iff no category is NULL
+-- (the derived vocabulary covers every non-null value by construction)
+SELECT 'onehot_ok', '*',
+       (CASE WHEN (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL) = 0
+             THEN 1 ELSE 0 END)::BIGINT
 """,
         "sql_shipping_priority": """
 SELECT l_orderkey,

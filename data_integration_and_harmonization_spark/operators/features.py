@@ -234,6 +234,93 @@ def preprocess_data(df: DataFrame) -> tuple[DataFrame, dict[str, DataFrame]]:
     return label_encode(scaled)
 
 
+def one_hot(
+    df: DataFrame,
+    col: str,
+    categories: Sequence[str] | None = None,
+    drop_input: bool = False,
+) -> tuple[DataFrame, list[str]]:
+    """One-hot encoding (pandas ``get_dummies`` / sklearn
+    ``OneHotEncoder``): one 0/1 indicator column per category, named
+    ``{col}__{category}``.
+
+    The category list is either given explicitly (the production path:
+    a frozen vocabulary survives train/serve skew) or derived from a
+    bounded distinct scan — legitimate to collect because k is by
+    definition small for a one-hot-able column; the guard raises past
+    ``max_categories`` = 64 rather than silently exploding the schema.
+    The encode itself is a narrow projection of k codegen'd indicator
+    expressions — no join, no shuffle, nulls get an all-zeros row
+    (sklearn ``handle_unknown='ignore'`` semantics).
+    """
+    if categories is None:
+        cats = [
+            r[0]
+            for r in df.select(F.col(col).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .orderBy("v")
+            .limit(65)
+            .collect()
+        ]
+        if len(cats) > 64:
+            raise ValueError(
+                f"one_hot({col!r}): more than 64 distinct categories; "
+                "pass an explicit `categories` vocabulary"
+            )
+    else:
+        cats = [str(c) for c in categories]
+    ind = [
+        F.when(F.col(col).cast("string") == F.lit(c), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias(f"{col}__{c}")
+        for c in cats
+    ]
+    keep = [c for c in df.columns if not (drop_input and c == col)]
+    return df.select(*keep, *ind), cats
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    tiebreak: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency bucketing — sklearn ``KBinsDiscretizer``
+    (strategy='quantile') / SQL ``ntile(n) OVER (ORDER BY col,
+    tiebreak)`` — WITHOUT the single-task global window ``ntile``
+    implies.
+
+    The global rank comes from :func:`with_global_index` (range
+    exchange + per-partition counts + broadcast offsets — every stage
+    parallel), and the bucket is ntile's closed-form assignment from
+    the 0-based rank r over n rows: the first ``n % k`` buckets get
+    ``n//k + 1`` rows, the rest ``n//k``. ``(col, *tiebreak)`` must be
+    a unique key, same as any deterministic ntile.
+    """
+    from data_integration_and_harmonization_spark.functions.indexing import (
+        with_global_index,
+    )
+
+    n = df.count()
+    k = int(n_buckets)
+    rank = "__dih_qb_rank"
+    idx = with_global_index(df, [col, *tiebreak], rank)
+    q, rem = divmod(n, k)
+    threshold = rem * (q + 1)
+    r = F.col(rank)
+    if q == 0:  # fewer rows than buckets: ntile gives row i bucket i+1
+        bucket = (r + 1).cast("int")
+    else:
+        bucket = (
+            F.when(r < F.lit(threshold), (r / F.lit(q + 1)).cast("int") + 1)
+            .otherwise(F.lit(rem) + ((r - F.lit(threshold)) / F.lit(q)).cast("int") + 1)
+            .cast("int")
+        )
+    return idx.withColumn(out_col or f"{col}_bucket", bucket).drop(rank)
+
+
 def target_encode(
     df: DataFrame,
     cat_col: str,

@@ -120,6 +120,44 @@ def test_drift_report_hand_computed(spark):
     assert same[("psi", -1)] == 0.0 and same[("ks", -1)] == 0.0 and same[("tvd", -1)] == 0.0
 
 
+def test_one_hot_indicator_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, None)], "k long, c string"
+    )
+    out, cats = FE.one_hot(df, "c")
+    assert cats == ["a", "b"]
+    rows = {r["k"]: (r["c__a"], r["c__b"]) for r in out.collect()}
+    assert rows == {1: (1, 0), 2: (0, 1), 3: (1, 0), 4: (0, 0)}
+    # explicit vocabulary: unknown value gets all-zeros, missing
+    # category still yields its column (train/serve schema stability)
+    out2, cats2 = FE.one_hot(df, "c", categories=["a", "z"])
+    r2 = {r["k"]: (r["c__a"], r["c__z"]) for r in out2.collect()}
+    assert cats2 == ["a", "z"]
+    assert r2[2] == (0, 0) and r2[1] == (1, 0)
+    # no shuffle in the explicit-vocabulary encode (narrow projection)
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quantile_bucketize_matches_ntile(spark):
+    rows = [(i, float((i * 37) % 17)) for i in range(23)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    for k in (3, 4, 10, 23, 40):
+        got = {
+            r["id"]: r["v_bucket"]
+            for r in FE.quantile_bucketize(df, "v", k, ["id"]).collect()
+        }
+        from pyspark.sql import Window
+
+        expect = {
+            r["id"]: r["nt"]
+            for r in df.withColumn(
+                "nt", F.ntile(k).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == expect, f"k={k}"
+
+
 def test_target_encode_loo_hand_computed(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), (None, 5.0), ("c", None)],

@@ -49,7 +49,9 @@ ALLOWED = {
     # salted-vs-unsalted comparison — one partial row per task, bounded
     "rel_revenue_by_nation": {"Exchange SinglePartition"},
     # label-map global rank runs over DISTINCT category values of one
-    # column — bounded by category cardinality, not corpus size
+    # column — bounded by category cardinality, not corpus size; the
+    # one-hot column-sum check is a 1-row global aggregate (one
+    # bounded partial per upstream task)
     "feat_label_encode": {"Exchange SinglePartition"},
     # blocking_stats' final global aggregate: the single-partition
     # merge sees one partial row per upstream task (block-size
