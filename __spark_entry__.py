@@ -636,7 +636,45 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("sum_rkey"),
         )
     )
-    return agg.unionByName(prev_row).unionByName(part_row).unionByName(z_row)
+    # '__compact' row: small-file compaction (writers.compact_files,
+    # the lakehouse OPTIMIZE primitive): a fifth lineitem slice is
+    # deliberately shattered into 48 tiny files, compacted into
+    # byte-sized-from-listing output files (shuffle-free coalesce),
+    # read back and aggregated — the oracle replays the same filter
+    # off the raw table, so a hash match proves the rewrite moved
+    # every row exactly once. sum_nkey carries the structural verdict
+    # (1 iff the file count actually shrank to the byte-budget plan);
+    # the oracle expects literal 1.
+    from data_integration_and_harmonization_spark.sources.writers import (
+        compact_files,
+    )
+
+    small_dir = base + "_li_small.parquet"
+    comp_dir = base + "_li_compact.parquet"
+    li.where(F.col("l_orderkey") % 10 == 9).select(*cols).repartition(48).write.mode(
+        "overwrite"
+    ).parquet(small_dir)
+    stats = compact_files(spark, small_dir, comp_dir, target_bytes=64 << 20)
+    comp_ok = int(
+        stats["files_after"] < stats["files_before"]
+        and stats["files_after"] <= stats["planned_files"]
+    )
+    comp_row = (
+        spark.read.parquet(comp_dir)
+        .agg(
+            F.lit("__compact").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.lit(comp_ok).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
+        )
+    )
+    return (
+        agg.unionByName(prev_row)
+        .unionByName(part_row)
+        .unionByName(z_row)
+        .unionByName(comp_row)
+    )
 
 
 def q_ml_exact_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -1331,6 +1369,14 @@ SELECT '__zorder', count(*)::BIGINT, round(sum(l_quantity), 6),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM lineitem
 WHERE l_orderkey % 10 = 7 AND l_orderkey >= 1000 AND l_orderkey < 2000
+UNION ALL
+-- compaction leg: the engine shattered this slice into 48 tiny files,
+-- compacted it (shuffle-free coalesce sized by the on-disk byte
+-- listing), and read the compacted copy back; sum_nkey carries the
+-- engine's structural verdict (1 iff the file count shrank to plan)
+SELECT '__compact', count(*)::BIGINT, round(sum(l_quantity), 6),
+       1::BIGINT, CAST(NULL AS BIGINT)
+FROM lineitem WHERE l_orderkey % 10 = 9
 """,
         "ml_exact_split": """
 WITH ranked AS (

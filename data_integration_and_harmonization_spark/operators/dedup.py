@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_integration_and_harmonization_spark.operators import graph as _graph
 from data_integration_and_harmonization_spark.operators.text import normalized, tokens
 
 # minhash: h_i(x) = (a_i * base(x) + b_i) mod p — classic affine
@@ -1098,7 +1099,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cand.unionByName(ver)
 
     def q_clusters(spark, sf):
-        """Two tagged cluster families through one hash-matched result:
+        """Three tagged graph-family legs through one hash-matched result:
 
         - kind='doc': LSH-propose -> Jaccard-verify -> connected
           components over documents (md5 family => the component
@@ -1107,8 +1108,16 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - kind='er': entity resolution over customer records —
           blocked (nation, mktsegment) Levenshtein<=1 name linkage
           resolved by the same connected-components operator, the
-          classic record-linkage pipeline (operators/linkage.py).
+          classic record-linkage pipeline (operators/linkage.py);
+        - kind='pr': 5-iteration PageRank over the co-purchase part
+          graph (operators/graph.py) — the engine's second iterative
+          graph algorithm; rank rides as parts-per-billion in
+          cluster_id, replayed node-for-node by an unrolled 5-CTE
+          oracle.
         """
+        from data_integration_and_harmonization_spark.operators.graph import (
+            pagerank_ppb_leg,
+        )
         from data_integration_and_harmonization_spark.operators.linkage import (
             resolve_entities,
         )
@@ -1126,7 +1135,8 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             block_cols=["c_nationkey", "c_mktsegment"],
             max_edit=1,
         ).select(F.lit("er").alias("kind"), "id", "cluster_id")
-        return doc_cl.unionByName(er_cl)
+        pr_leg = pagerank_ppb_leg(spark.read.parquet(f"{sf}/lineitem.parquet"))
+        return doc_cl.unionByName(er_cl).unionByName(pr_leg)
 
     def q_simhash(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -1391,11 +1401,16 @@ WHERE jaccard >= 0.5
   SELECT src, src FROM er_edges
   UNION
   SELECT e.dst, r.lbl FROM er_reach r JOIN er_edges e ON e.src = r.id
-)
+)"""
+        + _graph.pagerank_cte_fragment(min_support=2, damping=0.85, n_iter=5)
+        + """
 SELECT 'doc' AS kind, id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY id
 UNION ALL
 SELECT 'er' AS kind, id, min(lbl)::BIGINT AS cluster_id FROM er_reach GROUP BY id
-""",
+UNION ALL
+"""
+        + _graph.pagerank_ppb_leg_sql()
+        + "\n",
         "dedup_ngram_jaccard": f"""
 WITH s AS (
   SELECT doc_id AS id, lang, floor(length(text) / 100)::BIGINT AS blk,

@@ -1,0 +1,235 @@
+"""Iterative graph analytics — fixed-iteration PageRank.
+
+Engine extension: the reference (`Data_integration and
+harmonization.py`, 233 lines) has no graph operators at all (SURVEY
+§2.8 — its only multi-table op is union). A harmonization/curation
+engine at 100 TB needs at least one *iterative* distributed algorithm
+beyond connected components (`dedup.duplicate_clusters`): PageRank is
+the canonical one — used in corpus curation for source/domain
+authority weighting (e.g. the "quality weights" used by web-scale
+pretraining pipelines) and in record linkage for entity-importance
+tie-breaking.
+
+Scale design (mirrors the min-label-propagation loop in
+``dedup.duplicate_clusters``):
+
+- The edge table is built ONCE, gets its out-degree attached ONCE
+  (one groupBy + one join), is hash-partitioned by ``src`` and
+  ``localCheckpoint``-ed — every iteration reuses the SAME physical
+  partitioning (LogicalRDD preserves it), so per round only the
+  small (id, rank) frame shuffles: one exchange of O(V) rows plus
+  one groupBy of O(E) contribution rows. Nothing is collected.
+- Each round's rank frame is ``localCheckpoint``-ed (eager) to
+  truncate lineage — iterative self-referential plans grow
+  super-linearly under re-analysis otherwise (measured in the
+  connected-components loop; same fix here). Peak storage: 2 rank
+  frames + the degree-annotated edges.
+- Fixed ``n_iter`` (no convergence test) keeps the job count static
+  and — deliberately — makes the operator SQL-replayable: the DuckDB
+  oracle unrolls the same ``n_iter`` rounds as chained CTEs, so the
+  driver's value-hash check covers the whole iteration, not just the
+  plumbing.
+
+Semantics pinned by the oracle:
+
+- ranks start uniform at 1/N over the nodes of the edge table
+  (N = |distinct src ∪ dst|);
+- each round: rank'(v) = (1-d)/N + d * Σ_{(u,v)∈E} rank(u)/outdeg(u);
+- dangling nodes (outdeg 0 — possible only for directed input; the
+  symmetrized co-purchase graph has none) contribute no mass and keep
+  receiving the teleport term: their mass is dropped, ranks then sum
+  to < 1. The oracle replays exactly this choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Symmetric co-purchase edge table over (order, part) baskets.
+
+    Same apriori-pruned shape as ``relational.copurchase_pairs`` (items
+    below ``min_support`` cannot be in a pair at that support, so the
+    pre-join prune is lossless); pairs are emitted once with p1 < p2
+    and then symmetrized with one explode (NOT union(fwd, rev) — a
+    union would hold the whole upstream plan twice).
+
+    Output: (src, dst) long columns, both directions present, no
+    duplicate edges (pair keys were distinct by construction).
+    """
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    keep = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .where(F.col("n_item") >= min_support)
+        .select("l_partkey")
+    )
+    pruned = baskets.join(keep, "l_partkey")
+    a = pruned.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = pruned.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+                F.struct(F.col("p2").alias("src"), F.col("p1").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an (src, dst) edge table.
+
+    Returns (id, pr) for every node appearing in the edge table, pr
+    unrounded (callers round for presentation/parity). See module
+    docstring for the scale shape and the dangling-node semantics.
+    """
+    spark = edges.sparkSession
+    edges = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    )
+    # One pass sizes the loop partitioning (same policy as the
+    # connected-components loop: ~100k edges per partition so tiny
+    # verified graphs don't schedule 32 near-empty tasks per round).
+    e0 = edges.persist()
+    n_edges = e0.count()
+    n = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1))
+    try:
+        deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        # degree-annotated edges: the loop-invariant table. Partitioned
+        # by src so each round's join only shuffles the rank frame.
+        ed = (
+            e0.join(deg, "src")
+            .repartition(n, "src")
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            e0.select(F.col("src").alias("id"))
+            .unionByName(e0.select(F.col("dst").alias("id")))
+            .distinct()
+            .repartition(n, "id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        e0.unpersist(False)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("id", F.lit(0.0).alias("pr"))
+    teleport = (1.0 - damping) / n_nodes
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_cte_fragment(
+    min_support: int = 2,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    prefix: str = "g_",
+) -> str:
+    """Unrolled SQL replay of ``copurchase_edges`` + ``pagerank``: one
+    CTE per iteration, byte-built here so engine and oracle share the
+    constants. Emitted as a ``, name AS (...)`` fragment (every CTE
+    name carries ``prefix``) so a host query's oracle can splice it
+    into its own WITH chain; the final frame is ``{prefix}r{n_iter}``
+    with columns (id, pr)."""
+    p = prefix
+    head = f""",
+{p}baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+{p}keep AS (
+  SELECT l_partkey FROM {p}baskets GROUP BY l_partkey
+  HAVING count(*) >= {min_support}
+),
+{p}pruned AS (
+  SELECT b.l_orderkey, b.l_partkey FROM {p}baskets b JOIN {p}keep USING (l_partkey)
+),
+{p}pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM {p}pruned a JOIN {p}pruned b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+{p}edges AS (
+  SELECT p1 AS src, p2 AS dst FROM {p}pairs
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM {p}pairs
+),
+{p}nodes AS (
+  SELECT DISTINCT src AS id
+  FROM (SELECT src FROM {p}edges UNION ALL SELECT dst FROM {p}edges) u(src)
+),
+{p}deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM {p}edges GROUP BY src),
+{p}nn AS (SELECT count(*)::DOUBLE AS n FROM {p}nodes),
+{p}r0 AS (SELECT id, 1.0 / (SELECT n FROM {p}nn) AS pr FROM {p}nodes)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(
+            f""",
+{p}r{k} AS (
+  SELECT {p}nodes.id,
+         (1 - {damping}) / (SELECT n FROM {p}nn)
+         + {damping} * coalesce(s.c, 0.0) AS pr
+  FROM {p}nodes LEFT JOIN (
+    SELECT e.dst AS id, sum({p}r{k - 1}.pr / {p}deg.outdeg) AS c
+    FROM {p}edges e
+    JOIN {p}r{k - 1} ON e.src = {p}r{k - 1}.id
+    JOIN {p}deg ON e.src = {p}deg.src
+    GROUP BY e.dst
+  ) s ON {p}nodes.id = s.id
+)"""
+        )
+    return head + "".join(steps)
+
+
+def pagerank_ppb_leg(lineitem: DataFrame) -> DataFrame:
+    """The driver-visible PageRank leg (host: ``dedup_clusters``, the
+    graph-family query — components and PageRank side by side).
+
+    (kind='pr', id=part id, cluster_id=rank in parts-per-billion):
+    the host schema's cluster_id is BIGINT, so the rank rides as
+    fixed-point round(pr * 1e9) — lossless to the oracle's 6-decimal
+    convention (engine/oracle double drift is ~1e-8 ppb, far from any
+    rounding boundary) and reversible for human reading."""
+    pr = pagerank(copurchase_edges(lineitem, min_support=2), damping=0.85, n_iter=5)
+    return pr.select(
+        F.lit("pr").alias("kind"),
+        F.col("id"),
+        F.round(F.col("pr") * 1e9).cast("long").alias("cluster_id"),
+    )
+
+
+def pagerank_ppb_leg_sql(prefix: str = "g_") -> str:
+    """The UNION ALL arm matching :func:`pagerank_ppb_leg`; splice
+    after :func:`pagerank_cte_fragment` in the host oracle."""
+    return (
+        f"SELECT 'pr' AS kind, id, CAST(round(pr * 1e9) AS BIGINT) AS cluster_id "
+        f"FROM {prefix}r5"
+    )

@@ -36,6 +36,72 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``path``, via the Hadoop
+    FileSystem API — works on any FS Spark can reach (local, HDFS,
+    object stores), not just the local disk the tests run on. Hidden
+    files (_SUCCESS, .crc) are skipped. Driver traffic is one listing
+    — O(files), the same cost any planner pays to scan the directory."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Small-file compaction — the lakehouse ``OPTIMIZE`` primitive.
+
+    Streaming ingestion and fine-grained partitioning both decay a
+    table into thousands of tiny files; at 100 TB the resulting
+    listing + open + footer-read overhead dominates scan time and
+    NameNode/object-store request quotas. This rewrites ``src_path``
+    as ~``target_bytes`` files at ``dst_path``:
+
+    - the output file count comes from the REAL on-disk byte total
+      (one directory listing), not a row-count guess — compression
+      ratios vary too much across tables for rows to size files;
+    - the rewrite uses ``coalesce`` (narrow, shuffle-free) when
+      shrinking the file count — each output task concatenates whole
+      input partitions, so compaction moves every byte exactly once
+      with NO exchange; ``repartition`` only when growing (splitting
+      oversized files genuinely requires a shuffle).
+
+    Side-dir contract (like every table-maintenance tool): the caller
+    swaps ``dst_path`` in atomically (rename / metastore pointer) —
+    rewriting in place would read and clobber the same files.
+
+    Returns {files_before, bytes_before, files_after, planned_files}.
+    """
+    files = list_data_files(spark, src_path)
+    files_before = len(files)
+    bytes_before = sum(sz for _, sz in files)
+    n_out = max(1, -(-bytes_before // target_bytes))  # ceil
+    df = spark.read.format(fmt).load(src_path)
+    shaped = df.coalesce(n_out) if n_out < files_before else df.repartition(n_out)
+    shaped.write.mode("overwrite").format(fmt).save(dst_path)
+    files_after = len(list_data_files(spark, dst_path))
+    return {
+        "files_before": files_before,
+        "bytes_before": bytes_before,
+        "files_after": files_after,
+        "planned_files": n_out,
+    }
+
+
 def zorder_key(
     df: DataFrame, cols: Sequence[str], bits: int = 16
 ) -> "Column":

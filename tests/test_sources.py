@@ -354,3 +354,83 @@ def test_zorder_key_null_and_constant_cols(spark):
     # the key still orders by the varying column
     keys = [r.z for r in df.select(zorder_key(df, ["a", "b", "c"]).alias("z")).collect()]
     assert keys == sorted(keys) and len(set(keys)) == 3
+
+
+def test_compact_files_shrinks_and_preserves(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.writers import (
+        compact_files,
+        list_data_files,
+    )
+
+    src = str(tmp_path / "shattered.parquet")
+    dst = str(tmp_path / "compacted.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(16).write.mode("overwrite").parquet(src)
+    assert len(list_data_files(spark, src)) >= 16
+    stats = compact_files(spark, src, dst, target_bytes=64 << 20)
+    assert stats["files_before"] >= 16
+    assert stats["planned_files"] == 1  # tiny table, one 64 MiB budget
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= stats["planned_files"]
+    # content moved exactly once, losslessly
+    a = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
+    b = sorted(r["doc_id"] for r in docs.collect())
+    assert a == b
+    assert spark.read.parquet(dst).schema == docs.schema
+
+
+def test_compact_files_grow_path(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.writers import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "one.parquet")
+    dst = str(tmp_path / "split.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    # 1-byte budget forces n_out > files_before: the grow path shuffles
+    stats = compact_files(spark, src, dst, target_bytes=1)
+    assert stats["files_before"] == 1
+    assert stats["planned_files"] == stats["bytes_before"]
+    assert stats["files_after"] > 1
+    assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_compact_files_shrinks_and_preserves(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.writers import (
+        compact_files,
+        list_data_files,
+    )
+
+    src = str(tmp_path / "shattered.parquet")
+    dst = str(tmp_path / "compacted.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(16).write.mode("overwrite").parquet(src)
+    assert len(list_data_files(spark, src)) >= 16
+    stats = compact_files(spark, src, dst, target_bytes=64 << 20)
+    assert stats["files_before"] >= 16
+    assert stats["planned_files"] == 1  # tiny table, one 64 MiB budget
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= stats["planned_files"]
+    # content moved exactly once, losslessly
+    a = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
+    b = sorted(r["doc_id"] for r in docs.collect())
+    assert a == b
+    assert spark.read.parquet(dst).schema == docs.schema
+
+
+def test_compact_files_grow_path(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.writers import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "one.parquet")
+    dst = str(tmp_path / "split.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    # 1-byte budget forces n_out > files_before: the grow path shuffles
+    stats = compact_files(spark, src, dst, target_bytes=1)
+    assert stats["files_before"] == 1
+    assert stats["planned_files"] == stats["bytes_before"]
+    assert stats["files_after"] > 1
+    assert spark.read.parquet(dst).count() == docs.count()
