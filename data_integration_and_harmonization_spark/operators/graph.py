@@ -138,6 +138,9 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
         )
+        # per-round eager checkpoint: measured FASTER than depth-2
+        # lineage (sf0.1: 5.5s vs 8.1s) — the saved job is cheaper than
+        # re-analyzing/codegen-ing the doubled plan each round.
         ranks = (
             nodes.join(contrib, "id", "left")
             .select(
