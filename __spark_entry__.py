@@ -669,11 +669,43 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("sum_rkey"),
         )
     )
+    # '__delete' row: targeted row deletion (writers.delete_rows, the
+    # GDPR rewrite): DELETE the same l_orderkey range from the
+    # z-ordered copy — the clustered layout confines matches to a
+    # subset of the 8 files, so the rewrite touches only those;
+    # untouched files carry over by copy. The read-back aggregate is
+    # oracle-replayed with the inverted predicate (a hash match proves
+    # exactly the targeted rows vanished); sum_nkey carries the
+    # structural verdict (1 iff affected file count < total, i.e. the
+    # delete did NOT rewrite the whole table).
+    from data_integration_and_harmonization_spark.sources.writers import (
+        delete_rows,
+    )
+
+    del_dir = base + "_li_deleted.parquet"
+    dstats = delete_rows(
+        spark,
+        z_dir,
+        del_dir,
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi),
+    )
+    del_ok = int(dstats["files_affected"] < dstats["files_total"])
+    del_row = (
+        spark.read.parquet(del_dir)
+        .agg(
+            F.lit("__delete").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.lit(del_ok).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
+        )
+    )
     return (
         agg.unionByName(prev_row)
         .unionByName(part_row)
         .unionByName(z_row)
         .unionByName(comp_row)
+        .unionByName(del_row)
     )
 
 
@@ -1377,6 +1409,16 @@ UNION ALL
 SELECT '__compact', count(*)::BIGINT, round(sum(l_quantity), 6),
        1::BIGINT, CAST(NULL AS BIGINT)
 FROM lineitem WHERE l_orderkey % 10 = 9
+UNION ALL
+-- targeted-deletion leg: the engine deleted the zorder leg's key range
+-- from the clustered copy, rewriting only the files that held matches;
+-- sum_nkey carries the engine's structural verdict (1 iff affected
+-- file count < total file count)
+SELECT '__delete', count(*)::BIGINT, round(sum(l_quantity), 6),
+       1::BIGINT, CAST(NULL AS BIGINT)
+FROM lineitem
+WHERE l_orderkey % 10 = 7
+  AND NOT (l_orderkey >= 1000 AND l_orderkey < 2000)
 """,
         "ml_exact_split": """
 WITH ranked AS (

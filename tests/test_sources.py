@@ -434,3 +434,77 @@ def test_compact_files_grow_path(spark, sf_dir, tmp_path):
     assert stats["planned_files"] == stats["bytes_before"]
     assert stats["files_after"] > 1
     assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_delete_rows_targets_only_matching_files(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.writers import (
+        delete_rows,
+        list_data_files,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "lake.parquet")
+    dst = str(tmp_path / "lake_deleted.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    # sort by orderkey into 8 range files => a key-range predicate hits
+    # a strict subset of files
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(src)
+    pred = (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 1500)
+    n_match = li.where(pred).count()
+    assert n_match > 0
+    stats = delete_rows(spark, src, dst, pred)
+    assert stats["files_total"] == 8
+    assert 0 < stats["files_affected"] < stats["files_total"]
+    assert stats["rows_deleted"] == n_match
+    out = spark.read.parquet(dst)
+    assert out.count() == li.count() - n_match
+    assert out.where(pred).count() == 0
+    # untouched rows byte-identical (same multiset of keys)
+    a = sorted(r["l_orderkey"] for r in out.collect())
+    b = sorted(r["l_orderkey"] for r in li.where(~pred).collect())
+    assert a == b
+    # untouched files carried over without rewrite: dst holds MORE
+    # files than the rewrite alone would produce
+    assert len(list_data_files(spark, dst)) >= stats["files_total"] - stats["files_affected"]
+
+
+def test_delete_rows_partitioned_layout(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.writers import (
+        delete_rows,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "part_lake.parquet")
+    dst = str(tmp_path / "part_lake_deleted.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(src)
+    pred = F.col("l_returnflag") == "A"
+    stats = delete_rows(spark, src, dst, pred, partition_by=["l_returnflag"])
+    assert stats["files_affected"] < stats["files_total"]
+    out = spark.read.parquet(dst)
+    assert out.where(pred).count() == 0
+    assert out.count() == li.where(~pred).count()
+    # partition pruning still works on the rewritten lake
+    assert "l_returnflag" in out.columns
+
+
+def test_delete_rows_no_matches_copies_everything(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.writers import (
+        delete_rows,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "nm.parquet")
+    dst = str(tmp_path / "nm_out.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stats = delete_rows(spark, src, dst, F.col("doc_id") < 0)
+    assert stats["files_affected"] == 0
+    assert stats["rows_deleted"] == 0
+    assert spark.read.parquet(dst).count() == docs.count()
