@@ -678,20 +678,40 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # exactly the targeted rows vanished); sum_nkey carries the
     # structural verdict (1 iff affected file count < total, i.e. the
     # delete did NOT rewrite the whole table).
+    # The delete goes through MANIFEST VERSIONS (sources/manifest.py):
+    # v1 pins the z-ordered files, the delete writes a side dir, v2
+    # pins the post-delete files — and the verdict additionally proves
+    # TIME TRAVEL: after v2 is committed, reading v1 still returns
+    # every pre-delete row (maintenance never mutates committed files).
+    # del_row itself reads through read_version(v2), so the hash match
+    # also covers the pinned-file-list scan path.
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        read_version,
+    )
     from data_integration_and_harmonization_spark.sources.writers import (
         delete_rows,
     )
 
     del_dir = base + "_li_deleted.parquet"
+    tbl_root = base + "_li_versions"
+    v1 = commit_version(spark, tbl_root, z_dir, note="zordered slice")
     dstats = delete_rows(
         spark,
         z_dir,
         del_dir,
         (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi),
     )
-    del_ok = int(dstats["files_affected"] < dstats["files_total"])
+    v2 = commit_version(spark, tbl_root, del_dir, note="gdpr delete")
+    n_v1 = read_version(spark, tbl_root, v1).count()
+    n_v2 = read_version(spark, tbl_root, v2).count()
+    del_ok = int(
+        dstats["files_affected"] < dstats["files_total"]
+        and v2 == v1 + 1
+        and n_v1 == n_v2 + dstats["rows_deleted"]
+    )
     del_row = (
-        spark.read.parquet(del_dir)
+        read_version(spark, tbl_root, v2)
         .agg(
             F.lit("__delete").alias("l_returnflag"),
             F.count(F.lit(1)).alias("n_rows"),

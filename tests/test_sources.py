@@ -508,3 +508,51 @@ def test_delete_rows_no_matches_copies_everything(spark, sf_dir, tmp_path):
     assert stats["files_affected"] == 0
     assert stats["rows_deleted"] == 0
     assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_manifest_versions_time_travel(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        list_versions,
+        read_manifest,
+        read_version,
+    )
+    from data_integration_and_harmonization_spark.sources.writers import (
+        compact_files,
+    )
+
+    root = str(tmp_path / "tbl")
+    d1 = str(tmp_path / "d1.parquet")
+    d2 = str(tmp_path / "d2.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8).write.mode("overwrite").parquet(d1)
+    assert list_versions(spark, root) == []
+    v1 = commit_version(spark, root, d1, note="initial")
+    assert v1 == 1
+    stats = compact_files(spark, d1, d2, target_bytes=64 << 20)
+    assert stats["files_after"] < stats["files_before"]
+    v2 = commit_version(spark, root, d2, note="compacted")
+    assert list_versions(spark, root) == [1, 2]
+    # both versions return identical content; latest defaults to v2
+    n = docs.count()
+    assert read_version(spark, root, 1).count() == n
+    assert read_version(spark, root, 2).count() == n
+    assert read_manifest(spark, root)["version"] == v2
+    a = sorted(r["doc_id"] for r in read_version(spark, root, 1).collect())
+    b = sorted(r["doc_id"] for r in read_version(spark, root).collect())
+    assert a == b
+    # manifests record real file-level metadata
+    m1 = read_manifest(spark, root, 1)
+    assert len(m1["files"]) == stats["files_before"]
+    assert all(f["bytes"] > 0 for f in m1["files"])
+
+
+def test_manifest_missing_version_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        read_version,
+    )
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, str(tmp_path / "absent"), 1)
