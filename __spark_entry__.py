@@ -655,9 +655,33 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         "overwrite"
     ).parquet(small_dir)
     stats = compact_files(spark, small_dir, comp_dir, target_bytes=64 << 20)
+    # VACUUM retention rides the compaction chain: v1 pins the 48
+    # shattered files, v2 the compacted ones; vacuum keeping only v2
+    # must physically delete exactly v1's unshared files and drop its
+    # manifest — all driver-side FS metadata, no data scan. (The
+    # DELETE chain can't host this: its v1 files back the lazily-read
+    # '__zorder' leg.)
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version as _commit,
+        list_versions as _versions,
+        read_manifest as _manifest,
+        vacuum as _vacuum,
+    )
+
+    tbl2 = base + "_li_compact_versions"
+    c1 = _commit(spark, tbl2, small_dir, note="48 small files")
+    c2 = _commit(spark, tbl2, comp_dir, note="compacted")
+    m_small = {f["path"] for f in _manifest(spark, tbl2, c1)["files"]}
+    m_comp = {f["path"] for f in _manifest(spark, tbl2, c2)["files"]}
+    vac = _vacuum(spark, tbl2, keep_versions=[c2])
+    vac_ok = (
+        set(vac["deleted"]) == m_small - m_comp
+        and _versions(spark, tbl2) == [c2]
+    )
     comp_ok = int(
         stats["files_after"] < stats["files_before"]
         and stats["files_after"] <= stats["planned_files"]
+        and vac_ok
     )
     comp_row = (
         spark.read.parquet(comp_dir)

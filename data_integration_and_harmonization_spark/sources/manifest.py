@@ -98,6 +98,48 @@ def read_manifest(spark: SparkSession, table_root: str, version: int | None = No
     return json.loads(text)
 
 
+def vacuum(
+    spark: SparkSession,
+    table_root: str,
+    keep_versions: list[int] | None = None,
+) -> dict:
+    """Retention: physically delete data files referenced ONLY by
+    versions outside ``keep_versions`` (default: keep the latest), and
+    drop the vacuumed manifests. Files shared with a kept version —
+    e.g. everything ``delete_rows`` carried over untouched — survive,
+    exactly like Delta's VACUUM.
+
+    Driver-side FS metadata work, O(files across versions); nothing
+    scans data. Returns {"deleted": [paths], "kept_versions": [...]}.
+    """
+    versions = list_versions(spark, table_root)
+    if not versions:
+        return {"deleted": [], "kept_versions": []}
+    keep = sorted(set(keep_versions if keep_versions is not None else versions[-1:]))
+    missing = [v for v in keep if v not in versions]
+    if missing:
+        raise FileNotFoundError(f"keep_versions {missing} not in {versions}")
+    referenced: set[str] = set()
+    for v in keep:
+        referenced |= {f["path"] for f in read_manifest(spark, table_root, v)["files"]}
+    doomed: set[str] = set()
+    for v in versions:
+        if v in keep:
+            continue
+        doomed |= {
+            f["path"] for f in read_manifest(spark, table_root, v)["files"]
+        }
+    doomed -= referenced
+    fs, _, jvm = _fs_and_path(spark, table_root)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    for p in sorted(doomed):
+        fs.delete(HPath(p), False)
+    for v in versions:
+        if v not in keep:
+            fs.delete(HPath(_manifest_dir(table_root) + f"/v{v:06d}.json"), False)
+    return {"deleted": sorted(doomed), "kept_versions": keep}
+
+
 def read_version(
     spark: SparkSession, table_root: str, version: int | None = None
 ) -> DataFrame:

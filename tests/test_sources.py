@@ -556,3 +556,68 @@ def test_manifest_missing_version_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "absent"), 1)
+
+
+def test_vacuum_deletes_only_unreferenced(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        list_versions,
+        read_version,
+        vacuum,
+    )
+    from data_integration_and_harmonization_spark.sources.writers import (
+        compact_files,
+        list_data_files,
+    )
+
+    root = str(tmp_path / "tbl")
+    d1 = str(tmp_path / "d1.parquet")
+    d2 = str(tmp_path / "d2.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8).write.mode("overwrite").parquet(d1)
+    v1 = commit_version(spark, root, d1)
+    compact_files(spark, d1, d2, target_bytes=64 << 20)
+    v2 = commit_version(spark, root, d2)
+    n_before = len(list_data_files(spark, d1))
+    out = vacuum(spark, root, keep_versions=[v2])
+    # every v1 data file is gone (disjoint dirs => nothing shared)
+    assert len(out["deleted"]) == n_before
+    assert len(list_data_files(spark, d1)) == 0
+    assert list_versions(spark, root) == [v2]
+    # the kept version still reads fully
+    assert read_version(spark, root, v2).count() == docs.count()
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, root, v1)
+
+
+def test_vacuum_spares_files_shared_with_kept_version(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        read_version,
+        vacuum,
+    )
+    from data_integration_and_harmonization_spark.sources.writers import (
+        delete_rows,
+    )
+
+    root = str(tmp_path / "tbl")
+    d1 = str(tmp_path / "d1.parquet")
+    d2 = str(tmp_path / "d2.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(d1)
+    commit_version(spark, root, d1)
+    pred = (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 1500)
+    stats = delete_rows(spark, d1, d2, pred)
+    # v2 = d2's files (rewritten + carried copies): nothing of d1
+    v2 = commit_version(spark, root, d2)
+    out = vacuum(spark, root, keep_versions=[v2])
+    assert len(out["deleted"]) == stats["files_total"]
+    assert read_version(spark, root, v2).where(pred).count() == 0
