@@ -703,36 +703,56 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # structural verdict (1 iff affected file count < total, i.e. the
     # delete did NOT rewrite the whole table).
     # The delete goes through MANIFEST VERSIONS (sources/manifest.py):
-    # v1 pins the z-ordered files, the delete writes a side dir, v2
-    # pins the post-delete files — and the verdict additionally proves
-    # TIME TRAVEL: after v2 is committed, reading v1 still returns
-    # every pre-delete row (maintenance never mutates committed files).
+    # v1 pins the z-ordered files; delete_rows_versioned rewrites ONLY
+    # the files holding matches into a side dir and commits v2
+    # referencing every untouched z file IN PLACE (zero-copy
+    # maintenance). The verdict additionally proves:
+    # - TIME TRAVEL: v1 still serves every pre-delete row after v2;
+    # - REFERENCE-IN-PLACE: v1 and v2 share exactly the untouched
+    #   files (the delete moved only the affected files' bytes);
+    # - CHANGE DATA FEED: version_diff(v1, v2) — which reads only the
+    #   files the manifests disagree on — reports exactly the deleted
+    #   rows as 'removed' and nothing 'added'.
     # del_row itself reads through read_version(v2), so the hash match
     # also covers the pinned-file-list scan path.
     from data_integration_and_harmonization_spark.sources.manifest import (
         commit_version,
+        delete_rows_versioned,
+        read_manifest,
         read_version,
-    )
-    from data_integration_and_harmonization_spark.sources.writers import (
-        delete_rows,
+        version_diff,
     )
 
     del_dir = base + "_li_deleted.parquet"
     tbl_root = base + "_li_versions"
     v1 = commit_version(spark, tbl_root, z_dir, note="zordered slice")
-    dstats = delete_rows(
+    dstats = delete_rows_versioned(
         spark,
-        z_dir,
+        tbl_root,
         del_dir,
         (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi),
     )
-    v2 = commit_version(spark, tbl_root, del_dir, note="gdpr delete")
+    v2 = dstats["version"]
     n_v1 = read_version(spark, tbl_root, v1).count()
     n_v2 = read_version(spark, tbl_root, v2).count()
+    m1 = {f["path"] for f in read_manifest(spark, tbl_root, v1)["files"]}
+    m2 = {f["path"] for f in read_manifest(spark, tbl_root, v2)["files"]}
+    cdf = {
+        r["change"]: r["n"]
+        for r in version_diff(
+            spark, tbl_root, v1, v2, ["l_orderkey", "l_linenumber"]
+        )
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     del_ok = int(
         dstats["files_affected"] < dstats["files_total"]
         and v2 == v1 + 1
         and n_v1 == n_v2 + dstats["rows_deleted"]
+        and len(m1 & m2) == dstats["files_total"] - dstats["files_affected"]
+        and cdf.get("removed", 0) == dstats["rows_deleted"]
+        and cdf.get("added", 0) == 0
     )
     del_row = (
         read_version(spark, tbl_root, v2)

@@ -64,12 +64,31 @@ def commit_version(
     )
 
     files = list_data_files(spark, data_dir)
+    return commit_files(
+        spark,
+        table_root,
+        [{"path": p, "bytes": b} for p, b in files],
+        note=note,
+        fmt=fmt,
+    )
+
+
+def commit_files(
+    spark: SparkSession,
+    table_root: str,
+    files: list[dict],
+    note: str = "",
+    fmt: str = "parquet",
+) -> int:
+    """Commit an EXPLICIT file list as the next version — the primitive
+    behind reference-in-place maintenance (a new version that reuses
+    most of the previous version's files moves zero bytes)."""
     version = (list_versions(spark, table_root) or [0])[-1] + 1
     doc = {
         "version": version,
         "format": fmt,
         "note": note,
-        "files": [{"path": p, "bytes": b} for p, b in sorted(files)],
+        "files": sorted(files, key=lambda f: f["path"]),
     }
     fs, mdir, jvm = _fs_and_path(spark, _manifest_dir(table_root))
     fs.mkdirs(mdir)
@@ -82,6 +101,78 @@ def commit_version(
     finally:
         out.close()
     return version
+
+
+def delete_rows_versioned(
+    spark: SparkSession,
+    table_root: str,
+    rewrite_dir: str,
+    predicate,
+    version: int | None = None,
+) -> dict:
+    """DELETE against a manifest table — the zero-copy variant of
+    :func:`~.writers.delete_rows`.
+
+    Finds the files holding matches with one pushdown-pruned scan of
+    the pinned version, rewrites ONLY those into ``rewrite_dir`` with
+    the predicate inverted, and commits a new version that references
+    every untouched file IN PLACE next to the rewritten ones. Nothing
+    is copied: at 100 TB a selective delete moves exactly the affected
+    files' bytes and one small manifest.
+
+    Returns {version, files_total, files_affected, rows_deleted}.
+    """
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    def _norm(p: str) -> str:
+        return unquote(urlparse(p).path)
+
+    doc = read_manifest(spark, table_root, version)
+    fmt = doc.get("format", "parquet")
+    paths = [f["path"] for f in doc["files"]]
+    df = spark.read.format(fmt).load(paths)
+    per_file = (
+        df.where(predicate)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    affected_norm = {_norm(r["f"]) for r in per_file}
+    rows_deleted = int(sum(r["n"] for r in per_file))
+    kept = [f for f in doc["files"] if _norm(f["path"]) not in affected_norm]
+    affected = [f["path"] for f in doc["files"] if _norm(f["path"]) in affected_norm]
+    new_files: list[dict] = []
+    if affected:
+        (
+            spark.read.format(fmt)
+            .load(affected)
+            .where(~predicate)
+            .write.mode("overwrite")
+            .format(fmt)
+            .save(rewrite_dir)
+        )
+        from data_integration_and_harmonization_spark.sources.writers import (
+            list_data_files,
+        )
+
+        new_files = [
+            {"path": p, "bytes": b} for p, b in list_data_files(spark, rewrite_dir)
+        ]
+    new_version = commit_files(
+        spark,
+        table_root,
+        kept + new_files,
+        note=f"delete ({rows_deleted} rows, {len(affected)} files rewritten)",
+        fmt=fmt,
+    )
+    return {
+        "version": new_version,
+        "files_total": len(doc["files"]),
+        "files_affected": len(affected),
+        "rows_deleted": rows_deleted,
+    }
 
 
 def read_manifest(spark: SparkSession, table_root: str, version: int | None = None) -> dict:
@@ -150,3 +241,64 @@ def read_version(
     if not paths:
         raise ValueError(f"version {doc['version']} has no data files")
     return spark.read.format(doc.get("format", "parquet")).load(paths)
+
+
+def version_diff(
+    spark: SparkSession,
+    table_root: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two versions, reading ONLY the
+    files the manifests disagree on.
+
+    Data files are immutable, so a file present in BOTH manifests
+    cannot contribute a change — at 100 TB this is the difference
+    between diffing a table and diffing an incremental maintenance
+    pass: cost tracks the churned files, not the table. Multiset
+    semantics via ``exceptAll`` (a row duplicated n times and kept
+    n-1 times reports one removal).
+
+    Returns (change, *key_cols) with change in {'added', 'removed'}.
+    """
+    from pyspark.sql import functions as F
+
+    doc_a = read_manifest(spark, table_root, v_from)
+    doc_b = read_manifest(spark, table_root, v_to)
+    files_a = {f["path"] for f in doc_a["files"]}
+    files_b = {f["path"] for f in doc_b["files"]}
+    fmt = doc_b.get("format", "parquet")
+    only_a = sorted(files_a - files_b)
+    only_b = sorted(files_b - files_a)
+
+    def _keys(paths):
+        return spark.read.format(fmt).load(paths).select(*key_cols)
+
+    if not only_a and not only_b:
+        # identical manifests: empty frame with the right schema off
+        # any file of v_to (metadata-only read)
+        return (
+            _keys(sorted(files_b)[:1])
+            .limit(0)
+            .select(F.lit("added").alias("change"), *key_cols)
+        )
+    removed = (
+        _keys(only_a).exceptAll(_keys(only_b))
+        if only_a and only_b
+        else (_keys(only_a) if only_a else None)
+    )
+    added = (
+        _keys(only_b).exceptAll(_keys(only_a))
+        if only_a and only_b
+        else (_keys(only_b) if only_b else None)
+    )
+    parts = []
+    if removed is not None:
+        parts.append(removed.select(F.lit("removed").alias("change"), *key_cols))
+    if added is not None:
+        parts.append(added.select(F.lit("added").alias("change"), *key_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

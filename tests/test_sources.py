@@ -621,3 +621,74 @@ def test_vacuum_spares_files_shared_with_kept_version(spark, sf_dir, tmp_path):
     out = vacuum(spark, root, keep_versions=[v2])
     assert len(out["deleted"]) == stats["files_total"]
     assert read_version(spark, root, v2).where(pred).count() == 0
+
+
+def test_delete_rows_versioned_zero_copy_and_cdf(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        delete_rows_versioned,
+        read_manifest,
+        read_version,
+        version_diff,
+    )
+
+    root = str(tmp_path / "tbl")
+    d1 = str(tmp_path / "d1.parquet")
+    rw = str(tmp_path / "rewrites.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(d1)
+    v1 = commit_version(spark, root, d1)
+    pred = (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 1500)
+    n_match = li.where(pred).count()
+    assert n_match > 0
+    stats = delete_rows_versioned(spark, root, rw, pred)
+    assert stats["rows_deleted"] == n_match
+    assert 0 < stats["files_affected"] < stats["files_total"]
+    v2 = stats["version"]
+    # zero-copy: untouched v1 files referenced in place by v2
+    m1 = {f["path"] for f in read_manifest(spark, root, v1)["files"]}
+    m2 = {f["path"] for f in read_manifest(spark, root, v2)["files"]}
+    assert len(m1 & m2) == stats["files_total"] - stats["files_affected"]
+    # correctness + time travel
+    assert read_version(spark, root, v2).where(pred).count() == 0
+    assert read_version(spark, root, v2).count() == li.count() - n_match
+    assert read_version(spark, root, v1).count() == li.count()
+    # change data feed: exactly the deleted rows, nothing added
+    cdf = version_diff(spark, root, v1, v2, ["l_orderkey", "l_linenumber"])
+    agg = {r["change"]: r["n"] for r in cdf.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert agg.get("removed", 0) == n_match
+    assert agg.get("added", 0) == 0
+    # the removed keys are precisely the predicate's keys
+    removed = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in cdf.where(F.col("change") == "removed").collect()
+    }
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]) for r in li.where(pred).collect()
+    }
+    assert removed == want
+
+
+def test_version_diff_identical_versions_empty(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        version_diff,
+    )
+
+    root = str(tmp_path / "tbl")
+    d1 = str(tmp_path / "d1.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(d1)
+    v1 = commit_version(spark, root, d1)
+    v2 = commit_version(spark, root, d1)
+    out = version_diff(spark, root, v1, v2, ["doc_id"])
+    assert out.count() == 0
+    assert out.columns == ["change", "doc_id"]
