@@ -764,12 +764,60 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("sum_rkey"),
         )
     )
+    # '__merge' row: MERGE (manifest.merge_upsert_versioned) on top of
+    # the post-delete version — keys in [500,1000) are MATCHED (whole
+    # row replaced, quantity +100), the deleted [1000,1100) keys come
+    # back as INSERTS (quantity +100). Only the files holding matched
+    # keys are rewritten; untouched files referenced in place. The
+    # oracle replays the update+insert arithmetic off the raw table,
+    # so the hash match proves Delta-style MERGE semantics end to end;
+    # sum_nkey carries the structural verdict (targeted subset +
+    # matched/inserted counts exactly as composed).
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        merge_upsert_versioned,
+    )
+
+    z_all = li.where(F.col("l_orderkey") % 10 == 7).select(*cols)
+    upd_match = z_all.where(
+        (F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 1000)
+    )
+    upd_ins = z_all.where(
+        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < 1100)
+    )
+    upd = (
+        upd_match.unionByName(upd_ins)
+        .withColumn("l_quantity", F.col("l_quantity") + 100)
+        .select(*cols)
+    )
+    n_match = upd_match.count()
+    n_ins = upd_ins.count()
+    merge_dir = base + "_li_merged.parquet"
+    mstats = merge_upsert_versioned(
+        spark, tbl_root, merge_dir, upd, ["l_orderkey", "l_linenumber"]
+    )
+    merge_ok = int(
+        mstats["files_affected"] < mstats["files_total"]
+        and mstats["version"] == v2 + 1
+        and mstats["rows_matched"] == n_match
+        and mstats["rows_inserted"] == n_ins
+    )
+    merge_row = (
+        read_version(spark, tbl_root, mstats["version"])
+        .agg(
+            F.lit("__merge").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.lit(merge_ok).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
+        )
+    )
     return (
         agg.unionByName(prev_row)
         .unionByName(part_row)
         .unionByName(z_row)
         .unionByName(comp_row)
         .unionByName(del_row)
+        .unionByName(merge_row)
     )
 
 
@@ -1483,6 +1531,24 @@ SELECT '__delete', count(*)::BIGINT, round(sum(l_quantity), 6),
 FROM lineitem
 WHERE l_orderkey % 10 = 7
   AND NOT (l_orderkey >= 1000 AND l_orderkey < 2000)
+UNION ALL
+-- MERGE leg: on top of the post-delete version, keys in [500,1000)
+-- were replaced with quantity+100 and the deleted [1000,1100) keys
+-- re-inserted with quantity+100; only the files holding matched keys
+-- were rewritten (sum_nkey = the engine's structural verdict)
+SELECT '__merge', count(*)::BIGINT, round(sum(q), 6),
+       1::BIGINT, CAST(NULL AS BIGINT)
+FROM (
+  SELECT CASE WHEN l_orderkey >= 500 AND l_orderkey < 1000
+              THEN l_quantity + 100 ELSE l_quantity END AS q
+  FROM lineitem
+  WHERE l_orderkey % 10 = 7
+    AND NOT (l_orderkey >= 1000 AND l_orderkey < 2000)
+  UNION ALL
+  SELECT l_quantity + 100 AS q
+  FROM lineitem
+  WHERE l_orderkey % 10 = 7 AND l_orderkey >= 1000 AND l_orderkey < 1100
+) t
 """,
         "ml_exact_split": """
 WITH ranked AS (

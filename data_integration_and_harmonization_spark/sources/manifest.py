@@ -175,6 +175,94 @@ def delete_rows_versioned(
     }
 
 
+def merge_upsert_versioned(
+    spark: SparkSession,
+    table_root: str,
+    rewrite_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version: int | None = None,
+) -> dict:
+    """MERGE (type-1 upsert) against a manifest table — completes the
+    maintenance trilogy next to :func:`delete_rows_versioned` and
+    ``writers.compact_files``.
+
+    Delta semantics with whole-row updates: a table row whose key
+    matches an update row is REPLACED; update rows with no match are
+    INSERTED. Only the files that contain matched keys are rewritten
+    (found with one broadcast-semi-join scan of the pinned version);
+    every untouched file is referenced in place by the new version;
+    survivors + the full update batch land in ``rewrite_dir``.
+    ``updates`` is assumed CDC-batch-sized (it broadcasts); keys must
+    be unique within ``updates``.
+
+    Returns {version, files_total, files_affected, rows_matched,
+    rows_inserted}.
+    """
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    def _norm(p: str) -> str:
+        return unquote(urlparse(p).path)
+
+    doc = read_manifest(spark, table_root, version)
+    fmt = doc.get("format", "parquet")
+    paths = [f["path"] for f in doc["files"]]
+    tbl = spark.read.format(fmt).load(paths)
+    upd_keys = updates.select(*key_cols).distinct()
+    # bind input_file_name to the scan BEFORE the join: after a
+    # two-source join the expression is ambiguous and Spark rejects it
+    # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+    per_file = (
+        tbl.withColumn("__f", F.input_file_name())
+        .join(F.broadcast(upd_keys), key_cols, "left_semi")
+        .groupBy(F.col("__f").alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    affected_norm = {_norm(r["f"]) for r in per_file}
+    rows_matched = int(sum(r["n"] for r in per_file))
+    kept = [f for f in doc["files"] if _norm(f["path"]) not in affected_norm]
+    affected = [f["path"] for f in doc["files"] if _norm(f["path"]) in affected_norm]
+    survivors = (
+        spark.read.format(fmt)
+        .load(affected)
+        .join(F.broadcast(upd_keys), key_cols, "left_anti")
+        if affected
+        else None
+    )
+    out = (
+        survivors.unionByName(updates.select(*survivors.columns))
+        if survivors is not None
+        else updates
+    )
+    out.write.mode("overwrite").format(fmt).save(rewrite_dir)
+    from data_integration_and_harmonization_spark.sources.writers import (
+        list_data_files,
+    )
+
+    new_files = [
+        {"path": p, "bytes": b} for p, b in list_data_files(spark, rewrite_dir)
+    ]
+    n_upd = updates.count()
+    new_version = commit_files(
+        spark,
+        table_root,
+        kept + new_files,
+        note=f"merge ({rows_matched} matched, {n_upd - rows_matched} inserted, "
+        f"{len(affected)} files rewritten)",
+        fmt=fmt,
+    )
+    return {
+        "version": new_version,
+        "files_total": len(doc["files"]),
+        "files_affected": len(affected),
+        "rows_matched": rows_matched,
+        "rows_inserted": n_upd - rows_matched,
+    }
+
+
 def read_manifest(spark: SparkSession, table_root: str, version: int | None = None) -> dict:
     versions = list_versions(spark, table_root)
     if not versions:

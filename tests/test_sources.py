@@ -692,3 +692,65 @@ def test_version_diff_identical_versions_empty(spark, sf_dir, tmp_path):
     out = version_diff(spark, root, v1, v2, ["doc_id"])
     assert out.count() == 0
     assert out.columns == ["change", "doc_id"]
+
+
+def test_merge_upsert_versioned_semantics(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        merge_upsert_versioned,
+        read_manifest,
+        read_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    d1 = str(tmp_path / "d1.parquet")
+    rw = str(tmp_path / "rw.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(d1)
+    v1 = commit_version(spark, root, d1)
+    # matched updates: double quantity on a key range; inserts: two
+    # synthetic keys no table row has
+    m = li.where((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 1300))
+    upd = m.withColumn("l_quantity", F.col("l_quantity") * 2).unionByName(
+        spark.createDataFrame(
+            [(10**9, 1, 42.0), (10**9, 2, 43.0)],
+            "l_orderkey long, l_linenumber int, l_quantity double",
+        ).withColumn("l_linenumber", F.col("l_linenumber").cast(
+            m.schema["l_linenumber"].dataType.simpleString()))
+    )
+    n_match = m.count()
+    assert n_match > 0
+    stats = merge_upsert_versioned(
+        spark, root, rw, upd, ["l_orderkey", "l_linenumber"]
+    )
+    assert stats["rows_matched"] == n_match
+    assert stats["rows_inserted"] == 2
+    assert 0 < stats["files_affected"] < stats["files_total"]
+    # zero-copy sharing
+    m1 = {f["path"] for f in read_manifest(spark, root, v1)["files"]}
+    m2 = {f["path"] for f in read_manifest(spark, root, stats["version"])["files"]}
+    assert len(m1 & m2) == stats["files_total"] - stats["files_affected"]
+    out = read_version(spark, root, stats["version"])
+    assert out.count() == li.count() + 2
+    # matched rows replaced
+    got = {
+        (r["l_orderkey"], r["l_linenumber"]): r["l_quantity"]
+        for r in out.where(
+            (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 1300)
+        ).collect()
+    }
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]): 2 * r["l_quantity"]
+        for r in m.collect()
+    }
+    assert got == want
+    # inserts present
+    assert out.where(F.col("l_orderkey") == 10**9).count() == 2
+    # time travel: v1 untouched
+    assert read_version(spark, root, v1).count() == li.count()
