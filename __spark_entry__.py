@@ -922,7 +922,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             f_tumble = pool.submit(
                 SP.run_availablenow,
                 SP.tumbling_stream(stream_ev),
@@ -971,12 +971,34 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
                 f"twin_sess_{run_id}",
                 "parquet",
             )
-            drained, dd, st, sj_pairs, sess = (
+
+            # 6th leg: transactional versioned-table sink — every
+            # micro-batch commits a manifest version (append), so a
+            # pinned reader never sees a half-visible batch.
+            def _drain_versioned():
+                import os as _os
+
+                from data_integration_and_harmonization_spark.functions.caching import (
+                    scratch_dir as _scratch,
+                )
+
+                b = _scratch(f"twin_ver_{run_id}")
+                root = _os.path.join(b, "tbl")
+                vs = SP.stream_to_versioned_table(
+                    SP.stream_events(spark, f"{sf}/events.parquet"),
+                    root,
+                    _os.path.join(b, "data"),
+                )
+                return root, vs
+
+            f_ver = pool.submit(_drain_versioned)
+            drained, dd, st, sj_pairs, sess, (ver_root, ver_versions) = (
                 f_tumble.result(),
                 f_dd.result(),
                 f_st.result(),
                 f_join.result(),
                 f_sess.result(),
+                f_ver.result(),
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -1099,11 +1121,35 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(sess_agree.cast("long")).alias("n_agree"),
         F.min(sess_agree).alias("all_agree"),
     )
+    # ---- versioned-sink leg: final pinned version must hold exactly
+    # the batch row count, and per-version counts must be strictly
+    # increasing (each commit = previous files + one batch, no batch
+    # half-visible, no batch lost). Counts are bounded scans of the
+    # committed files.
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        read_version as _read_version,
+    )
+
+    ver_counts = [
+        _read_version(spark, ver_root, v).count() for v in ver_versions
+    ]
+    n_events = events.count()
+    ver_ok = (
+        bool(ver_counts)
+        and ver_counts[-1] == n_events
+        and all(a < b for a, b in zip(ver_counts, ver_counts[1:]))
+    )
+    versioned_row = spark.createDataFrame(
+        [("versioned", ver_counts[-1] if ver_counts else 0,
+          n_events if ver_ok else 0, ver_ok)],
+        "kind string, n_windows long, n_agree long, all_agree boolean",
+    )
     return (
         tumbling_row.unionByName(dedup_row)
         .unionByName(stateful_row)
         .unionByName(join_row)
         .unionByName(session_row)
+        .unionByName(versioned_row)
     )
 
 
@@ -1688,6 +1734,10 @@ FROM (
   )
   GROUP BY user_id, sid
 )
+UNION ALL
+-- versioned sink: the final manifest-pinned version holds exactly the
+-- batch row count (per-version monotonicity is the engine's verdict)
+SELECT 'versioned', count(*)::BIGINT, count(*)::BIGINT, true FROM events
 """,
     }
     o.update(E.eda_oracles())

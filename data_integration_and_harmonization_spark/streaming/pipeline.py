@@ -247,6 +247,78 @@ def run_availablenow(
     return out
 
 
+def stream_to_versioned_table(
+    stream_df: DataFrame,
+    table_root: str,
+    data_root: str,
+) -> list[int]:
+    """Transactional streaming ingestion — the Delta-log pattern on
+    ``foreachBatch``: every micro-batch writes its rows into a fresh
+    immutable ``batch_<id>`` directory under ``data_root``, then
+    COMMITS a manifest version = previous version's files + the
+    batch's files (append semantics via ``manifest.commit_files``).
+
+    Why this shape at scale:
+
+    - readers pinned to version N never see later batches — no
+      half-visible micro-batch, ever;
+    - a crash BETWEEN write and commit leaves an orphan directory no
+      manifest references (invisible to readers, reclaimable) — the
+      table is never torn;
+    - a REPLAYED batch (foreachBatch is at-least-once after recovery)
+      overwrites its own batch-id directory and the commit dedupes by
+      path, so replay is idempotent — files land in the manifest
+      once.
+
+    Returns the committed version numbers, one per micro-batch.
+    """
+    import os
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_files,
+        list_versions,
+        read_manifest,
+    )
+    from data_integration_and_harmonization_spark.sources.writers import (
+        list_data_files,
+    )
+
+    versions: list[int] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bdir = os.path.join(data_root, f"batch_{batch_id:06d}")
+        batch_df.write.mode("overwrite").parquet(bdir)
+        prev: dict[str, dict] = {}
+        vs = list_versions(spark, table_root)
+        if vs:
+            prev = {
+                f["path"]: f
+                for f in read_manifest(spark, table_root, vs[-1])["files"]
+            }
+        for p, b in list_data_files(spark, bdir):
+            prev[p] = {"path": p, "bytes": b}
+        versions.append(
+            commit_files(
+                spark,
+                table_root,
+                list(prev.values()),
+                note=f"stream batch {batch_id}",
+            )
+        )
+
+    with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return versions
+
+
 def incremental_drain(
     spark: SparkSession,
     src_dir: str,

@@ -149,3 +149,39 @@ def test_incremental_drain_exactly_once_across_restarts(spark, tmp_path):
 
     got3 = incremental_drain(spark, src, ckpt, out, schema=sch)
     assert sorted(r.id for r in got3.collect()) == [1, 2, 3]
+
+
+def test_stream_to_versioned_table_multibatch(spark, sf_dir, tmp_path):
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        list_versions,
+        read_manifest,
+        read_version,
+    )
+    from data_integration_and_harmonization_spark.streaming.pipeline import (
+        stream_events,
+        stream_to_versioned_table,
+    )
+
+    # split events into 4 source files so maxFilesPerTrigger=1 yields
+    # 4 micro-batches -> 4 committed versions
+    src = str(tmp_path / "events_src")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    root = str(tmp_path / "tbl")
+    data = str(tmp_path / "data")
+    vs = stream_to_versioned_table(
+        stream_events(spark, src, max_files_per_trigger=1), root, data
+    )
+    assert len(vs) >= 2  # multiple micro-batches actually committed
+    assert list_versions(spark, root) == vs
+    n = events.count()
+    counts = [read_version(spark, root, v).count() for v in vs]
+    # strictly increasing, nothing lost, final == batch
+    assert all(a < b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] == n
+    # append semantics: each version references every earlier file
+    f_prev: set = set()
+    for v in vs:
+        f_now = {f["path"] for f in read_manifest(spark, root, v)["files"]}
+        assert f_prev <= f_now
+        f_prev = f_now
