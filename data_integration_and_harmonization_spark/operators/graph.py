@@ -133,8 +133,17 @@ def pagerank(
     teleport = (1.0 - damping) / n_nodes
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(n_iter):
+        # EXPLICITLY co-partition the small per-round frames to the
+        # loop tables' pinned (key, n) hash layout: without this,
+        # ENSURE_REQUIREMENTS re-exchanges the O(E) edge table (and
+        # the node table) to the session shuffle-partition count EVERY
+        # round — the exact cost the pinned layout exists to avoid
+        # (caught by tests/test_plan_shape.py's exchange count).
         contrib = (
-            ed.join(ranks.withColumnRenamed("id", "src"), "src")
+            ed.join(
+                ranks.withColumnRenamed("id", "src").repartition(n, "src"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
         )
@@ -142,7 +151,7 @@ def pagerank(
         # lineage (sf0.1: 5.5s vs 8.1s) — the saved job is cheaper than
         # re-analyzing/codegen-ing the doubled plan each round.
         ranks = (
-            nodes.join(contrib, "id", "left")
+            nodes.join(contrib.repartition(n, "id"), "id", "left")
             .select(
                 "id",
                 (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr"),
