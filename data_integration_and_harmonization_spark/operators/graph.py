@@ -15,15 +15,22 @@ Scale design (mirrors the min-label-propagation loop in
 
 - The edge table is built ONCE, gets its out-degree attached ONCE
   (one groupBy + one join), is hash-partitioned by ``src`` and
-  ``localCheckpoint``-ed — every iteration reuses the SAME physical
-  partitioning (LogicalRDD preserves it), so per round only the
-  small (id, rank) frame shuffles: one exchange of O(V) rows plus
-  one groupBy of O(E) contribution rows. Nothing is collected.
-- Each round's rank frame is ``localCheckpoint``-ed (eager) to
-  truncate lineage — iterative self-referential plans grow
-  super-linearly under re-analysis otherwise (measured in the
-  connected-components loop; same fix here). Peak storage: 2 rank
-  frames + the degree-annotated edges.
+  ``persist()``-ed — an ``InMemoryRelation`` *preserves* the cached
+  plan's outputPartitioning, so every round's join sees the pinned
+  hash layout and only the small (id, rank) frame shuffles: one
+  exchange of O(V) rows plus one groupBy of O(E) contribution rows.
+  Nothing is collected. (``localCheckpoint`` is NOT used here: on
+  Spark 4.1.2 it materializes to a ``Scan ExistingRDD`` that does
+  not report the pre-checkpoint hash partitioning, so
+  ENSURE_REQUIREMENTS re-exchanged the O(E) table every round —
+  caught by tests/test_plan_shape.py's exchange audit in round 8.)
+- Each round's rank frame IS ``localCheckpoint``-ed (eager): there
+  lineage truncation is the point — iterative self-referential plans
+  grow super-linearly under re-analysis otherwise (measured in the
+  connected-components loop) — and the rank frame is explicitly
+  re-co-partitioned each round anyway, so its lost partitioning
+  costs nothing. Peak storage: 2 rank frames + the cached
+  degree-annotated edges (unpersisted before return).
 - Fixed ``n_iter`` (no convergence test) keeps the job count static
   and — deliberately — makes the operator SQL-replayable: the DuckDB
   oracle unrolls the same ``n_iter`` rounds as chained CTEs, so the
@@ -112,23 +119,24 @@ def pagerank(
     try:
         deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         # degree-annotated edges: the loop-invariant table. Partitioned
-        # by src so each round's join only shuffles the rank frame.
-        ed = (
-            e0.join(deg, "src")
-            .repartition(n, "src")
-            .localCheckpoint(eager=True)
-        )
+        # by src and persist()-ed — InMemoryRelation preserves the
+        # hash layout so each round's join only shuffles the rank
+        # frame (localCheckpoint would drop it; module docstring).
+        ed = e0.join(deg, "src").repartition(n, "src").persist()
+        ed.count()  # materialize while e0 is still cached
         nodes = (
             e0.select(F.col("src").alias("id"))
             .unionByName(e0.select(F.col("dst").alias("id")))
             .distinct()
             .repartition(n, "id")
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        n_nodes = nodes.count()
     finally:
         e0.unpersist(False)
-    n_nodes = nodes.count()
     if n_nodes == 0:
+        ed.unpersist(False)
+        nodes.unpersist(False)
         return nodes.select("id", F.lit(0.0).alias("pr"))
     teleport = (1.0 - damping) / n_nodes
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("pr"))
@@ -158,6 +166,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # ranks is eagerly checkpointed (materialized), so the loop tables
+    # can be released before returning.
+    ed.unpersist(False)
+    nodes.unpersist(False)
     return ranks
 
 

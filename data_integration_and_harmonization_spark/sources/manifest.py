@@ -145,10 +145,12 @@ def delete_rows_versioned(
     affected = [f["path"] for f in doc["files"] if _norm(f["path"]) in affected_norm]
     new_files: list[dict] = []
     if affected:
+        # Delta DELETE semantics: NULL-evaluating rows are kept, so
+        # null-safe the inverted predicate (bare ~p drops NULLs).
         (
             spark.read.format(fmt)
             .load(affected)
-            .where(~predicate)
+            .where(~F.coalesce(predicate, F.lit(False)))
             .write.mode("overwrite")
             .format(fmt)
             .save(rewrite_dir)

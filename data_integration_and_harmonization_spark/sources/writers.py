@@ -164,11 +164,16 @@ def delete_rows(
     fs.mkdirs(dst_root)
 
     if affected:
+        # DELETE semantics match Delta/ANSI: rows where the predicate
+        # is TRUE are deleted; rows where it evaluates NULL are KEPT.
+        # A bare ~predicate would drop NULL-evaluating rows too (only
+        # in files containing a true match — silently co-location
+        # dependent), so null-safe it with coalesce(…, false).
         kept = (
             spark.read.format(fmt)
             .option("basePath", src_path)
             .load(affected)
-            .where(~predicate)
+            .where(~F.coalesce(predicate, F.lit(False)))
         )
         writer = kept.write.mode("overwrite").format(fmt)
         if partition_by:

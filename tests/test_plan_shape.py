@@ -182,9 +182,20 @@ def test_delete_affected_file_scan_pushes_predicate(spark, sf_dir, tmp_path):
 
 
 def test_pagerank_loop_shuffles_only_rank_frame(spark):
-    """The degree-annotated edge table is checkpointed with a pinned
-    hash partitioning on src; a round's join must not re-exchange it —
-    only the small rank frame shuffles."""
+    """The degree-annotated edge table is persist()-ed with a pinned
+    hash partitioning on src (InMemoryRelation preserves it); a
+    round's join must not re-exchange it — only the small rank frame
+    shuffles. Probed under the SMJ/ShuffledHashJoin path (broadcast
+    disabled) because that is the shape that runs at scale, where the
+    rank frame is too big to broadcast: the only ENSURE_REQUIREMENTS
+    exchange allowed in a round is the contribution groupBy on dst.
+
+    localCheckpoint is explicitly the WRONG tool here: on Spark 4.1.2
+    it rematerializes as a Scan ExistingRDD that drops the
+    pre-checkpoint outputPartitioning, so the O(E) edge table got
+    re-exchanged every round (caught red in round 8)."""
+    import re
+
     from data_integration_and_harmonization_spark.operators.graph import (
         pagerank,
     )
@@ -194,25 +205,43 @@ def test_pagerank_loop_shuffles_only_rank_frame(spark):
         [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
         "src long, dst long",
     )
-    # count exchanges in ONE round's plan: rebuild the round the loop
-    # runs, against the checkpointed inputs pagerank() builds
     out = pagerank(edges, n_iter=1)
-    # the returned frame is checkpointed; assert instead on a probe
-    # join shaped like the loop body over a checkpointed edge table
-    ed = edges.repartition(1, "src").localCheckpoint(eager=True)
-    ranks = (
-        ed.select(F.col("src").alias("id")).distinct()
-        .repartition(1, "id")
-        .localCheckpoint(eager=True)
-        .select("id", F.lit(0.25).alias("pr"))
-    )
-    round_df = ed.join(
-        ranks.withColumnRenamed("id", "src").repartition(1, "src"), "src"
-    ).groupBy(F.col("dst").alias("id")).agg(F.sum("pr").alias("c"))
-    plan = _executed(round_df)
-    n_exchanges = plan.count("Exchange")
-    # one exchange for the rank frame into the join (the explicit
-    # co-partition to the edge layout), one for the groupBy — the
-    # checkpointed EDGE table must not re-exchange
-    assert n_exchanges == 2, plan
     assert out.count() == 4
+    # probe ONE round's executed plan, shaped exactly like the loop
+    # body over a persisted edge table, with broadcast off so the
+    # join resolves the way it would at scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ed = edges.repartition(2, "src").persist()
+    try:
+        ed.count()
+        ranks = (
+            ed.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.lit(0.25).alias("pr"))
+        )
+        round_df = (
+            ed.join(
+                ranks.withColumnRenamed("id", "src").repartition(2, "src"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("pr").alias("c"))
+        )
+        plan = _executed(round_df)
+        # final plan only — InMemoryRelation's description embeds the
+        # cache-build plan (its REPARTITION exchange is the pinned
+        # layout, not a per-round cost)
+        final = plan.split("+- == Initial Plan ==")[0]
+        ens = re.findall(
+            r"Exchange hashpartitioning\((\w+)#\d+L?, \d+\),"
+            r" ENSURE_REQUIREMENTS",
+            final,
+        )
+        # exactly one implicit exchange per round: the contribution
+        # aggregate on dst. src re-appearing here means the edge table
+        # lost its pinned layout and re-shuffles O(E) rows every round.
+        assert ens == ["dst"], (ens, final)
+    finally:
+        ed.unpersist(False)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -510,6 +510,60 @@ def test_delete_rows_no_matches_copies_everything(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dst).count() == docs.count()
 
 
+def test_delete_rows_null_predicate_rows_are_kept(spark, tmp_path):
+    """Delta/ANSI DELETE semantics: rows where the predicate evaluates
+    NULL are KEPT (only TRUE rows are deleted). A bare ~predicate on
+    the survivors drops NULL rows too — and only in files that contain
+    a true match, so the loss is silently co-location dependent."""
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_files,
+        delete_rows_versioned,
+        read_version,
+    )
+    from data_integration_and_harmonization_spark.sources.writers import (
+        delete_rows,
+        list_data_files,
+    )
+    from pyspark.sql import functions as F
+
+    import shutil
+    from pathlib import Path
+
+    src = str(tmp_path / "nullpred.parquet")
+    # file 0: a true match AND a NULL-evaluating row; file 1: NULL only
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, None), (5, 3)],
+        "id long, v long",
+    )
+    Path(src).mkdir()
+    for i, ids in enumerate([(1, 2, 3), (4, 5)]):
+        tdir = tmp_path / f"np_tmp{i}"
+        df.where(F.col("id").isin(*ids)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tdir))
+        part = next(tdir.glob("part-*.parquet"))
+        shutil.copy(part, Path(src) / f"file{i}.parquet")
+    pred = F.col("v") > 7  # TRUE for id=1, NULL for id in (2,4)
+
+    dst = str(tmp_path / "nullpred_out.parquet")
+    stats = delete_rows(spark, src, dst, pred)
+    assert stats["rows_deleted"] == 1
+    kept = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert kept == [2, 3, 4, 5], kept  # NULL rows 2 and 4 both kept
+
+    # same semantics on the manifest variant
+    root = str(tmp_path / "mtab")
+    files = [{"path": p, "bytes": b} for p, b in list_data_files(spark, src)]
+    commit_files(spark, root, files, note="init")
+    rw = str(tmp_path / "mtab_rw")
+    vstats = delete_rows_versioned(spark, root, rw, pred)
+    assert vstats["rows_deleted"] == 1
+    vkept = sorted(
+        r["id"] for r in read_version(spark, root, vstats["version"]).collect()
+    )
+    assert vkept == [2, 3, 4, 5], vkept
+
+
 def test_manifest_versions_time_travel(spark, sf_dir, tmp_path):
     from data_integration_and_harmonization_spark.sources.manifest import (
         commit_version,
