@@ -764,42 +764,59 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("sum_rkey"),
         )
     )
-    # '__merge' row: MERGE (manifest.merge_upsert_versioned) on top of
-    # the post-delete version — keys in [500,1000) are MATCHED (whole
-    # row replaced, quantity +100), the deleted [1000,1100) keys come
-    # back as INSERTS (quantity +100). Only the files holding matched
-    # keys are rewritten; untouched files referenced in place. The
-    # oracle replays the update+insert arithmetic off the raw table,
-    # so the hash match proves Delta-style MERGE semantics end to end;
-    # sum_nkey carries the structural verdict (targeted subset +
-    # matched/inserted counts exactly as composed).
+    # '__merge' row: three-arm MERGE (manifest.merge_upsert_versioned)
+    # on top of the post-delete version — Delta's WHEN MATCHED UPDATE /
+    # WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE in ONE commit:
+    # keys in [500,1000) are MATCHED (whole row replaced, quantity
+    # +100), the earlier-deleted [1000,1100) keys come back as INSERTS
+    # (quantity +100), and keys in [2000,2500) are merge-DELETED. The
+    # change batch is deduped per key (max over dup (okey,lineno) keys
+    # — the synthetic lineitem has them; merge enforces unique change
+    # keys). Only files holding matched keys are rewritten; untouched
+    # files referenced in place. The oracle replays all three arms off
+    # the raw table, so the hash match proves MERGE semantics end to
+    # end; sum_nkey carries the structural verdict (targeted subset +
+    # matched/inserted/deleted counts exactly as composed).
     from data_integration_and_harmonization_spark.sources.manifest import (
         merge_upsert_versioned,
     )
 
     z_all = li.where(F.col("l_orderkey") % 10 == 7).select(*cols)
-    upd_match = z_all.where(
-        (F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 1000)
+
+    def _dedup_arm(df, op):
+        return (
+            df.groupBy("l_orderkey", "l_linenumber")
+            .agg(
+                F.max("l_quantity").alias("l_quantity"),
+                F.max("l_returnflag").alias("l_returnflag"),
+            )
+            .select(*cols)
+            .withColumn("op", F.lit(op))
+        )
+
+    rng = lambda a, b: (F.col("l_orderkey") >= a) & (F.col("l_orderkey") < b)
+    upd_match = _dedup_arm(z_all.where(rng(500, 1000)), "U").withColumn(
+        "l_quantity", F.col("l_quantity") + 100
     )
-    upd_ins = z_all.where(
-        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < 1100)
+    upd_ins = _dedup_arm(z_all.where(rng(lo, 1100)), "I").withColumn(
+        "l_quantity", F.col("l_quantity") + 100
     )
-    upd = (
-        upd_match.unionByName(upd_ins)
-        .withColumn("l_quantity", F.col("l_quantity") + 100)
-        .select(*cols)
-    )
-    n_match = upd_match.count()
+    upd_del = _dedup_arm(z_all.where(rng(2000, 2500)), "D")
+    upd = upd_match.unionByName(upd_ins).unionByName(upd_del)
+    n_match = z_all.where(rng(500, 1000) | rng(2000, 2500)).count()
     n_ins = upd_ins.count()
+    n_del = z_all.where(rng(2000, 2500)).count()
     merge_dir = base + "_li_merged.parquet"
     mstats = merge_upsert_versioned(
-        spark, tbl_root, merge_dir, upd, ["l_orderkey", "l_linenumber"]
+        spark, tbl_root, merge_dir, upd, ["l_orderkey", "l_linenumber"],
+        op_col="op",
     )
     merge_ok = int(
         mstats["files_affected"] < mstats["files_total"]
         and mstats["version"] == v2 + 1
         and mstats["rows_matched"] == n_match
         and mstats["rows_inserted"] == n_ins
+        and mstats["rows_deleted"] == n_del
     )
     merge_row = (
         read_version(spark, tbl_root, mstats["version"])
@@ -900,7 +917,23 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     # the pinned UTC session tz)
     events = SP.ensure_event_time(EV.load_events(spark, sf))
     batch = EV.tumbling_agg(events)
-    stream_ev = SP.ensure_event_time(SP.stream_events(spark, f"{sf}/events.parquet"))
+    # All drains run on a CLONED session (shared SparkContext,
+    # isolated SQLConf): stateful streaming cost scales with
+    # STATE-STORE COUNT = shuffle partitions at query start (each
+    # micro-batch opens/commits one store per partition per stateful
+    # operator; the stream-stream join keeps 4+ per partition). 32
+    # partitions for this bounded twin corpus measured 7.1 s for the
+    # join drain alone vs 3.0 s at 8 — so the drains' session runs at
+    # 8 while the HOST session is never mutated (queries planned
+    # concurrently on it keep their parallelism). Production streams
+    # size this to real key cardinality/throughput, not to a session
+    # default. Cross-session frames mix freely downstream — the twin
+    # comparisons execute on the host session against the drains'
+    # parquet outputs.
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream_ev = SP.ensure_event_time(SP.stream_events(s2, f"{sf}/events.parquet"))
 
     # The three drains are independent Structured Streaming queries —
     # start them from concurrent driver threads so their fixed
@@ -910,98 +943,85 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     # cannot change values.
     from concurrent.futures import ThreadPoolExecutor
 
-    # Stateful streaming cost scales with STATE-STORE COUNT = shuffle
-    # partitions at query start: each micro-batch opens/commits one
-    # store per partition per stateful operator (the stream-stream
-    # join keeps 4+ per partition). 32 partitions for this bounded
-    # twin corpus measured 7.1 s for the join drain alone vs 3.0 s at
-    # 8 — so the drains run at 8 and the session value is restored
-    # before the batch twins plan. Production streams size this to
-    # their real key cardinality/throughput, not to a session default.
     dd_keys = ["user_id", "event_type"]
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        with ThreadPoolExecutor(max_workers=6) as pool:
-            f_tumble = pool.submit(
-                SP.run_availablenow,
-                SP.tumbling_stream(stream_ev),
-                f"twin_{run_id}",
-                "parquet",
-            )
-            f_dd = pool.submit(
-                SP.run_availablenow,
-                ST.dedup_stream(
-                    SP.stream_events(spark, f"{sf}/events.parquet"),
-                    dd_keys,
-                    "ts",
-                    delay="3650 days",
-                ),
-                f"twin_dd_{run_id}",
-                "parquet",
-                None,
-                "append",
-            )
-            f_st = pool.submit(
-                SP.run_availablenow,
-                ST.user_running_stats(
-                    SP.stream_events(spark, f"{sf}/events.parquet")
-                ),
-                f"twin_st_{run_id}",
-                "parquet",
-                None,
-                "update",
-            )
-            f_join = pool.submit(
-                SP.run_availablenow,
-                SP.interval_join_stream(
-                    SP.stream_events(spark, f"{sf}/events.parquet"),
-                    SP.stream_events(spark, f"{sf}/events.parquet"),
-                ),
-                f"twin_j_{run_id}",
-                "parquet",
-                None,
-                "append",
-            )
-            f_sess = pool.submit(
-                SP.run_availablenow,
-                SP.session_stream(
-                    SP.stream_events(spark, f"{sf}/events.parquet")
-                ),
-                f"twin_sess_{run_id}",
-                "parquet",
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_tumble = pool.submit(
+            SP.run_availablenow,
+            SP.tumbling_stream(stream_ev),
+            f"twin_{run_id}",
+            "parquet",
+        )
+        f_dd = pool.submit(
+            SP.run_availablenow,
+            ST.dedup_stream(
+                SP.stream_events(s2, f"{sf}/events.parquet"),
+                dd_keys,
+                "ts",
+                delay="3650 days",
+            ),
+            f"twin_dd_{run_id}",
+            "parquet",
+            None,
+            "append",
+        )
+        f_st = pool.submit(
+            SP.run_availablenow,
+            ST.user_running_stats(
+                SP.stream_events(s2, f"{sf}/events.parquet")
+            ),
+            f"twin_st_{run_id}",
+            "parquet",
+            None,
+            "update",
+        )
+        f_join = pool.submit(
+            SP.run_availablenow,
+            SP.interval_join_stream(
+                SP.stream_events(s2, f"{sf}/events.parquet"),
+                SP.stream_events(s2, f"{sf}/events.parquet"),
+            ),
+            f"twin_j_{run_id}",
+            "parquet",
+            None,
+            "append",
+        )
+        f_sess = pool.submit(
+            SP.run_availablenow,
+            SP.session_stream(
+                SP.stream_events(s2, f"{sf}/events.parquet")
+            ),
+            f"twin_sess_{run_id}",
+            "parquet",
+        )
+
+        # 6th leg: transactional versioned-table sink — every
+        # micro-batch commits a manifest version (append), so a
+        # pinned reader never sees a half-visible batch.
+        def _drain_versioned():
+            import os as _os
+
+            from data_integration_and_harmonization_spark.functions.caching import (
+                scratch_dir as _scratch,
             )
 
-            # 6th leg: transactional versioned-table sink — every
-            # micro-batch commits a manifest version (append), so a
-            # pinned reader never sees a half-visible batch.
-            def _drain_versioned():
-                import os as _os
-
-                from data_integration_and_harmonization_spark.functions.caching import (
-                    scratch_dir as _scratch,
-                )
-
-                b = _scratch(f"twin_ver_{run_id}")
-                root = _os.path.join(b, "tbl")
-                vs = SP.stream_to_versioned_table(
-                    SP.stream_events(spark, f"{sf}/events.parquet"),
-                    root,
-                    _os.path.join(b, "data"),
-                )
-                return root, vs
-
-            f_ver = pool.submit(_drain_versioned)
-            drained, dd, st, sj_pairs, sess, (ver_root, ver_versions) = (
-                f_tumble.result(),
-                f_dd.result(),
-                f_st.result(),
-                f_join.result(),
-                f_sess.result(),
-                f_ver.result(),
+            b = _scratch(f"twin_ver_{run_id}")
+            root = _os.path.join(b, "tbl")
+            vs = SP.stream_to_versioned_table(
+                SP.stream_events(s2, f"{sf}/events.parquet"),
+                root,
+                _os.path.join(b, "data"),
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            return root, vs
+
+        f_ver = pool.submit(_drain_versioned)
+        drained, dd, st, sj_pairs, sess, (ver_root, ver_versions) = (
+            f_tumble.result(),
+            f_dd.result(),
+            f_st.result(),
+            f_join.result(),
+            f_sess.result(),
+            f_ver.result(),
+        )
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
     )
@@ -1578,22 +1598,31 @@ FROM lineitem
 WHERE l_orderkey % 10 = 7
   AND NOT (l_orderkey >= 1000 AND l_orderkey < 2000)
 UNION ALL
--- MERGE leg: on top of the post-delete version, keys in [500,1000)
--- were replaced with quantity+100 and the deleted [1000,1100) keys
--- re-inserted with quantity+100; only the files holding matched keys
--- were rewritten (sum_nkey = the engine's structural verdict)
+-- MERGE leg (three arms, one commit): on top of the post-delete
+-- version, keys in [500,1000) were replaced by ONE deduped change row
+-- each (max over dup keys, quantity+100), the deleted [1000,1100)
+-- keys re-inserted deduped (quantity+100), and keys in [2000,2500)
+-- merge-DELETED; only the files holding matched keys were rewritten
+-- (sum_nkey = the engine's structural verdict)
 SELECT '__merge', count(*)::BIGINT, round(sum(q), 6),
        1::BIGINT, CAST(NULL AS BIGINT)
 FROM (
-  SELECT CASE WHEN l_orderkey >= 500 AND l_orderkey < 1000
-              THEN l_quantity + 100 ELSE l_quantity END AS q
+  SELECT l_quantity AS q
   FROM lineitem
   WHERE l_orderkey % 10 = 7
     AND NOT (l_orderkey >= 1000 AND l_orderkey < 2000)
+    AND NOT (l_orderkey >= 500 AND l_orderkey < 1000)
+    AND NOT (l_orderkey >= 2000 AND l_orderkey < 2500)
   UNION ALL
-  SELECT l_quantity + 100 AS q
+  SELECT max(l_quantity) + 100 AS q
+  FROM lineitem
+  WHERE l_orderkey % 10 = 7 AND l_orderkey >= 500 AND l_orderkey < 1000
+  GROUP BY l_orderkey, l_linenumber
+  UNION ALL
+  SELECT max(l_quantity) + 100 AS q
   FROM lineitem
   WHERE l_orderkey % 10 = 7 AND l_orderkey >= 1000 AND l_orderkey < 1100
+  GROUP BY l_orderkey, l_linenumber
 ) t
 """,
         "ml_exact_split": """

@@ -28,6 +28,25 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version number first.
+
+    The Delta-log contract: versions are claimed by CREATE-EXCLUSIVE
+    manifest writes, so concurrent committers race on the filename and
+    exactly one wins — the loser gets this error and must REBUILD its
+    file list against the new latest version before retrying (a blind
+    re-commit could drop the winner's files). ``commit_stream_batch``
+    does that retry loop automatically; ad-hoc callers decide
+    themselves."""
+
+    def __init__(self, table_root: str, version: int):
+        super().__init__(
+            f"version {version} of {table_root} was committed concurrently"
+        )
+        self.table_root = table_root
+        self.version = version
+
+
 def _fs_and_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -79,11 +98,19 @@ def commit_files(
     files: list[dict],
     note: str = "",
     fmt: str = "parquet",
+    version: int | None = None,
 ) -> int:
     """Commit an EXPLICIT file list as the next version — the primitive
     behind reference-in-place maintenance (a new version that reuses
-    most of the previous version's files moves zero bytes)."""
-    version = (list_versions(spark, table_root) or [0])[-1] + 1
+    most of the previous version's files moves zero bytes).
+
+    ``version`` pins WHICH version number this commit claims — pass it
+    when the file list was derived from version-1 so a concurrent
+    winner makes this commit CONFLICT instead of landing a stale list
+    under a fresh number (the lost-update anomaly). Default (None)
+    recomputes latest+1 at write time — fine for single-writer use."""
+    if version is None:
+        version = (list_versions(spark, table_root) or [0])[-1] + 1
     doc = {
         "version": version,
         "format": fmt,
@@ -95,7 +122,16 @@ def commit_files(
     target = jvm.org.apache.hadoop.fs.Path(
         _manifest_dir(table_root) + f"/v{version:06d}.json"
     )
-    out = fs.create(target, False)  # no overwrite: a version is immutable
+    # create-exclusive (overwrite=False): the version number is CLAIMED
+    # by whoever creates the file first — optimistic concurrency, the
+    # Delta-log commit protocol. A losing concurrent writer gets a
+    # typed CommitConflictError instead of silently clobbering.
+    try:
+        out = fs.create(target, False)
+    except Exception as exc:  # Py4J wraps FileAlreadyExistsException
+        if fs.exists(target):
+            raise CommitConflictError(table_root, version) from exc
+        raise
     try:
         out.write(bytearray(json.dumps(doc).encode("utf-8")))
     finally:
@@ -184,22 +220,31 @@ def merge_upsert_versioned(
     updates: DataFrame,
     key_cols: list[str],
     version: int | None = None,
+    op_col: str | None = None,
 ) -> dict:
-    """MERGE (type-1 upsert) against a manifest table — completes the
-    maintenance trilogy next to :func:`delete_rows_versioned` and
+    """MERGE against a manifest table — completes the maintenance
+    trilogy next to :func:`delete_rows_versioned` and
     ``writers.compact_files``.
 
     Delta semantics with whole-row updates: a table row whose key
     matches an update row is REPLACED; update rows with no match are
-    INSERTED. Only the files that contain matched keys are rewritten
-    (found with one broadcast-semi-join scan of the pinned version);
-    every untouched file is referenced in place by the new version;
-    survivors + the full update batch land in ``rewrite_dir``.
-    ``updates`` is assumed CDC-batch-sized (it broadcasts); keys must
-    be unique within ``updates``.
+    INSERTED. With ``op_col`` given, update rows carry 'I'/'U'/'D'
+    (insert/update are both upserts); 'D' rows DELETE their matched
+    table rows — Delta's ``WHEN MATCHED THEN DELETE`` arm — and are
+    never inserted. Only the files that contain matched keys are
+    rewritten (found with one broadcast-semi-join scan of the pinned
+    version); every untouched file is referenced in place by the new
+    version; survivors + the surviving upserts land in
+    ``rewrite_dir``. ``updates`` is assumed CDC-batch-sized (it
+    broadcasts); keys must be unique within ``updates`` — enforced
+    (duplicate change keys make "last writer" ambiguous; same guard as
+    ``relational.merge_upsert``).
 
     Returns {version, files_total, files_affected, rows_matched,
-    rows_inserted}.
+    rows_inserted, rows_deleted}. ``rows_matched`` counts matched
+    TABLE rows (any op); ``rows_inserted`` is derived from distinct
+    key counts so it stays correct (and non-negative) even when the
+    table itself holds duplicate keys.
     """
     from urllib.parse import unquote, urlparse
 
@@ -207,6 +252,25 @@ def merge_upsert_versioned(
 
     def _norm(p: str) -> str:
         return unquote(urlparse(p).path)
+
+    dup = (
+        updates.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_upsert_versioned requires one change row per key; "
+            "pre-dedup the batch"
+        )
+    if op_col is not None:
+        ops = {r[0] for r in updates.select(op_col).distinct().collect()}
+        bad = ops - {"I", "U", "D"}
+        if bad:
+            raise ValueError(f"unknown ops {sorted(bad)}; expected I/U/D")
+        del_keys = updates.where(F.col(op_col) == "D").select(*key_cols)
+        upserts = updates.where(F.col(op_col) != "D").drop(op_col)
+    else:
+        del_keys = None
+        upserts = updates
 
     doc = read_manifest(spark, table_root, version)
     fmt = doc.get("format", "parquet")
@@ -227,17 +291,29 @@ def merge_upsert_versioned(
     rows_matched = int(sum(r["n"] for r in per_file))
     kept = [f for f in doc["files"] if _norm(f["path"]) not in affected_norm]
     affected = [f["path"] for f in doc["files"] if _norm(f["path"]) in affected_norm]
-    survivors = (
-        spark.read.format(fmt)
-        .load(affected)
-        .join(F.broadcast(upd_keys), key_cols, "left_anti")
-        if affected
-        else None
-    )
+    rows_deleted = 0
+    matched_up_keys = 0
+    if affected:
+        # all per-key stats read ONLY the affected files (bounded by
+        # the change batch's locality, never the table)
+        aff = spark.read.format(fmt).load(affected)
+        survivors = aff.join(F.broadcast(upd_keys), key_cols, "left_anti")
+        matched_up_keys = (
+            aff.join(F.broadcast(upserts.select(*key_cols)), key_cols, "left_semi")
+            .select(*key_cols)
+            .distinct()
+            .count()
+        )
+        if del_keys is not None:
+            rows_deleted = aff.join(
+                F.broadcast(del_keys), key_cols, "left_semi"
+            ).count()
+    else:
+        survivors = None
     out = (
-        survivors.unionByName(updates.select(*survivors.columns))
+        survivors.unionByName(upserts.select(*survivors.columns))
         if survivors is not None
-        else updates
+        else upserts
     )
     out.write.mode("overwrite").format(fmt).save(rewrite_dir)
     from data_integration_and_harmonization_spark.sources.writers import (
@@ -247,13 +323,14 @@ def merge_upsert_versioned(
     new_files = [
         {"path": p, "bytes": b} for p, b in list_data_files(spark, rewrite_dir)
     ]
-    n_upd = updates.count()
+    n_ups = upserts.count()
+    rows_inserted = max(0, n_ups - matched_up_keys)
     new_version = commit_files(
         spark,
         table_root,
         kept + new_files,
-        note=f"merge ({rows_matched} matched, {n_upd - rows_matched} inserted, "
-        f"{len(affected)} files rewritten)",
+        note=f"merge ({rows_matched} matched, {rows_inserted} inserted, "
+        f"{rows_deleted} deleted, {len(affected)} files rewritten)",
         fmt=fmt,
     )
     return {
@@ -261,7 +338,8 @@ def merge_upsert_versioned(
         "files_total": len(doc["files"]),
         "files_affected": len(affected),
         "rows_matched": rows_matched,
-        "rows_inserted": n_upd - rows_matched,
+        "rows_inserted": rows_inserted,
+        "rows_deleted": rows_deleted,
     }
 
 

@@ -247,6 +247,82 @@ def run_availablenow(
     return out
 
 
+def _under_dir(path: str, dir_prefix: str) -> bool:
+    """True if ``path`` lies under ``dir_prefix`` (which ends in "/"),
+    comparing filesystem paths with any URI scheme stripped (manifest
+    entries are fully qualified ``file:/…`` paths; callers build the
+    prefix from a plain local path)."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(path).path)
+    d = unquote(urlparse(dir_prefix).path)
+    if not d.endswith("/"):
+        d += "/"
+    return p.startswith(d)
+
+
+def commit_stream_batch(
+    spark: SparkSession, table_root: str, bdir: str, batch_id: int
+) -> int:
+    """Commit one micro-batch's already-written directory ``bdir`` to
+    the manifest table: next version = previous version's files MINUS
+    anything under ``bdir`` PLUS ``bdir``'s current files.
+
+    The minus step is the replay guard (see
+    :func:`stream_to_versioned_table`): an at-least-once replay
+    rewrites ``bdir`` with new nondeterministic part filenames, so a
+    plain path-union would reference deleted files and double-count
+    the batch.
+
+    Commits are optimistic-concurrency (versions are claimed by
+    create-exclusive manifest writes): on :class:`CommitConflictError`
+    the file list is REBUILT against the new latest version — this
+    batch's files merged onto the winner's — and the commit retried,
+    exactly the Delta-log loser protocol. Bounded retries: conflicts
+    need a concurrent committer, so livelock means a misconfigured
+    pipeline (two drivers streaming into one table root)."""
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        CommitConflictError,
+        commit_files,
+        list_versions,
+        read_manifest,
+    )
+    from data_integration_and_harmonization_spark.sources.writers import (
+        list_data_files,
+    )
+
+    batch_files = [
+        {"path": p, "bytes": b} for p, b in list_data_files(spark, bdir)
+    ]
+    bprefix = bdir.rstrip("/") + "/"
+    last_exc: Exception | None = None
+    for _ in range(25):
+        prev: dict[str, dict] = {}
+        vs = list_versions(spark, table_root)
+        if vs:
+            prev = {
+                f["path"]: f
+                for f in read_manifest(spark, table_root, vs[-1])["files"]
+                if not _under_dir(f["path"], bprefix)
+            }
+        for f in batch_files:
+            prev[f["path"]] = f
+        try:
+            # claim EXACTLY latest+1: if another writer lands first,
+            # this commit conflicts (instead of re-numbering a file
+            # list that no longer includes the winner's files)
+            return commit_files(
+                spark,
+                table_root,
+                list(prev.values()),
+                note=f"stream batch {batch_id}",
+                version=(vs or [0])[-1] + 1,
+            )
+        except CommitConflictError as exc:
+            last_exc = exc  # rebuild against the winner and retry
+    raise last_exc
+
+
 def stream_to_versioned_table(
     stream_df: DataFrame,
     table_root: str,
@@ -266,22 +342,17 @@ def stream_to_versioned_table(
       manifest references (invisible to readers, reclaimable) — the
       table is never torn;
     - a REPLAYED batch (foreachBatch is at-least-once after recovery)
-      overwrites its own batch-id directory and the commit dedupes by
-      path, so replay is idempotent — files land in the manifest
-      once.
+      overwrites its own batch-id directory, and the commit drops any
+      previously-committed entry under that batch DIRECTORY before
+      merging the re-listed files, so replay is idempotent. Dedupe by
+      directory prefix, not exact path: parquet part filenames are
+      nondeterministic per write, so a replay produces NEW file names
+      — exact-path dedupe would carry the overwritten (now deleted)
+      paths into the next version AND double-count the batch.
 
     Returns the committed version numbers, one per micro-batch.
     """
     import os
-
-    from data_integration_and_harmonization_spark.sources.manifest import (
-        commit_files,
-        list_versions,
-        read_manifest,
-    )
-    from data_integration_and_harmonization_spark.sources.writers import (
-        list_data_files,
-    )
 
     versions: list[int] = []
 
@@ -289,23 +360,7 @@ def stream_to_versioned_table(
         spark = batch_df.sparkSession
         bdir = os.path.join(data_root, f"batch_{batch_id:06d}")
         batch_df.write.mode("overwrite").parquet(bdir)
-        prev: dict[str, dict] = {}
-        vs = list_versions(spark, table_root)
-        if vs:
-            prev = {
-                f["path"]: f
-                for f in read_manifest(spark, table_root, vs[-1])["files"]
-            }
-        for p, b in list_data_files(spark, bdir):
-            prev[p] = {"path": p, "bytes": b}
-        versions.append(
-            commit_files(
-                spark,
-                table_root,
-                list(prev.values()),
-                note=f"stream batch {batch_id}",
-            )
-        )
+        versions.append(commit_stream_batch(spark, table_root, bdir, batch_id))
 
     with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
         q = (

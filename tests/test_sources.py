@@ -768,9 +768,14 @@ def test_merge_upsert_versioned_semantics(spark, sf_dir, tmp_path):
         "l_orderkey"
     ).write.mode("overwrite").parquet(d1)
     v1 = commit_version(spark, root, d1)
-    # matched updates: double quantity on a key range; inserts: two
-    # synthetic keys no table row has
-    m = li.where((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 1300))
+    # matched updates: double quantity on a key range — deduped per
+    # key with max() (the synthetic lineitem HAS duplicate
+    # (okey,lineno) keys, and merge enforces unique change keys);
+    # inserts: two synthetic keys no table row has
+    mraw = li.where((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 1300))
+    m = mraw.groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_quantity").alias("l_quantity")
+    )
     upd = m.withColumn("l_quantity", F.col("l_quantity") * 2).unionByName(
         spark.createDataFrame(
             [(10**9, 1, 42.0), (10**9, 2, 43.0)],
@@ -778,20 +783,23 @@ def test_merge_upsert_versioned_semantics(spark, sf_dir, tmp_path):
         ).withColumn("l_linenumber", F.col("l_linenumber").cast(
             m.schema["l_linenumber"].dataType.simpleString()))
     )
-    n_match = m.count()
+    n_match = mraw.count()  # matched TABLE rows (incl. dup-key rows)
+    n_keys = m.count()
     assert n_match > 0
     stats = merge_upsert_versioned(
         spark, root, rw, upd, ["l_orderkey", "l_linenumber"]
     )
     assert stats["rows_matched"] == n_match
     assert stats["rows_inserted"] == 2
+    assert stats["rows_deleted"] == 0
     assert 0 < stats["files_affected"] < stats["files_total"]
     # zero-copy sharing
     m1 = {f["path"] for f in read_manifest(spark, root, v1)["files"]}
     m2 = {f["path"] for f in read_manifest(spark, root, stats["version"])["files"]}
     assert len(m1 & m2) == stats["files_total"] - stats["files_affected"]
     out = read_version(spark, root, stats["version"])
-    assert out.count() == li.count() + 2
+    # each matched KEY collapses to one row
+    assert out.count() == li.count() - n_match + n_keys + 2
     # matched rows replaced
     got = {
         (r["l_orderkey"], r["l_linenumber"]): r["l_quantity"]
@@ -808,3 +816,58 @@ def test_merge_upsert_versioned_semantics(spark, sf_dir, tmp_path):
     assert out.where(F.col("l_orderkey") == 10**9).count() == 2
     # time travel: v1 untouched
     assert read_version(spark, root, v1).count() == li.count()
+
+
+def test_merge_upsert_versioned_guards_and_delete_arm(spark, tmp_path):
+    """(a) duplicate change keys raise (ambiguous last-writer);
+    (b) with op_col, one commit can update + insert + delete (Delta's
+    three MERGE arms); (c) rows_inserted stays correct when the TABLE
+    holds duplicate keys (derived from distinct key counts)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        merge_upsert_versioned,
+        read_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    d1 = str(tmp_path / "d1.parquet")
+    # table with a DUPLICATE key (k=3 twice)
+    tbl = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (3, 31.0), (4, 40.0), (5, 50.0)],
+        "k long, v double",
+    )
+    tbl.coalesce(2).write.mode("overwrite").parquet(d1)
+    commit_version(spark, root, d1)
+
+    # (a) duplicate keys in the change batch -> ValueError
+    dup_upd = spark.createDataFrame([(1, 0.0), (1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="one change row per key"):
+        merge_upsert_versioned(spark, root, str(tmp_path / "rw0"), dup_upd, ["k"])
+
+    # (a') unknown op -> ValueError
+    bad_op = spark.createDataFrame([(1, 0.0, "X")], "k long, v double, op string")
+    with pytest.raises(ValueError, match="unknown ops"):
+        merge_upsert_versioned(
+            spark, root, str(tmp_path / "rw1"), bad_op, ["k"], op_col="op"
+        )
+
+    # (b)+(c): update k=3 (matches TWO table rows), insert k=9,
+    # delete k=5, delete k=77 (no match: a no-op, per Delta)
+    upd = spark.createDataFrame(
+        [(3, 300.0, "U"), (9, 90.0, "I"), (5, 0.0, "D"), (77, 0.0, "D")],
+        "k long, v double, op string",
+    )
+    stats = merge_upsert_versioned(
+        spark, root, str(tmp_path / "rw2"), upd, ["k"], op_col="op"
+    )
+    assert stats["rows_matched"] == 3  # two k=3 rows + one k=5 row
+    assert stats["rows_inserted"] == 1  # k=9 only (k=3 matched)
+    assert stats["rows_deleted"] == 1  # k=5 (k=77 never existed)
+    out = {
+        (r["k"], r["v"]) for r in read_version(spark, root, stats["version"]).collect()
+    }
+    # both duplicate k=3 rows replaced by the ONE update row; k=5 gone
+    assert out == {(1, 10.0), (2, 20.0), (3, 300.0), (4, 40.0), (9, 90.0)}

@@ -185,3 +185,108 @@ def test_stream_to_versioned_table_multibatch(spark, sf_dir, tmp_path):
         f_now = {f["path"] for f in read_manifest(spark, root, v)["files"]}
         assert f_prev <= f_now
         f_prev = f_now
+
+
+def test_manifest_concurrent_committers_conflict_not_clobber(spark, tmp_path):
+    """Optimistic concurrency: versions are claimed by create-exclusive
+    manifest writes. Two writers racing on the same next version must
+    produce one winner and one typed CommitConflictError — never a
+    silent clobber. commit_stream_batch's retry loop then lets
+    concurrent stream committers all land, each rebuilt on the
+    winner's manifest."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        CommitConflictError,
+        commit_files,
+        list_versions,
+        read_manifest,
+        read_version,
+    )
+    from data_integration_and_harmonization_spark.streaming.pipeline import (
+        commit_stream_batch,
+    )
+
+    root = str(tmp_path / "tbl")
+
+    # direct conflict: a stale writer that built on v1 and claims v2
+    # AFTER a concurrent winner already landed v2 must get a typed
+    # conflict, never a silent clobber or a stale list under v3
+    commit_files(spark, root, [], note="v1")
+    fs_dir = tmp_path / "tbl" / "_manifests"
+    (fs_dir / "v000002.json").write_text('{"version": 2, "files": []}')
+    try:
+        commit_files(spark, root, [], note="loser", version=2)
+        raise AssertionError("expected CommitConflictError")
+    except CommitConflictError as exc:
+        assert exc.version == 2
+    assert list_versions(spark, root) == [1, 2]
+
+    # racing stream committers: every batch must land exactly once
+    root2 = str(tmp_path / "tbl2")
+    data = str(tmp_path / "data2")
+    bdirs = []
+    for i in range(4):
+        bdir = os.path.join(data, f"batch_{i:06d}")
+        spark.range(i * 10, i * 10 + 10).withColumnRenamed(
+            "id", "k"
+        ).coalesce(1).write.mode("overwrite").parquet(bdir)
+        bdirs.append(bdir)
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(
+            ex.map(
+                lambda ib: commit_stream_batch(spark, root2, ib[1], ib[0]),
+                enumerate(bdirs),
+            )
+        )
+    assert sorted(versions) == list(range(1, 5)), versions
+    final = max(versions)
+    out = read_version(spark, root2, final)
+    assert sorted(r["k"] for r in out.collect()) == list(range(40))
+    # the last manifest references every batch directory
+    paths = {f["path"] for f in read_manifest(spark, root2, final)["files"]}
+    for bdir in bdirs:
+        assert any(os.path.basename(bdir) in p for p in paths), bdir
+
+
+def test_stream_versioned_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once after recovery: a replayed batch
+    rewrites batch_<id> with NEW nondeterministic part filenames.  The
+    commit must dedupe by batch DIRECTORY, not exact path — otherwise
+    the new version references the overwritten (deleted) old paths and
+    double-counts the batch."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        read_manifest,
+        read_version,
+    )
+    from data_integration_and_harmonization_spark.streaming.pipeline import (
+        commit_stream_batch,
+    )
+
+    root = str(tmp_path / "tbl")
+    data = str(tmp_path / "data")
+    b0 = os.path.join(data, "batch_000000")
+    b1 = os.path.join(data, "batch_000001")
+    df0 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df1 = spark.range(10, 15).withColumnRenamed("id", "k")
+    df0.coalesce(2).write.mode("overwrite").parquet(b0)
+    commit_stream_batch(spark, root, b0, 0)
+    df1.coalesce(1).write.mode("overwrite").parquet(b1)
+    v1 = commit_stream_batch(spark, root, b1, 1)
+    assert read_version(spark, root, v1).count() == 15
+
+    # REPLAY batch 1: overwrite (new part filenames) + re-commit
+    df1.coalesce(1).write.mode("overwrite").parquet(b1)
+    v2 = commit_stream_batch(spark, root, b1, 1)
+    files = [f["path"] for f in read_manifest(spark, root, v2)["files"]]
+    # every referenced file exists on disk (no dangling pre-replay paths)
+    for p in files:
+        assert os.path.exists(unquote(urlparse(p).path)), p
+    # the batch is counted once, not twice
+    out = read_version(spark, root, v2)
+    assert out.count() == 15
+    assert sorted(r["k"] for r in out.collect()) == list(range(15))
