@@ -271,10 +271,14 @@ def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
-    """F1 plus the r8 scaler family: the same rows carry z-score,
+    """F1 plus the scaler family: the same rows carry z-score,
     RobustScaler ((x - median)/IQR, exact interpolated percentiles)
-    and MinMaxScaler parity columns — three fit passes, each a
-    bounded scalar aggregate broadcast into one narrow projection."""
+    and MinMaxScaler parity columns — one fused fit pass broadcast
+    into one narrow projection. The fit pass ALSO computes the
+    percentile_approx (GK sketch) quantiles — the fit a 100-TB
+    pipeline ships, since exact percentile's final merge is
+    single-reducer — and the 'ra_ok' column carries the
+    approx-vs-exact agreement verdict (1% of IQR tolerance)."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag",
@@ -300,11 +304,33 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
                 # scalar percentile exprs each keep their own
                 # value->count map and each sort it at merge)
                 F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"q_{c}"),
+                # the 100-TB fit rides the SAME pass: percentile_approx
+                # (GK sketch, O(accuracy) per partial, map-side merge)
+                # — exact `percentile`'s final merge is single-reducer
+                # and scales with distinct values, so at scale the
+                # approx stats are the ones a pipeline would ship
+                # (features.robust_scale_fit_approx). The 'ra_ok'
+                # verdict below pins approx-vs-exact agreement.
+                F.percentile_approx(
+                    F.col(c).cast("double"), [0.25, 0.5, 0.75], 10_000
+                ).alias(f"qa_{c}"),
                 F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
                 F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
             )
         ],
     ).first()
+    # robust_approx verdict: for both columns, the GK-sketch median
+    # and IQR land within 1% of the exact fit's IQR (rank error at
+    # accuracy=1e4 is ≤ 0.01% of n — 1% of IQR is orders of magnitude
+    # of headroom, yet still tight enough that a broken sketch path
+    # could never pass). Oracle replays the bound as literal 1.
+    ra_ok = 1
+    for c in ("l_quantity", "l_extendedprice"):
+        q, qa = stats[f"q_{c}"], stats[f"qa_{c}"]
+        iqr, iqr_a = q[2] - q[0], qa[2] - qa[0]
+        tol = max(abs(iqr), 1e-9) * 0.01
+        if abs(qa[1] - q[1]) > tol or abs(iqr_a - iqr) > tol:
+            ra_ok = 0
     zs = {
         c: (stats[f"m_{c}"], stats[f"s_{c}"])
         for c in ("l_quantity", "l_extendedprice", "l_discount")
@@ -354,6 +380,7 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
         sc(ms, "l_extendedprice", "m_price"),
         F.round("__te", 6).alias("te_flag"),
         "qb_qty",
+        F.lit(ra_ok).cast("long").alias("ra_ok"),
     )
 
 
@@ -1677,7 +1704,10 @@ SELECT l_orderkey, l_linenumber,
              THEN (sc_ + 10.0 * prior) / (nc + 10.0)
              ELSE (sc_ - l_quantity + 10.0 * prior) / (nc - 1 + 10.0)
         END, 6) AS te_flag,
-  ntile(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)::INTEGER AS qb_qty
+  ntile(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)::INTEGER AS qb_qty,
+  -- engine-side verdict: percentile_approx (GK sketch) median/IQR
+  -- within 1% of the exact fit on both columns
+  1::BIGINT AS ra_ok
 FROM lineitem JOIN c ON lineitem.l_returnflag = c.f, s
 """,
         "feat_label_encode": """

@@ -1154,17 +1154,26 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           pins the coarse quantizer argmin node-for-node.
         - 'sem': SemDeDup verdicts (id_a=id, id_b=cluster_id,
           val=keep) — in-cell cosine components, min-id survivor.
+        - 'sem_km': the Lloyd path (centroids='kmeans', the quality
+          default at scale) end-to-end, gauged like the trained-PQ
+          leg: one verdict row (id_a=-1, id_b=assigned count —
+          SQL-derivable, val=1.0 iff the gauge holds). The gauge:
+          every id labeled exactly once, exactly one min-id keep per
+          duplicate component, AND mean within-cell distortion under
+          kmeans cells <= the seed cells' (Lloyd minimizes exactly
+          that objective; recall on the synthetic corpus is too noisy
+          to order the two at small n, distortion is not).
 
         Synthetic embeddings top out near cosine 0.43, so both
         families run at threshold 0.3 to keep the checked output
-        non-trivial; seed centroids keep the oracle replay exact
-        (kmeans stays the scale default in the API). The cell count is
-        ADAPTIVE — max(32, ceil(sqrt(n))) — because the clustering is
-        the bound on the in-cell quadratic pass: a fixed cell count
-        turns 10x corpus into ~100x candidate pairs (the 10x scale
-        probe measured exactly that with k=32 pinned: 2.8 s -> 37.6 s);
-        sqrt scaling keeps candidate pairs ~n^1.5, the standard
-        SemDeDup/IVF trade. The oracle computes the identical k in SQL.
+        non-trivial; seed centroids keep the oracle replay exact.
+        The cell count is ADAPTIVE — max(32, ceil(sqrt(n))) — because
+        the clustering is the bound on the in-cell quadratic pass: a
+        fixed cell count turns 10x corpus into ~100x candidate pairs
+        (the 10x scale probe measured exactly that with k=32 pinned:
+        2.8 s -> 37.6 s); sqrt scaling keeps candidate pairs ~n^1.5,
+        the standard SemDeDup/IVF trade. The oracle computes the
+        identical k in SQL.
         """
         import math
 
@@ -1189,7 +1198,66 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("cluster_id").alias("id_b"),
             F.col("keep").cast("double").alias("val"),
         )
-        return pairs.unionByName(cell_rows).unionByName(sem_rows)
+
+        # ---- sem_km leg: the Lloyd-trained path end to end. Cell
+        # labels aren't oracle-derivable (Spark ML kmeans), so the leg
+        # ships a GAUGE row: structural invariants + the distortion
+        # ordering Lloyd guarantees, all computed distributed with
+        # bounded (1-row / k-row) driver traffic.
+        sd_km = semantic_dedup(
+            emb, n_clusters=k, threshold=0.3, centroids="kmeans"
+        )
+        ev = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+
+        def _distortion(cells: DataFrame) -> float:
+            # mean per-coordinate squared deviation from the assigned
+            # cell's MEAN vector — same objective for both center
+            # families, so the comparison is apples to apples. One
+            # posexplode + two aggs; n*dim rows, all map-combinable.
+            x = cells.join(ev, "id").select(
+                "cell", F.posexplode(F.col("v").cast("array<double>")).alias("i", "x")
+            )
+            cent = x.groupBy("cell", "i").agg(F.avg("x").alias("c"))
+            return (
+                x.join(cent, ["cell", "i"])
+                .agg(F.avg((F.col("x") - F.col("c")) ** 2).alias("d"))
+                .first()["d"]
+            )
+
+        n = emb.count()
+        d_km = _distortion(sd_km.select("id", "cell"))
+        d_seed = _distortion(sd.select("id", "cell"))
+        km_stats = sd_km.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("nd"),
+        ).first()
+        bad_keep = (
+            sd_km.groupBy("cluster_id")
+            .agg(
+                F.sum(F.col("keep").cast("int")).alias("nk"),
+                F.min("id").alias("mn"),
+                F.min(F.when(F.col("keep"), F.col("id"))).alias("kept"),
+            )
+            .where((F.col("nk") != 1) | (F.col("kept") != F.col("mn")))
+            .count()
+        )
+        km_ok = int(
+            km_stats["n"] == n
+            and km_stats["nd"] == n
+            and bad_keep == 0
+            and d_km <= d_seed
+        )
+        km_row = spark.range(1).select(
+            F.lit("sem_km").alias("kind"),
+            F.lit(-1).cast("long").alias("id_a"),
+            F.lit(km_stats["n"]).cast("long").alias("id_b"),
+            F.lit(float(km_ok)).alias("val"),
+        )
+        return (
+            pairs.unionByName(cell_rows)
+            .unionByName(sem_rows)
+            .unionByName(km_row)
+        )
 
     return {
         "dedup_exact_fp": q_exact_fp,
@@ -1490,5 +1558,10 @@ UNION ALL
 SELECT 'sem', a.id, coalesce(c.cluster_id, a.id)::BIGINT,
        CASE WHEN coalesce(c.cluster_id, a.id) = a.id THEN 1.0 ELSE 0.0 END
 FROM assigned a LEFT JOIN sem_comp c ON c.id = a.id
+UNION ALL
+-- sem_km gauge row: the Lloyd path labels every vector exactly once
+-- (id_b = corpus count) and its verdict holds (val = 1: one min-id
+-- keep per component, kmeans within-cell distortion <= seed's)
+SELECT 'sem_km', -1, (SELECT count(*) FROM embeddings)::BIGINT, 1.0
 """,
     }

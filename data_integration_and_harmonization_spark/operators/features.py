@@ -100,6 +100,41 @@ def robust_scale_fit(
     return out
 
 
+def robust_scale_fit_approx(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    accuracy: int = 10_000,
+) -> dict[str, tuple[float, float]]:
+    """The 100-TB fit: ``percentile_approx`` (Greenwald–Khanna
+    sketch) instead of exact ``percentile``.
+
+    Spark's exact percentile keeps a value→count map per partial and
+    merges them on ONE reducer — its final merge scales with distinct
+    values (≈ row count for continuous columns), a driver-side
+    bottleneck shape at scale. The GK sketch is O(accuracy) per
+    partial regardless of n, merges map-side, and guarantees rank
+    error ≤ n/accuracy — at accuracy=10⁴ the quantile lands within
+    0.01 % of the true rank, far tighter than any downstream scaling
+    needs. Same return shape as :func:`robust_scale_fit`, so the two
+    fits are drop-in interchangeable into
+    :func:`robust_scale_transform`."""
+    cols = list(cols if cols is not None else numeric_cols(df))
+    aggs = [
+        F.percentile_approx(
+            F.col(c).cast("double"), [0.25, 0.5, 0.75], accuracy
+        ).alias(f"q_{c}")
+        for c in cols
+    ]
+    row = df.agg(*aggs).first()
+    out = {}
+    for c in cols:
+        q = row[f"q_{c}"]
+        q1, med, q3 = (q[0], q[1], q[2]) if q is not None else (None, None, None)
+        iqr = (q3 - q1) if (q1 is not None and q3 is not None) else None
+        out[c] = (med, iqr)
+    return out
+
+
 def robust_scale_transform(
     df: DataFrame, stats: dict[str, tuple[float, float]]
 ) -> DataFrame:

@@ -71,6 +71,24 @@ def test_robust_scale_median_iqr(spark):
     assert all(abs(a - b) < 1e-9 for a, b in zip(out, exp))
 
 
+def test_robust_scale_fit_approx_tracks_exact(spark, sf_dir):
+    """The GK-sketch fit (the 100-TB path) agrees with the exact fit
+    within 1% of IQR on a real continuous column, and is drop-in
+    interchangeable into robust_scale_transform."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_extendedprice"
+    )
+    exact = FE.robust_scale_fit(li, ["l_extendedprice"])
+    approx = FE.robust_scale_fit_approx(li, ["l_extendedprice"])
+    (med, iqr), (med_a, iqr_a) = exact["l_extendedprice"], approx["l_extendedprice"]
+    tol = abs(iqr) * 0.01
+    assert abs(med_a - med) <= tol
+    assert abs(iqr_a - iqr) <= tol
+    out = FE.robust_scale_transform(li, approx)
+    assert out.columns == ["l_extendedprice"]
+    assert out.count() == li.count()
+
+
 def test_robust_scale_zero_iqr_centers_only(spark):
     # constant column: IQR 0 -> sklearn scale_=1, center only
     df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
