@@ -752,7 +752,46 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     del_dir = base + "_li_deleted.parquet"
     tbl_root = base + "_li_versions"
-    v1 = commit_version(spark, tbl_root, z_dir, note="zordered slice")
+    # v1 carries per-file min/max stats for l_orderkey — the
+    # data-skipping statistics a Delta/Iceberg manifest records, and
+    # the z-ordered layout is exactly what makes them tight.
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version_with_stats,
+        prune_files,
+    )
+
+    v1 = commit_version_with_stats(
+        spark, tbl_root, z_dir, ["l_orderkey"], note="zordered slice"
+    )
+    # '__skip' row: manifest-stats file pruning (read_version(prune=))
+    # — the reader opens ONLY the files whose recorded [min,max] can
+    # intersect the range; at 100 TB that is the difference between a
+    # key range's few files and the whole table. sum_nkey carries the
+    # structural verdict (1 iff the prune skipped at least one file
+    # while keeping at least one); the value columns are the filtered
+    # aggregate the oracle replays off the raw table — a hash match
+    # proves pruning lost no row the residual filter would keep.
+    skip_lo, skip_hi = 2500, 2999
+    n_skip_kept = len(
+        prune_files(
+            read_manifest(spark, tbl_root, v1),
+            {"l_orderkey": (skip_lo, skip_hi)},
+        )
+    )
+    n_skip_total = len(read_manifest(spark, tbl_root, v1)["files"])
+    skip_ok = int(0 < n_skip_kept < n_skip_total)
+    skip_row = (
+        read_version(
+            spark, tbl_root, v1, prune={"l_orderkey": (skip_lo, skip_hi)}
+        )
+        .agg(
+            F.lit("__skip").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.lit(skip_ok).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
+        )
+    )
     dstats = delete_rows_versioned(
         spark,
         tbl_root,
@@ -862,6 +901,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(comp_row)
         .unionByName(del_row)
         .unionByName(merge_row)
+        .unionByName(skip_row)
     )
 
 
@@ -1651,6 +1691,15 @@ FROM (
   WHERE l_orderkey % 10 = 7 AND l_orderkey >= 1000 AND l_orderkey < 1100
   GROUP BY l_orderkey, l_linenumber
 ) t
+UNION ALL
+-- data-skipping leg: the engine read v1 (pre-delete, z-ordered) with
+-- manifest-stats file pruning on this key range; a hash match proves
+-- pruning lost nothing (sum_nkey = structural verdict: >=1 file
+-- skipped, >=1 kept)
+SELECT '__skip', count(*)::BIGINT, round(sum(l_quantity), 6),
+       1::BIGINT, CAST(NULL AS BIGINT)
+FROM lineitem
+WHERE l_orderkey % 10 = 7 AND l_orderkey >= 2500 AND l_orderkey <= 2999
 """,
         "ml_exact_split": """
 WITH ranked AS (

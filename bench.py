@@ -97,6 +97,7 @@ def main() -> None:
     # recorded steady-state number for ~90 s more wall-clock.
     timed_runs = int(os.environ.get("SPARK_GRAFT_TIMED_RUNS", "3"))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for _ in range(max(1, timed_runs)):
         for name in names:
@@ -128,23 +129,27 @@ def main() -> None:
                 rows[name] = qs[name](spark, sf_dir).count()
             t = time.time() - t0
             timings[name] = round(min(timings.get(name, float("inf")), t), 3)
+            runs.setdefault(name, []).append(round(t, 3))
     for name in names:
         print(f"# {name}: {timings[name]:.2f}s ({rows[name]} rows)", file=sys.stderr)
 
+    codecache: dict[str, str] = {}
     try:
-        # JVM code-cache usage at end of run (stderr diagnostic): this
-        # repo has twice had warm-query drift from a silently-full code
-        # cache (r4: 240m default, r5: 1g) — report it so a future
-        # drift is attributable without re-instrumenting.
+        # JVM code-cache usage at end of run: this repo has twice had
+        # warm-query drift from a silently-full code cache (r4: 240m
+        # default, r5: 1g) — recorded IN the artifact (plus stderr) so
+        # a future drift is attributable without re-instrumenting.
         beans = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
         it = beans.iterator()
         while it.hasNext():
             b = it.next()
             if "CodeHeap" in b.getName():
                 u = b.getUsage()
+                codecache[b.getName()] = (
+                    f"{u.getUsed() // (1024 * 1024)}/{u.getMax() // (1024 * 1024)} MB"
+                )
                 print(
-                    f"# codecache {b.getName()}: "
-                    f"{u.getUsed() // (1024 * 1024)}/{u.getMax() // (1024 * 1024)} MB",
+                    f"# codecache {b.getName()}: {codecache[b.getName()]}",
                     file=sys.stderr,
                 )
     except Exception:  # noqa: BLE001 — diagnostics must never sink a bench
@@ -158,6 +163,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # per-run times (the min of each list is "queries"):
+                # the spread attributes drift — a wide spread on an
+                # unchanged query is JIT/host noise, a tight spread at
+                # a new level is a real plan change
+                "runs": runs,
+                "codecache": codecache,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -117,15 +117,45 @@ def commit_files(
         "note": note,
         "files": sorted(files, key=lambda f: f["path"]),
     }
+    # The version number is CLAIMED by whoever creates the manifest
+    # file first — optimistic concurrency, the Delta-log commit
+    # protocol. A losing concurrent writer gets a typed
+    # CommitConflictError instead of silently clobbering.
+    from urllib.parse import unquote, urlparse
+
     fs, mdir, jvm = _fs_and_path(spark, _manifest_dir(table_root))
     fs.mkdirs(mdir)
-    target = jvm.org.apache.hadoop.fs.Path(
-        _manifest_dir(table_root) + f"/v{version:06d}.json"
-    )
-    # create-exclusive (overwrite=False): the version number is CLAIMED
-    # by whoever creates the file first — optimistic concurrency, the
-    # Delta-log commit protocol. A losing concurrent writer gets a
-    # typed CommitConflictError instead of silently clobbering.
+    target_str = _manifest_dir(table_root) + f"/v{version:06d}.json"
+    parsed = urlparse(target_str)
+    payload = json.dumps(doc).encode("utf-8")
+    if parsed.scheme in ("", "file"):
+        # Local FS: Hadoop's create(overwrite=False) is a NON-atomic
+        # exists-then-create (ChecksumFileSystem), so two racers can
+        # both "win" and one clobbers the other (observed in the
+        # racing-committers test). The atomic local primitive is
+        # write-to-temp + hard-LINK to the final name: link(2) fails
+        # with EEXIST if the target exists, and the target appears
+        # with its full content in one syscall (readers never see a
+        # torn manifest).
+        import os
+        import uuid as _uuid
+
+        mdir_local = unquote(urlparse(_manifest_dir(table_root)).path)
+        target_local = unquote(parsed.path)
+        tmp = os.path.join(mdir_local, f".tmp_{_uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, target_local)
+        except FileExistsError as exc:
+            raise CommitConflictError(table_root, version) from exc
+        finally:
+            os.unlink(tmp)
+        return version
+    # Remote FS (HDFS & friends): create(overwrite=False) IS the
+    # atomic namenode-side claim — the same primitive Delta's HDFS
+    # LogStore uses.
+    target = jvm.org.apache.hadoop.fs.Path(target_str)
     try:
         out = fs.create(target, False)
     except Exception as exc:  # Py4J wraps FileAlreadyExistsException
@@ -133,7 +163,7 @@ def commit_files(
             raise CommitConflictError(table_root, version) from exc
         raise
     try:
-        out.write(bytearray(json.dumps(doc).encode("utf-8")))
+        out.write(bytearray(payload))
     finally:
         out.close()
     return version
@@ -399,16 +429,147 @@ def vacuum(
     return {"deleted": sorted(doomed), "kept_versions": keep}
 
 
+def collect_file_stats(
+    spark: SparkSession,
+    paths: list[str],
+    cols: list[str],
+    fmt: str = "parquet",
+) -> dict[str, dict[str, list]]:
+    """Per-file min/max for ``cols`` — the data-skipping statistics a
+    Delta/Iceberg manifest carries so a reader can prune files without
+    opening them.
+
+    One distributed pass: scan the listed files projecting only
+    ``cols`` + ``input_file_name()``, one grouped min/max aggregate.
+    Driver traffic is O(files x cols) scalars — manifest-sized by
+    definition. Returns {normalized_path: {col: [min, max]}} (an
+    all-null column yields [None, None])."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.format(fmt)
+        .load(paths)
+        .select(*cols)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        )
+        .collect()
+    )
+    return {
+        unquote(urlparse(r["__f"]).path): {
+            c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in cols
+        }
+        for r in rows
+    }
+
+
+def commit_version_with_stats(
+    spark: SparkSession,
+    table_root: str,
+    data_dir: str,
+    stats_cols: list[str],
+    note: str = "",
+    fmt: str = "parquet",
+) -> int:
+    """:func:`commit_version` that also records per-file min/max for
+    ``stats_cols`` in the manifest — enables :func:`read_version`'s
+    ``prune`` to skip files driver-side, the manifest-level half of
+    data skipping (parquet row-group stats prune WITHIN the files the
+    manifest admits)."""
+    from urllib.parse import unquote, urlparse
+
+    from data_integration_and_harmonization_spark.sources.writers import (
+        list_data_files,
+    )
+
+    files = list_data_files(spark, data_dir)
+    stats = collect_file_stats(spark, [p for p, _ in files], stats_cols, fmt)
+    entries = []
+    for p, b in files:
+        e: dict = {"path": p, "bytes": b}
+        s = stats.get(unquote(urlparse(p).path))
+        if s:
+            e["stats"] = s
+        entries.append(e)
+    return commit_files(spark, table_root, entries, note=note, fmt=fmt)
+
+
+def prune_files(doc: dict, prune: dict[str, tuple]) -> list[dict]:
+    """Manifest entries of ``doc`` that can contain a row satisfying
+    EVERY ``col: (lo, hi)`` closed-interval constraint (pass None for
+    an open side). Conservative: entries without stats for a column
+    are kept; an all-null stat ([None, None]) is pruned — no row of
+    that file can satisfy a range comparison (SQL: NULL compares
+    false)."""
+    kept = []
+    for f in doc["files"]:
+        stats = f.get("stats", {})
+        keep = True
+        for col, (lo, hi) in prune.items():
+            s = stats.get(col)
+            if s is None:
+                continue  # no stats -> cannot prune safely
+            mn, mx = s
+            if mn is None and mx is None:
+                keep = False  # all-null file: range predicate matches nothing
+                break
+            if lo is not None and mx is not None and mx < lo:
+                keep = False
+                break
+            if hi is not None and mn is not None and mn > hi:
+                keep = False
+                break
+        if keep:
+            kept.append(f)
+    return kept
+
+
 def read_version(
-    spark: SparkSession, table_root: str, version: int | None = None
+    spark: SparkSession,
+    table_root: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """The pinned-version scan: exactly the manifest's files, immune to
-    any maintenance committed after this version."""
+    any maintenance committed after this version.
+
+    ``prune`` ({col: (lo, hi)} closed intervals) skips files whose
+    manifest stats prove they hold no matching row — the scan never
+    opens them (at 100 TB this is the difference between touching a
+    key range's few files and listing-then-filtering the table). The
+    returned frame still applies the residual range FILTER, so the
+    result is exactly the predicate's rows regardless of how loose the
+    file stats are."""
     doc = read_manifest(spark, table_root, version)
-    paths = [f["path"] for f in doc["files"]]
-    if not paths:
+    files = prune_files(doc, prune) if prune else doc["files"]
+    paths = [f["path"] for f in files]
+    if not doc["files"]:
         raise ValueError(f"version {doc['version']} has no data files")
-    return spark.read.format(doc.get("format", "parquet")).load(paths)
+    fmt = doc.get("format", "parquet")
+    if not paths:
+        # every file pruned: typed-empty result via an empty filter on
+        # one file's schema (cheap: schema read only)
+        from pyspark.sql import functions as F
+
+        base = spark.read.format(fmt).load(doc["files"][0]["path"]).where(F.lit(False))
+        return _apply_prune_filter(base, prune)
+    df = spark.read.format(fmt).load(paths)
+    return _apply_prune_filter(df, prune) if prune else df
+
+
+def _apply_prune_filter(df: DataFrame, prune: dict[str, tuple]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for col, (lo, hi) in prune.items():
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+    return df
 
 
 def version_diff(

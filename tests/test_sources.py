@@ -818,6 +818,60 @@ def test_merge_upsert_versioned_semantics(spark, sf_dir, tmp_path):
     assert read_version(spark, root, v1).count() == li.count()
 
 
+def test_manifest_stats_pruning(spark, sf_dir, tmp_path):
+    """Delta-style data skipping from manifest file stats: a commit
+    records per-file min/max, read_version(prune=...) never opens the
+    files whose stats exclude the range, and the result equals the
+    plain filtered scan exactly."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version_with_stats,
+        prune_files,
+        read_manifest,
+        read_version,
+    )
+
+    d1 = str(tmp_path / "d1.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    li.repartitionByRange(8, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(d1)
+    root = str(tmp_path / "tbl")
+    v = commit_version_with_stats(spark, root, d1, ["l_orderkey"])
+    doc = read_manifest(spark, root, v)
+    assert all("stats" in f and "l_orderkey" in f["stats"] for f in doc["files"])
+
+    lo, hi = 1000, 1499
+    kept = prune_files(doc, {"l_orderkey": (lo, hi)})
+    assert 0 < len(kept) < len(doc["files"])  # skipping actually skips
+    got = read_version(spark, root, v, prune={"l_orderkey": (lo, hi)})
+    want = li.where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+    assert got.count() == want.count()
+    assert got.count() > 0
+    a = sorted((r["l_orderkey"], r["l_quantity"]) for r in got.collect())
+    b = sorted((r["l_orderkey"], r["l_quantity"]) for r in want.collect())
+    assert a == b
+
+    # fully-out-of-range prune: zero files opened, typed empty result
+    empty = read_version(spark, root, v, prune={"l_orderkey": (10**12, None)})
+    assert empty.count() == 0
+    assert empty.columns == ["l_orderkey", "l_quantity"]
+
+    # half-open intervals
+    ge = read_version(spark, root, v, prune={"l_orderkey": (lo, None)})
+    assert ge.count() == li.where(F.col("l_orderkey") >= lo).count()
+
+    # entries without stats are never pruned (conservative)
+    doc2 = {"files": [{"path": "x"}, {"path": "y", "stats": {"k": [5, 9]}}]}
+    assert [f["path"] for f in prune_files(doc2, {"k": (10, None)})] == ["x"]
+    # all-null stats are pruned (no row satisfies a range comparison)
+    doc3 = {"files": [{"path": "z", "stats": {"k": [None, None]}}]}
+    assert prune_files(doc3, {"k": (0, 1)}) == []
+
+
 def test_merge_upsert_versioned_guards_and_delete_arm(spark, tmp_path):
     """(a) duplicate change keys raise (ambiguous last-writer);
     (b) with op_col, one commit can update + insert + delete (Delta's
