@@ -969,6 +969,15 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
       full-outer compared against the batch ``session_agg`` twin;
       the oracle independently replays the session set as
       gaps-and-islands SQL.
+    - 'versioned': ``stream_to_versioned_table`` — transactional
+      append ingestion, one manifest version per micro-batch; final
+      pinned version holds exactly the batch count, per-version
+      counts strictly increase.
+    - 'cdc': ``stream_cdc_to_versioned_table`` — streaming CDC MERGE
+      with newer-wins resolution; the merged table's final row per
+      (user_id, event_type) must equal the batch per-key argmax by
+      (ts, event_id), key-for-key (batching-independent because
+      event_id totalizes the order).
 
     The memory-sink drain stays covered by tests/test_streaming.py.
     """
@@ -1081,13 +1090,40 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
             return root, vs
 
         f_ver = pool.submit(_drain_versioned)
-        drained, dd, st, sj_pairs, sess, (ver_root, ver_versions) = (
+
+        # 7th leg: streaming CDC MERGE — per-batch upserts into a
+        # manifest table with newer-wins conflict resolution; the
+        # final state must equal the batch per-key argmax regardless
+        # of micro-batch boundaries.
+        def _drain_cdc():
+            import os as _os
+
+            from data_integration_and_harmonization_spark.functions.caching import (
+                scratch_dir as _scratch,
+            )
+
+            b = _scratch(f"twin_cdc_{run_id}")
+            root = _os.path.join(b, "tbl")
+            SP.stream_cdc_to_versioned_table(
+                SP.stream_events(
+                    s2, f"{sf}/events.parquet", max_files_per_trigger=2
+                ).where(F.col("user_id") % 25 == 0),
+                root,
+                _os.path.join(b, "data"),
+                ["user_id", "event_type"],
+                ["ts", "event_id"],
+            )
+            return root
+
+        f_cdc = pool.submit(_drain_cdc)
+        drained, dd, st, sj_pairs, sess, (ver_root, ver_versions), cdc_root = (
             f_tumble.result(),
             f_dd.result(),
             f_st.result(),
             f_join.result(),
             f_sess.result(),
             f_ver.result(),
+            f_cdc.result(),
         )
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
@@ -1231,12 +1267,53 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
           n_events if ver_ok else 0, ver_ok)],
         "kind string, n_windows long, n_agree long, all_agree boolean",
     )
+    # ---- CDC leg: the merged table's final row per (user_id,
+    # event_type) must be the argmax by (ts, event_id) over the whole
+    # slice — batching-independent by construction (event_id makes the
+    # order total), compared key-for-key.
+    cdc_final = _read_version(spark, cdc_root).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("s_eid"),
+        F.col("value").alias("s_val"),
+    )
+    from pyspark.sql import Window as _W
+
+    cdc_twin = (
+        events.where(F.col("user_id") % 25 == 0)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("user_id", "event_type").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("b_eid"),
+            F.col("value").alias("b_val"),
+        )
+    )
+    cdcj = cdc_final.join(cdc_twin, ["user_id", "event_type"], "full_outer")
+    cdc_agree = F.col("s_eid").eqNullSafe(F.col("b_eid")) & F.col(
+        "s_val"
+    ).eqNullSafe(F.col("b_val"))
+    cdc_row = cdcj.agg(
+        F.lit("cdc").alias("kind"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(cdc_agree.cast("long")).alias("n_agree"),
+        F.min(cdc_agree).alias("all_agree"),
+    )
     return (
         tumbling_row.unionByName(dedup_row)
         .unionByName(stateful_row)
         .unionByName(join_row)
         .unionByName(session_row)
         .unionByName(versioned_row)
+        .unionByName(cdc_row)
     )
 
 
@@ -1846,6 +1923,12 @@ UNION ALL
 -- versioned sink: the final manifest-pinned version holds exactly the
 -- batch row count (per-version monotonicity is the engine's verdict)
 SELECT 'versioned', count(*)::BIGINT, count(*)::BIGINT, true FROM events
+UNION ALL
+-- streaming CDC MERGE: one final row per key in the slice, every row
+-- the per-key argmax by (ts, event_id) — agreement is the engine's
+-- key-for-key comparison
+SELECT 'cdc', count(*)::BIGINT, count(*)::BIGINT, true
+FROM (SELECT DISTINCT user_id, event_type FROM events WHERE user_id % 25 = 0)
 """,
     }
     o.update(E.eda_oracles())

@@ -374,6 +374,101 @@ def stream_to_versioned_table(
     return versions
 
 
+def stream_cdc_to_versioned_table(
+    stream_df: DataFrame,
+    table_root: str,
+    data_root: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> list[int]:
+    """Streaming CDC apply — ``foreachBatch`` MERGE into a manifest
+    table with NEWER-WINS conflict resolution, the streaming
+    upsert-materialization recipe (Delta's `foreachBatch` + `MERGE`
+    pattern):
+
+    1. in-batch dedup: one row per key, the max ``order_cols`` tuple
+       wins (a micro-batch can carry several updates for one key);
+    2. staleness filter: a row is applied only if its order tuple is
+       STRICTLY greater than the current table state's — so an
+       out-of-order micro-batch can never regress a key, and a
+       replayed batch (at-least-once recovery) is a pure no-op:
+       nothing it carries beats the state it already produced;
+    3. transactional apply: :func:`~..sources.manifest.merge_upsert_versioned`
+       rewrites only the files holding matched keys and commits one
+       version per micro-batch.
+
+    ``order_cols`` must totally order each key's rows (e.g.
+    ``["ts", "event_id"]``); ties compare equal and keep the current
+    row, which is what makes replays idempotent. The final state is
+    therefore the per-key argmax over the whole stream — independent
+    of micro-batch boundaries, so a batch query (or SQL oracle) can
+    replay it exactly. Upsert-only (I/U); route deletes through
+    ``merge_upsert_versioned(op_col=...)`` in a batch job.
+
+    Returns the committed version numbers, one per non-empty batch.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        list_versions,
+        merge_upsert_versioned,
+        read_version,
+    )
+
+    versions: list[int] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        vs = list_versions(spark, table_root)
+        bdir = os.path.join(data_root, f"cdc_batch_{batch_id:06d}")
+        if not vs:
+            latest.write.mode("overwrite").parquet(bdir)
+            versions.append(
+                commit_version(spark, table_root, bdir, note=f"cdc batch {batch_id}")
+            )
+            return
+        cur = read_version(spark, table_root, vs[-1]).select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in order_cols]).alias("__cur_ord"),
+        )
+        fresh = (
+            latest.join(cur, key_cols, "left")
+            .where(
+                F.col("__cur_ord").isNull()
+                | (F.struct(*[F.col(c) for c in order_cols]) > F.col("__cur_ord"))
+            )
+            .drop("__cur_ord")
+        )
+        if fresh.isEmpty():
+            return  # replayed/stale batch: pure no-op, no version churn
+        stats = merge_upsert_versioned(
+            spark, table_root, bdir, fresh, key_cols
+        )
+        versions.append(stats["version"])
+
+    with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(apply_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return versions
+
+
 def incremental_drain(
     spark: SparkSession,
     src_dir: str,

@@ -250,6 +250,85 @@ def test_manifest_concurrent_committers_conflict_not_clobber(spark, tmp_path):
         assert any(os.path.basename(bdir) in p for p in paths), bdir
 
 
+def test_stream_cdc_newer_wins_and_replay_noop(spark, tmp_path):
+    """Streaming CDC MERGE: the final table is the per-key argmax over
+    (order_cols) regardless of micro-batch boundaries or arrival
+    order, and a full replay (fresh checkpoint over the same files)
+    changes nothing — the strictly-newer filter makes replays no-ops."""
+    import os
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        list_versions,
+        read_version,
+    )
+    from data_integration_and_harmonization_spark.streaming.pipeline import (
+        stream_cdc_to_versioned_table,
+        stream_events,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    # three files = three micro-batches (maxFilesPerTrigger=1), with
+    # key 1 updated in every batch and key 2's LATEST row arriving in
+    # the middle batch (out-of-order arrival must not regress it)
+    batches = [
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 10, 300.0)],
+        [(1, 20, 110.0), (2, 99, 290.0)],
+        [(1, 30, 120.0), (2, 50, 250.0), (4, 10, 400.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "k long, ver long, val double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{i}.parquet")
+        )
+    # flatten the per-batch dirs into one source dir of 3 files
+    import shutil
+    from pathlib import Path
+
+    flat = str(tmp_path / "cdc_flat")
+    Path(flat).mkdir()
+    for i in range(3):
+        part = next(Path(src, f"b{i}.parquet").glob("part-*.parquet"))
+        shutil.copy(part, Path(flat) / f"{i:03d}.parquet")
+
+    root = str(tmp_path / "tbl")
+    data = str(tmp_path / "data")
+    vs = stream_cdc_to_versioned_table(
+        stream_events(spark, flat, max_files_per_trigger=1),
+        root,
+        data,
+        ["k"],
+        ["ver"],
+    )
+    assert len(vs) >= 2
+    final = {
+        r["k"]: (r["ver"], r["val"])
+        for r in read_version(spark, root).collect()
+    }
+    # per-key argmax over ver, independent of batch boundaries
+    assert final == {
+        1: (30, 120.0),
+        2: (99, 290.0),  # out-of-order b3 row (ver 50) did NOT regress it
+        3: (10, 300.0),
+        4: (10, 400.0),
+    }
+    n_before = len(list_versions(spark, root))
+    # full replay: fresh checkpoint, same files — must be a no-op
+    vs2 = stream_cdc_to_versioned_table(
+        stream_events(spark, flat, max_files_per_trigger=1),
+        root,
+        data,
+        ["k"],
+        ["ver"],
+    )
+    assert vs2 == []
+    assert len(list_versions(spark, root)) == n_before
+    assert {
+        r["k"]: (r["ver"], r["val"])
+        for r in read_version(spark, root).collect()
+    } == final
+
+
 def test_stream_versioned_replayed_batch_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once after recovery: a replayed batch
     rewrites batch_<id> with NEW nondeterministic part filenames.  The
