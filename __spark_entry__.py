@@ -319,18 +319,39 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
             )
         ],
     ).first()
-    # robust_approx verdict: for both columns, the GK-sketch median
-    # and IQR land within 1% of the exact fit's IQR (rank error at
-    # accuracy=1e4 is ≤ 0.01% of n — 1% of IQR is orders of magnitude
-    # of headroom, yet still tight enough that a broken sketch path
-    # could never pass). Oracle replays the bound as literal 1.
+    # robust_approx verdict — the GK contract itself, not a value
+    # tolerance: percentile_approx returns an ELEMENT of the data (no
+    # interpolation) whose rank is within n/accuracy of the target
+    # rank. A value tolerance breaks on discrete columns (l_quantity
+    # is integral: the sketch may legally return the adjacent quantum,
+    # a value error of 1.0 at zero rank error — observed at sf0.1).
+    # So gauge by rank: the returned value occupies ranks
+    # [count_lt+1, count_le]; that window widened by the guaranteed
+    # slack must contain the target rank. One extra map-combinable
+    # count-if aggregate, fused into one job.
+    _ps = (0.25, 0.5, 0.75)
+    _ra_cols = ("l_quantity", "l_extendedprice")
+    rank_aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _ra_cols:
+        qa = stats[f"qa_{c}"]
+        for p, v in zip(_ps, qa):
+            tag = f"{c}_{int(p * 100)}"
+            rank_aggs += [
+                F.sum((F.col(c) < F.lit(float(v))).cast("long")).alias(f"lt_{tag}"),
+                F.sum((F.col(c) <= F.lit(float(v))).cast("long")).alias(f"le_{tag}"),
+            ]
+    rrow = li.agg(*rank_aggs).first()
+    n_rows_fit = rrow["n"]
+    slack = n_rows_fit / 10_000 + 1
     ra_ok = 1
-    for c in ("l_quantity", "l_extendedprice"):
-        q, qa = stats[f"q_{c}"], stats[f"qa_{c}"]
-        iqr, iqr_a = q[2] - q[0], qa[2] - qa[0]
-        tol = max(abs(iqr), 1e-9) * 0.01
-        if abs(qa[1] - q[1]) > tol or abs(iqr_a - iqr) > tol:
-            ra_ok = 0
+    for c in _ra_cols:
+        for p in _ps:
+            tag = f"{c}_{int(p * 100)}"
+            target = p * n_rows_fit
+            if not (
+                rrow[f"lt_{tag}"] + 1 - slack <= target <= rrow[f"le_{tag}"] + slack
+            ):
+                ra_ok = 0
     zs = {
         c: (stats[f"m_{c}"], stats[f"s_{c}"])
         for c in ("l_quantity", "l_extendedprice", "l_discount")
@@ -1831,8 +1852,9 @@ SELECT l_orderkey, l_linenumber,
              ELSE (sc_ - l_quantity + 10.0 * prior) / (nc - 1 + 10.0)
         END, 6) AS te_flag,
   ntile(10) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)::INTEGER AS qb_qty,
-  -- engine-side verdict: percentile_approx (GK sketch) median/IQR
-  -- within 1% of the exact fit on both columns
+  -- engine-side verdict: every percentile_approx (GK sketch) quantile
+  -- honors the sketch's rank contract (returned element's rank window
+  -- within n/accuracy of the target rank) on both columns
   1::BIGINT AS ra_ok
 FROM lineitem JOIN c ON lineitem.l_returnflag = c.f, s
 """,
