@@ -1026,8 +1026,12 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     # size this to real key cardinality/throughput, not to a session
     # default. Cross-session frames mix freely downstream — the twin
     # comparisons execute on the host session against the drains'
-    # parquet outputs.
-    s2 = spark.newSession()
+    # parquet outputs. cloneSession (not newSession): the clone COPIES
+    # the host's runtime SQL conf — newSession starts from defaults,
+    # which silently dropped a harness-set session timezone and made
+    # the drains window in a different zone than the batch twins
+    # (caught by the hostile-session gate under Australia/Eucla).
+    s2 = SparkSession(spark.sparkContext, spark._jsparkSession.cloneSession())
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream_ev = SP.ensure_event_time(SP.stream_events(s2, f"{sf}/events.parquet"))
