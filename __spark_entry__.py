@@ -927,17 +927,59 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ml_exact_split(spark: SparkSession, sf: str) -> DataFrame:
-    """M1 exact-count split parity (ref:62): every 5th row by global
-    rank over the unique composite key is held out — oracle-checkable,
-    unlike Bernoulli randomSplit."""
+    """M1 exact-count split parity (ref:62) plus the leakage-safe
+    group split:
+
+    - kind='split': every 5th row by global rank over the unique
+      composite key is held out — oracle-checkable, unlike Bernoulli
+      randomSplit; key = is_test as 0/1.
+    - kind='fold': ML.group_split by l_orderkey — all lineitems of an
+      order share a fold (the GroupKFold / dedup-cluster-aware split
+      that prevents near-duplicates straddling train/eval); per-fold
+      count + checksum, fold = md5 arithmetic the oracle replays.
+    - kind='fold_ok': key carries the number of groups spanning >1
+      fold (must be 0 — the leakage guarantee), n_rows the distinct
+      group count (SQL-derivable).
+
+    Checksums on l_quantity: integral-valued doubles sum exactly, so
+    the hash is immune to cross-engine summation order."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(*_ORDER_KEY, "l_quantity")
     s = ML.exact_split(li, _ORDER_KEY, k=5)
-    # checksum on l_quantity: integral-valued doubles sum exactly, so
-    # the hash is immune to cross-engine summation order
-    return s.groupBy(F.col("is_test")).agg(
+    split_rows = s.groupBy(F.col("is_test")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    ).select(
+        F.lit("split").alias("kind"),
+        F.col("is_test").cast("long").alias("key"),
+        "n_rows",
+        "sum_qty",
     )
+    g = ML.group_split(li, ["l_orderkey"], k=5)
+    fold_rows = g.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    ).select(
+        F.lit("fold").alias("kind"),
+        F.col("fold").cast("long").alias("key"),
+        "n_rows",
+        "sum_qty",
+    )
+    span = (
+        g.groupBy("l_orderkey")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(
+            F.sum((F.col("nf") > 1).cast("long")).alias("spanning"),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .first()
+    )
+    ok_row = spark.range(1).select(
+        F.lit("fold_ok").alias("kind"),
+        F.lit(int(span["spanning"])).cast("long").alias("key"),
+        F.lit(int(span["n_groups"])).cast("long").alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+    )
+    return split_rows.unionByName(fold_rows).unionByName(ok_row)
 
 
 def q_ml_tuned(spark: SparkSession, sf: str) -> DataFrame:
@@ -1810,10 +1852,30 @@ WITH ranked AS (
             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
           ) - 1) % 5 = 0 AS is_test
   FROM lineitem
+), folds AS (
+  -- group_split twin: fold = md5(netstring(l_orderkey):42) mod 5 —
+  -- the same netstring+md5 arithmetic the sampling family pins
+  SELECT l_quantity,
+         (CAST(concat('0x', substr(md5(concat(
+             CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR), ':',
+             CAST(l_orderkey AS VARCHAR), ':42')), 1, 15)) AS BIGINT) % 5
+         ) AS fold
+  FROM lineitem
 )
-SELECT is_test, count(*)::BIGINT AS n_rows,
+SELECT 'split' AS kind,
+       (CASE WHEN is_test THEN 1 ELSE 0 END)::BIGINT AS key,
+       count(*)::BIGINT AS n_rows,
        round(sum(l_quantity), 6) AS sum_qty
-FROM ranked GROUP BY 1
+FROM ranked GROUP BY 1, 2
+UNION ALL
+SELECT 'fold', fold::BIGINT, count(*)::BIGINT, round(sum(l_quantity), 6)
+FROM folds GROUP BY 1, 2
+UNION ALL
+-- leakage guarantee: zero groups straddle folds (engine-verified);
+-- n_rows = distinct group count
+SELECT 'fold_ok', 0::BIGINT,
+       (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT,
+       CAST(NULL AS DOUBLE)
 """,
         "clean_cascade": """
 SELECT c_custkey,

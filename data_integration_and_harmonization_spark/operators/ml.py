@@ -167,6 +167,49 @@ def exact_split(
     return idx.withColumn(holdout_col, (F.col("__split_pos") % k) == 0).drop("__split_pos")
 
 
+def group_split(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int = 5,
+    seed: int = 42,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: every row of a GROUP lands in
+    the same fold — ``fold = md5(netstring(group):seed) mod k``.
+
+    The group-aware split a training pipeline needs where a row-level
+    split LEAKS: pass a duplicate-cluster id (``dedup.duplicate_clusters``)
+    and near-duplicate documents can never straddle train/eval —
+    row-level splitting of deduplicated-but-clustered corpora is the
+    classic evaluation-contamination mechanism (Lee et al. 2022,
+    arXiv:2107.06499 §6 measure the resulting metric inflation). Also
+    the sklearn ``GroupKFold`` shape for entity-keyed rows (all of a
+    user's rows in one fold).
+
+    Shuffle-free and scan-pushed: one md5 projection per row, no
+    grouping — the fold is a pure function of the group key, so the
+    assignment is reproducible by ANY engine (same md5 arithmetic as
+    the sampling family; DuckDB-replayable). Fold sizes are
+    group-count-balanced in expectation, not exact — exactness would
+    need a global group shuffle; hash assignment is the shape that
+    holds at 100 TB.
+    """
+    from data_integration_and_harmonization_spark.operators.sampling import (
+        _injective_key,
+    )
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", _injective_key(group_cols), F.lit(str(seed)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(fold_col, (h % k).cast("int"))
+
+
 def evaluate_model(predictions: DataFrame, is_classification: bool, label_col: str = "label") -> dict[str, float]:
     """M8/M9 (ref:107-120): weighted classification metrics / MAE-MSE-R2.
 

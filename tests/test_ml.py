@@ -194,3 +194,36 @@ def test_quality_classifier_learns_weak_labels(spark):
     assert 0.0 <= m["AreaUnderROC"] <= 1.0
     # deterministic split + fit: a second run reproduces the metrics
     assert quality_classifier(docs) == m
+
+
+def test_group_split_leakage_guarantee(spark, sf_dir):
+    """group_split: every row of a group lands in ONE fold (the
+    leakage guarantee), folds are deterministic across runs, and the
+    assignment is reasonably balanced on real keys."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    g = ML.group_split(li, ["l_orderkey"], k=5)
+    span = (
+        g.groupBy("l_orderkey")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .where(F.col("nf") > 1)
+        .count()
+    )
+    assert span == 0
+    sizes = {r["fold"]: r["n"] for r in g.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    n = li.count()
+    # hash balance: each fold within 3x of the uniform share on real keys
+    assert all(n / 15 < v < 3 * n / 5 for v in sizes.values()), sizes
+    # deterministic: same assignment on a second run
+    a = {r["l_orderkey"]: r["fold"] for r in g.select("l_orderkey", "fold").distinct().collect()}
+    g2 = ML.group_split(li, ["l_orderkey"], k=5)
+    b = {r["l_orderkey"]: r["fold"] for r in g2.select("l_orderkey", "fold").distinct().collect()}
+    assert a == b
+    # different seed reassigns some groups
+    g3 = ML.group_split(li, ["l_orderkey"], k=5, seed=7)
+    c = {r["l_orderkey"]: r["fold"] for r in g3.select("l_orderkey", "fold").distinct().collect()}
+    assert a != c
