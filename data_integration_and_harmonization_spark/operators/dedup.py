@@ -136,26 +136,8 @@ def minhash_lsh_candidates(
 
     Output: (id_a, id_b, n_shared_bands), id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, gram, hash_family)
-
-    def bucket_of(b: int) -> Column:
-        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if hash_family == "md5":
-            return F.concat_ws("|", *[c.cast("string") for c in cols])
-        return F.hash(*cols).cast("string")
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded_rows(sig, num_hashes, bands, hash_family)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -555,6 +537,183 @@ def incremental_exact_dedup(
     )
     fresh.select(F.col("__fp").alias("fp")).write.parquet(out_dir)
     return fresh.drop("__fp")
+
+
+def _banded_rows(
+    sig: DataFrame, num_hashes: int, bands: int, hash_family: str
+) -> DataFrame:
+    """(id, band, bucket) rows from an (id, sig) signature frame —
+    the banding step of :func:`minhash_lsh_candidates`, factored out
+    so the incremental store path bands the SAME way."""
+    rows_per_band = num_hashes // bands
+
+    def bucket_of(b: int) -> Column:
+        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.hash(*cols).cast("string")
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def _sig_agreement(a: Column, b: Column, num_hashes: int) -> Column:
+    """Estimated Jaccard from two MinHash signatures: the fraction of
+    agreeing components (the unbiased MinHash estimator). Pure
+    higher-order column math — runs only on LSH candidate pairs."""
+    agree = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree / F.lit(float(num_hashes))
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    gram: int = 3,
+    hash_family: str = "murmur3",
+) -> DataFrame:
+    """Batch-over-batch NEAR-duplicate dedup against a persisted
+    SIGNATURE store — the fuzzy sibling of
+    :func:`incremental_exact_dedup`, and the shape a continuously
+    ingesting pretraining pipeline actually needs (new crawl snapshots
+    are near-dups of old ones far more often than byte-dups).
+
+    The store holds only (id, 32-long MinHash signature) per admitted
+    doc — ~256 bytes standing for any document size; old TEXT is never
+    reread. Matching is banded LSH candidates + the estimated-Jaccard
+    MinHash estimator (fraction of agreeing components) — estimated,
+    not exact, which is exactly the store-only trade: exact
+    verification would require the old text.
+
+    Per batch: (a) within-batch near-dup components
+    (:func:`duplicate_clusters` over the batch's estimated pairs) keep
+    the min id; (b) surviving keepers whose signature matches ANY
+    admitted doc at ``threshold`` are dropped; (c) survivors'
+    signatures are appended to the store (batch subdirectory +
+    _SUCCESS protocol, same recompute-stability and crash-visibility
+    contract as the exact variant). Docs too short to shingle (< gram
+    tokens) have no signature: always admitted, never stored — they
+    cannot near-dup anything at signature granularity.
+
+    Scale shape: signatures are one exploded aggregate; candidates are
+    (band, bucket) equi-joins (bucket groups are near-dup-cluster
+    sized, never corpus-sized); the store read is a plain parquet scan
+    of digest-width rows. Nothing is collected or broadcast. Serialize
+    batches like the exact variant.
+
+    Returns the surviving rows of ``new_docs`` (original columns).
+    """
+    import os
+    import uuid
+
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    spark = new_docs.sparkSession
+    sig = track(
+        minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, gram, hash_family
+        ).persist()
+    )
+    banded = _banded_rows(sig, num_hashes, bands, hash_family)
+    # (a) within-batch components over estimated near-dup pairs
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            _sig_agreement(F.col("sig_a"), F.col("sig_b"), num_hashes)
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = duplicate_clusters(pairs)  # (id, cluster_id); members only
+    dominated = comp.where(F.col("id") != F.col("cluster_id")).select("id")
+    keep_sig = sig.join(dominated, "id", "left_anti")
+    # (b) against history: candidate (new, admitted) band collisions,
+    # estimator-thresholded
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    batches: list[str] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch-")
+                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+            ):
+                batches.append(st.getPath().toString())
+    batches.sort()
+    if batches:
+        hist = spark.read.parquet(*batches)  # (id, sig)
+        hist_banded = _banded_rows(hist, num_hashes, bands, hash_family)
+        nb = _banded_rows(keep_sig, num_hashes, bands, hash_family).alias("n")
+        hb = hist_banded.alias("h")
+        hits = (
+            nb.join(
+                hb,
+                (F.col("n.band") == F.col("h.band"))
+                & (F.col("n.bucket") == F.col("h.bucket")),
+            )
+            .select(F.col("n.id").alias("id"), F.col("h.id").alias("hid"))
+            .distinct()
+            .join(keep_sig.select("id", F.col("sig").alias("sig_a")), "id")
+            .join(
+                hist.select(F.col("id").alias("hid"), F.col("sig").alias("sig_b")),
+                "hid",
+            )
+            .where(
+                _sig_agreement(F.col("sig_a"), F.col("sig_b"), num_hashes)
+                >= F.lit(threshold)
+            )
+            .select("id")
+            .distinct()
+        )
+        keep_sig = keep_sig.join(hits, "id", "left_anti")
+    keep_sig = track(keep_sig.persist())
+    out_dir = os.path.join(
+        store_path, f"batch-{len(batches):06d}-{uuid.uuid4().hex[:8]}"
+    )
+    keep_sig.write.parquet(out_dir)
+    # survivors: batch rows minus (dominated within batch) minus
+    # (history hits) — i.e. anything whose id left the signature set,
+    # PLUS the no-signature (too short) docs, which are never dropped
+    dropped = (
+        sig.select("id").join(keep_sig.select("id"), "id", "left_anti")
+    )
+    return new_docs.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
 
 
 def snapshot_diff(
@@ -1035,6 +1194,20 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         store = scratch_dir("fp_store") + "/store"
         b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
         b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
+        # 'nd1'/'nd2' legs: the NEAR-dup admit sequence
+        # (incremental_near_dedup) over the same even/odd batches —
+        # signature-store matching (banded LSH + estimated Jaccard at
+        # 0.5), md5 family so the oracle replays signatures, in-batch
+        # components, and history hits bit-for-bit.
+        nd_store = scratch_dir("nd_store") + "/store"
+        n1 = incremental_near_dedup(
+            docs.where(F.col("doc_id") % 2 == 0), nd_store,
+            threshold=0.5, hash_family="md5",
+        )
+        n2 = incremental_near_dedup(
+            docs.where(F.col("doc_id") % 2 == 1), nd_store,
+            threshold=0.5, hash_family="md5",
+        )
 
         def inc_rows(b: DataFrame, kind: str) -> DataFrame:
             # same null-text sentinel the store uses, so a null-text
@@ -1064,6 +1237,8 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.unionByName(fp)
             .unionByName(inc_rows(b1, "inc1"))
             .unionByName(inc_rows(b2, "inc2"))
+            .unionByName(inc_rows(n1, "nd1"))
+            .unionByName(inc_rows(n2, "nd2"))
             .unionByName(diff)
         )
 
@@ -1374,8 +1549,67 @@ def dedup_oracles() -> dict[str, str]:
         f"regexp_extract_all(lower(text), '{TOKEN_RE}')[i+2]))"
     )
     minhash_cte = _md5_minhash_cte(shingles)
+    # incremental_near_dedup twin: estimated-Jaccard pairs over the
+    # banded candidates, per-parity in-batch components, history hits
+    # of odd keepers against the stored (signature-bearing) even
+    # survivors — the same admit arithmetic the engine runs.
+    agree_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(32)
+    )
+    nd_cte = (
+        "WITH RECURSIVE "
+        + _md5_minhash_cte(shingles, bare=True)
+        + f""",
+nd_agree AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+  WHERE ({agree_sum}) / 32.0 >= 0.5
+),
+nd_e_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd_agree WHERE id_a % 2 = 0 AND id_b % 2 = 0
+  UNION
+  SELECT id_b, id_a FROM nd_agree WHERE id_a % 2 = 0 AND id_b % 2 = 0
+),
+nd_e_reach(id, lbl) AS (
+  SELECT src, src FROM nd_e_edges
+  UNION
+  SELECT e.dst, r.lbl FROM nd_e_reach r JOIN nd_e_edges e ON e.src = r.id
+),
+nd_e_comp AS (SELECT id, min(lbl) AS cid FROM nd_e_reach GROUP BY id),
+nd1_ids AS (
+  SELECT doc_id AS id FROM documents
+  WHERE doc_id % 2 = 0
+    AND doc_id NOT IN (SELECT id FROM nd_e_comp WHERE id <> cid)
+),
+nd1_stored AS (
+  SELECT id FROM nd1_ids WHERE id IN (SELECT id FROM sig)
+),
+nd_o_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM nd_agree WHERE id_a % 2 = 1 AND id_b % 2 = 1
+  UNION
+  SELECT id_b, id_a FROM nd_agree WHERE id_a % 2 = 1 AND id_b % 2 = 1
+),
+nd_o_reach(id, lbl) AS (
+  SELECT src, src FROM nd_o_edges
+  UNION
+  SELECT e.dst, r.lbl FROM nd_o_reach r JOIN nd_o_edges e ON e.src = r.id
+),
+nd_o_comp AS (SELECT id, min(lbl) AS cid FROM nd_o_reach GROUP BY id),
+nd2_ids AS (
+  SELECT doc_id AS id FROM documents k
+  WHERE doc_id % 2 = 1
+    AND doc_id NOT IN (SELECT id FROM nd_o_comp WHERE id <> cid)
+    AND NOT EXISTS (
+      SELECT 1 FROM nd_agree g
+      WHERE (g.id_a = k.doc_id AND g.id_b IN (SELECT id FROM nd1_stored))
+         OR (g.id_b = k.doc_id AND g.id_a IN (SELECT id FROM nd1_stored))
+    )
+)
+"""
+    )
     return {
-        "dedup_exact_fp": """
+        "dedup_exact_fp": nd_cte
+        + """
 SELECT 'exact' AS kind, md5(text) AS fp, count(*)::BIGINT AS n_copies, min(doc_id) AS keep_id
 FROM documents GROUP BY 2
 UNION ALL
@@ -1396,6 +1630,12 @@ SELECT 'inc2', fp, CAST(NULL AS BIGINT), keep_id FROM (
   SELECT 1 FROM documents e
   WHERE e.doc_id % 2 = 0 AND coalesce(md5(e.text), '__null_text__') = o.fp
 )
+UNION ALL
+SELECT 'nd1', coalesce(md5(text), '__null_text__'), CAST(NULL AS BIGINT), doc_id
+FROM documents WHERE doc_id IN (SELECT id FROM nd1_ids)
+UNION ALL
+SELECT 'nd2', coalesce(md5(text), '__null_text__'), CAST(NULL AS BIGINT), doc_id
+FROM documents WHERE doc_id IN (SELECT id FROM nd2_ids)
 UNION ALL
 -- snapshot_diff legs: same two synthesized corpus versions, same
 -- full-outer fingerprint compare (sentinel for null text)

@@ -723,3 +723,53 @@ def test_daily_uniques_rollup_sketch_merges(spark):
     assert r["exact"] == 200
     assert r["ok"] == 1
     assert abs(r["est"] - 200) <= 10
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    """Near-dup admit sequence: batch 1 establishes the store; batch 2
+    docs that near-dup an admitted doc (or each other) are dropped on
+    signature evidence alone — old text is never reread. Short docs
+    (no shingles) always pass."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark woods tonight"
+    )
+    store = str(tmp_path / "sig_store")
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail words here"),  # near-dup of 1
+            (3, "a completely different document about spark physical plans "
+                "and shuffle exchanges in distributed query engines"),
+            (4, "hi"),  # too short to shingle: admitted, not stored
+        ],
+        "doc_id long, text string",
+    )
+    out1 = incremental_near_dedup(b1, store, threshold=0.5)
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    assert 1 in ids1 and 3 in ids1 and 4 in ids1
+    assert 2 not in ids1  # dominated within batch by min id 1
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " with one changed suffix"),  # near-dups admitted 1
+            (11, "an entirely novel text regarding manifest commits and "
+                 "optimistic concurrency in lakehouse table formats"),
+            (12, "an entirely novel text regarding manifest commits and "
+                 "optimistic concurrency in lakehouse table formats too"),  # near-dups 11
+        ],
+        "doc_id long, text string",
+    )
+    out2 = incremental_near_dedup(b2, store, threshold=0.5)
+    ids2 = sorted(r["doc_id"] for r in out2.collect())
+    assert ids2 == [11], ids2  # 10 matched history; 12 dominated by 11
+
+    # replaying batch 2 admits nothing (11 is now in the store)
+    out3 = incremental_near_dedup(b2, store, threshold=0.5)
+    assert out3.count() == 0
