@@ -180,6 +180,106 @@ def minhash_gram_fingerprint(col: Column | str, gram: int = 3) -> Column:
     return F.array_min(F.transform(shingles, F.md5))
 
 
+_HTML_BLOCK_CLOSERS = r"(?i)</(p|div|li|h[1-6]|tr|title|nav|footer|header)>|<br[^>]*>"
+_HTML_ENTITIES = [  # decode order matters: &amp; LAST, or "&amp;lt;" double-decodes
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """HTML → plain text extraction, the first stage of every
+    web-crawl curation pipeline (the reference has nothing like it;
+    trafilatura/jusText are the library-world equivalents — this is
+    the regex-pipeline core of that idea, deliberately limited to
+    well-formed-ish markup so it stays a PURE COLUMN EXPRESSION):
+
+    1. drop <script>/<style> blocks and <!-- comments --> whole;
+    2. block-closing tags (</p>, </div>, </li>, </h*>, </tr>,
+       </title>, </nav>, </footer>, </header>, <br>) become newlines
+       — paragraph structure survives tag-stripping;
+    3. every remaining tag becomes a space;
+    4. the six ubiquitous entities decode (&amp; last — decoding it
+       first would double-decode "&amp;lt;");
+    5. per line: collapse runs of spaces/tabs, trim, drop empties,
+       re-join with newlines.
+
+    All steps are regexp_replace / split / transform / filter — one
+    whole-stage-codegen projection, no UDF — and every regex avoids
+    backreferences so an RE2-based oracle (DuckDB) replays the
+    pipeline byte-for-byte (:func:`_sql_html_extract`). At 100 TB the
+    extraction runs at scan speed next to the quality columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, _HTML_BLOCK_CLOSERS, "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    lines = F.split(c, "\n")
+    cleaned = F.transform(
+        lines, lambda ln: F.trim(F.regexp_replace(ln, r"[ \t]+", " "))
+    )
+    return F.array_join(F.filter(cleaned, lambda ln: ln != ""), "\n")
+
+
+def _sql_html_extract(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` over the SQL string
+    expression ``expr`` — same regexes (RE2-safe: no backreferences),
+    same entity decode order, same line normalization."""
+    c = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = (
+        f"regexp_replace({c}, "
+        f"'(?i)</(p|div|li|h[1-6]|tr|title|nav|footer|header)>|<br[^>]*>', "
+        f"chr(10), 'g')"
+    )
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return (
+        f"array_to_string(list_filter(list_transform(string_split({c}, chr(10)), "
+        f"l -> trim(regexp_replace(l, '[ \\t]+', ' ', 'g'))), l -> l <> ''), chr(10))"
+    )
+
+
+# Deterministic wrap for the driver-visible extraction check: every
+# strip path is exercised (script with a raw '<', style, comment,
+# entities, nav boilerplate, block closers). Engine and oracle build
+# the same HTML around each document, extract with their twin
+# pipelines, and must agree on the md5 of the result.
+_HTML_WRAP_PRE = (
+    '<html><head><title>D</title><style>p { color: red; }</style>'
+    '<script type="text/javascript">if (1 < 2) { var x = "&amp;"; }</script>'
+    "</head><body><nav>Home &amp; About &lt;nav&gt;</nav><h1>Doc</h1><p>"
+)
+_HTML_WRAP_POST = (
+    "</p><div>footer &nbsp;&quot;fin&quot;</div><!-- comment --></body></html>"
+)
+
+
+def html_roundtrip_md5(col: Column | str) -> Column:
+    """md5 of :func:`html_to_text` over the deterministic wrap of a
+    text column — the driver leg's extraction checksum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(
+        html_to_text(F.concat(F.lit(_HTML_WRAP_PRE), c, F.lit(_HTML_WRAP_POST)))
+    )
+
+
+def _sql_html_roundtrip_md5(text_expr: str = "text") -> str:
+    pre = _HTML_WRAP_PRE.replace("'", "''")
+    post = _HTML_WRAP_POST.replace("'", "''")
+    return "md5(" + _sql_html_extract(f"'{pre}' || {text_expr} || '{post}'") + ")"
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Number of tokens (with multiplicity) in ``lang``'s stopword list."""
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
@@ -334,7 +434,18 @@ def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_dup_lines",
             F.md5("text_deduped").alias("dedup_text_md5"),
         )
-        return document_profile(docs).join(dup, "doc_id").join(ld, "doc_id")
+        # r9: HTML->text extraction checksum — each doc wrapped in the
+        # deterministic HTML shell, extracted by html_to_text, md5'd;
+        # the oracle replays the identical regex pipeline in SQL
+        hx = docs.select(
+            "doc_id", html_roundtrip_md5("text").alias("html_extract_md5")
+        )
+        return (
+            document_profile(docs)
+            .join(dup, "doc_id")
+            .join(ld, "doc_id")
+            .join(hx, "doc_id")
+        )
 
     return {"text_profile": q_profile}
 
@@ -426,7 +537,8 @@ SELECT s.doc_id AS doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_
         THEN pd.n_dup::DOUBLE / pd.n_5grams ELSE 0.0 END, 6) AS dup_5gram_frac,
   lpd.n_lines AS n_lines,
   lpd.n_dup_lines AS n_dup_lines,
-  lpd.dedup_text_md5 AS dedup_text_md5
+  lpd.dedup_text_md5 AS dedup_text_md5,
+  {_sql_html_roundtrip_md5("s.text")} AS html_extract_md5
 FROM s LEFT JOIN pd ON pd.doc_id = s.doc_id
 JOIN lpd ON lpd.id = s.doc_id
 """,

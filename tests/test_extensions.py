@@ -773,3 +773,27 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path):
     # replaying batch 2 admits nothing (11 is now in the store)
     out3 = incremental_near_dedup(b2, store, threshold=0.5)
     assert out3.count() == 0
+
+
+def test_html_to_text_extraction(spark):
+    """html_to_text: scripts/styles/comments vanish whole, block
+    closers become newlines, entities decode in the order that avoids
+    double-decoding, whitespace normalizes per line."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.operators.text import (
+        html_to_text,
+    )
+
+    html = (
+        "<html><head><title>T</title>"
+        "<style>body { margin: 0; }</style>"
+        '<script>if (a < b) { x = "&amp;"; }</script></head>'
+        "<body><p>first  para</p><br><div>second &amp;amp; &lt;b&gt;</div>"
+        "<!-- hidden --><ul><li>item one</li></ul>tail</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    out = df.select(html_to_text("h").alias("t")).first()["t"]
+    assert out == 'T\nfirst para\nsecond &amp; <b>\nitem one\ntail', repr(out)
+    # null propagates (md5 of the extraction stays null-consistent)
+    assert df.select(html_to_text(F.lit(None).cast("string"))).first()[0] is None
