@@ -1292,6 +1292,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """
         from data_integration_and_harmonization_spark.operators.graph import (
             pagerank_ppb_leg,
+            triangle_counts,
         )
         from data_integration_and_harmonization_spark.operators.linkage import (
             resolve_entities,
@@ -1311,7 +1312,31 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_edit=1,
         ).select(F.lit("er").alias("kind"), "id", "cluster_id")
         pr_leg = pagerank_ppb_leg(spark.read.parquet(f"{sf}/lineitem.parquet"))
-        return doc_cl.unionByName(er_cl).unionByName(pr_leg)
+        # kind='tri': per-node triangle counts over the NEAR-DUP doc
+        # graph (the LSH-verified pairs already computed above) —
+        # triangle density measures duplicate-cluster cohesion
+        # (transitive near-dups triangulate; chains don't). The
+        # degree-ordered orientation keeps wedges O(E^1.5) and
+        # hub-safe. NOT run on the co-purchase graph: basket cliques
+        # make triangle counting cubic in basket size (measured 166 s
+        # at sf0.1 — an order with 40 parts alone contributes ~10k
+        # triangles); the near-dup graph is sparse by construction.
+        sym_pairs = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+        tri_leg = triangle_counts(sym_pairs).select(
+            F.lit("tri").alias("kind"),
+            "id",
+            F.col("n_triangles").alias("cluster_id"),
+        )
+        return (
+            doc_cl.unionByName(er_cl).unionByName(pr_leg).unionByName(tri_leg)
+        )
 
     def q_simhash(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -1687,7 +1712,7 @@ WHERE jaccard >= 0.5
         THEN CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
              / len(list_distinct(a.shl || b.shl))
         ELSE 0.0 END, 6) >= 0.5
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM verified
   UNION
   SELECT id_b, id_a FROM verified
@@ -1711,10 +1736,13 @@ WHERE jaccard >= 0.5
   SELECT e.dst, r.lbl FROM er_reach r JOIN er_edges e ON e.src = r.id
 )"""
         + _graph.pagerank_cte_fragment(min_support=2, damping=0.85, n_iter=5)
+        + _graph.triangle_cte_fragment("edges")
         + """
 SELECT 'doc' AS kind, id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY id
 UNION ALL
 SELECT 'er' AS kind, id, min(lbl)::BIGINT AS cluster_id FROM er_reach GROUP BY id
+UNION ALL
+SELECT 'tri' AS kind, id, n_triangles AS cluster_id FROM g_tri
 UNION ALL
 """
         + _graph.pagerank_ppb_leg_sql()

@@ -173,6 +173,113 @@ def pagerank(
     return ranks
 
 
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over a SYMMETRIC (src, dst) edge table
+    — the third graph operator (after connected components and
+    PageRank): triangle density drives clustering-coefficient /
+    community-structure features in linkage and graph-curation
+    pipelines.
+
+    Scale shape — the classic degree-ordered orientation (Chiba &
+    Nishizeki; the MapReduce formulation is Suri & Vassilvitskii's
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    orient every undirected edge from the (degree, id)-SMALLER
+    endpoint to the larger, so each edge appears once and every
+    wedge is rooted at its lowest-degree vertex — total wedges are
+    O(E^1.5) regardless of skew (a hub of degree d roots ZERO wedges
+    unless every neighbor out-degrees it; the curse-of-the-last-
+    reducer hub^2 blowup cannot happen). One self-join on the wedge
+    root + one semi-join against the oriented edge set; per-node
+    counts by exploding each triangle's three corners. All
+    equi-joins; nothing collected.
+    """
+    e = edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("id"), "d"
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges rooted at lo: each unordered endpoint pair once (id
+    # order). A triangle's degree-order-minimum vertex is its ONLY
+    # wedge root (the other two corners each have just one out-edge
+    # inside the triangle). The closing edge exists in exactly one
+    # orientation; canonicalizing it to (min_id, max_id) makes the
+    # close ONE hash equi-join — an OR over both orientations would
+    # plan as a nested-loop join in any engine.
+    wedges = (
+        o1.join(o2, F.col("o1.lo") == F.col("o2.lo"))
+        .where(F.col("o1.hi") < F.col("o2.hi"))
+        .select(
+            F.col("o1.lo").alias("t_a"),
+            F.col("o1.hi").alias("t_b"),
+            F.col("o2.hi").alias("t_c"),
+        )
+    )
+    closing = oriented.select(
+        F.least("lo", "hi").alias("t_b"), F.greatest("lo", "hi").alias("t_c")
+    )
+    tri = wedges.join(closing, ["t_b", "t_c"], "left_semi")
+    corners = tri.select(
+        F.explode(F.array("t_a", "t_b", "t_c")).alias("id")
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    # every node of the edge table appears, zero-triangle nodes included
+    nodes = deg.select("id")
+    return nodes.join(counts, "id", "left").select(
+        "id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+def triangle_cte_fragment(edges_cte: str, prefix: str = "g_") -> str:
+    """DuckDB replay of :func:`triangle_counts` over ``edges_cte`` — a
+    CTE exposing a SYMMETRIC (src, dst) edge table. Splice after it;
+    final frame is ``{prefix}tri`` with columns (id, n_triangles)."""
+    p = prefix
+    return f""",
+{p}tdeg AS (SELECT src AS id, count(*) AS d FROM {edges_cte} GROUP BY 1),
+{p}orient AS MATERIALIZED (
+  SELECT e.src AS lo, e.dst AS hi
+  FROM {edges_cte} e
+  JOIN {p}tdeg a ON a.id = e.src
+  JOIN {p}tdeg b ON b.id = e.dst
+  WHERE (a.d < b.d) OR (a.d = b.d AND e.src < e.dst)
+),
+{p}closing AS (
+  SELECT least(lo, hi) AS t_b, greatest(lo, hi) AS t_c FROM {p}orient
+),
+{p}tris AS (
+  SELECT o1.lo AS t_a, o1.hi AS t_b, o2.hi AS t_c
+  FROM {p}orient o1 JOIN {p}orient o2 ON o1.lo = o2.lo AND o1.hi < o2.hi
+  JOIN {p}closing c ON c.t_b = o1.hi AND c.t_c = o2.hi
+),
+{p}tcnt AS (
+  SELECT id, count(*)::BIGINT AS n_triangles FROM (
+    SELECT t_a AS id FROM {p}tris
+    UNION ALL SELECT t_b FROM {p}tris
+    UNION ALL SELECT t_c FROM {p}tris
+  ) GROUP BY 1
+),
+{p}tri AS (
+  SELECT d.id, coalesce(t.n_triangles, 0)::BIGINT AS n_triangles
+  FROM {p}tdeg d LEFT JOIN {p}tcnt t ON t.id = d.id
+)"""
+
+
 def pagerank_cte_fragment(
     min_support: int = 2,
     damping: float = 0.85,
@@ -233,7 +340,9 @@ def pagerank_cte_fragment(
     return head + "".join(steps)
 
 
-def pagerank_ppb_leg(lineitem: DataFrame) -> DataFrame:
+def pagerank_ppb_leg(
+    lineitem: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
     """The driver-visible PageRank leg (host: ``dedup_clusters``, the
     graph-family query — components and PageRank side by side).
 
@@ -241,8 +350,13 @@ def pagerank_ppb_leg(lineitem: DataFrame) -> DataFrame:
     the host schema's cluster_id is BIGINT, so the rank rides as
     fixed-point round(pr * 1e9) — lossless to the oracle's 6-decimal
     convention (engine/oracle double drift is ~1e-8 ppb, far from any
-    rounding boundary) and reversible for human reading."""
-    pr = pagerank(copurchase_edges(lineitem, min_support=2), damping=0.85, n_iter=5)
+    rounding boundary) and reversible for human reading.
+
+    ``edges``: a prebuilt (persisted) co-purchase edge table, so a
+    host running several graph legs builds it once."""
+    if edges is None:
+        edges = copurchase_edges(lineitem, min_support=2)
+    pr = pagerank(edges, damping=0.85, n_iter=5)
     return pr.select(
         F.lit("pr").alias("kind"),
         F.col("id"),

@@ -72,3 +72,21 @@ def test_copurchase_edges_symmetric_and_pruned(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df).count() == 0
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 has 4 triangles, 3 per node; a pendant vertex has 0; a
+    square (C4) has none."""
+    from data_integration_and_harmonization_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    def sym(pairs):
+        return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pend = [(4, 9)]
+    c4 = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    edges = spark.createDataFrame(sym(k4 + pend + c4), "src long, dst long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 9: 0, 20: 0, 21: 0, 22: 0, 23: 0}, got
