@@ -247,7 +247,51 @@ def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
         F.col("col_name").alias("top"),
         F.col("ok").alias("freq"),
     )
-    return num.unionByName(obj).unionByName(dq)
+    # r9 'dq_split' legs: row-level quarantine routing (P.dq_split,
+    # the Deequ row-level-results shape) under rules that genuinely
+    # fire on this data — high prices out of range, low priorities
+    # rejected, duplicate-custkey rows all quarantined. The
+    # passed/quarantined row counts are NOT derivable from the
+    # per-rule counts (violations overlap), so the legs add real
+    # checked surface; count carries rows, n_unique the number of
+    # distinct violation LABEL SETS on the quarantined side (pins the
+    # per-row array annotation, not just the split).
+    passed, quarantined = P.dq_split(
+        orders,
+        [
+            ("in_range", "o_totalprice", 0.0, 150000.0),
+            ("accepted", "o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+            ("unique", "o_custkey"),
+        ],
+    )
+    split_rows = (
+        passed.agg(
+            F.count(F.lit(1)).alias("count"),
+            F.lit(None).cast("long").alias("n_unique"),
+        )
+        .select(F.lit("split:passed").alias("col_name"), "count", "n_unique")
+        .unionByName(
+            quarantined.agg(
+                F.count(F.lit(1)).alias("count"),
+                F.countDistinct(
+                    F.array_join("__dq_violations", "|")
+                ).alias("n_unique"),
+            ).select(
+                F.lit("split:quarantined").alias("col_name"), "count", "n_unique"
+            )
+        )
+        .select(
+            F.lit("dq").alias("kind"),
+            "col_name",
+            "count",
+            F.lit(None).cast("double").alias("mean"),
+            *[F.lit(None).cast("double").alias(c) for c in stats[1:]],
+            "n_unique",
+            F.lit(None).cast("string").alias("top"),
+            F.lit(None).cast("long").alias("freq"),
+        )
+    )
+    return num.unionByName(obj).unionByName(dq).unionByName(split_rows)
 
 
 def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
@@ -1601,6 +1645,45 @@ FROM (
   LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) cc
     ON o.o_custkey = cc.c_custkey
 )"""
+    )
+    # dq_split twin: per-row violation labels in the engine's rule
+    # order, joined by '|' — passed/quarantined row counts + distinct
+    # label-set count on the quarantined side
+    split_labels = """
+  SELECT array_to_string(list_filter([
+    CASE WHEN o.o_totalprice IS NOT NULL
+              AND (o.o_totalprice < 0.0 OR o.o_totalprice > 150000.0)
+         THEN 'in_range:o_totalprice' END,
+    CASE WHEN o.o_orderpriority IS NOT NULL
+              AND o.o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
+         THEN 'accepted:o_orderpriority' END,
+    CASE WHEN d.k IS NOT NULL THEN 'unique:o_custkey' END
+  ], x -> x IS NOT NULL), '|') AS labels
+  FROM orders o LEFT JOIN (
+    SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY 1 HAVING count(*) > 1
+  ) d ON o.o_custkey = d.k
+"""
+    parts.append(
+        f"""SELECT 'dq' AS kind, 'split:passed' AS col_name,
+  count(*)::BIGINT AS count,
+  CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+  CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS p25,
+  CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p75,
+  CAST(NULL AS DOUBLE) AS max, CAST(NULL AS BIGINT) AS n_unique,
+  CAST(NULL AS VARCHAR) AS top, CAST(NULL AS BIGINT) AS freq
+FROM ({split_labels}) WHERE labels = ''"""
+    )
+    parts.append(
+        f"""SELECT 'dq' AS kind, 'split:quarantined' AS col_name,
+  count(*)::BIGINT AS count,
+  CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std,
+  CAST(NULL AS DOUBLE) AS min, CAST(NULL AS DOUBLE) AS p25,
+  CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p75,
+  CAST(NULL AS DOUBLE) AS max,
+  count(DISTINCT labels)::BIGINT AS n_unique,
+  CAST(NULL AS VARCHAR) AS top, CAST(NULL AS BIGINT) AS freq
+FROM ({split_labels}) WHERE labels <> ''"""
     )
     return "\nUNION ALL\n".join(parts)
 

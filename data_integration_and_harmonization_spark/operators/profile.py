@@ -327,6 +327,65 @@ def dq_report(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     ).select("e.*")
 
 
+def dq_split(
+    df: DataFrame, rules: Sequence[tuple], viol_col: str = "__dq_violations"
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level routing for the :func:`dq_report` rule family — the
+    Deequ "row-level results" / dbt ``store_failures`` shape: every
+    row is annotated with the ARRAY of rule names it violates, then
+    split into (passed, quarantined). A publishing pipeline writes
+    ``passed`` to the table and ``quarantined`` (with its violation
+    labels) to a review sink — violations are never silently dropped
+    and never poison the published table.
+
+    Same rule specs as :func:`dq_report`. Scale shape: the
+    single-column rules (not_null / in_range / accepted) are pure row
+    predicates fused into one projection; each ``unique`` rule adds
+    one duplicate-key aggregate + one left join against the (tiny)
+    duplicated-key set — rows of a duplicated key are ALL quarantined
+    (the row-level reading of uniqueness: no row of an ambiguous key
+    is publishable). Nothing is collected.
+
+    Returns (passed, quarantined): ``passed`` has the original
+    columns; ``quarantined`` carries ``viol_col`` (array<string>,
+    non-empty).
+    """
+    out = df
+    conds = []
+    for spec in rules:
+        kind, col = spec[0], spec[1]
+        c = F.col(col)
+        name = f"{kind}:{col}"
+        if kind == "not_null":
+            conds.append(F.when(c.isNull(), name))
+        elif kind == "in_range":
+            lo, hi = spec[2], spec[3]
+            conds.append(
+                F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), name)
+            )
+        elif kind == "accepted":
+            vals = list(spec[2])
+            conds.append(F.when(c.isNotNull() & ~c.isin(vals), name))
+        elif kind == "unique":
+            marker = f"__dq_dup_{col}"
+            dups = (
+                df.where(c.isNotNull())
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .select(col, F.lit(1).alias(marker))
+            )
+            out = out.join(dups, col, "left")
+            conds.append(F.when(F.col(marker).isNotNull(), name))
+        else:
+            raise ValueError(f"unknown dq rule kind: {kind}")
+    out = out.withColumn(viol_col, F.array_compact(F.array(*conds)))
+    out = out.drop(*[c for c in out.columns if c.startswith("__dq_dup_")])
+    passed = out.where(F.size(viol_col) == 0).drop(viol_col)
+    quarantined = out.where(F.size(viol_col) > 0)
+    return passed, quarantined
+
+
 def dq_ref_integrity(
     child: DataFrame, fk: str, parent: DataFrame, pk: str
 ) -> DataFrame:

@@ -241,3 +241,39 @@ def test_dq_ref_integrity(spark):
         child.where("fk < 3"), "fk", parent, "pk"
     ).collect()[0]
     assert (clean["n_violations"], clean["ok"]) == (0, 1)
+
+
+def test_dq_split_routes_rows(spark):
+    """dq_split: violation labels per row, all rows of a duplicated
+    key quarantined, passed side clean."""
+    from data_integration_and_harmonization_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "A"),    # in_range violation
+            (3, 20.0, "X"),    # accepted violation
+            (4, 999.0, "X"),   # in_range + accepted
+            (5, 30.0, "B"),
+            (5, 40.0, "B"),    # unique violation: BOTH k=5 rows out
+            (None, 1.0, "A"),  # null key: not a unique violation
+        ],
+        "k long, v double, s string",
+    )
+    passed, quar = P.dq_split(
+        df,
+        [
+            ("in_range", "v", 0.0, 100.0),
+            ("accepted", "s", ["A", "B"]),
+            ("unique", "k"),
+        ],
+    )
+    assert sorted(r["v"] for r in passed.collect()) == [1.0, 10.0]
+    got = {
+        (r["k"], r["v"]): list(r["__dq_violations"]) for r in quar.collect()
+    }
+    assert got[(2, -5.0)] == ["in_range:v"]
+    assert got[(3, 20.0)] == ["accepted:s"]
+    assert got[(4, 999.0)] == ["in_range:v", "accepted:s"]
+    assert got[(5, 30.0)] == ["unique:k"] and got[(5, 40.0)] == ["unique:k"]
+    assert "__dq_violations" not in passed.columns
