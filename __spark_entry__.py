@@ -1649,8 +1649,11 @@ FROM (
     # dq_split twin: per-row violation labels in the engine's rule
     # order, joined by '|' — passed/quarantined row counts + distinct
     # label-set count on the quarantined side
+    # coalesce: DuckDB's array_to_string([]) is NULL, not '' — a
+    # fully-passing row would otherwise vanish from BOTH branches
+    # (caught by the sf0.1 gate: sf0.01 has zero passing rows)
     split_labels = """
-  SELECT array_to_string(list_filter([
+  SELECT coalesce(array_to_string(list_filter([
     CASE WHEN o.o_totalprice IS NOT NULL
               AND (o.o_totalprice < 0.0 OR o.o_totalprice > 150000.0)
          THEN 'in_range:o_totalprice' END,
@@ -1658,7 +1661,7 @@ FROM (
               AND o.o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')
          THEN 'accepted:o_orderpriority' END,
     CASE WHEN d.k IS NOT NULL THEN 'unique:o_custkey' END
-  ], x -> x IS NOT NULL), '|') AS labels
+  ], x -> x IS NOT NULL), '|'), '') AS labels
   FROM orders o LEFT JOIN (
     SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL
     GROUP BY 1 HAVING count(*) > 1
