@@ -291,7 +291,50 @@ def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("freq"),
         )
     )
-    return num.unionByName(obj).unionByName(dq).unionByName(split_rows)
+    # r9 second wave, 'privacy' legs: k-anonymity / l-diversity release
+    # audit (SCRUB.k_anonymity_report) over the customer
+    # quasi-identifiers (nation, segment) with bucketized account
+    # balance as the sensitive attribute — the release gate that runs
+    # AFTER redact_pii. Mapped into the dq schema: count=n_classes,
+    # mean=rows-at-risk rate, n_unique=n_failing_classes,
+    # top=min class size (k row), freq=rule ok.
+    audit = SCRUB.k_anonymity_report(
+        cust.withColumn(
+            "acct_bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ),
+        ["c_nationkey", "c_mktsegment"],
+        sensitive_col="acct_bucket",
+        k=5,
+        l=2,
+    )
+    null_stats = [F.lit(None).cast("double").alias(c) for c in stats[1:]]
+    priv_rows = audit.select(
+        F.lit("dq").alias("kind"),
+        F.concat(F.lit("k_anon:"), F.col("quasi_cols")).alias("col_name"),
+        F.col("n_classes").alias("count"),
+        F.round(F.col("n_rows_at_risk") / F.col("n_rows"), 6).alias("mean"),
+        *null_stats,
+        F.col("n_small_classes").alias("n_unique"),
+        F.col("min_class_size").cast("string").alias("top"),
+        (F.col("n_small_classes") == 0).cast("long").alias("freq"),
+    ).unionByName(
+        audit.select(
+            F.lit("dq").alias("kind"),
+            F.lit("l_div:acct_bucket").alias("col_name"),
+            F.col("n_classes").alias("count"),
+            F.lit(None).cast("double").alias("mean"),
+            *null_stats,
+            F.col("n_low_diversity").alias("n_unique"),
+            F.lit(None).cast("string").alias("top"),
+            (F.col("n_low_diversity") == 0).cast("long").alias("freq"),
+        )
+    )
+    return (
+        num.unionByName(obj)
+        .unionByName(dq)
+        .unionByName(split_rows)
+        .unionByName(priv_rows)
+    )
 
 
 def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
@@ -1687,6 +1730,40 @@ FROM ({split_labels}) WHERE labels = ''"""
   count(DISTINCT labels)::BIGINT AS n_unique,
   CAST(NULL AS VARCHAR) AS top, CAST(NULL AS BIGINT) AS freq
 FROM ({split_labels}) WHERE labels <> ''"""
+    )
+    # privacy legs — k-anonymity / l-diversity rollup over the
+    # (c_nationkey, c_mktsegment) equivalence classes, sensitive
+    # attribute = floor(c_acctbal / 1000)
+    k_anon_agg = """
+  SELECT count(*)::BIGINT AS n_classes, sum(cs)::BIGINT AS n_rows,
+         min(cs)::BIGINT AS min_class_size,
+         sum(CASE WHEN cs < 5 THEN 1 ELSE 0 END)::BIGINT AS n_small_classes,
+         sum(CASE WHEN cs < 5 THEN cs ELSE 0 END)::BIGINT AS n_rows_at_risk,
+         sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END)::BIGINT AS n_low_diversity
+  FROM (SELECT c_nationkey, c_mktsegment, count(*) AS cs,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS ld
+        FROM customer GROUP BY 1, 2)
+"""
+    parts.append(
+        f"""SELECT 'dq' AS kind, 'k_anon:c_nationkey,c_mktsegment' AS col_name,
+  n_classes AS count,
+  round(n_rows_at_risk::DOUBLE / n_rows, 6) AS mean,
+  CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS min,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS max,
+  n_small_classes AS n_unique, min_class_size::VARCHAR AS top,
+  (CASE WHEN n_small_classes = 0 THEN 1 ELSE 0 END)::BIGINT AS freq
+FROM ({k_anon_agg})"""
+    )
+    parts.append(
+        f"""SELECT 'dq' AS kind, 'l_div:acct_bucket' AS col_name,
+  n_classes AS count, CAST(NULL AS DOUBLE) AS mean,
+  CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS min,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS max,
+  n_low_diversity AS n_unique, CAST(NULL AS VARCHAR) AS top,
+  (CASE WHEN n_low_diversity = 0 THEN 1 ELSE 0 END)::BIGINT AS freq
+FROM ({k_anon_agg})"""
     )
     return "\nUNION ALL\n".join(parts)
 

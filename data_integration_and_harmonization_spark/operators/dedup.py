@@ -818,6 +818,96 @@ def duplicated_ngram_stats(
     )
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span audit (Lee et al. 2022,
+    arXiv:2107.06499 §4.1): per document, the maximal token spans
+    covered by ``k``-token windows that occur at least twice in the
+    corpus (any repeat counts — cross-document or within-document,
+    exactly the suffix-array criterion of the paper; their production
+    k is 50 tokens). Where ``duplicated_ngram_stats`` reports the
+    duplicated-gram *fraction*, this reports the *merged span
+    geometry* — the thing a span-removal pass would actually cut.
+
+    Scale shape — the paper builds one giant suffix array; the
+    distributed re-expression is rolling digests + gaps-and-islands,
+    all equi-joins and one per-doc window:
+
+    1. posexplode each doc's ``k``-gram md5 digests to (id, pos, h) —
+       PERSISTED: the explode feeds both the frequency groupBy and the
+       join-back side (same rationale as ``duplicated_ngram_stats``);
+       only 16-byte digests ever shuffle, never window text.
+    2. one digest groupBy for corpus occurrence counts; windows with
+       count >= 2 are duplicated.
+    3. join back -> each doc's duplicated window starts; merge
+       overlapping/adjacent windows ([p, p+k) and [q, q+k) merge when
+       q - p <= k) by the classic gaps-and-islands window over pos —
+       partition-local per doc, positions bounded by doc length.
+    4. per-island covered tokens = max(pos) - min(pos) + k (merged
+       windows are contiguous by construction), then one per-doc agg.
+
+    Output: one row per input document — (id, n_tokens, n_dup_spans,
+    dup_span_tokens, dup_span_frac); span-free docs report zeros.
+    """
+    from pyspark.sql import Window
+
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    t = tokens(text_col)
+    n = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(t, j + 1, n) for j in range(k)])
+    grams = F.transform(
+        z, lambda x: F.md5(F.concat_ws(" ", *[x[str(j)] for j in range(k)]))
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h")
+    )
+    ex = track(ex.persist())
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
+    dup_pos = (
+        ex.join(freq.where(F.col("__n") >= 2), "h")
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dup_pos.withColumn("__prev", F.lag("pos").over(w)).withColumn(
+        "__span",
+        F.sum(
+            F.when(
+                F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > k),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w),
+    )
+    spans = isl.groupBy("id", "__span").agg(
+        (F.max("pos") - F.min("pos") + k).alias("__covered")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__covered").alias("dup_span_tokens"),
+    )
+    base = df.select(F.col(id_col).alias("id"), F.size(t).alias("n_tokens"))
+    out = base.join(per_doc, "id", "left").select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_span_tokens", F.lit(0)).cast("long").alias("dup_span_tokens"),
+    )
+    return out.withColumn(
+        "dup_span_frac",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("dup_span_tokens") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -125,6 +125,74 @@ def redact_pii(
     return df.select(*out).withColumn("redacted_len", F.length("redacted").cast("long"))
 
 
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Per-equivalence-class privacy audit — k-anonymity (Sweeney 2002)
+    with optional l-diversity (Machanavajjhala et al. 2007): group the
+    table by its quasi-identifier columns; a class with fewer than
+    ``k`` rows re-identifies its members, and a class whose sensitive
+    column takes few distinct values leaks it even when k holds.
+
+    The release-gate audit a curation pipeline runs AFTER
+    :func:`redact_pii`: redaction removes direct identifiers, this
+    measures what the remaining quasi-identifiers still disclose.
+
+    Scale shape: ONE map-combinable groupBy on the quasi-identifier
+    key (count + approx-free distinct via count(DISTINCT) per class —
+    class-local, not global); no joins, nothing collected. Output is
+    one row per equivalence class: (quasi..., class_size, l_distinct,
+    k_anonymous).
+    """
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(sensitive_col).alias("l_distinct"))
+    g = df.groupBy(*quasi_cols).agg(*aggs)
+    if sensitive_col is None:
+        g = g.withColumn("l_distinct", F.lit(None).cast("long"))
+    return g.select(
+        *quasi_cols,
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("l_distinct").cast("long").alias("l_distinct"),
+        (F.col("class_size") >= k).cast("int").alias("k_anonymous"),
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Corpus-level summary of :func:`k_anonymity` — the single row a
+    release gate checks: class counts, how many classes (and rows)
+    fall below ``k``, the minimum class size, and how many classes
+    fail ``l``-diversity. Two aggregations total (the class pass +
+    this rollup over ~|classes| rows)."""
+    cls = k_anonymity(df, quasi_cols, sensitive_col, k)
+    return cls.agg(
+        F.lit(",".join(quasi_cols)).alias("quasi_cols"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.sum((F.col("k_anonymous") == 0).cast("long")).alias("n_small_classes"),
+        F.sum(
+            F.when(F.col("k_anonymous") == 0, F.col("class_size")).otherwise(F.lit(0))
+        ).cast("long").alias("n_rows_at_risk"),
+        F.sum((F.coalesce("l_distinct", F.lit(l)) < l).cast("long")).alias(
+            "n_low_diversity"
+        ),
+        F.min(
+            (F.col("k_anonymous") == 1)
+            & (F.coalesce("l_distinct", F.lit(l)) >= l)
+        ).cast("int").alias("ok"),
+    )
+
+
 # ------------------------------------------------------- query registry
 
 

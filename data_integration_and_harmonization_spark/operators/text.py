@@ -414,6 +414,7 @@ def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # groupBy + join, see dedup.duplicated_ngram_stats
         from data_integration_and_harmonization_spark.operators.dedup import (
             duplicated_ngram_stats,
+            exact_substring_spans,
             line_dedup,
         )
 
@@ -440,11 +441,23 @@ def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hx = docs.select(
             "doc_id", html_roundtrip_md5("text").alias("html_extract_md5")
         )
+        # r9 second wave: ExactSubstr-style duplicated-span geometry
+        # (dedup.exact_substring_spans) — merged >=2-occurrence 5-token
+        # windows per doc; same per-doc join shape as the 5-gram and
+        # line-dedup passes (k=5 suits the fixture's ~30-token docs;
+        # production k is 50)
+        ss = exact_substring_spans(docs, k=5).select(
+            F.col("id").alias("doc_id"),
+            "n_dup_spans",
+            "dup_span_tokens",
+            "dup_span_frac",
+        )
         return (
             document_profile(docs)
             .join(dup, "doc_id")
             .join(ld, "doc_id")
             .join(hx, "doc_id")
+            .join(ss, "doc_id")
         )
 
     return {"text_profile": q_profile}
@@ -514,6 +527,32 @@ WITH t AS (
          md5(coalesce(string_agg(CASE WHEN lf.ldf < 2 THEN ld.line END,
                                  chr(10) ORDER BY ld.pos), '')) AS dedup_text_md5
   FROM ld JOIN lf ON lf.h = ld.h GROUP BY 1
+), ssg AS (
+  SELECT doc_id, list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gs
+  FROM t
+), sse AS (
+  SELECT doc_id AS id, unnest(gs) AS h, generate_subscripts(gs, 1) - 1 AS pos
+  FROM ssg
+), ssf AS (
+  SELECT h FROM sse GROUP BY h HAVING count(*) >= 2
+), ssd AS (
+  SELECT sse.id, sse.pos FROM sse JOIN ssf USING (h)
+), ssi AS (
+  SELECT id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos) AS span_id
+  FROM (SELECT id, pos, lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+        FROM ssd)
+), ssp AS (
+  SELECT id, span_id, max(pos) - min(pos) + 5 AS covered
+  FROM ssi GROUP BY 1, 2
+), ssa AS (
+  SELECT id, count(*)::BIGINT AS n_dup_spans,
+         sum(covered)::BIGINT AS dup_span_tokens
+  FROM ssp GROUP BY 1
 )
 SELECT s.doc_id AS doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_chars,
   round(avg_tok, 6) AS avg_token_len,
@@ -538,8 +577,14 @@ SELECT s.doc_id AS doc_id, n_tokens::INTEGER AS n_tokens, n_chars::INTEGER AS n_
   lpd.n_lines AS n_lines,
   lpd.n_dup_lines AS n_dup_lines,
   lpd.dedup_text_md5 AS dedup_text_md5,
-  {_sql_html_roundtrip_md5("s.text")} AS html_extract_md5
+  {_sql_html_roundtrip_md5("s.text")} AS html_extract_md5,
+  coalesce(ssa.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+  coalesce(ssa.dup_span_tokens, 0)::BIGINT AS dup_span_tokens,
+  round(CASE WHEN s.n_tokens > 0
+        THEN coalesce(ssa.dup_span_tokens, 0)::DOUBLE / s.n_tokens
+        ELSE 0.0 END, 6) AS dup_span_frac
 FROM s LEFT JOIN pd ON pd.doc_id = s.doc_id
 JOIN lpd ON lpd.id = s.doc_id
+LEFT JOIN ssa ON ssa.id = s.doc_id
 """,
     }

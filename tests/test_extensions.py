@@ -402,6 +402,36 @@ def test_redact_pii_counts_and_tags(spark):
     )
 
 
+def test_k_anonymity_classes_and_report(spark):
+    from data_integration_and_harmonization_spark.operators import scrub as SC
+
+    # (zip, age) quasi-identifiers; diagnosis sensitive. Class sizes:
+    # (z1, 30) -> 3 rows / 2 diagnoses; (z1, 40) -> 1 row (below k=2
+    # AND l=2); (z2, 30) -> 2 rows but a single diagnosis (k ok,
+    # l-diversity fails).
+    rows = [
+        (1, "z1", 30, "flu"), (2, "z1", 30, "flu"), (3, "z1", 30, "cold"),
+        (4, "z1", 40, "flu"),
+        (5, "z2", 30, "cold"), (6, "z2", 30, "cold"),
+    ]
+    df = spark.createDataFrame(rows, "id long, zip string, age int, dx string")
+    cls = {
+        (r["zip"], r["age"]): (r["class_size"], r["l_distinct"], r["k_anonymous"])
+        for r in SC.k_anonymity(df, ["zip", "age"], "dx", k=2).collect()
+    }
+    assert cls[("z1", 30)] == (3, 2, 1)
+    assert cls[("z1", 40)] == (1, 1, 0)
+    assert cls[("z2", 30)] == (2, 1, 1)
+    rep = SC.k_anonymity_report(df, ["zip", "age"], "dx", k=2, l=2).collect()[0]
+    assert rep["quasi_cols"] == "zip,age"
+    assert (rep["n_classes"], rep["n_rows"], rep["min_class_size"]) == (3, 6, 1)
+    assert (rep["n_small_classes"], rep["n_rows_at_risk"]) == (1, 1)
+    assert rep["n_low_diversity"] == 2 and rep["ok"] == 0
+    # without a sensitive column l-diversity is vacuous: ok iff k holds
+    rep2 = SC.k_anonymity_report(df, ["zip"], k=2).collect()[0]
+    assert rep2["n_low_diversity"] == 0 and rep2["ok"] == 1
+
+
 def test_ivf_topk_both_quantizers(spark):
     import random
 
