@@ -135,6 +135,13 @@ def q_harmonize_union(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_clean_coerce(spark: SparkSession, sf: str) -> DataFrame:
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    # r9 third wave, 'ts' leg: messy multi-format timestamp strings —
+    # the format cycles per row (US date, ISO date, ISO datetime, one
+    # garbage arm) and C.coerce_timestamps recovers them through the
+    # strict first-match chain; output rides as a formatted string so
+    # the comparison is timezone-invariant (parse and render share the
+    # session zone, DuckDB replays naively).
+    mod4 = F.col("l_linenumber") % 4
     mixed = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -142,9 +149,23 @@ def q_clean_coerce(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("l_linenumber") == 2, F.lit("Infinity"))
         .otherwise(F.col("l_quantity").cast("string"))
         .alias("qty_str"),
+        F.when(mod4 == 0, F.date_format("l_shipdate", "MM/dd/yyyy"))
+        .when(mod4 == 1, F.date_format("l_shipdate", "yyyy-MM-dd"))
+        .when(
+            mod4 == 2,
+            F.concat(F.date_format("l_shipdate", "yyyy-MM-dd"), F.lit(" 12:34:56")),
+        )
+        .otherwise(F.lit("not-a-date"))
+        .alias("ts_str"),
     )
     out = C.inf_nan_to_null(C.coerce_numeric(mixed, ["qty_str"]))
-    return out.select("l_orderkey", "l_linenumber", F.col("qty_str").alias("qty_clean"))
+    out = C.coerce_timestamps(out, ["ts_str"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("qty_str").alias("qty_clean"),
+        F.date_format("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts_clean"),
+    )
 
 
 # Unique composite ordering key for order-sensitive ops (verified: no
@@ -1906,8 +1927,19 @@ SELECT l_orderkey, l_linenumber,
   CASE WHEN l_linenumber = 1 THEN NULL
        WHEN l_linenumber = 2 THEN NULL
        ELSE TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
-  END AS qty_clean
-FROM lineitem
+  END AS qty_clean,
+  strftime(coalesce(
+    try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
+    try_strptime(ts_str, '%m/%d/%Y'),
+    try_strptime(ts_str, '%Y-%m-%d')), '%Y-%m-%d %H:%M:%S') AS ts_clean
+FROM (
+  SELECT *,
+    CASE WHEN l_linenumber % 4 = 0 THEN strftime(l_shipdate, '%m/%d/%Y')
+         WHEN l_linenumber % 4 = 1 THEN strftime(l_shipdate, '%Y-%m-%d')
+         WHEN l_linenumber % 4 = 2 THEN strftime(l_shipdate, '%Y-%m-%d') || ' 12:34:56'
+         ELSE 'not-a-date' END AS ts_str
+  FROM lineitem
+)
 """,
         "clean_repair": _MASKED_CTE
         + """

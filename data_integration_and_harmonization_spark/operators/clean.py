@@ -73,6 +73,54 @@ def coerce_numeric(df: DataFrame, cols: Sequence[str] | None = None) -> DataFram
     )
 
 
+# Multi-format timestamp coercion: the chain ORDER is part of the
+# contract (first matching format wins) — most-specific first so a
+# dateTIME string is never half-consumed by a date-only pattern (both
+# Spark's try_to_timestamp and DuckDB's try_strptime are strict:
+# leftover input OR missing pattern fields -> NULL, verified on this
+# environment). Each entry pairs the Spark pattern with its strptime
+# twin so oracle SQL replays the identical chain.
+TIMESTAMP_FORMATS: list[tuple[str, str]] = [
+    ("yyyy-MM-dd HH:mm:ss", "%Y-%m-%d %H:%M:%S"),
+    ("MM/dd/yyyy", "%m/%d/%Y"),
+    ("yyyy-MM-dd", "%Y-%m-%d"),
+]
+
+
+def coerce_timestamps(
+    df: DataFrame,
+    cols: Sequence[str],
+    formats: Sequence[str] | None = None,
+) -> DataFrame:
+    """Messy-string -> timestamp coercion, the temporal sibling of C1
+    :func:`coerce_numeric` (the reference parses timestamps only
+    implicitly via pandas read-time inference, ref:176-177; an
+    integration engine meeting N upstream systems needs an explicit,
+    deterministic multi-format chain). Each target column is replaced
+    by ``coalesce(try_to_timestamp(c, f) for f in formats)`` —
+    per-format strictness means a value parses under exactly the
+    first format that fully consumes it, unparseable values become
+    NULL (pd.to_datetime(errors='coerce') semantics).
+
+    Pure whole-stage-codegen projection — k strict parse attempts per
+    value, no shuffle, no UDF; at 100 TB this runs at scan speed.
+    """
+    fmts = list(formats) if formats is not None else [f for f, _ in TIMESTAMP_FORMATS]
+    if not fmts:
+        raise ValueError("at least one timestamp format is required")
+    targets = set(cols)
+    return df.select(
+        *[
+            F.coalesce(
+                *[F.try_to_timestamp(F.col(c), F.lit(f)) for f in fmts]
+            ).alias(c)
+            if c in targets
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def inf_nan_to_null(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """C2 (ref:29): fold +/-inf AND NaN to null on float/double columns.
 

@@ -99,3 +99,33 @@ def test_process_data_end_to_end(spark, sf_dir):
     # no nulls survive
     nn = out.select([F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in out.columns]).first()
     assert all(nn[c] == 0 for c in out.columns)
+
+
+def test_coerce_timestamps_first_match_chain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "1994-05-15 12:34:56"),  # full datetime format
+            (2, "05/15/1994"),           # US date
+            (3, "1994-05-15"),           # ISO date
+            (4, "not-a-date"),           # garbage -> NULL
+            (5, "1994-05-15 99:00:00"),  # invalid time; strict date-only
+                                         # formats must not half-consume
+            (6, None),
+        ],
+        "id long, ts_str string",
+    )
+    out = C.coerce_timestamps(df, ["ts_str"])
+    got = {
+        r["id"]: r["ts"]
+        for r in out.select(
+            "id", F.date_format("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts")
+        ).collect()
+    }
+    assert got[1] == "1994-05-15 12:34:56"
+    assert got[2] == "1994-05-15 00:00:00"
+    assert got[3] == "1994-05-15 00:00:00"
+    assert got[4] is None
+    assert got[5] is None
+    assert got[6] is None
+    # non-target columns pass through untouched
+    assert [f.name for f in out.schema.fields] == ["id", "ts_str"]
