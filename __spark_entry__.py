@@ -1149,6 +1149,11 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
       (user_id, event_type) must equal the batch per-key argmax by
       (ts, event_id), key-for-key (batching-independent because
       event_id totalizes the order).
+    - 'dq': ``stream_dq_split`` — dead-letter-queue quarantine
+      routing on row-local rules; the streamed passed/quarantined
+      label-group counts must equal the batch ``dq_split`` of the
+      same rules, group-for-group (row-local routing is micro-batch-
+      boundary-invariant by construction).
 
     The memory-sink drain stays covered by tests/test_streaming.py.
     """
@@ -1195,7 +1200,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     dd_keys = ["user_id", "event_type"]
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    with ThreadPoolExecutor(max_workers=8) as pool:
         f_tumble = pool.submit(
             SP.run_availablenow,
             SP.tumbling_stream(stream_ev),
@@ -1291,6 +1296,36 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
             return root
 
         f_cdc = pool.submit(_drain_cdc)
+
+        # 8th leg: streaming DQ quarantine routing (dead-letter queue)
+        # — row-local rules only, so the union of per-batch routings
+        # must equal the batch dq_split exactly, label-group for
+        # label-group.
+        _dq_rules = [
+            ("in_range", "value", 0.0, 250.0),
+            ("accepted", "event_type", ["click", "view", "purchase", "signup"]),
+            ("not_null", "user_id"),
+        ]
+
+        def _drain_dq():
+            import os as _os
+
+            from data_integration_and_harmonization_spark.functions.caching import (
+                scratch_dir as _scratch,
+            )
+
+            b = _scratch(f"twin_dq_{run_id}")
+            p_dir = _os.path.join(b, "passed")
+            q_dir = _os.path.join(b, "quarantined")
+            SP.stream_dq_split(
+                SP.stream_events(s2, f"{sf}/events.parquet"),
+                _dq_rules,
+                p_dir,
+                q_dir,
+            )
+            return p_dir, q_dir
+
+        f_dq = pool.submit(_drain_dq)
         drained, dd, st, sj_pairs, sess, (ver_root, ver_versions), cdc_root = (
             f_tumble.result(),
             f_dd.result(),
@@ -1300,6 +1335,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
             f_ver.result(),
             f_cdc.result(),
         )
+        dq_passed_dir, dq_quar_dir = f_dq.result()
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
     )
@@ -1482,6 +1518,40 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(cdc_agree.cast("long")).alias("n_agree"),
         F.min(cdc_agree).alias("all_agree"),
     )
+    # ---- DQ leg: the streamed quarantine routing, compared
+    # label-group for label-group against the batch dq_split of the
+    # same rules over the full slice (passed rows ride as the ''
+    # label group; quarantined groups by their '|'-joined labels —
+    # the routing is row-local, so micro-batch boundaries cannot
+    # change any group's count).
+    s_dq = (
+        spark.read.parquet(dq_passed_dir)
+        .select(F.lit("").alias("labels"))
+        .unionByName(
+            spark.read.parquet(dq_quar_dir).select(
+                F.col("__dq_labels").alias("labels")
+            )
+        )
+        .groupBy("labels")
+        .agg(F.count(F.lit(1)).alias("s_n"))
+    )
+    b_passed, b_quar = P.dq_split(events, _dq_rules)
+    b_dq = (
+        b_passed.select(F.lit("").alias("labels"))
+        .unionByName(
+            b_quar.select(F.array_join("__dq_violations", "|").alias("labels"))
+        )
+        .groupBy("labels")
+        .agg(F.count(F.lit(1)).alias("b_n"))
+    )
+    dqj = s_dq.join(b_dq, "labels", "full_outer")
+    dq_agree = F.col("s_n").eqNullSafe(F.col("b_n"))
+    dq_row = dqj.agg(
+        F.lit("dq").alias("kind"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(dq_agree.cast("long")).alias("n_agree"),
+        F.min(dq_agree).alias("all_agree"),
+    )
     return (
         tumbling_row.unionByName(dedup_row)
         .unionByName(stateful_row)
@@ -1489,6 +1559,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(session_row)
         .unionByName(versioned_row)
         .unionByName(cdc_row)
+        .unionByName(dq_row)
     )
 
 
@@ -2212,6 +2283,22 @@ UNION ALL
 -- key-for-key comparison
 SELECT 'cdc', count(*)::BIGINT, count(*)::BIGINT, true
 FROM (SELECT DISTINCT user_id, event_type FROM events WHERE user_id % 25 = 0)
+UNION ALL
+-- streaming DQ quarantine routing: label groups of the batch rule
+-- replay (passed rows are the '' group); the engine compares the
+-- streamed routing's group counts against its batch dq_split
+SELECT 'dq', count(DISTINCT labels)::BIGINT, count(DISTINCT labels)::BIGINT, true
+FROM (
+  SELECT coalesce(array_to_string(list_filter([
+    CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 250.0)
+         THEN 'in_range:value' END,
+    CASE WHEN event_type IS NOT NULL
+              AND event_type NOT IN ('click','view','purchase','signup')
+         THEN 'accepted:event_type' END,
+    CASE WHEN user_id IS NULL THEN 'not_null:user_id' END
+  ], x -> x IS NOT NULL), '|'), '') AS labels
+  FROM events
+)
 """,
     }
     o.update(E.eda_oracles())

@@ -374,6 +374,69 @@ def stream_to_versioned_table(
     return versions
 
 
+def stream_dq_split(
+    stream_df: DataFrame,
+    rules,
+    passed_path: str,
+    quarantined_path: str,
+) -> int:
+    """Streaming data-quality quarantine routing — the dead-letter-
+    queue pattern on ``foreachBatch``: each micro-batch runs the
+    declarative rule compiler (:func:`..operators.profile.dq_split`)
+    and appends the passing rows to the published sink and the
+    violating rows (with their violation labels) to a review sink.
+    Violations never poison the published table and are never
+    silently dropped — the streaming form of the batch ``dq_split``
+    publishing contract.
+
+    ROW-LOCAL rules only (not_null / in_range / accepted): a
+    batch-scoped rule like ``unique`` would make a row's routing
+    depend on which micro-batch it arrived in (a key duplicated
+    ACROSS batches would pass both times), silently weakening the
+    batch semantics — rejected here with ``ValueError`` rather than
+    half-enforced. Cross-batch uniqueness belongs to the CDC MERGE
+    path (:func:`stream_cdc_to_versioned_table`), which holds per-key
+    state transactionally. Row-local routing is batch-boundary-
+    invariant, so the union of all micro-batches' outputs equals the
+    batch split exactly — what the stream_batch_twin 'dq' leg checks.
+
+    The violation array rides as a '|'-joined string column
+    (``__dq_labels``) so the review sink is reader-agnostic. Returns
+    the number of micro-batches drained. Scale shape: the rule
+    predicate fuses into the scan projection (one codegen pass per
+    batch); both sinks are distributed appends.
+    """
+    from data_integration_and_harmonization_spark.operators.profile import dq_split
+
+    row_local = {"not_null", "in_range", "accepted"}
+    bad = [spec[0] for spec in rules if spec[0] not in row_local]
+    if bad:
+        raise ValueError(
+            f"stream_dq_split takes row-local rules only, got {bad!r}; "
+            "use stream_cdc_to_versioned_table for cross-batch key rules"
+        )
+    n_batches = [0]
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        passed, quarantined = dq_split(batch_df, rules)
+        passed.write.mode("append").parquet(passed_path)
+        quarantined.withColumn(
+            "__dq_labels", F.array_join("__dq_violations", "|")
+        ).drop("__dq_violations").write.mode("append").parquet(quarantined_path)
+        n_batches[0] += 1
+
+    with tempfile.TemporaryDirectory(prefix="dih_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.foreachBatch(route)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return n_batches[0]
+
+
 def stream_cdc_to_versioned_table(
     stream_df: DataFrame,
     table_root: str,

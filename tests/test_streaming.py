@@ -369,3 +369,55 @@ def test_stream_versioned_replayed_batch_is_idempotent(spark, tmp_path):
     out = read_version(spark, root, v2)
     assert out.count() == 15
     assert sorted(r["k"] for r in out.collect()) == list(range(15))
+
+
+def test_stream_dq_split_routes_like_batch(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.operators.profile import dq_split
+    from data_integration_and_harmonization_spark.streaming.pipeline import (
+        stream_dq_split,
+        stream_events,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "click", 10.0),
+        (2, "error", 20.0),     # accepted violation
+        (3, "click", 300.0),    # in_range violation
+        (4, "error", 500.0),    # both
+        (5, None, 30.0),        # not_null violation
+        (6, "view", 40.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, event_type string, value double")
+    df.coalesce(3).write.mode("overwrite").parquet(src)
+    rules = [
+        ("in_range", "value", 0.0, 250.0),
+        ("accepted", "event_type", ["click", "view"]),
+        ("not_null", "event_type"),
+    ]
+    p_dir, q_dir = str(tmp_path / "passed"), str(tmp_path / "quar")
+    stream_dq_split(stream_events(spark, src), rules, p_dir, q_dir)
+
+    got_p = sorted(r["id"] for r in spark.read.parquet(p_dir).collect())
+    got_q = {
+        r["id"]: r["__dq_labels"] for r in spark.read.parquet(q_dir).collect()
+    }
+    bp, bq = dq_split(df, rules)
+    want_p = sorted(r["id"] for r in bp.collect())
+    want_q = {
+        r["id"]: "|".join(r["__dq_violations"]) for r in bq.collect()
+    }
+    assert got_p == want_p == [1, 6]
+    assert got_q == want_q
+    assert got_q[4] == "in_range:value|accepted:event_type"
+
+    # batch-scoped rules are rejected, not half-enforced
+    import pytest
+
+    with pytest.raises(ValueError, match="row-local"):
+        stream_dq_split(
+            stream_events(spark, src), [("unique", "id")], p_dir, q_dir
+        )
