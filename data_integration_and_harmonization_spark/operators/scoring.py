@@ -215,6 +215,64 @@ def inverted_index(
 QUERY_TERMS = ["spark", "window", "hash", "table", "fast"]
 
 
+def zipf_stats(
+    docs: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Corpus rank-frequency diagnostics — the Zipf-law fit every
+    corpus-health dashboard carries: natural language shows
+    log(freq) ~ -s * log(rank) with s near 1; a slope far from 1 (or
+    a huge top-token mass share) flags templated/boilerplate corpora
+    before any per-document score would.
+
+    Scale shape: one explode + map-combinable term groupBy (the
+    vocabulary is Zipf-bounded, far below corpus size), then a CAPPED
+    top-``top_n`` merge (``orderBy().limit()`` plans as
+    TakeOrderedAndProject — no global-window single-partition rank
+    over the full vocabulary); the OLS slope (``regr_slope`` of
+    ln f on ln rank) and mass shares aggregate the bounded top table.
+    Ties rank deterministically by (freq desc, term asc).
+
+    Output rows (leg-style): ('slope', n_ranked, slope),
+    ('mass', n_total_tokens, top-100 mass share),
+    ('vocab', vocab_size, type-token ratio).
+    """
+    tf = (
+        docs.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = (
+        tf.orderBy(F.desc("f"), "t")
+        .limit(top_n)
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("f"), F.col("t")))
+        )
+    )
+    slope_row = ranked.agg(
+        F.lit("slope").alias("key"),
+        F.count(F.lit(1)).cast("double").alias("m1"),
+        F.round(F.expr("regr_slope(ln(f), ln(r))"), 6).alias("m2"),
+    )
+    totals = tf.agg(
+        F.sum("f").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    top_mass = ranked.where(F.col("r") <= 100).agg(
+        F.sum("f").cast("double").alias("top_f")
+    )
+    mass_row = totals.crossJoin(top_mass).select(
+        F.lit("mass").alias("key"),
+        F.col("n_total").alias("m1"),
+        F.round(F.col("top_f") / F.col("n_total"), 6).alias("m2"),
+    )
+    vocab_row = totals.select(
+        F.lit("vocab").alias("key"),
+        F.col("v").alias("m1"),
+        F.round(F.col("v") / F.col("n_total"), 6).alias("m2"),
+    )
+    return slope_row.unionByName(mass_row).unionByName(vocab_row)
+
+
 def scoring_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bm25(spark, sf):
         # two tagged legs in one frame: 'score' = the BM25 top-50
@@ -239,7 +297,16 @@ def scoring_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("cf").cast("double").alias("m2"),
             F.col("postings_head").alias("aux"),
         )
-        return score_rows.unionByName(post_rows)
+        # r9 third wave, 'zipf' leg: corpus rank-frequency diagnostics
+        # (slope / top-mass / type-token ratio) — see zipf_stats
+        zipf_rows = zipf_stats(docs).select(
+            F.lit("zipf").alias("leg"),
+            F.col("key"),
+            "m1",
+            "m2",
+            F.lit(None).cast("string").alias("aux"),
+        )
+        return score_rows.unionByName(post_rows).unionByName(zipf_rows)
 
     def q_lm(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -297,6 +364,27 @@ FROM scores
 UNION ALL
 SELECT 'postings', term, CAST(df AS DOUBLE), CAST(cf AS DOUBLE), postings_head
 FROM idx
+UNION ALL
+SELECT 'zipf', z.key, z.m1, z.m2, CAST(NULL AS VARCHAR)
+FROM (
+  WITH zf AS (
+    SELECT term, count(*)::BIGINT AS f FROM tok GROUP BY 1
+  ), zr AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM zf
+    QUALIFY r <= 1000
+  ), zt AS (
+    SELECT sum(f)::DOUBLE AS n_total, count(*)::DOUBLE AS v FROM zf
+  )
+  SELECT 'slope' AS key, count(*)::DOUBLE AS m1,
+         round(regr_slope(ln(f), ln(r)), 6) AS m2
+  FROM zr
+  UNION ALL
+  SELECT 'mass', n_total,
+         round((SELECT sum(f)::DOUBLE FROM zr WHERE r <= 100) / n_total, 6)
+  FROM zt
+  UNION ALL
+  SELECT 'vocab', v, round(v / n_total, 6) FROM zt
+) z
 """,
         "text_lm_quality": f"""
 WITH pairs AS (

@@ -87,6 +87,26 @@ def test_bigram_lm_hand_computed(spark):
     assert out["avg_logp"] == pytest.approx(round((2 * lp_xy + lp_yx) / 3, 6), abs=1e-6)
 
 
+def test_zipf_stats_hand_computed(spark):
+    from data_integration_and_harmonization_spark.operators.scoring import zipf_stats
+
+    # freqs: a=4, b=2, c=1 -> ranks 1, 2, 3
+    df = spark.createDataFrame([(0, "a a a a b b c")], "doc_id long, text string")
+    got = {r["key"]: (r["m1"], r["m2"]) for r in zipf_stats(df).collect()}
+    xs = [math.log(r) for r in (1, 2, 3)]
+    ys = [math.log(f) for f in (4, 2, 1)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert got["slope"] == (3.0, pytest.approx(round(slope, 6), abs=1e-6))
+    assert got["mass"] == (7.0, 1.0)       # top-100 covers everything
+    assert got["vocab"] == (3.0, pytest.approx(round(3 / 7, 6), abs=1e-6))
+    # top_n caps the ranked table (and the fit) deterministically
+    got2 = {r["key"]: r["m1"] for r in zipf_stats(df, top_n=2).collect()}
+    assert got2["slope"] == 2.0
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     rows = [
