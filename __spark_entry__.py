@@ -157,14 +157,37 @@ def q_clean_coerce(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(F.lit("not-a-date"))
         .alias("ts_str"),
+        _locale_price_str().alias("loc_str"),
     )
     out = C.inf_nan_to_null(C.coerce_numeric(mixed, ["qty_str"]))
     out = C.coerce_timestamps(out, ["ts_str"])
+    out = C.coerce_numeric_locale(out, ["loc_str"])
     return out.select(
         "l_orderkey",
         "l_linenumber",
         F.col("qty_str").alias("qty_clean"),
         F.date_format("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts_clean"),
+        F.round("loc_str", 6).alias("price_locale"),
+    )
+
+
+def _locale_price_str():
+    """Locale-messy render of l_extendedprice, cycling per row: US
+    grouped, EU grouped (separators swapped), plain, comma-decimal,
+    one garbage arm. Built from exact integer cents so engine and
+    oracle synthesize byte-identical strings (no float formatting
+    parity to defend)."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ip = (cents / 100).cast("long")
+    fr = F.lpad((cents % 100).cast("string"), 2, "0")
+    us = F.concat(F.format_number(ip, 0), F.lit("."), fr)
+    mod5 = F.col("l_linenumber") % 5
+    return (
+        F.when(mod5 == 0, us)
+        .when(mod5 == 1, F.translate(us, ",.", ".,"))
+        .when(mod5 == 2, F.concat(ip.cast("string"), F.lit("."), fr))
+        .when(mod5 == 3, F.concat(ip.cast("string"), F.lit(","), fr))
+        .otherwise(F.lit("n/a"))
     )
 
 
@@ -2002,14 +2025,42 @@ SELECT l_orderkey, l_linenumber,
   strftime(coalesce(
     try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
     try_strptime(ts_str, '%m/%d/%Y'),
-    try_strptime(ts_str, '%Y-%m-%d')), '%Y-%m-%d %H:%M:%S') AS ts_clean
+    try_strptime(ts_str, '%Y-%m-%d')), '%Y-%m-%d %H:%M:%S') AS ts_clean,
+  round(CASE
+    WHEN strpos(loc_str, ',') > 0 AND strpos(loc_str, '.') > 0 THEN
+      CASE WHEN strpos(reverse(loc_str), ',') < strpos(reverse(loc_str), '.')
+           THEN TRY_CAST(replace(translate(loc_str, '.', ''), ',', '.') AS DOUBLE)
+           ELSE TRY_CAST(translate(loc_str, ',', '') AS DOUBLE) END
+    WHEN strpos(loc_str, ',') > 0 THEN
+      CASE WHEN regexp_matches(loc_str, '^-?[0-9]+,[0-9]{1,2}$')
+           THEN TRY_CAST(replace(loc_str, ',', '.') AS DOUBLE)
+           ELSE TRY_CAST(translate(loc_str, ',', '') AS DOUBLE) END
+    WHEN regexp_matches(loc_str, '^-?[0-9]{1,3}(\\.[0-9]{3}){2,}$')
+         THEN TRY_CAST(translate(loc_str, '.', '') AS DOUBLE)
+    ELSE TRY_CAST(loc_str AS DOUBLE)
+  END, 6) AS price_locale
 FROM (
   SELECT *,
     CASE WHEN l_linenumber % 4 = 0 THEN strftime(l_shipdate, '%m/%d/%Y')
          WHEN l_linenumber % 4 = 1 THEN strftime(l_shipdate, '%Y-%m-%d')
          WHEN l_linenumber % 4 = 2 THEN strftime(l_shipdate, '%Y-%m-%d') || ' 12:34:56'
-         ELSE 'not-a-date' END AS ts_str
-  FROM lineitem
+         ELSE 'not-a-date' END AS ts_str,
+    CASE WHEN l_linenumber % 5 = 0 THEN us_str
+         WHEN l_linenumber % 5 = 1 THEN translate(us_str, ',.', '.,')
+         WHEN l_linenumber % 5 = 2 THEN ip::VARCHAR || '.' || fr
+         WHEN l_linenumber % 5 = 3 THEN ip::VARCHAR || ',' || fr
+         ELSE 'n/a' END AS loc_str
+  FROM (
+    SELECT *, format('{:,}', ip) || '.' || fr AS us_str
+    FROM (
+      SELECT *, cents // 100 AS ip,
+             lpad((cents % 100)::VARCHAR, 2, '0') AS fr
+      FROM (
+        SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+      )
+    )
+  )
 )
 """,
         "clean_repair": _MASKED_CTE

@@ -73,6 +73,64 @@ def coerce_numeric(df: DataFrame, cols: Sequence[str] | None = None) -> DataFram
     )
 
 
+def coerce_numeric_locale(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Locale-aware numeric coercion — the harmonization-grade form of
+    C1: upstream systems disagree on decimal/thousands separators
+    ("1,234.56" US vs "1.234,56" EU vs "1234,56" comma-decimal), and a
+    bare ``try_cast`` silently NULLs or misparses all but the US form.
+    Deterministic disambiguation contract (mirrored verbatim in
+    oracle SQL):
+
+    1. BOTH separators present: the one occurring LAST is the decimal
+       point; the other is grouping and is stripped.
+    2. Only commas: a single comma followed by 1-2 digits at the end
+       is a decimal comma; otherwise commas are grouping.
+    3. Only dots: two or more ``.ddd`` groups are unambiguous EU
+       grouping (stripped); a single dot stays a plain decimal.
+    4. The canonicalized string goes through ``try_cast(double)`` —
+       anything else is NULL (errors='coerce').
+
+    ("1,234" is grouping under rule 2 — 3 trailing digits; "1,23" is a
+    decimal. The genuinely ambiguous forms are resolved toward
+    grouping, the more common intent in exported data.) Pure codegen
+    projection: reverse/instr/translate/regexp per value, no shuffle.
+    """
+    targets = set(cols if cols is not None else string_cols(df))
+
+    def canon(name: str):
+        c = F.col(name)
+        rc = F.reverse(c)
+        pc = F.instr(rc, ",")
+        pdot = F.instr(rc, ".")
+        both = (pc > 0) & (pdot > 0)
+        return (
+            F.when(
+                both & (pc < pdot),
+                # comma is last -> decimal comma, dots group
+                F.regexp_replace(F.translate(c, ".", ""), ",", "."),
+            )
+            .when(both, F.translate(c, ",", ""))  # dot is last -> commas group
+            .when(
+                (pc > 0) & c.rlike(r"^-?\d+,\d{1,2}$"),
+                F.regexp_replace(c, ",", "."),
+            )
+            .when(pc > 0, F.translate(c, ",", ""))
+            .when(
+                (pdot > 0) & c.rlike(r"^-?\d{1,3}(\.\d{3}){2,}$"),
+                F.translate(c, ".", ""),
+            )
+            .otherwise(c)
+            .try_cast("double")
+            .alias(name)
+        )
+
+    return df.select(
+        *[canon(c) if c in targets else F.col(c) for c in df.columns]
+    )
+
+
 # Multi-format timestamp coercion: the chain ORDER is part of the
 # contract (first matching format wins) — most-specific first so a
 # dateTIME string is never half-consumed by a date-only pattern (both

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.operators import clean as C
@@ -129,3 +130,31 @@ def test_coerce_timestamps_first_match_chain(spark):
     assert got[6] is None
     # non-target columns pass through untouched
     assert [f.name for f in out.schema.fields] == ["id", "ts_str"]
+
+
+def test_coerce_numeric_locale_contract(spark):
+    cases = [
+        (1, "1,234.56", 1234.56),   # US grouping
+        (2, "1.234,56", 1234.56),   # EU grouping (both seps, comma last)
+        (3, "1234,56", 1234.56),    # comma-decimal (1-2 digits after)
+        (4, "1,234", 1234.0),       # single comma + 3 digits -> grouping
+        (5, "1,23", 1.23),          # single comma + 2 digits -> decimal
+        (6, "1.234.567", 1234567.0),# >=2 dot groups -> EU grouping
+        (7, "1.234", 1.234),        # single dot -> plain decimal
+        (8, "1234.56", 1234.56),    # plain
+        (9, "n/a", None),           # garbage -> NULL
+        (10, "12,345,678.99", 12345678.99),
+        (11, "-1.234,5", -1234.5),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in cases], "id long, v string"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in C.coerce_numeric_locale(df, ["v"]).collect()
+    }
+    for i, _, want in cases:
+        if want is None:
+            assert got[i] is None, i
+        else:
+            assert got[i] == pytest.approx(want), i
