@@ -280,6 +280,18 @@ def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
         ],
     ).unionByName(
         P.dq_ref_integrity(orders, "o_custkey", cust, "c_custkey")
+    ).unionByName(
+        # r9 third wave, 'fd' legs: functional-dependency discovery —
+        # key-like (holds), attribute (fails), composite determinant
+        # (fails) — same row shape as the rule families
+        P.fd_report(
+            cust,
+            [
+                ("c_custkey", "c_name"),
+                ("c_nationkey", "c_mktsegment"),
+                (["c_nationkey", "c_mktsegment"], "c_acctbal"),
+            ],
+        )
     )
     dq = rules.select(
         F.lit("dq").alias("kind"),
@@ -1804,6 +1816,33 @@ FROM (
     ON o.o_custkey = cc.c_custkey
 )"""
     )
+    # 'fd' legs — group-level functional-dependency violation rates,
+    # same arithmetic as profile.fd_report
+    fd_specs = [
+        ("fd:c_custkey->c_name", "c_name", "c_custkey"),
+        ("fd:c_nationkey->c_mktsegment", "c_mktsegment", "c_nationkey"),
+        (
+            "fd:c_nationkey,c_mktsegment->c_acctbal",
+            "c_acctbal",
+            "c_nationkey, c_mktsegment",
+        ),
+    ]
+    for rule, dep, det_sql in fd_specs:
+        parts.append(
+            f"""SELECT 'dq' AS kind, '{rule}' AS col_name,
+  c AS count, round(v / (CASE WHEN c > 0 THEN c ELSE 1 END), 6) AS mean,
+  CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS min,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS max,
+  v AS n_unique, '{dep}' AS top,
+  (CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS freq
+FROM (
+  SELECT count(*)::BIGINT AS c,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS v
+  FROM (SELECT {det_sql}, count(DISTINCT {dep}) AS nd
+        FROM customer GROUP BY ALL)
+)"""
+        )
     # dq_split twin: per-row violation labels in the engine's rule
     # order, joined by '|' — passed/quarantined row counts + distinct
     # label-set count on the quarantined side

@@ -414,3 +414,56 @@ def dq_ref_integrity(
         ).alias("violation_rate"),
         (F.col("__v") == 0).cast("long").alias("ok"),
     )
+
+
+def fd_report(df: DataFrame, pairs: Sequence[tuple]) -> DataFrame:
+    """Functional-dependency audit — the schema-discovery primitive of
+    classical data integration (key detection, normalization checks,
+    merge-correctness preconditions): for each (determinant ->
+    dependent) pair, does every determinant value map to exactly one
+    dependent value? Reported in the :func:`dq_report` row shape so
+    FD rows compose with the rule families.
+
+    ``pairs``: sequence of (det, dep) where det is a column name or a
+    list of names (composite determinants). A violating GROUP is one
+    determinant value with >= 2 distinct dependent values; the rate is
+    violating groups / groups (group-level, matching how FD discovery
+    literature scores approximate FDs).
+
+    Scale shape: one map-combinable two-level aggregation per pair —
+    groupBy(det).agg(count(DISTINCT dep)) then a bounded global
+    rollup; nothing is collected, no joins. NULL determinant rows
+    form their own group (SQL grouping semantics); NULL dependents
+    count as a distinct value only alongside non-NULLs (count
+    DISTINCT ignores NULL — two-sided NULL groups are single-valued,
+    which is the lenient FD reading and is documented here).
+    """
+    rows = []
+    for det, dep in pairs:
+        det_cols = [det] if isinstance(det, str) else list(det)
+        name = f"fd:{','.join(det_cols)}->{dep}"
+        g = df.groupBy(*det_cols).agg(
+            F.countDistinct(F.col(dep)).alias("__nd")
+        )
+        rows.append(
+            g.agg(
+                F.lit(name).alias("rule"),
+                F.lit(dep).alias("col_name"),
+                F.count(F.lit(1)).cast("long").alias("n_checked"),
+                F.sum((F.col("__nd") > 1).cast("long")).alias("n_violations"),
+                F.round(
+                    F.sum((F.col("__nd") > 1).cast("long"))
+                    / F.when(F.count(F.lit(1)) > 0, F.count(F.lit(1))).otherwise(
+                        F.lit(1)
+                    ),
+                    6,
+                ).alias("violation_rate"),
+                (F.sum((F.col("__nd") > 1).cast("long")) == 0)
+                .cast("long")
+                .alias("ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -277,3 +277,27 @@ def test_dq_split_routes_rows(spark):
     assert got[(4, 999.0)] == ["in_range:v", "accepted:s"]
     assert got[(5, 30.0)] == ["unique:k"] and got[(5, 40.0)] == ["unique:k"]
     assert "__dq_violations" not in passed.columns
+
+
+def test_fd_report_group_level_semantics(spark):
+    rows = [
+        (1, "a", "x", 10.0),
+        (1, "a", "x", 11.0),   # same det -> same dep: fine
+        (2, "b", "x", 12.0),
+        (2, "c", "x", 13.0),   # det 2 -> two deps: violating group
+        (None, "d", "y", 14.0),  # NULL det forms its own group
+        (None, "d", "y", 15.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, dep string, z string, v double")
+    got = {
+        r["rule"]: (r["n_checked"], r["n_violations"], r["violation_rate"], r["ok"])
+        for r in P.fd_report(
+            df, [("k", "dep"), ("z", "dep"), (["k", "z"], "v")]
+        ).collect()
+    }
+    # k -> dep: groups {1, 2, NULL}; only k=2 violates
+    assert got["fd:k->dep"] == (3, 1, round(1 / 3, 6), 0)
+    # z -> dep: x -> {a,b,c} violates, y -> {d} holds
+    assert got["fd:z->dep"] == (2, 1, 0.5, 0)
+    # composite (k,z) -> v: (1,x) has two v's, (2,x) two, (NULL,y) two
+    assert got["fd:k,z->v"] == (3, 3, 1.0, 0)
