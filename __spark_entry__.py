@@ -38,6 +38,7 @@ from data_integration_and_harmonization_spark.operators import scrub as SCRUB
 from data_integration_and_harmonization_spark.operators import similarity as SIM
 from data_integration_and_harmonization_spark.operators import text as TX
 from data_integration_and_harmonization_spark.plans import curation as CUR
+from data_integration_and_harmonization_spark.plans import pipeline as PL
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -130,7 +131,22 @@ def q_harmonize_union(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("__schema_match").alias("mktsegment"),
         F.col("n_b").alias("supp_key"),
     )
-    return out.unionByName(sm)
+    # r9 third wave, '__integrate' legs: the composed structured-data
+    # integration funnel (PL.integration_funnel — messy heterogeneous
+    # views -> harmonize -> locale coercion -> source-precedence
+    # golden records); stage counts ride cust_key, the golden balance
+    # checksum rides acct_bal.
+    fn = PL.integration_funnel(
+        spark.read.parquet(f"{sf}/customer.parquet")
+    ).select(
+        F.col("n_rows").alias("cust_key"),
+        F.col("stage").alias("name"),
+        F.lit(None).cast("int").alias("nation_key"),
+        F.col("checksum").alias("acct_bal"),
+        F.lit("__integrate").alias("mktsegment"),
+        F.lit(None).cast("long").alias("supp_key"),
+    )
+    return out.unionByName(sm).unionByName(fn)
 
 
 def q_clean_coerce(spark: SparkSession, sf: str) -> DataFrame:
@@ -1975,6 +1991,76 @@ SELECT '__drift', 'tvd:-1', round(sum(abs(p - q)) / 2.0, 6) FROM pq
     return cte + "\nUNION ALL\n".join(parts) + "\nUNION ALL\n" + drift
 
 
+def _sql_locale_parse(e: str) -> str:
+    """DuckDB replay of C.coerce_numeric_locale's disambiguation
+    contract over the SQL string expression ``e``."""
+    return f"""CASE
+    WHEN strpos({e}, ',') > 0 AND strpos({e}, '.') > 0 THEN
+      CASE WHEN strpos(reverse({e}), ',') < strpos(reverse({e}), '.')
+           THEN TRY_CAST(replace(translate({e}, '.', ''), ',', '.') AS DOUBLE)
+           ELSE TRY_CAST(translate({e}, ',', '') AS DOUBLE) END
+    WHEN strpos({e}, ',') > 0 THEN
+      CASE WHEN regexp_matches({e}, '^-?[0-9]+,[0-9]{{1,2}}$')
+           THEN TRY_CAST(replace({e}, ',', '.') AS DOUBLE)
+           ELSE TRY_CAST(translate({e}, ',', '') AS DOUBLE) END
+    WHEN regexp_matches({e}, '^-?[0-9]{{1,3}}(\\.[0-9]{{3}}){{2,}}$')
+         THEN TRY_CAST(translate({e}, '.', '') AS DOUBLE)
+    ELSE TRY_CAST({e} AS DOUBLE)
+  END"""
+
+
+def _integration_funnel_oracle() -> str:
+    """Replay of PL.integration_funnel's five stages, mapped into the
+    harmonize_union schema (counts ride cust_key, the golden balance
+    checksum rides acct_bal)."""
+
+    def messy(filter_sql: str, bal_sql: str, eu: bool) -> str:
+        grouped = "format('{:,}', ip) || '.' || fr"
+        rendered = (
+            f"translate({grouped}, ',.', '.,')" if eu else "ip::VARCHAR || '.' || fr"
+        )
+        return f"""
+  SELECT k, sgn || {rendered} AS bal_str
+  FROM (
+    SELECT c_custkey AS k,
+           CASE WHEN cents < 0 THEN '-' ELSE '' END AS sgn,
+           abs(cents) // 100 AS ip,
+           lpad((abs(cents) % 100)::VARCHAR, 2, '0') AS fr
+    FROM (SELECT c_custkey, CAST(round(({bal_sql}) * 100) AS BIGINT) AS cents
+          FROM customer WHERE {filter_sql})
+  )"""
+
+    row = (
+        "SELECT {n}::BIGINT AS cust_key, '{stage}' AS name, "
+        "CAST(NULL AS INTEGER) AS nation_key, {checksum} AS acct_bal, "
+        "'__integrate' AS mktsegment, CAST(NULL AS BIGINT) AS supp_key FROM {src}"
+    )
+    return f"""
+SELECT * FROM (
+WITH fa AS ({messy("c_custkey % 2 = 0", "c_acctbal", eu=True)}),
+fb AS ({messy("c_custkey % 3 = 0", "c_acctbal + 1000.0", eu=False)}),
+pa AS (SELECT k, {_sql_locale_parse("bal_str")} AS bal FROM fa),
+pb AS (SELECT k, {_sql_locale_parse("bal_str")} AS bal FROM fb),
+fg AS (
+  SELECT coalesce(pa.k, pb.k) AS k, coalesce(pa.bal, pb.bal) AS bal
+  FROM pa FULL OUTER JOIN pb ON pa.k = pb.k
+)
+{row.format(n="count(*)", stage="src_a", checksum="CAST(NULL AS DOUBLE)", src="fa")}
+UNION ALL
+{row.format(n="count(*)", stage="src_b", checksum="CAST(NULL AS DOUBLE)", src="fb")}
+UNION ALL
+{row.format(n="(SELECT count(*) FROM fa) + (SELECT count(*) FROM fb)",
+            stage="harmonized", checksum="CAST(NULL AS DOUBLE)", src="(SELECT 1)")}
+UNION ALL
+{row.format(n="(SELECT count(CASE WHEN bal IS NOT NULL THEN 1 END) FROM pa)"
+              " + (SELECT count(CASE WHEN bal IS NOT NULL THEN 1 END) FROM pb)",
+            stage="parsed_ok", checksum="CAST(NULL AS DOUBLE)", src="(SELECT 1)")}
+UNION ALL
+{row.format(n="count(*)", stage="golden", checksum="round(sum(bal), 2)", src="fg")}
+)
+"""
+
+
 def _schema_match_oracle() -> str:
     """The '__schema_match' legs: VALUES literals for the
     (pair, name_sim) metadata come from the SAME python helper the
@@ -2054,8 +2140,10 @@ SELECT CAST(NULL AS BIGINT), s_name, s_nationkey, s_acctbal,
 FROM supplier
 UNION ALL
 """
-        + _schema_match_oracle(),
-        "clean_coerce": """
+        + _schema_match_oracle()
+        + "\nUNION ALL\n"
+        + _integration_funnel_oracle(),
+        "clean_coerce": f"""
 SELECT l_orderkey, l_linenumber,
   CASE WHEN l_linenumber = 1 THEN NULL
        WHEN l_linenumber = 2 THEN NULL
@@ -2065,19 +2153,7 @@ SELECT l_orderkey, l_linenumber,
     try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
     try_strptime(ts_str, '%m/%d/%Y'),
     try_strptime(ts_str, '%Y-%m-%d')), '%Y-%m-%d %H:%M:%S') AS ts_clean,
-  round(CASE
-    WHEN strpos(loc_str, ',') > 0 AND strpos(loc_str, '.') > 0 THEN
-      CASE WHEN strpos(reverse(loc_str), ',') < strpos(reverse(loc_str), '.')
-           THEN TRY_CAST(replace(translate(loc_str, '.', ''), ',', '.') AS DOUBLE)
-           ELSE TRY_CAST(translate(loc_str, ',', '') AS DOUBLE) END
-    WHEN strpos(loc_str, ',') > 0 THEN
-      CASE WHEN regexp_matches(loc_str, '^-?[0-9]+,[0-9]{1,2}$')
-           THEN TRY_CAST(replace(loc_str, ',', '.') AS DOUBLE)
-           ELSE TRY_CAST(translate(loc_str, ',', '') AS DOUBLE) END
-    WHEN regexp_matches(loc_str, '^-?[0-9]{1,3}(\\.[0-9]{3}){2,}$')
-         THEN TRY_CAST(translate(loc_str, '.', '') AS DOUBLE)
-    ELSE TRY_CAST(loc_str AS DOUBLE)
-  END, 6) AS price_locale
+  round({_sql_locale_parse("loc_str")}, 6) AS price_locale
 FROM (
   SELECT *,
     CASE WHEN l_linenumber % 4 = 0 THEN strftime(l_shipdate, '%m/%d/%Y')
@@ -2090,7 +2166,7 @@ FROM (
          WHEN l_linenumber % 5 = 3 THEN ip::VARCHAR || ',' || fr
          ELSE 'n/a' END AS loc_str
   FROM (
-    SELECT *, format('{:,}', ip) || '.' || fr AS us_str
+    SELECT *, format('{{:,}}', ip) || '.' || fr AS us_str
     FROM (
       SELECT *, cents // 100 AS ip,
              lpad((cents % 100)::VARCHAR, 2, '0') AS fr

@@ -94,3 +94,104 @@ def run_harmonization_pipeline(
         summary_object=summary_object,
         label_encoders=encoders,
     )
+
+
+def locale_money_str(col, eu: bool = False):
+    """Sign-aware locale render of a 2-decimal money column, built from
+    exact integer cents so any engine synthesizes byte-identical
+    strings: US-grouped "9,999.99" (``eu=False``) or the
+    separator-swapped EU form "9.999,99" (``eu=True``)."""
+    from pyspark.sql import functions as F
+
+    cents = F.round(col * 100).cast("long")
+    a = F.abs(cents)
+    sign = F.when(cents < 0, F.lit("-")).otherwise(F.lit(""))
+    ip = (a / 100).cast("long")
+    fr = F.lpad((a % 100).cast("string"), 2, "0")
+    us = F.concat(F.format_number(ip, 0), F.lit("."), fr)
+    return F.concat(sign, F.translate(us, ",.", ".,") if eu else us)
+
+
+def integration_funnel(
+    cust: DataFrame, key_col: str = "c_custkey"
+) -> DataFrame:
+    """The composed STRUCTURED-data integration story — the reference
+    repo's actual domain, end to end on one pair of deliberately
+    heterogeneous views of the same entity universe:
+
+    1. source A (authoritative): even keys, messy pre-normalization
+       column names, EU-locale balance strings ("9.999,99");
+    2. source B (secondary): keys divisible by 3 (overlapping A on
+       multiples of 6), different column names, plain-format balance
+       strings of balance + 1000 — so conflict resolution is VISIBLE
+       in the checksum, not just in counts;
+    3. ``harmonize`` (P1 name normalization + U1 outer union by name),
+    4. ``coerce_numeric_locale`` (separator disambiguation),
+    5. golden records per key with source-precedence survivorship
+       (``merge_entities`` first_non_null over the source rank: A wins
+       where present, B fills the gaps).
+
+    Returns one row per funnel stage: (stage, n_rows, checksum) —
+    checksum is the golden balance sum (2 decimals), the value-level
+    proof that survivorship picked the right side on every overlap
+    key. Every stage is a lazy composition of the library operators;
+    nothing is collected.
+    """
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.operators.linkage import (
+        merge_entities,
+    )
+
+    k = F.col(key_col)
+    src_a = cust.where(k % 2 == 0).select(
+        k.alias("Cust Key"),
+        F.col("c_name").alias("Name"),
+        F.col("c_nationkey").alias("Nation Key"),
+        locale_money_str(F.col("c_acctbal"), eu=True).alias("Acct Bal"),
+        F.lit(0).alias("Src Rank"),
+    )
+    src_b = cust.where(k % 3 == 0).select(
+        k.alias("Cust Key"),
+        F.col("c_name").alias("Name"),
+        locale_money_str(F.col("c_acctbal") + 1000.0).alias("Acct Bal"),
+        F.lit(1).alias("Src Rank"),
+    )
+    h = H.harmonize([src_a, src_b])
+    parsed = C.coerce_numeric_locale(h, ["acct_bal"])
+    golden = merge_entities(
+        parsed.withColumnRenamed("cust_key", "entity_id"),
+        id_col="src_rank",
+        entity_col="entity_id",
+    )
+    spark = cust.sparkSession
+
+    def stage(name, frame, n_expr, checksum=None):
+        return frame.agg(
+            F.lit(name).alias("stage"),
+            n_expr.cast("long").alias("n_rows"),
+            (checksum if checksum is not None else F.lit(None).cast("double")).alias(
+                "checksum"
+            ),
+        )
+
+    return (
+        stage("src_a", src_a, F.count(F.lit(1)))
+        .unionByName(stage("src_b", src_b, F.count(F.lit(1))))
+        .unionByName(stage("harmonized", h, F.count(F.lit(1))))
+        .unionByName(
+            stage(
+                "parsed_ok",
+                parsed,
+                F.sum(F.col("acct_bal").isNotNull().cast("long")),
+            )
+        )
+        .unionByName(
+            stage(
+                "golden",
+                golden,
+                F.count(F.lit(1)),
+                F.round(F.sum("acct_bal"), 2),
+            )
+        )
+    )

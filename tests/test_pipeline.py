@@ -43,3 +43,41 @@ def test_pipeline_strict_mode(spark, sf_dir):
         assert enc_types["c_mktsegment"] == "bigint"
     finally:
         res.unpersist()
+
+
+def test_integration_funnel_stages_and_survivorship(spark):
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.plans.pipeline import (
+        integration_funnel,
+        locale_money_str,
+    )
+
+    # keys 0..11: A = even {0,2,4,6,8,10}, B = %3 {0,3,6,9},
+    # overlap {0,6} where A (authoritative) must win -> golden sum =
+    # sum(bal over A keys) + sum(bal+1000 over B-only keys {3,9})
+    rows = [(i, f"Customer#{i}", i % 3, float(100 * i) + 0.5 + (-200.0 if i == 4 else 0.0), "SEG")
+            for i in range(12)]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+    got = {r["stage"]: (r["n_rows"], r["checksum"])
+           for r in integration_funnel(cust).collect()}
+    assert got["src_a"] == (6, None)
+    assert got["src_b"] == (4, None)
+    assert got["harmonized"] == (10, None)
+    assert got["parsed_ok"] == (10, None)   # every messy string parses
+    a_keys = [0, 2, 4, 6, 8, 10]
+    b_only = [3, 9]
+    want = sum(100 * i + 0.5 + (-200.0 if i == 4 else 0.0) for i in a_keys) + sum(
+        100 * i + 0.5 + 1000.0 for i in b_only
+    )
+    n, checksum = got["golden"]
+    assert n == 8 and checksum == round(want, 2)
+
+    # the messy render is sign-aware and groups like format_number
+    s = cust.select(
+        locale_money_str(F.lit(-1234.56), eu=True).alias("eu"),
+        locale_money_str(F.lit(9999.99)).alias("us"),
+    ).first()
+    assert s["eu"] == "-1.234,56" and s["us"] == "9,999.99"
