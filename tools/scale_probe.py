@@ -61,6 +61,9 @@ OPERATORS = {
     "harmonize_union": "typed union + schema_match suggestions",
     "rel_grouping_sets": "rollup/cube + apriori co-purchase pairs",
     "emb_pool_quantize": "pool/quantize/truncate + JL projection",
+    # r9 third-wave additions
+    "clean_coerce": "numeric + locale + multi-format timestamp coercion",
+    "text_bm25_topk": "BM25 + inverted index + Zipf diagnostics",
 }
 
 
