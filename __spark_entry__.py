@@ -2057,6 +2057,9 @@ UNION ALL
             stage="parsed_ok", checksum="CAST(NULL AS DOUBLE)", src="(SELECT 1)")}
 UNION ALL
 {row.format(n="count(*)", stage="golden", checksum="round(sum(bal), 2)", src="fg")}
+UNION ALL
+{row.format(n="count(*)", stage="golden_from_b", checksum="CAST(NULL AS DOUBLE)",
+            src="pb LEFT JOIN pa ON pa.k = pb.k WHERE pa.k IS NULL")}
 )
 """
 

@@ -163,6 +163,7 @@ def integration_funnel(
         parsed.withColumnRenamed("cust_key", "entity_id"),
         id_col="src_rank",
         entity_col="entity_id",
+        provenance=True,
     )
     spark = cust.sparkSession
 
@@ -192,6 +193,16 @@ def integration_funnel(
                 golden,
                 F.count(F.lit(1)),
                 F.round(F.sum("acct_bal"), 2),
+            )
+        )
+        .unionByName(
+            # survivorship provenance: how many golden balances came
+            # from the secondary source (exactly the B-only keys —
+            # the audit answer "which source supplied this field?")
+            stage(
+                "golden_from_b",
+                golden,
+                F.sum((F.col("acct_bal__src") == 1).cast("long")),
             )
         )
     )

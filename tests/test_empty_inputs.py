@@ -121,3 +121,49 @@ def test_r8_ops_on_empty(spark, empty_docs, tmp_path):
     target = str(tmp_path / "zempty")
     write_zordered(ekv, target, ["x", "y"], num_files=2)
     assert spark.read.parquet(target).count() == 0
+
+
+def test_r9_third_wave_ops_on_empty(spark, empty_docs):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.operators import clean as C
+    from data_integration_and_harmonization_spark.operators import scrub as SC
+    from data_integration_and_harmonization_spark.operators.scoring import zipf_stats
+
+    # exact_substring_spans: empty corpus -> empty frame, right columns
+    ss = DD.exact_substring_spans(empty_docs, k=5)
+    assert ss.count() == 0
+    assert ss.columns == [
+        "id", "n_tokens", "n_dup_spans", "dup_span_tokens", "dup_span_frac",
+    ]
+    # all-short corpus (< k tokens everywhere): rows survive with zeros
+    short = spark.createDataFrame([(1, "a b"), (2, "")], "doc_id long, text string")
+    got = {r["id"]: (r["n_dup_spans"], r["dup_span_frac"])
+           for r in DD.exact_substring_spans(short, k=5).collect()}
+    assert got == {1: (0, 0.0), 2: (0, 0.0)}
+
+    # k_anonymity_report on an empty table: zero classes, vacuously ok
+    e = spark.createDataFrame([], "q string, s string")
+    rep = SC.k_anonymity_report(e, ["q"], "s", k=2, l=2).collect()[0]
+    # aggregates over zero classes: count is 0, sums/min are NULL —
+    # the vacuous audit must not crash or fabricate violations
+    assert rep["n_classes"] == 0
+    assert rep["n_small_classes"] in (0, None)
+    assert rep["ok"] in (0, 1, None)
+
+    # coerce_timestamps: empty format chain is a usage error
+    df1 = spark.createDataFrame([(1, "2024-01-01")], "id long, ts string")
+    with pytest.raises(ValueError, match="format"):
+        C.coerce_timestamps(df1, ["ts"], formats=[])
+
+    # coerce_numeric_locale on empty frame: schema out, zero rows
+    el = spark.createDataFrame([], "v string")
+    out = C.coerce_numeric_locale(el, ["v"])
+    assert out.count() == 0 and dict(out.dtypes)["v"] == "double"
+
+    # zipf_stats on an empty corpus: three rows, NULL/zero metrics,
+    # no division blowups
+    z = {r["key"]: (r["m1"], r["m2"]) for r in zipf_stats(empty_docs).collect()}
+    assert set(z) == {"slope", "mass", "vocab"}
+    assert z["slope"][0] == 0.0 and z["slope"][1] is None

@@ -124,6 +124,19 @@ def test_merge_entities_survivorship(spark):
     s = rows[1]
     assert s.n_records == 1 and s.name == "zenith" and s.email is None
 
+    # provenance=True: each first_non_null column reports the record
+    # id its survivor came from; rule-based columns get no __src
+    prov = {
+        r.entity_id: r
+        for r in merge_entities(
+            df, "id", "entity_id", rules={"bal": "max"}, provenance=True
+        ).collect()
+    }
+    g2 = prov[1]
+    assert g2["name__src"] == 1 and g2["email__src"] == 2
+    assert "bal__src" not in prov[1].asDict()
+    assert prov[4]["email__src"] is None  # all-null column -> no provenance
+
 
 def test_merge_entities_rejects_bad_rules(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "id long, entity_id long, x double")

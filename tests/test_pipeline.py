@@ -74,6 +74,9 @@ def test_integration_funnel_stages_and_survivorship(spark):
     )
     n, checksum = got["golden"]
     assert n == 8 and checksum == round(want, 2)
+    # survivorship provenance: only the B-only keys {3, 9} took their
+    # balance from the secondary source
+    assert got["golden_from_b"] == (2, None)
 
     # the messy render is sign-aware and groups like format_number
     s = cust.select(
