@@ -279,3 +279,108 @@ def test_line_dedup_invariants(spark, doc_lines):
         assert r.n_lines == len(ls)
         assert r.n_dup_lines == len(ls) - len(kept)
         assert r.text_deduped == "\n".join(kept)
+
+
+# ---- r9 third wave: brute-force reference parity properties
+
+_WORDS = ["aa", "bb", "cc", "dd"]  # tiny vocab -> repeats are common
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_spans(texts, k):
+    """Brute-force ExactSubstr reference: dict id -> (n_tokens,
+    n_dup_spans, dup_span_tokens)."""
+    import re
+    from collections import Counter
+
+    toks = {i: re.findall(r"[a-z0-9_]+", t.lower()) for i, t in enumerate(texts)}
+    grams = Counter()
+    starts = {}
+    for i, ts in toks.items():
+        starts[i] = []
+        for p in range(max(len(ts) - k + 1, 0)):
+            g = " ".join(ts[p : p + k])
+            grams[g] += 1
+            starts[i].append((p, g))
+    out = {}
+    for i, ts in toks.items():
+        dup = sorted(p for p, g in starts[i] if grams[g] >= 2)
+        spans = []
+        for p in dup:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        covered = sum(b - a + k for a, b in spans)
+        out[i] = (len(ts), len(spans), covered)
+    return out
+
+
+@given(docs_strategy, st.integers(2, 4))
+@SET
+def test_exact_substring_spans_match_bruteforce(spark, texts, k):
+    from data_integration_and_harmonization_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["n_dup_spans"], r["dup_span_tokens"])
+        for r in DD.exact_substring_spans(df, k=k).collect()
+    }
+    assert got == _ref_spans(texts, k)
+    # invariants: covered tokens never exceed the doc, spans need >= k
+    for n_tok, n_spans, covered in got.values():
+        assert covered <= n_tok
+        assert (n_spans == 0) == (covered == 0)
+        assert covered >= k * (n_spans > 0)
+
+
+num_str_strategy = st.one_of(
+    st.integers(-10**7, 10**7).map(lambda n: f"{n // 100}.{abs(n) % 100:02d}"),
+    st.sampled_from(
+        ["1,234.56", "1.234,56", "12.345.678", "1,23", "1,234", "junk", ""]
+    ),
+)
+
+
+def _ref_locale(s):
+    import re
+
+    if "," in s and "." in s:
+        if s[::-1].index(",") < s[::-1].index("."):
+            s = s.replace(".", "").replace(",", ".")
+        else:
+            s = s.replace(",", "")
+    elif "," in s:
+        if re.fullmatch(r"-?\d+,\d{1,2}", s):
+            s = s.replace(",", ".")
+        else:
+            s = s.replace(",", "")
+    elif re.fullmatch(r"-?\d{1,3}(\.\d{3}){2,}", s):
+        s = s.replace(".", "")
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+@given(st.lists(num_str_strategy, min_size=1, max_size=12))
+@SET
+def test_coerce_numeric_locale_matches_reference(spark, strs):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "id long, v string"
+    )
+    got = {
+        r["id"]: r["v"] for r in C.coerce_numeric_locale(df, ["v"]).collect()
+    }
+    for i, s in enumerate(strs):
+        want = _ref_locale(s)
+        if want is None:
+            assert got[i] is None, (s, got[i])
+        else:
+            assert got[i] is not None and abs(got[i] - want) < 1e-9, (s, got[i])
