@@ -959,7 +959,15 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     n_skip_total = len(read_manifest(spark, tbl_root, v1)["files"])
-    skip_ok = int(0 < n_skip_kept < n_skip_total)
+    # at sf0.001 the slice's keys end below skip_lo, so pruning
+    # rightly keeps ZERO files — that is data skipping working
+    # perfectly, not a structural failure; require a kept file only
+    # when the data actually reaches the probed range.
+    z_max_key = z_slice.agg(F.max("l_orderkey")).first()[0] or 0
+    skip_ok = int(
+        n_skip_kept < n_skip_total
+        and (n_skip_kept > 0 or z_max_key < skip_lo)
+    )
     skip_row = (
         read_version(
             spark, tbl_root, v1, prune={"l_orderkey": (skip_lo, skip_hi)}
@@ -1057,8 +1065,14 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         spark, tbl_root, merge_dir, upd, ["l_orderkey", "l_linenumber"],
         op_col="op",
     )
+    # locality clause only above a row floor: below ~1000 slice rows
+    # the 8-file z-layout has so few rows per file that every file
+    # legitimately spans the whole key range and the merge rightly
+    # rewrites all of them (observed at sf0.001); the semantics checks
+    # below stay unconditional.
+    n_slice = z_all.count()
     merge_ok = int(
-        mstats["files_affected"] < mstats["files_total"]
+        (mstats["files_affected"] < mstats["files_total"] or n_slice < 1000)
         and mstats["version"] == v2 + 1
         and mstats["rows_matched"] == n_match
         and mstats["rows_inserted"] == n_ins
@@ -1074,6 +1088,55 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("sum_rkey"),
         )
     )
+    # '__evolve' row: MERGE schema evolution — a second merge whose
+    # change batch carries a NEW column (priority). Default must
+    # REFUSE (never silently drop a CDC feed's column); with
+    # evolve_schema=True the column is adopted: rewritten files carry
+    # it, untouched files stay old-schema referenced in place, and
+    # read_version(merge_schema=True) unions the schemas. The change
+    # rows replace [500,600) with their own current values + priority,
+    # so row count and quantity sum are UNCHANGED from the __merge
+    # version (the oracle replays that equality for free) and
+    # sum_rkey carries the non-null priority count = the deduped key
+    # count of the replaced slice.
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        read_manifest,
+    )
+
+    ev_upd = (
+        _dedup_arm(z_all.where(rng(500, 600)), "U")
+        .drop("op")
+        .withColumn("l_quantity", F.col("l_quantity") + 100)
+        .withColumn("priority", F.lit(1.0))
+    )
+    try:
+        merge_upsert_versioned(
+            spark, tbl_root, base + "_li_evolve_refused.parquet", ev_upd,
+            ["l_orderkey", "l_linenumber"],
+        )
+        refused = 0
+    except ValueError:
+        refused = 1
+    estats = merge_upsert_versioned(
+        spark, tbl_root, base + "_li_evolved.parquet", ev_upd,
+        ["l_orderkey", "l_linenumber"], evolve_schema=True,
+    )
+    evolve_ok = int(
+        refused == 1
+        and estats["rows_inserted"] == 0
+        and "schema evolved +priority"
+        in read_manifest(spark, tbl_root, estats["version"])["note"]
+    )
+    evolve_row = (
+        read_version(spark, tbl_root, estats["version"], merge_schema=True)
+        .agg(
+            F.lit("__evolve").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.lit(evolve_ok).cast("long").alias("sum_nkey"),
+            F.sum(F.col("priority").isNotNull().cast("long")).alias("sum_rkey"),
+        )
+    )
     return (
         agg.unionByName(prev_row)
         .unionByName(part_row)
@@ -1081,6 +1144,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(comp_row)
         .unionByName(del_row)
         .unionByName(merge_row)
+        .unionByName(evolve_row)
         .unionByName(skip_row)
     )
 
@@ -2252,6 +2316,35 @@ UNION ALL
 -- (sum_nkey = the engine's structural verdict)
 SELECT '__merge', count(*)::BIGINT, round(sum(q), 6),
        1::BIGINT, CAST(NULL AS BIGINT)
+FROM (
+  SELECT l_quantity AS q
+  FROM lineitem
+  WHERE l_orderkey % 10 = 7
+    AND NOT (l_orderkey >= 1000 AND l_orderkey < 2000)
+    AND NOT (l_orderkey >= 500 AND l_orderkey < 1000)
+    AND NOT (l_orderkey >= 2000 AND l_orderkey < 2500)
+  UNION ALL
+  SELECT max(l_quantity) + 100 AS q
+  FROM lineitem
+  WHERE l_orderkey % 10 = 7 AND l_orderkey >= 500 AND l_orderkey < 1000
+  GROUP BY l_orderkey, l_linenumber
+  UNION ALL
+  SELECT max(l_quantity) + 100 AS q
+  FROM lineitem
+  WHERE l_orderkey % 10 = 7 AND l_orderkey >= 1000 AND l_orderkey < 1100
+  GROUP BY l_orderkey, l_linenumber
+) t
+UNION ALL
+-- schema-evolution MERGE leg: the [500,600) slice re-replaced with
+-- identical rows + a NEW priority column (evolve_schema=True; the
+-- default refused — sum_nkey is the engine's structural verdict), so
+-- row count and quantity sum EQUAL the __merge version; sum_rkey =
+-- non-null priority rows = the slice's deduped key count
+SELECT '__evolve', count(*)::BIGINT, round(sum(q), 6), 1::BIGINT,
+       (SELECT count(*) FROM (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey % 10 = 7 AND l_orderkey >= 500 AND l_orderkey < 600
+          GROUP BY l_orderkey, l_linenumber))::BIGINT
 FROM (
   SELECT l_quantity AS q
   FROM lineitem

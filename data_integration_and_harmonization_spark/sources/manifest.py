@@ -251,10 +251,21 @@ def merge_upsert_versioned(
     key_cols: list[str],
     version: int | None = None,
     op_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """MERGE against a manifest table — completes the maintenance
     trilogy next to :func:`delete_rows_versioned` and
     ``writers.compact_files``.
+
+    Schema evolution (the Delta ``autoMerge`` contract): update
+    columns absent from the table are an ERROR by default — silently
+    dropping data a CDC feed supplied is the one failure mode a MERGE
+    must never have. With ``evolve_schema=True`` the new columns are
+    ADOPTED: rewritten files carry them (survivor rows get NULL),
+    untouched files stay old-schema and are referenced in place — so
+    reads of the evolved table must pass
+    ``read_version(merge_schema=True)`` (the commit note records
+    ``schema evolved +cols`` so readers can tell).
 
     Delta semantics with whole-row updates: a table row whose key
     matches an update row is REPLACED; update rows with no match are
@@ -306,6 +317,15 @@ def merge_upsert_versioned(
     fmt = doc.get("format", "parquet")
     paths = [f["path"] for f in doc["files"]]
     tbl = spark.read.format(fmt).load(paths)
+    extra_cols = [c for c in upserts.columns if c not in tbl.columns]
+    if extra_cols and not evolve_schema:
+        # fail BEFORE any scan or write: silently dropping data a CDC
+        # feed supplied is the one failure mode a MERGE must never have
+        raise ValueError(
+            f"updates carry columns absent from the table {extra_cols}; "
+            "pass evolve_schema=True to adopt them (reads then need "
+            "read_version(merge_schema=True)) or drop them explicitly"
+        )
     upd_keys = updates.select(*key_cols).distinct()
     # bind input_file_name to the scan BEFORE the join: after a
     # two-source join the expression is ambiguous and Spark rejects it
@@ -340,11 +360,13 @@ def merge_upsert_versioned(
             ).count()
     else:
         survivors = None
-    out = (
-        survivors.unionByName(upserts.select(*survivors.columns))
-        if survivors is not None
-        else upserts
-    )
+    if survivors is None:
+        out = upserts
+    elif extra_cols:
+        # adopt: survivors take NULL for the new columns
+        out = survivors.unionByName(upserts, allowMissingColumns=True)
+    else:
+        out = survivors.unionByName(upserts.select(*survivors.columns))
     out.write.mode("overwrite").format(fmt).save(rewrite_dir)
     from data_integration_and_harmonization_spark.sources.writers import (
         list_data_files,
@@ -360,7 +382,8 @@ def merge_upsert_versioned(
         table_root,
         kept + new_files,
         note=f"merge ({rows_matched} matched, {rows_inserted} inserted, "
-        f"{rows_deleted} deleted, {len(affected)} files rewritten)",
+        f"{rows_deleted} deleted, {len(affected)} files rewritten)"
+        + (f" (schema evolved +{','.join(extra_cols)})" if extra_cols else ""),
         fmt=fmt,
     )
     return {
@@ -533,6 +556,7 @@ def read_version(
     table_root: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The pinned-version scan: exactly the manifest's files, immune to
     any maintenance committed after this version.
@@ -543,21 +567,32 @@ def read_version(
     key range's few files and listing-then-filtering the table). The
     returned frame still applies the residual range FILTER, so the
     result is exactly the predicate's rows regardless of how loose the
-    file stats are."""
+    file stats are.
+
+    ``merge_schema=True`` is the schema-evolution read: when later
+    batches committed files with ADDED columns, the scan unions all
+    files' schemas (parquet mergeSchema) and earlier files surface
+    NULL for the new columns — the Delta/Iceberg add-column contract.
+    Off by default: schema merging footer-reads every file at planning
+    time, a real cost on wide tables, and a homogeneous table doesn't
+    need it."""
     doc = read_manifest(spark, table_root, version)
     files = prune_files(doc, prune) if prune else doc["files"]
     paths = [f["path"] for f in files]
     if not doc["files"]:
         raise ValueError(f"version {doc['version']} has no data files")
     fmt = doc.get("format", "parquet")
+    reader = spark.read.format(fmt)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if not paths:
         # every file pruned: typed-empty result via an empty filter on
         # one file's schema (cheap: schema read only)
         from pyspark.sql import functions as F
 
-        base = spark.read.format(fmt).load(doc["files"][0]["path"]).where(F.lit(False))
+        base = reader.load(doc["files"][0]["path"]).where(F.lit(False))
         return _apply_prune_filter(base, prune)
-    df = spark.read.format(fmt).load(paths)
+    df = reader.load(paths)
     return _apply_prune_filter(df, prune) if prune else df
 
 

@@ -421,3 +421,50 @@ def test_stream_dq_split_routes_like_batch(spark, tmp_path):
         stream_dq_split(
             stream_events(spark, src), [("unique", "id")], p_dir, q_dir
         )
+
+
+def test_merge_schema_evolution_adopts_new_columns(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        merge_upsert_versioned,
+        read_manifest,
+        read_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    base_dir = str(tmp_path / "base")
+    # two files so one stays untouched (old schema referenced in place)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.parquet(os.path.join(base_dir, "p0"))
+    spark.createDataFrame(
+        [(10, "x")], "k long, v string"
+    ).coalesce(1).write.parquet(os.path.join(base_dir, "p1"))
+    commit_version(spark, root, base_dir)
+
+    ups = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 7.5)], "k long, v string, score double"
+    )
+    # default: refuses to silently drop the CDC feed's new column
+    import pytest
+
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_upsert_versioned(spark, root, str(tmp_path / "rw0"), ups, ["k"])
+
+    res = merge_upsert_versioned(
+        spark, root, str(tmp_path / "rw1"), ups, ["k"], evolve_schema=True
+    )
+    assert res["rows_matched"] == 1 and res["rows_inserted"] == 1
+    assert "schema evolved +score" in read_manifest(spark, root)["note"]
+
+    out = read_version(spark, root, merge_schema=True)
+    assert set(out.columns) == {"k", "v", "score"}
+    got = {r["k"]: (r["v"], r["score"]) for r in out.collect()}
+    # survivor of the rewritten file and the untouched file: NULL score
+    assert got[1] == ("a", None) and got[10] == ("x", None)
+    # upserted rows carry the evolved column
+    assert got[2] == ("b2", 9.5) and got[3] == ("c", 7.5)
