@@ -293,6 +293,15 @@ def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
             ("unique", "o_orderkey"),
             ("in_range", "o_totalprice", 0.0, 1e9),
             ("accepted", "o_orderstatus", ["O", "F", "P"]),
+            # r9 third wave, 'expr' rule kind (Deequ satisfies()):
+            # cross-column business rule — expensive orders must be
+            # urgent/high priority; NOT TRUE (incl. NULL) violates
+            (
+                "expr",
+                "price_priority",
+                "o_totalprice < 100000.0 "
+                "OR o_orderpriority IN ('1-URGENT', '2-HIGH')",
+            ),
         ],
     ).unionByName(
         P.dq_ref_integrity(orders, "o_custkey", cust, "c_custkey")
@@ -1868,6 +1877,10 @@ FROM (
         ("accepted:o_orderstatus", "o_orderstatus",
          "count(o_orderstatus)",
          "count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)"),
+        ("expr:price_priority", "price_priority",
+         "count(*)",
+         "count(CASE WHEN NOT coalesce(o_totalprice < 100000.0 "
+         "OR o_orderpriority IN ('1-URGENT', '2-HIGH'), false) THEN 1 END)"),
     ]
     for rule, col, checked, viol in dq_rules:
         parts.append(

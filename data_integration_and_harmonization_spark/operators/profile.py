@@ -272,7 +272,13 @@ def dq_report(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     - ``("in_range", col, lo, hi)`` — non-null values outside
       [lo, hi] violate;
     - ``("accepted", col, values)`` — non-null values outside the
-      accepted set violate.
+      accepted set violate;
+    - ``("expr", name, sql_predicate)`` — Deequ ``satisfies()`` /
+      dbt custom test: any row where the SQL boolean is NOT TRUE
+      (false or NULL) violates — cross-column business rules
+      ("discount only on large orders") without a new rule kind per
+      shape. The predicate string doubles as documentation and is
+      trivially replayable by an external SQL engine.
 
     ALL rules compile into ONE map-side-combinable aggregate pass
     (conditional counts + count-distincts), exploded into one row per
@@ -298,6 +304,13 @@ def dq_report(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
             vals = list(spec[2])
             checked = F.count(c)
             viol = F.count(F.when(~c.isin(vals), 1))
+        elif kind == "expr":
+            # spec = ("expr", name, sql_predicate): col is the NAME
+            pred = F.expr(spec[2])
+            checked = F.count(F.lit(1))
+            # NOT TRUE (false or NULL) violates: a predicate that
+            # cannot be evaluated for a row is not satisfied by it
+            viol = F.count(F.when(~F.coalesce(pred, F.lit(False)), 1))
         else:
             raise ValueError(f"unknown dq rule kind: {kind}")
         aggs.append(checked.cast("long").alias(f"__c{i}"))
@@ -366,6 +379,12 @@ def dq_split(
         elif kind == "accepted":
             vals = list(spec[2])
             conds.append(F.when(c.isNotNull() & ~c.isin(vals), name))
+        elif kind == "expr":
+            # spec = ("expr", name, sql_predicate); NOT TRUE violates,
+            # matching dq_report's reading of unsatisfiable rows
+            conds.append(
+                F.when(~F.coalesce(F.expr(spec[2]), F.lit(False)), name)
+            )
         elif kind == "unique":
             marker = f"__dq_dup_{col}"
             dups = (

@@ -125,6 +125,42 @@ def redact_pii(
     return df.select(*out).withColumn("redacted_len", F.length("redacted").cast("long"))
 
 
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    prefix: str = "tok_",
+) -> DataFrame:
+    """Deterministic salt-keyed tokenization — the third leg of the
+    privacy family (redact destroys, k-anonymity audits, pseudonymize
+    PRESERVES JOINS): each value becomes ``prefix + md5(salt:value)``,
+    so the same value maps to the same token in every table tokenized
+    with the same salt — referential integrity survives, equality
+    joins and groupBys still work, and without the salt the mapping is
+    a one-way function (GDPR Art. 4(5) pseudonymization, not
+    anonymization — the salt is the 'additional information' to keep
+    separately). NULLs stay NULL.
+
+    Pure codegen projection (one md5 per value), no shuffle, no
+    lookup table to manage or leak — the salt IS the mapping.
+    """
+    targets = set(cols)
+
+    def tok(c: str):
+        col = F.col(c)
+        return F.when(
+            col.isNotNull(),
+            F.concat(
+                F.lit(prefix),
+                F.md5(F.concat_ws(":", F.lit(salt), col.cast("string"))),
+            ),
+        ).alias(c)
+
+    return df.select(
+        *[tok(c) if c in targets else F.col(c) for c in df.columns]
+    )
+
+
 def k_anonymity(
     df: DataFrame,
     quasi_cols: list[str],
@@ -233,7 +269,15 @@ def scrub_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
         red = redact_pii(docs.select("doc_id", injected.alias("text")))
-        return red.select(
+        # r9 third wave: pseudonymization rides as the author token —
+        # ~50 docs share each synthetic author, so identical tokens
+        # across rows prove the join-preserving property end to end
+        authored = red.withColumn(
+            "author",
+            F.concat(F.lit("author"), (F.col("id") % 50).cast("string")),
+        )
+        tok = pseudonymize(authored, ["author"], salt="s3cret")
+        return tok.select(
             "id",
             "n_email",
             "n_ssn",
@@ -241,6 +285,7 @@ def scrub_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_ip",
             F.md5("redacted").alias("redacted_fp"),
             "redacted_len",
+            F.col("author").alias("author_token"),
         )
 
     return {"text_decontaminate": q_decontaminate, "text_scrub": q_scrub}
@@ -309,7 +354,8 @@ WITH inj AS (
   FROM inj
 )
 SELECT doc_id AS id, n_email, n_ssn, n_phone, n_ip,
-       md5(redacted) AS redacted_fp, length(redacted)::BIGINT AS redacted_len
+       md5(redacted) AS redacted_fp, length(redacted)::BIGINT AS redacted_len,
+       'tok_' || md5('s3cret:author' || (doc_id % 50)) AS author_token
 FROM red
 """,
     }

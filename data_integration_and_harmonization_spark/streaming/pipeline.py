@@ -408,7 +408,7 @@ def stream_dq_split(
     """
     from data_integration_and_harmonization_spark.operators.profile import dq_split
 
-    row_local = {"not_null", "in_range", "accepted"}
+    row_local = {"not_null", "in_range", "accepted", "expr"}
     bad = [spec[0] for spec in rules if spec[0] not in row_local]
     if bad:
         raise ValueError(

@@ -827,3 +827,26 @@ def test_html_to_text_extraction(spark):
     assert out == 'T\nfirst para\nsecond &amp; <b>\nitem one\ntail', repr(out)
     # null propagates (md5 of the extraction stays null-consistent)
     assert df.select(html_to_text(F.lit(None).cast("string"))).first()[0] is None
+
+
+def test_pseudonymize_deterministic_join_preserving(spark):
+    from data_integration_and_harmonization_spark.operators import scrub as SC
+
+    a = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, None)], "id long, user string"
+    )
+    b = spark.createDataFrame(
+        [(10, "alice"), (11, "carol")], "k long, user string"
+    )
+    ta = SC.pseudonymize(a, ["user"], salt="s1")
+    tb = SC.pseudonymize(b, ["user"], salt="s1")
+    rows = {r["id"]: r["user"] for r in ta.collect()}
+    # NULL stays NULL; tokens are prefixed opaque digests
+    assert rows[3] is None
+    assert rows[1].startswith("tok_") and rows[1] != rows[2]
+    # referential integrity: tokenized equality join still finds alice
+    j = ta.join(tb, "user").select("id", "k").collect()
+    assert [(r["id"], r["k"]) for r in j] == [(1, 10)]
+    # a different salt is a different one-way mapping
+    ta2 = SC.pseudonymize(a, ["user"], salt="s2")
+    assert {r["user"] for r in ta2.collect()} != {r["user"] for r in ta.collect()}

@@ -301,3 +301,26 @@ def test_fd_report_group_level_semantics(spark):
     assert got["fd:z->dep"] == (2, 1, 0.5, 0)
     # composite (k,z) -> v: (1,x) has two v's, (2,x) two, (NULL,y) two
     assert got["fd:k,z->v"] == (3, 3, 1.0, 0)
+
+
+def test_dq_expr_rule_not_true_violates(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 500.0, "A"), (3, 500.0, "B"), (4, None, "B")],
+        "id long, amt double, tier string",
+    )
+    rules = [("expr", "amt_tier", "amt < 100.0 OR tier = 'B'")]
+    r = P.dq_report(df, rules).collect()[0]
+    # row 2 violates (500, A); row 4's NULL amt makes the predicate
+    # NULL -> NOT TRUE -> violates... wait: NULL < 100 is NULL,
+    # OR tier='B' -> row 4 tier B makes it TRUE. Only row 2 violates.
+    assert r["rule"] == "expr:amt_tier"
+    assert (r["n_checked"], r["n_violations"], r["ok"]) == (4, 1, 0)
+    # NULL-predicate row: both disjuncts unsatisfied -> violates
+    df2 = spark.createDataFrame([(1, None)], "id long, amt double")
+    r2 = P.dq_report(df2, [("expr", "pos", "amt > 0")]).collect()[0]
+    assert (r2["n_violations"], r2["ok"]) == (1, 0)
+    # dq_split routes by the same reading
+    passed, quar = P.dq_split(df, rules)
+    assert sorted(x["id"] for x in passed.collect()) == [1, 3, 4]
+    q = quar.collect()
+    assert len(q) == 1 and q[0]["__dq_violations"] == ["expr:amt_tier"]
