@@ -405,6 +405,11 @@ def stream_dq_split(
     the number of micro-batches drained. Scale shape: the rule
     predicate fuses into the scan projection (one codegen pass per
     batch); both sinks are distributed appends.
+
+    Caveat: a sink that only ever received EMPTY frames (e.g. the
+    quarantine dir of a fully-clean stream) may hold no parquet part
+    files — read it with an explicit schema
+    (``spark.read.schema(...)``) if zero violations is a possibility.
     """
     from data_integration_and_harmonization_spark.operators.profile import dq_split
 
