@@ -134,14 +134,29 @@ def integration_funnel(
     Returns one row per funnel stage: (stage, n_rows, checksum) —
     checksum is the golden balance sum (2 decimals), the value-level
     proof that survivorship picked the right side on every overlap
-    key. Every stage is a lazy composition of the library operators;
-    nothing is collected.
+    key.
+
+    Scale shape — ONE Spark action for the whole funnel: the
+    intermediate stage counts ride as ``Observation`` metrics
+    (Spark's observe() API, the production pattern for pipeline
+    row-count instrumentation) attached to the frames the golden
+    aggregate already flows through, so src/harmonize/parse metrics
+    cost ZERO extra scans; a ``.agg()`` per stage would re-execute
+    the upstream lineage once per stage (the first cut ran 6 actions
+    and read each source 4x). Only the six metric scalars reach the
+    driver.
     """
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from data_integration_and_harmonization_spark.operators.linkage import (
         merge_entities,
     )
+
+    obs_a = Observation()
+    obs_b = Observation()
+    obs_h = Observation()
+    obs_p = Observation()
 
     k = F.col(key_col)
     src_a = cust.where(k % 2 == 0).select(
@@ -157,8 +172,14 @@ def integration_funnel(
         locale_money_str(F.col("c_acctbal") + 1000.0).alias("Acct Bal"),
         F.lit(1).alias("Src Rank"),
     )
-    h = H.harmonize([src_a, src_b])
-    parsed = C.coerce_numeric_locale(h, ["acct_bal"])
+    src_a = src_a.observe(obs_a, F.count(F.lit(1)).alias("n"))
+    src_b = src_b.observe(obs_b, F.count(F.lit(1)).alias("n"))
+    h = H.harmonize([src_a, src_b]).observe(
+        obs_h, F.count(F.lit(1)).alias("n")
+    )
+    parsed = C.coerce_numeric_locale(h, ["acct_bal"]).observe(
+        obs_p, F.sum(F.col("acct_bal").isNotNull().cast("long")).alias("n")
+    )
     golden = merge_entities(
         parsed.withColumnRenamed("cust_key", "entity_id"),
         id_col="src_rank",
@@ -166,43 +187,23 @@ def integration_funnel(
         provenance=True,
     )
     spark = cust.sparkSession
-
-    def stage(name, frame, n_expr, checksum=None):
-        return frame.agg(
-            F.lit(name).alias("stage"),
-            n_expr.cast("long").alias("n_rows"),
-            (checksum if checksum is not None else F.lit(None).cast("double")).alias(
-                "checksum"
-            ),
-        )
-
-    return (
-        stage("src_a", src_a, F.count(F.lit(1)))
-        .unionByName(stage("src_b", src_b, F.count(F.lit(1))))
-        .unionByName(stage("harmonized", h, F.count(F.lit(1))))
-        .unionByName(
-            stage(
-                "parsed_ok",
-                parsed,
-                F.sum(F.col("acct_bal").isNotNull().cast("long")),
-            )
-        )
-        .unionByName(
-            stage(
-                "golden",
-                golden,
-                F.count(F.lit(1)),
-                F.round(F.sum("acct_bal"), 2),
-            )
-        )
-        .unionByName(
-            # survivorship provenance: how many golden balances came
-            # from the secondary source (exactly the B-only keys —
-            # the audit answer "which source supplied this field?")
-            stage(
-                "golden_from_b",
-                golden,
-                F.sum((F.col("acct_bal__src") == 1).cast("long")),
-            )
-        )
+    # the ONE action: golden count + survivorship checksum +
+    # provenance count in a single aggregate; every observation above
+    # fires during this same execution
+    g = golden.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("acct_bal"), 2).alias("checksum"),
+        F.sum((F.col("acct_bal__src") == 1).cast("long")).alias("from_b"),
+    ).first()
+    rows = [
+        ("src_a", int(obs_a.get["n"]), None),
+        ("src_b", int(obs_b.get["n"]), None),
+        ("harmonized", int(obs_h.get["n"]), None),
+        ("parsed_ok", int(obs_p.get["n"]), None),
+        ("golden", int(g["n"]),
+         float(g["checksum"]) if g["checksum"] is not None else None),
+        ("golden_from_b", int(g["from_b"] or 0), None),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n_rows long, checksum double"
     )
