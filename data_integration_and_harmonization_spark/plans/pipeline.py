@@ -136,27 +136,27 @@ def integration_funnel(
     proof that survivorship picked the right side on every overlap
     key.
 
-    Scale shape — ONE Spark action for the whole funnel: the
-    intermediate stage counts ride as ``Observation`` metrics
-    (Spark's observe() API, the production pattern for pipeline
-    row-count instrumentation) attached to the frames the golden
-    aggregate already flows through, so src/harmonize/parse metrics
-    cost ZERO extra scans; a ``.agg()`` per stage would re-execute
-    the upstream lineage once per stage (the first cut ran 6 actions
-    and read each source 4x). Only the six metric scalars reach the
-    driver.
+    Scale shape — the sources are scanned ONCE: the parsed
+    (post-coercion) frame is persisted and every upstream stage
+    metric derives from it in one aggregate (src counts from the
+    source-rank column, harmonized = total, parsed_ok = non-null
+    balances); the golden aggregate is the only other action and
+    reuses the cache. The first cut ran 6 separate .agg() actions,
+    re-reading each source ~4x through the cascading lineage.
+    (Spark's ``observe()`` API would fold the metrics into the golden
+    action with zero persists — but on Spark 4.1.2 the first
+    Observation permanently attaches a NON-SERIALIZABLE
+    ObservationManager to the shared SparkSession, and every later
+    RDD-closure job on that session — the ML fits — dies with "Task
+    not serializable". Caught by the full bench; the persist shape is
+    the safe equivalent.)
     """
-    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    from data_integration_and_harmonization_spark.functions.caching import track
     from data_integration_and_harmonization_spark.operators.linkage import (
         merge_entities,
     )
-
-    obs_a = Observation()
-    obs_b = Observation()
-    obs_h = Observation()
-    obs_p = Observation()
 
     k = F.col(key_col)
     src_a = cust.where(k % 2 == 0).select(
@@ -172,14 +172,8 @@ def integration_funnel(
         locale_money_str(F.col("c_acctbal") + 1000.0).alias("Acct Bal"),
         F.lit(1).alias("Src Rank"),
     )
-    src_a = src_a.observe(obs_a, F.count(F.lit(1)).alias("n"))
-    src_b = src_b.observe(obs_b, F.count(F.lit(1)).alias("n"))
-    h = H.harmonize([src_a, src_b]).observe(
-        obs_h, F.count(F.lit(1)).alias("n")
-    )
-    parsed = C.coerce_numeric_locale(h, ["acct_bal"]).observe(
-        obs_p, F.sum(F.col("acct_bal").isNotNull().cast("long")).alias("n")
-    )
+    h = H.harmonize([src_a, src_b])
+    parsed = track(C.coerce_numeric_locale(h, ["acct_bal"]).persist())
     golden = merge_entities(
         parsed.withColumnRenamed("cust_key", "entity_id"),
         id_col="src_rank",
@@ -187,19 +181,26 @@ def integration_funnel(
         provenance=True,
     )
     spark = cust.sparkSession
-    # the ONE action: golden count + survivorship checksum +
-    # provenance count in a single aggregate; every observation above
-    # fires during this same execution
+    # action 1: every upstream stage metric off the persisted parsed
+    # frame in one aggregate
+    m = parsed.agg(
+        F.sum((F.col("src_rank") == 0).cast("long")).alias("a"),
+        F.sum((F.col("src_rank") == 1).cast("long")).alias("b"),
+        F.count(F.lit(1)).alias("h"),
+        F.sum(F.col("acct_bal").isNotNull().cast("long")).alias("p"),
+    ).first()
+    # action 2: golden count + survivorship checksum + provenance
+    # count in a single aggregate, reusing the cache
     g = golden.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("acct_bal"), 2).alias("checksum"),
         F.sum((F.col("acct_bal__src") == 1).cast("long")).alias("from_b"),
     ).first()
     rows = [
-        ("src_a", int(obs_a.get["n"]), None),
-        ("src_b", int(obs_b.get["n"]), None),
-        ("harmonized", int(obs_h.get["n"]), None),
-        ("parsed_ok", int(obs_p.get["n"]), None),
+        ("src_a", int(m["a"] or 0), None),
+        ("src_b", int(m["b"] or 0), None),
+        ("harmonized", int(m["h"]), None),
+        ("parsed_ok", int(m["p"] or 0), None),
         ("golden", int(g["n"]),
          float(g["checksum"]) if g["checksum"] is not None else None),
         ("golden_from_b", int(g["from_b"] or 0), None),
