@@ -446,7 +446,12 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
     percentile_approx (GK sketch) quantiles — the fit a 100-TB
     pipeline ships, since exact percentile's final merge is
     single-reducer — and the 'ra_ok' column carries the
-    approx-vs-exact agreement verdict (1% of IQR tolerance)."""
+    rank-contract verdict on the sketch. The exact fit is
+    SCALE-GATED (r9 verdict): it runs only at validation scale
+    (n <= FE.EXACT_FIT_MAX_ROWS, where the DuckDB oracle pins
+    exact interpolated values); above it the shipped robust stats
+    ARE the sketch quantiles — exact percentile's single-reducer
+    value->count merge never executes at scale."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag",
@@ -468,17 +473,12 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
             a
             for c in ("l_quantity", "l_extendedprice")
             for a in (
-                # array form: ONE percentile state per column (three
-                # scalar percentile exprs each keep their own
-                # value->count map and each sort it at merge)
-                F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"q_{c}"),
-                # the 100-TB fit rides the SAME pass: percentile_approx
-                # (GK sketch, O(accuracy) per partial, map-side merge)
+                # percentile_approx (GK sketch, O(accuracy) per
+                # partial, map-side merge) is the fit this pass ships
                 # — exact `percentile`'s final merge is single-reducer
-                # and scales with distinct values, so at scale the
-                # approx stats are the ones a pipeline would ship
-                # (features.robust_scale_fit_approx). The 'ra_ok'
-                # verdict below pins approx-vs-exact agreement.
+                # and scales with distinct values, so it is gated out
+                # of this pass entirely and runs (fused into the rank
+                # pass below) only at validation scale.
                 F.percentile_approx(
                     F.col(c).cast("double"), [0.25, 0.5, 0.75], 10_000
                 ).alias(f"qa_{c}"),
@@ -486,6 +486,7 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
                 F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
             )
         ],
+        F.count(F.lit(1)).alias("n_rows"),
     ).first()
     # robust_approx verdict — the GK contract itself, not a value
     # tolerance: percentile_approx returns an ELEMENT of the data (no
@@ -499,7 +500,15 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
     # count-if aggregate, fused into one job.
     _ps = (0.25, 0.5, 0.75)
     _ra_cols = ("l_quantity", "l_extendedprice")
-    rank_aggs = [F.count(F.lit(1)).alias("n")]
+    n_rows_fit = stats["n_rows"]
+    # scale gate (r9 verdict): the exact interpolated percentile —
+    # needed ONLY so the sf<=0.01 DuckDB oracle (quantile_cont) can
+    # pin exact values — rides the rank pass at validation scale and
+    # never executes above it (its value->count final merge is
+    # single-reducer and n-proportional: the catalog's worst 10x
+    # probe growth before this gate).
+    exact_fit = n_rows_fit <= FE.EXACT_FIT_MAX_ROWS
+    rank_aggs = []
     for c in _ra_cols:
         qa = stats[f"qa_{c}"]
         for p, v in zip(_ps, qa):
@@ -508,8 +517,12 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum((F.col(c) < F.lit(float(v))).cast("long")).alias(f"lt_{tag}"),
                 F.sum((F.col(c) <= F.lit(float(v))).cast("long")).alias(f"le_{tag}"),
             ]
+    if exact_fit:
+        rank_aggs += [
+            F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"q_{c}")
+            for c in _ra_cols
+        ]
     rrow = li.agg(*rank_aggs).first()
-    n_rows_fit = rrow["n"]
     slack = n_rows_fit / 10_000 + 1
     ra_ok = 1
     for c in _ra_cols:
@@ -524,10 +537,10 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
         c: (stats[f"m_{c}"], stats[f"s_{c}"])
         for c in ("l_quantity", "l_extendedprice", "l_discount")
     }
-    rs = {
-        c: (stats[f"q_{c}"][1], stats[f"q_{c}"][2] - stats[f"q_{c}"][0])
-        for c in ("l_quantity", "l_extendedprice")
-    }
+    # shipped robust stats: exact interpolated quantiles at
+    # validation scale (oracle parity), the GK-sketch quantiles above
+    rq = {c: (rrow[f"q_{c}"] if exact_fit else stats[f"qa_{c}"]) for c in _ra_cols}
+    rs = {c: (rq[c][1], rq[c][2] - rq[c][0]) for c in _ra_cols}
     ms = {
         c: (stats[f"mn_{c}"], stats[f"mx_{c}"] - stats[f"mn_{c}"])
         for c in ("l_quantity", "l_extendedprice")

@@ -28,6 +28,15 @@ from data_integration_and_harmonization_spark.operators.clean import numeric_col
 
 NULL_TOKEN = "nan"  # ref:50 stringifies before encoding: NaN -> "nan"
 
+# Scale gate for the exact-percentile robust fit: Spark's exact
+# `percentile` aggregate keeps a value->count map per partial and
+# merges/sorts them on ONE reducer, so its cost is n-proportional for
+# continuous columns (the worst 10x-probe growth in the catalog before
+# this gate). Below this row count the exact fit is cheap AND the
+# validation oracle (DuckDB quantile_cont) needs its interpolated
+# values; above it the GK sketch is the only fit that should execute.
+EXACT_FIT_MAX_ROWS = 200_000
+
 
 def zscore_fit(df: DataFrame, cols: Sequence[str] | None = None) -> dict[str, tuple[float, float]]:
     """One agg pass over all columns: {col: (mean, stddev_pop)}."""
@@ -133,6 +142,25 @@ def robust_scale_fit_approx(
         iqr = (q3 - q1) if (q1 is not None and q3 is not None) else None
         out[c] = (med, iqr)
     return out
+
+
+def robust_scale_fit_auto(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    n_rows: int | None = None,
+    accuracy: int = 10_000,
+) -> dict[str, tuple[float, float]]:
+    """Scale-gated robust fit: exact interpolated percentiles at
+    validation scale (``n_rows`` <= :data:`EXACT_FIT_MAX_ROWS`, where
+    parity oracles pin exact values), the Greenwald–Khanna sketch
+    above it. Pass ``n_rows`` when the caller already knows the count
+    (saves the extra count job); otherwise one ``count()`` runs first
+    — still far cheaper than an unconditional exact percentile at
+    scale, which is the failure shape this gate exists to prevent."""
+    n = df.count() if n_rows is None else int(n_rows)
+    if n <= EXACT_FIT_MAX_ROWS:
+        return robust_scale_fit(df, cols)
+    return robust_scale_fit_approx(df, cols, accuracy)
 
 
 def robust_scale_transform(

@@ -316,7 +316,15 @@ def merge_upsert_versioned(
     doc = read_manifest(spark, table_root, version)
     fmt = doc.get("format", "parquet")
     paths = [f["path"] for f in doc["files"]]
-    tbl = spark.read.format(fmt).load(paths)
+    # mergeSchema on EVERY load here (r9 advice): after a prior
+    # evolve_schema merge the version holds mixed-schema files, and a
+    # plain load infers the schema from an arbitrary footer — survivor
+    # rows in new-schema files would silently lose the adopted column
+    # on rewrite, the exact data-drop failure the evolve contract
+    # forbids. Footer-union is a distributed footer-only job, cheap
+    # relative to the rewrite; it also makes ``extra_cols`` below the
+    # diff against the union of ALL file schemas, not one footer's.
+    tbl = spark.read.format(fmt).option("mergeSchema", "true").load(paths)
     extra_cols = [c for c in upserts.columns if c not in tbl.columns]
     if extra_cols and not evolve_schema:
         # fail BEFORE any scan or write: silently dropping data a CDC
@@ -345,8 +353,9 @@ def merge_upsert_versioned(
     matched_up_keys = 0
     if affected:
         # all per-key stats read ONLY the affected files (bounded by
-        # the change batch's locality, never the table)
-        aff = spark.read.format(fmt).load(affected)
+        # the change batch's locality, never the table); mergeSchema
+        # so survivors from already-evolved files keep their columns
+        aff = spark.read.format(fmt).option("mergeSchema", "true").load(affected)
         survivors = aff.join(F.broadcast(upd_keys), key_cols, "left_anti")
         matched_up_keys = (
             aff.join(F.broadcast(upserts.select(*key_cols)), key_cols, "left_semi")
@@ -362,11 +371,15 @@ def merge_upsert_versioned(
         survivors = None
     if survivors is None:
         out = upserts
-    elif extra_cols:
-        # adopt: survivors take NULL for the new columns
-        out = survivors.unionByName(upserts, allowMissingColumns=True)
     else:
-        out = survivors.unionByName(upserts.select(*survivors.columns))
+        # allowMissingColumns both ways: with evolve_schema the
+        # survivors take NULL for the adopted columns; after a PRIOR
+        # evolution the survivors carry the adopted column while a
+        # later change batch may legitimately omit it — whole-row
+        # replace semantics make NULL the faithful value for a column
+        # the update row didn't supply (column order follows the
+        # survivor/table side).
+        out = survivors.unionByName(upserts, allowMissingColumns=True)
     out.write.mode("overwrite").format(fmt).save(rewrite_dir)
     from data_integration_and_harmonization_spark.sources.writers import (
         list_data_files,

@@ -89,6 +89,25 @@ def test_robust_scale_fit_approx_tracks_exact(spark, sf_dir):
     assert out.count() == li.count()
 
 
+def test_robust_scale_fit_auto_gates_on_scale(spark):
+    """The auto fit picks the exact interpolated fit at validation
+    scale and the GK sketch above EXACT_FIT_MAX_ROWS (r9 verdict:
+    the exact percentile's single-reducer merge must never execute
+    at scale). Pinned via n_rows override: values 0..8 interpolate
+    to IQR 4.0 exactly; the sketch returns data ELEMENTS (no
+    interpolation), so q1/q3 land on 2.0/6.0 either way but the
+    median of an even split would differ — use a frame where exact
+    and approx provably diverge."""
+    # 0..9: exact median interpolates to 4.5; GK returns an element
+    df = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    exact = FE.robust_scale_fit_auto(df, ["v"], n_rows=10)
+    assert abs(exact["v"][0] - 4.5) < 1e-9  # interpolated -> exact path
+    approx = FE.robust_scale_fit_auto(
+        df, ["v"], n_rows=FE.EXACT_FIT_MAX_ROWS + 1
+    )
+    assert float(approx["v"][0]).is_integer()  # element -> sketch path
+
+
 def test_robust_scale_zero_iqr_centers_only(spark):
     # constant column: IQR 0 -> sklearn scale_=1, center only
     df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")

@@ -925,3 +925,58 @@ def test_merge_upsert_versioned_guards_and_delete_arm(spark, tmp_path):
     }
     # both duplicate k=3 rows replaced by the ONE update row; k=5 gone
     assert out == {(1, 10.0), (2, 20.0), (3, 300.0), (4, 40.0), (9, 90.0)}
+
+
+def test_merge_after_evolve_keeps_adopted_column(spark, tmp_path):
+    """r9 advice (medium): after an evolve_schema merge the table holds
+    MIXED-schema files; a later merge that rewrites both an evolved and
+    a pre-evolution file must load them with mergeSchema — a plain load
+    infers from an arbitrary footer and survivor rows in new-schema
+    files silently lose the adopted column on rewrite. Also pins the
+    whole-row semantics: a post-evolve change batch that omits the
+    adopted column yields NULL for it, never an error or a drop."""
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_version,
+        merge_upsert_versioned,
+        read_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    d1 = str(tmp_path / "d1.parquet")
+    # two files: fileA holds k=1,2; fileB holds k=3,4 (repartition by
+    # range on a 2-partition write gives deterministic file splits)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    ).coalesce(1).write.mode("overwrite").parquet(d1)
+    spark.createDataFrame(
+        [(3, 30.0), (4, 40.0)], "k long, v double"
+    ).coalesce(1).write.mode("append").parquet(d1)
+    commit_version(spark, root, d1)
+
+    # merge 1: evolve — adopt column w via an update to k=1 (rewrites
+    # the file holding k=1; the k=3/k=4 file stays old-schema)
+    up1 = spark.createDataFrame([(1, 11.0, 100.0)], "k long, v double, w double")
+    s1 = merge_upsert_versioned(
+        spark, root, str(tmp_path / "rw1"), up1, ["k"], evolve_schema=True
+    )
+
+    # merge 2: touch BOTH schema generations (k=2 lives next to the
+    # adopted w=100 row; k=3 lives in a pre-evolution file), updates
+    # omit w entirely
+    up2 = spark.createDataFrame([(2, 22.0), (3, 33.0)], "k long, v double")
+    s2 = merge_upsert_versioned(spark, root, str(tmp_path / "rw2"), up2, ["k"])
+
+    got = {
+        (r["k"], r["v"], r["w"])
+        for r in read_version(spark, root, s2["version"], merge_schema=True).collect()
+    }
+    # k=1's adopted w=100.0 SURVIVES the second rewrite; updated rows
+    # and pre-evolution survivors read w as NULL
+    assert got == {
+        (1, 11.0, 100.0),
+        (2, 22.0, None),
+        (3, 33.0, None),
+        (4, 40.0, None),
+    }
+    assert s2["rows_matched"] == 2 and s2["rows_inserted"] == 0
+    assert s1["version"] < s2["version"]

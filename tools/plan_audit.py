@@ -133,9 +133,51 @@ def audit(name: str, df) -> tuple[dict[str, int], list[str], set[str]]:
     return counts, bad, used
 
 
+def scan_observe_sources(root: str | None = None) -> list[str]:
+    """Flag any ``observe(`` / ``Observation(`` in engine source.
+
+    On Spark 4.1.2 the FIRST ``Observation`` permanently attaches a
+    non-serializable ObservationManager to the shared SparkSession;
+    every later RDD-closure job (the ML fits) dies with "Task not
+    serializable". Per-query verifies can't see it — only a
+    full-catalog single-session run does — so the ban is enforced
+    statically here (and mirrored by a pytest). History + safe shape:
+    ``plans/pipeline.py`` docstring (persist the mid frame, derive
+    stage counts in one aggregate). Returns ``file:line`` offenders.
+    """
+    root = root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    targets = ["data_integration_and_harmonization_spark", "__spark_entry__.py", "bench.py"]
+    hits: list[str] = []
+    for t in targets:
+        p = os.path.join(root, t)
+        files = [p] if os.path.isfile(p) else [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".py")
+        ]
+        for fp in files:
+            with open(fp, encoding="utf-8") as fh:
+                for i, line in enumerate(fh, 1):
+                    code = line.split("#", 1)[0]
+                    if ".observe(" in code or "Observation(" in code:
+                        rel = os.path.relpath(fp, root)
+                        hits.append(f"{rel}:{i}")
+    return hits
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    observe_hits = scan_observe_sources()
+    if observe_hits:
+        print(
+            "OBSERVE GUARD: Observation/observe() poisons the shared "
+            "session on Spark 4.1.2 (see plans/pipeline.py docstring); "
+            f"remove: {', '.join(observe_hits)}"
+        )
+        return 1
 
     import __spark_entry__ as entrymod
     from data_integration_and_harmonization_spark import get_spark
