@@ -1661,11 +1661,20 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     # label group; quarantined groups by their '|'-joined labels —
     # the routing is row-local, so micro-batch boundaries cannot
     # change any group's count).
+    # explicit schemas on both sink reads (r9 advice): a fixture where
+    # every row routes one way leaves the other sink with ZERO part
+    # files, and schema inference on an empty dir throws — the
+    # stream_dq_split docstring's own caveat, defended here
+    from pyspark.sql import types as _T
+
+    _q_schema = _T.StructType(
+        list(events.schema.fields) + [_T.StructField("__dq_labels", _T.StringType())]
+    )
     s_dq = (
-        spark.read.parquet(dq_passed_dir)
+        spark.read.schema(events.schema).parquet(dq_passed_dir)
         .select(F.lit("").alias("labels"))
         .unionByName(
-            spark.read.parquet(dq_quar_dir).select(
+            spark.read.schema(_q_schema).parquet(dq_quar_dir).select(
                 F.col("__dq_labels").alias("labels")
             )
         )

@@ -457,6 +457,9 @@ def fd_report(df: DataFrame, pairs: Sequence[tuple]) -> DataFrame:
     DISTINCT ignores NULL — two-sided NULL groups are single-valued,
     which is the lenient FD reading and is documented here).
     """
+    if not pairs:
+        # rows[0] below would otherwise raise a bare IndexError
+        raise ValueError("fd_report needs at least one (det, dep) pair")
     rows = []
     for det, dep in pairs:
         det_cols = [det] if isinstance(det, str) else list(det)
@@ -464,22 +467,27 @@ def fd_report(df: DataFrame, pairs: Sequence[tuple]) -> DataFrame:
         g = df.groupBy(*det_cols).agg(
             F.countDistinct(F.col(dep)).alias("__nd")
         )
+        # empty-table reading (r9 advice): SUM over zero groups is
+        # NULL — coalesce violations/rate to 0 and ok to 1 so the
+        # degenerate case reads "vacuously holds", matching the
+        # oracle's CASE WHEN v=0 ... ELSE 0 arms
+        n_viol = F.coalesce(
+            F.sum((F.col("__nd") > 1).cast("long")), F.lit(0)
+        )
         rows.append(
             g.agg(
                 F.lit(name).alias("rule"),
                 F.lit(dep).alias("col_name"),
                 F.count(F.lit(1)).cast("long").alias("n_checked"),
-                F.sum((F.col("__nd") > 1).cast("long")).alias("n_violations"),
+                n_viol.alias("n_violations"),
                 F.round(
-                    F.sum((F.col("__nd") > 1).cast("long"))
+                    n_viol
                     / F.when(F.count(F.lit(1)) > 0, F.count(F.lit(1))).otherwise(
                         F.lit(1)
                     ),
                     6,
                 ).alias("violation_rate"),
-                (F.sum((F.col("__nd") > 1).cast("long")) == 0)
-                .cast("long")
-                .alias("ok"),
+                (n_viol == 0).cast("long").alias("ok"),
             )
         )
     out = rows[0]

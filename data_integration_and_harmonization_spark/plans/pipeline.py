@@ -99,7 +99,10 @@ def run_harmonization_pipeline(
 def locale_money_str(col, eu: bool = False):
     """Sign-aware locale render of a 2-decimal money column, built from
     exact integer cents so any engine synthesizes byte-identical
-    strings: US-grouped "9,999.99" (``eu=False``) or the
+    strings: plain "9999.99" (``eu=False`` — the funnel's 'plain
+    format' source B, matching the oracle's ``ip::VARCHAR`` render
+    byte for byte; r9 advice: the previous US-GROUPED render only
+    happened to parse to the same double) or the grouped
     separator-swapped EU form "9.999,99" (``eu=True``)."""
     from pyspark.sql import functions as F
 
@@ -108,8 +111,13 @@ def locale_money_str(col, eu: bool = False):
     sign = F.when(cents < 0, F.lit("-")).otherwise(F.lit(""))
     ip = (a / 100).cast("long")
     fr = F.lpad((a % 100).cast("string"), 2, "0")
-    us = F.concat(F.format_number(ip, 0), F.lit("."), fr)
-    return F.concat(sign, F.translate(us, ",.", ".,") if eu else us)
+    if eu:
+        body = F.translate(
+            F.concat(F.format_number(ip, 0), F.lit("."), fr), ",.", ".,"
+        )
+    else:
+        body = F.concat(ip.cast("string"), F.lit("."), fr)
+    return F.concat(sign, body)
 
 
 def integration_funnel(

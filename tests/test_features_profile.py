@@ -322,6 +322,21 @@ def test_fd_report_group_level_semantics(spark):
     assert got["fd:k,z->v"] == (3, 3, 1.0, 0)
 
 
+def test_fd_report_degenerate_inputs(spark):
+    """r9 advice: empty pairs raise a clear ValueError (not a bare
+    IndexError), and an empty TABLE reads as the FD vacuously holding
+    (violations/rate 0, ok 1) — the oracle's CASE WHEN v=0 reading."""
+    import pytest
+
+    df = spark.createDataFrame([], "k int, dep string")
+    with pytest.raises(ValueError, match="at least one"):
+        P.fd_report(df, [])
+    r = P.fd_report(df, [("k", "dep")]).collect()[0]
+    assert (r["n_checked"], r["n_violations"], r["violation_rate"], r["ok"]) == (
+        0, 0, 0.0, 1,
+    )
+
+
 def test_dq_expr_rule_not_true_violates(spark):
     df = spark.createDataFrame(
         [(1, 10.0, "A"), (2, 500.0, "A"), (3, 500.0, "B"), (4, None, "B")],

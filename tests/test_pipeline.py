@@ -78,9 +78,11 @@ def test_integration_funnel_stages_and_survivorship(spark):
     # balance from the secondary source
     assert got["golden_from_b"] == (2, None)
 
-    # the messy render is sign-aware and groups like format_number
+    # the messy render is sign-aware; EU groups like format_number,
+    # the plain form is ungrouped (byte-identical to the oracle's
+    # ip::VARCHAR render — r9 advice)
     s = cust.select(
         locale_money_str(F.lit(-1234.56), eu=True).alias("eu"),
         locale_money_str(F.lit(9999.99)).alias("us"),
     ).first()
-    assert s["eu"] == "-1.234,56" and s["us"] == "9,999.99"
+    assert s["eu"] == "-1.234,56" and s["us"] == "9999.99"
