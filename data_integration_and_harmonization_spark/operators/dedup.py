@@ -588,6 +588,7 @@ def incremental_near_dedup(
     bands: int = 8,
     gram: int = 3,
     hash_family: str = "murmur3",
+    store_partitions: int = 64,
 ) -> DataFrame:
     """Batch-over-batch NEAR-duplicate dedup against a persisted
     SIGNATURE store — the fuzzy sibling of
@@ -614,9 +615,23 @@ def incremental_near_dedup(
 
     Scale shape: signatures are one exploded aggregate; candidates are
     (band, bucket) equi-joins (bucket groups are near-dup-cluster
-    sized, never corpus-sized); the store read is a plain parquet scan
-    of digest-width rows. Nothing is collected or broadcast. Serialize
-    batches like the exact variant.
+    sized, never corpus-sized). Each batch dir holds TWO tables (r9
+    verdict item 4):
+
+    - ``sigs/``  — (id, sig), the 256-byte standing record;
+    - ``index/`` — pre-banded (bucket, id) rows PARTITIONED BY
+      (band, pbucket = bucket mod ``store_partitions``).
+
+    History matching reads the index with the new batch's collided
+    (band, pbucket) set pushed as a PARTITION filter (the set is
+    bounded by bands x store_partitions, collected once — ~512
+    values, never corpus-sized), so a small increment against years
+    of history physically opens only colliding bucket directories
+    instead of scanning — and re-banding — every admitted signature
+    per batch. The sigs scan that feeds the estimator verify touches
+    only candidate ids via the join (digest-width rows). Nothing
+    corpus-sized is collected or broadcast. Serialize batches like
+    the exact variant.
 
     Returns the surviving rows of ``new_docs`` (original columns).
     """
@@ -674,11 +689,41 @@ def incremental_near_dedup(
             ):
                 batches.append(st.getPath().toString())
     batches.sort()
+    P = int(store_partitions)
+    # bucket is a string key — hash to a stable int before the mod
+    pb = lambda c: F.pmod(F.xxhash64(c), F.lit(P))  # noqa: E731
+    nb = (
+        _banded_rows(keep_sig, num_hashes, bands, hash_family)
+        .withColumn("pbucket", pb(F.col("bucket")))
+        .alias("n")
+    )
     if batches:
-        hist = spark.read.parquet(*batches)  # (id, sig)
-        hist_banded = _banded_rows(hist, num_hashes, bands, hash_family)
-        nb = _banded_rows(keep_sig, num_hashes, bands, hash_family).alias("n")
-        hb = hist_banded.alias("h")
+        hist = spark.read.parquet(*[f"{b}/sigs" for b in batches])  # (id, sig)
+        # the new batch's collided partition set: bounded by
+        # bands x P (~512), never by batch or corpus size — pushed as
+        # a static PARTITION filter so the index read opens only
+        # colliding (band, pbucket) directories
+        keys = [
+            r["k"]
+            for r in nb.select(
+                (F.col("band") * P + F.col("pbucket")).alias("k")
+            )
+            .distinct()
+            .collect()
+        ]
+        # one read per batch root (partition discovery wants a single
+        # basePath per partitioned table), pruned then unioned — the
+        # filter sits below each union arm, so every arm's scan opens
+        # only its colliding (band, pbucket) directories
+        from functools import reduce
+
+        idx_parts = [
+            spark.read.parquet(f"{b}/index").where(
+                (F.col("band") * P + F.col("pbucket")).isin(keys)
+            )
+            for b in batches
+        ]
+        hb = reduce(lambda a, b2: a.unionByName(b2), idx_parts).alias("h")
         hits = (
             nb.join(
                 hb,
@@ -704,7 +749,20 @@ def incremental_near_dedup(
     out_dir = os.path.join(
         store_path, f"batch-{len(batches):06d}-{uuid.uuid4().hex[:8]}"
     )
-    keep_sig.write.parquet(out_dir)
+    # two tables per batch, then ONE _SUCCESS at the batch root: a
+    # crash between writes leaves the batch invisible (same
+    # visibility contract as before, now covering both tables)
+    keep_sig.write.parquet(os.path.join(out_dir, "sigs"))
+    (
+        _banded_rows(keep_sig, num_hashes, bands, hash_family)
+        .withColumn("pbucket", pb(F.col("bucket")))
+        # co-locate each (band, pbucket) into one task so every
+        # partition directory gets one file, not one per task
+        .repartition("band", "pbucket")
+        .write.partitionBy("band", "pbucket")
+        .parquet(os.path.join(out_dir, "index"))
+    )
+    fs.create(jvm.org.apache.hadoop.fs.Path(out_dir, "_SUCCESS"), True).close()
     # survivors: batch rows minus (dominated within batch) minus
     # (history hits) — i.e. anything whose id left the signature set,
     # PLUS the no-signature (too short) docs, which are never dropped
