@@ -8,6 +8,9 @@ fixtures need directly from their published specifications:
   Supported: bit depth 8, color types 0/2/3/4/6, non-interlaced.
 - GIF  (GIF89a specification): LZW-compressed palette frames.
   Supported: global/local color tables, multi-frame, non-interlaced.
+- JPEG (ITU-T T.81 + JFIF): baseline sequential DCT, Huffman coding.
+  Supported: SOF0/SOF1, 8-bit, 1/3 components, sampling factors to
+  2x2, DRI/RSTn; progressive and arithmetic raise (PIL rescue path).
 - WAV  (RIFF/PCM): via the stdlib ``wave`` module, 8/16-bit PCM.
 
 Decoding is per-payload Python — the right cost model here, because
@@ -40,13 +43,16 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'png' | 'gif' | 'wav' | None."""
+    """Identify a payload by magic bytes:
+    'png' | 'gif' | 'jpeg' | 'wav' | None."""
     if payload is None:
         return None
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:6] in GIF_MAGICS:
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -408,6 +414,553 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------- JPEG
+#
+# Baseline sequential DCT per the public ITU-T T.81 spec (+ JFIF
+# colorspace): the dominant format of web-scale multimodal corpora,
+# which the decode family was incomplete without (r9 verdict item 5).
+# Decoder: SOF0 baseline, 8-bit, 1- or 3-component, Huffman entropy
+# coding, chroma sampling factors up to 2x2, DRI/RSTn restart
+# intervals. Encoder: 4:4:4 (no subsampling), Annex K quantization
+# and Huffman tables, IJG-style quality scaling — enough to
+# synthesize real test payloads without PIL. Progressive (SOF2),
+# arithmetic coding, and 12-bit precision raise ValueError (the PIL
+# rescue path covers them when PIL exists).
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# zigzag scan order (T.81 figure A.6): index i holds the raster
+# position of the i-th zigzag coefficient
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K.1 / K.2 base quantization tables (zigzag order below is
+# raster order here; they are emitted in zigzag order)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# Annex K.3 standard Huffman tables: (BITS counts per code length
+# 1..16, HUFFVAL symbol list)
+_H_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_H_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_H_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_H_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None].astype(np.float64)
+    n = np.arange(8)[None, :].astype(np.float64)
+    m = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_encode_table(bits, values):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} canonical codes."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, values):
+    """(BITS, HUFFVAL) -> {(length, code): symbol}."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (T.81 F.1.2.3 restart)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    wr: _BitWriter, coefs: np.ndarray, pred: int, dc_tbl, ac_tbl
+) -> int:
+    """One quantized 8x8 block (zigzag int array) -> bitstream; returns
+    the new DC predictor."""
+    dc = int(coefs[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = dc_tbl[t]
+    wr.write(code, ln)
+    if t:
+        wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if coefs[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(coefs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]  # ZRL
+            wr.write(code, ln)
+            run -= 16
+        t = _category(v)
+        code, ln = ac_tbl[(run << 4) | t]
+        wr.write(code, ln)
+        wr.write(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_tbl[0x00]  # EOB
+        wr.write(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W[, C]) uint8 -> baseline JFIF bytes (Annex K tables, IJG
+    quality scaling). C in {1, 3}; 4-channel input drops alpha (JPEG
+    has no alpha). ``subsampling`` '444' or '420' (2x2-averaged
+    chroma, the dominant web form); ``restart_interval`` > 0 emits
+    DRI + RSTn every that many MCUs — both exist chiefly so the
+    decoder's subsampled-MCU and restart paths are testable without
+    external fixtures."""
+    arr = np.asarray(img, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] == 4:
+        arr = arr[:, :, :3]
+    if arr.shape[2] == 2:
+        arr = arr[:, :, :1]
+    h, w, c = arr.shape
+    if c == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [arr[..., 0]]
+    sub = subsampling == "420" and c == 3
+    # per-component (h, v) sampling factors
+    factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * c
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt = []
+    for base in (_Q_LUMA, _Q_CHROMA):
+        t = np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+        qt.append(t)
+
+    enc_dc = [_huff_encode_table(*_H_DC_LUMA), _huff_encode_table(*_H_DC_CHROMA)]
+    enc_ac = [_huff_encode_table(*_H_AC_LUMA), _huff_encode_table(*_H_AC_CHROMA)]
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for ci, p in enumerate(planes):
+        fh, fv = factors[ci]
+        if sub and ci > 0:
+            # 2x2 chroma averaging after edge-padding to even dims
+            eh, ew = -(-h // 2) * 2, -(-w // 2) * 2
+            pe = np.empty((eh, ew), dtype=np.float64)
+            pe[:h, :w] = p
+            pe[h:, :w] = p[h - 1 : h, :]
+            pe[:, w:] = pe[:, w - 1 : w]
+            p = pe.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        ph_, pw_ = mcuy * fv * 8, mcux * fh * 8
+        pp = np.empty((ph_, pw_), dtype=np.float64)
+        sh, sw = p.shape
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[sh - 1 : sh, :]  # edge replication
+        pp[:, sw:] = pp[:, sw - 1 : sw]
+        padded.append(pp - 128.0)
+
+    wr = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            wr.restart(rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, pp in enumerate(padded):
+            fh, fv = factors[ci]
+            tsel = 0 if ci == 0 else 1
+            for v in range(fv):
+                for hs in range(fh):
+                    y0 = (my * fv + v) * 8
+                    x0 = (mx * fh + hs) * 8
+                    blk = pp[y0 : y0 + 8, x0 : x0 + 8]
+                    coef = _DCT_M @ blk @ _DCT_M.T
+                    qz = np.round(coef / qt[tsel]).astype(np.int64)
+                    # reshape(-1)[_ZIGZAG][j] = raster coefficient at
+                    # the j-th zigzag position — T.81's emit order
+                    preds[ci] = _encode_block(
+                        wr, qz.reshape(-1)[_ZIGZAG], preds[ci],
+                        enc_dc[tsel], enc_ac[tsel],
+                    )
+    scan = wr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid in range(2 if c == 3 else 1):
+        zz = qt[tid].reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+    comp = b"".join(
+        bytes([ci + 1, (factors[ci][0] << 4) | factors[ci][1], 0 if ci == 0 else 1])
+        for ci in range(c)
+    )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * c, 8, h, w, c) + comp
+    tables = [(0x00, _H_DC_LUMA), (0x10, _H_AC_LUMA)]
+    if c == 3:
+        tables += [(0x01, _H_DC_CHROMA), (0x11, _H_AC_CHROMA)]
+    for tc, (bits, values) in tables:
+        seg = bytes([tc]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos_comp = b"".join(
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(c)
+    )
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * c) + bytes([c]) + sos_comp + bytes([0, 63, 0])
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs FF 00, stops at any marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos < len(d):
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    return
+                # a real marker: feed 1-bits (decoder will stop at it)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+            self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+            return
+        self.acc = (self.acc << 8) | 0xFF  # past end: pad
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Drop partial byte, skip the next marker, return its code."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] not in (0x00, 0xFF):
+                code = d[self.pos + 1]
+                self.pos += 2
+                return code
+            self.pos += 1
+        return 0xD9
+
+
+def _decode_huff(rd: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF/JPEG -> (H, W, C) uint8 (C = 1 or 3, RGB).
+
+    Supports SOF0 (baseline sequential DCT, 8-bit), Huffman coding,
+    sampling factors up to 2, DRI/RSTn restart intervals. Progressive
+    / arithmetic / 12-bit raise ValueError.
+    """
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = d[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG has no scan data")
+        seglen = struct.unpack(">H", d[pos : pos + 2])[0]
+        seg = d[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
+                    i += 64
+                else:
+                    vals = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int32)
+                    i += 128
+                t = np.zeros(64, dtype=np.int32)
+                t[_ZIGZAG] = vals
+                qts[tq] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                values = list(seg[i + 17 : i + 17 + n])
+                (ac_tabs if tc else dc_tabs)[th] = _huff_decode_table(bits, values)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (both Huffman sequential)
+            prec, fh, fw, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported (use PIL rescue path)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG frame type SOF{marker & 0xF}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                sel[cs] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                d, pos + seglen, frame, sel, qts, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("JPEG truncated before SOS")
+
+
+def _decode_scan(
+    d, pos, frame, sel, qts, dc_tabs, ac_tabs, restart_interval
+) -> np.ndarray:
+    fh, fw, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    rd = _BitReader(d, pos)
+    preds = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            code = rd.align_to_marker()
+            if not (0xD0 <= code <= 0xD7):
+                raise ValueError("missing JPEG restart marker")
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            td, ta = sel[c["id"]]
+            qt = qts[c["tq"]]
+            for v in range(c["v"]):
+                for hsub in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = _decode_huff(rd, dc_tabs[td])
+                    diff = _extend(rd.read_bits(t), t) if t else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(rd, ac_tabs[ta])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(rd.read_bits(s), s)
+                        k += 1
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[_ZIGZAG] = zz * qt.reshape(-1)[_ZIGZAG]
+                    px = _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M + 128.0
+                    y0 = (my * c["v"] + v) * 8
+                    x0 = (mx * c["h"] + hsub) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample subsampled planes to full frame size (replication)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ----------------------------------------------------- PIL preference

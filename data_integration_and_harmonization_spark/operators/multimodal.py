@@ -70,7 +70,7 @@ def decode_real(payload: bytes, dim: int = 8) -> list[float] | None:
 
     Feature layout (padded/truncated to ``dim``), by modality:
 
-    - image (PNG via PIL-or-own-codec, GIF first frame):
+    - image (PNG/JPEG via own-codec-then-PIL, GIF first frame):
       [height, width, channels, mean/255, std/255, min/255, max/255,
       n_frames]
     - audio (WAV): [n_samples, n_channels, sample_rate, mean, std,
@@ -86,16 +86,18 @@ def decode_real(payload: bytes, dim: int = 8) -> list[float] | None:
     if fmt is None:
         return None
     try:
-        if fmt in ("png", "gif"):
-            if fmt == "png":
+        if fmt in ("png", "gif", "jpeg"):
+            if fmt in ("png", "jpeg"):
                 # OWN spec codec is canonical — it produces the same
                 # bands everywhere; PIL only rescues payloads the own
-                # codec can't parse (interlaced, 16-bit, exotic), so a
-                # cluster with PIL on some executors and not others
-                # still computes identical features for every payload
-                # the canonical codec handles.
+                # codec can't parse (interlaced/16-bit PNG,
+                # progressive/arithmetic JPEG), so a cluster with PIL
+                # on some executors and not others still computes
+                # identical features for every payload the canonical
+                # codec handles.
+                dec = MC.decode_png if fmt == "png" else MC.decode_jpeg
                 try:
-                    img = MC.decode_png(payload)
+                    img = dec(payload)
                 except Exception:  # noqa: BLE001 — unsupported variant
                     img = MC.try_pil_decode(payload)
                     if img is None:
@@ -196,16 +198,19 @@ def extract_features(media: DataFrame, dim: int = 8, batch_size_hint: int | None
 
 
 def resize_real(payload: bytes, target: int = 64) -> bytes | None:
-    """Real image resize: decode (PNG, or first GIF frame), nearest-
-    neighbor resample to target x target, re-encode as PNG. None when
-    no codec recognizes the payload (caller falls back to the byte-
-    striding stub)."""
+    """Real image resize: decode (PNG/JPEG, or first GIF frame),
+    nearest-neighbor resample to target x target, re-encode as PNG
+    (lossless — resizing shouldn't add a second generation loss).
+    None when no codec recognizes the payload (caller falls back to
+    the byte-striding stub)."""
     fmt = MC.sniff_format(payload) if payload is not None else None
-    if fmt not in ("png", "gif"):
+    if fmt not in ("png", "gif", "jpeg"):
         return None
     try:
         if fmt == "png":
             img = MC.decode_png(payload)
+        elif fmt == "jpeg":
+            img = MC.decode_jpeg(payload)
         else:
             frames = MC.decode_gif(payload)
             if not frames:
@@ -240,11 +245,13 @@ def frame_sample_real(payload: bytes, n_frames: int = 4) -> list[bytes] | None:
     yields its single frame repeated. None when no codec recognizes
     the payload (caller falls back to the byte-window stub)."""
     fmt = MC.sniff_format(payload) if payload is not None else None
-    if fmt not in ("png", "gif"):
+    if fmt not in ("png", "gif", "jpeg"):
         return None
     try:
         if fmt == "png":
             frames = [MC.decode_png(payload)]
+        elif fmt == "jpeg":
+            frames = [MC.decode_jpeg(payload)]
         else:
             frames = MC.decode_gif(payload)
         if not frames:
@@ -360,9 +367,18 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         - media_id -2: 3-frame 8x8 GIF of constant colors 30/60/90 —
           first-frame stats are trivial, n_frames pins the animation
           walk.
+        - media_id -3: 12x9 GRAYSCALE baseline JPEG, constant 77.
+          Constant blocks survive baseline DCT quantization EXACTLY
+          (only the DC coefficient is nonzero, 8*(v-128) is a
+          multiple of every Annex-K DC step's rounding unit), so
+          mean/min/max are spec-derivable closed forms and std is 0.
+        - media_id -4: 10x13 RGB 4:2:0 JPEG with r=g=b=201 and a
+          2-MCU restart interval — r=g=b makes Cb=Cr=128 exactly
+          (zero after level shift, zero error through subsampling),
+          so the color+subsample+restart decode path is ALSO exact.
 
-        Payload BYTES vary with zlib/palette details, so only decoded
-        values (not n_bytes/digest) are oracle-compared for these.
+        Payload BYTES vary with zlib/palette/entropy details, so only
+        decoded values (not n_bytes/digest) are oracle-compared.
         """
         import numpy as np
 
@@ -371,8 +387,20 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         gif = MC.encode_gif(
             [np.full((8, 8, 3), v, dtype=np.uint8) for v in (30, 60, 90)]
         )
+        jpg_gray = MC.encode_jpeg(np.full((12, 9), 77, dtype=np.uint8), quality=90)
+        jpg_rgb = MC.encode_jpeg(
+            np.full((10, 13, 3), 201, dtype=np.uint8),
+            quality=90,
+            subsampling="420",
+            restart_interval=2,
+        )
         return spark.createDataFrame(
-            [(-1, bytearray(png), "image/png"), (-2, bytearray(gif), "image/gif")],
+            [
+                (-1, bytearray(png), "image/png"),
+                (-2, bytearray(gif), "image/gif"),
+                (-3, bytearray(jpg_gray), "image/jpeg"),
+                (-4, bytearray(jpg_rgb), "image/jpeg"),
+            ],
             "media_id long, payload binary, media_type string",
         ).withColumn("n_bytes", F.length("payload").cast("long"))
 
@@ -502,6 +530,25 @@ SELECT 'real', -2::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(8)) AS pos,
          unnest([8.0, 8.0, 3.0, 30 / 255.0, 0.0, 30 / 255.0, 30 / 255.0, 3.0]) AS val
+) u
+UNION ALL
+-- 'real' JPEG rows (r9 verdict item 5): constant images survive
+-- baseline DCT quantization exactly (DC-only blocks; Cb=Cr=128 for
+-- the r=g=b color case zeroes the chroma path through 4:2:0 and the
+-- 2-MCU restart interval), so the expected stats are closed forms —
+-- spec-derived, independent of the decoder under test.
+SELECT 'real', -3::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(8)) AS pos,
+         unnest([12.0, 9.0, 1.0, 77 / 255.0, 0.0, 77 / 255.0, 77 / 255.0, 1.0]) AS val
+) u
+UNION ALL
+SELECT 'real', -4::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(8)) AS pos,
+         unnest([10.0, 13.0, 3.0, 201 / 255.0, 0.0, 201 / 255.0, 201 / 255.0, 1.0]) AS val
 ) u
 UNION ALL
 -- 'frame' rows (former mm_frames query): resize_stub picks exactly

@@ -96,6 +96,59 @@ def test_gif_multiframe_roundtrip():
         assert (a == b).all()
 
 
+def test_jpeg_roundtrip_matrix():
+    """Baseline JPEG (ITU T.81) round-trips across the supported
+    matrix: gray/RGB x 4:4:4/4:2:0 x restart intervals, at
+    non-multiple-of-MCU dims. Lossy bounds: q=95 keeps a smooth
+    gradient within a few levels; 4:2:0 adds chroma-averaging error."""
+    h, w = 21, 37
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 7) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub, tol in (("444", 4), ("420", 12)):
+        for ri in (0, 3):
+            p = MC.encode_jpeg(img, quality=95, subsampling=sub, restart_interval=ri)
+            assert MC.sniff_format(p) == "jpeg"
+            d = MC.decode_jpeg(p)
+            assert d.shape == (h, w, 3)
+            assert np.abs(d.astype(int) - img.astype(int)).max() <= tol
+    g = ((xx + 2 * yy) % 256).astype(np.uint8)
+    dg = MC.decode_jpeg(MC.encode_jpeg(g, quality=95))
+    assert dg.shape == (h, w, 1)
+    assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).max() <= 6
+
+
+def test_jpeg_constant_images_decode_exactly():
+    """Constant blocks are DC-only through the DCT, and every Annex-K
+    DC quantization step reconstructs 8*(v-128) without error — the
+    property the mm_meta_features 'real' oracle rows rely on. The
+    r=g=b color case additionally zeroes Cb/Cr (=128), making the
+    4:2:0 + restart path exact too."""
+    g = MC.decode_jpeg(MC.encode_jpeg(np.full((12, 9), 77, np.uint8), quality=90))
+    assert (g[:, :, 0] == 77).all()
+    c = MC.decode_jpeg(
+        MC.encode_jpeg(
+            np.full((10, 13, 3), 201, np.uint8),
+            quality=90, subsampling="420", restart_interval=2,
+        )
+    )
+    assert (c == 201).all()
+
+
+def test_jpeg_unsupported_variants_raise():
+    import struct
+
+    with pytest.raises(ValueError, match="SOI"):
+        MC.decode_jpeg(b"\x00\x01\x02")
+    # synthesize a progressive header: SOI + SOF2
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="progressive"):
+        MC.decode_jpeg(sof2)
+    with pytest.raises(ValueError):
+        MC.decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI with no scan
+
+
 def test_wav_roundtrip():
     t = np.linspace(0, 1, 400)
     sig = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 220 * t)], axis=1)
