@@ -639,6 +639,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
     luts: DataFrame | None = None,
+    centers: list[list[float]] | None = None,
+    prune_codes: bool = False,
 ) -> DataFrame:
     """The full production ANN layout — IVF coarse cells x PQ codes x
     exact re-rank, the index structure behind every billion-scale
@@ -662,8 +664,17 @@ def ivfpq_topk(
     ``codes`` / ``luts``: the build-once-query-many split (see
     :func:`pq_topk`); ``codes`` here must be a :func:`pq_encode`
     output that carried the ``cell`` column through ``extra_cols``.
+    ``centers``: pass the coarse centroids a persisted index was
+    built with (:func:`load_ann_index`) — recomputing them here would
+    silently mis-probe an index built from a different corpus order.
+    ``prune_codes=True`` additionally collects the probed cell set
+    (bounded by ``n_clusters``, never by corpus size) and pushes it
+    as a filter on ``codes`` — against a cell-PARTITIONED persisted
+    index that becomes a partition-pruned scan touching only probed
+    cell directories, the point of the layout at scale.
     """
-    centers = _seed_centers(corpus, n_clusters, id_col, vec_col)
+    if centers is None:
+        centers = _seed_centers(corpus, n_clusters, id_col, vec_col)
 
     # one corpus pass: the encode's exploded-aggregate carries the
     # cell id along (evaluated pre-explode, min-aggregated — constant
@@ -695,6 +706,11 @@ def ivfpq_topk(
         "query_id",
         F.explode(F.slice(F.array_sort(cell_d2), 1, n_probe)).alias("p"),
     ).select("query_id", F.col("p.cell").alias("cell"))
+    if prune_codes:
+        probed = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        assigned = assigned.where(F.col("cell").isin(probed))
     probe_luts = probes.join(
         luts if luts is not None else _query_luts(q, codebooks), "query_id"
     )
@@ -704,6 +720,147 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id", _adc_score(len(codebooks)).alias("approx_d2"))
     )
     return _refine_exact(scored, corpus, q, k, refine, id_col, vec_col)
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    k: int = 8,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = False,
+    sample: int = 2048,
+    iters: int = 5,
+) -> dict:
+    """Persist the full IVF-PQ index as a VERSIONED table artifact (r9
+    verdict item 6) — the build-once-serve-many split a real 100-TB
+    similarity pipeline needs: codebooks and cell assignments are paid
+    once per corpus version, then every query batch reads the
+    artifact instead of re-encoding the corpus per run.
+
+    Layout under ``path`` (one ``v-%06d`` dir per build, ``_SUCCESS``
+    committed last — same crash-visibility contract as the dedup
+    signature store; :func:`load_ann_index` reads the latest complete
+    version):
+
+    - ``codes/``   — (id, code, __err) PARTITIONED BY ``cell``: a
+      served query's probed-cells-only scan becomes partition-pruned
+      directory reads (``ivfpq_topk(prune_codes=True)``);
+    - ``books/``   — (i, j, center) PQ codebook rows (m*k, tiny);
+    - ``centers/`` — (cell, center) coarse centroids (n_clusters,
+      tiny);
+    - ``meta/``    — one row of build parameters.
+
+    ``trained=True`` fits Lloyd codebooks (:func:`train_pq_codebooks`,
+    deterministic sample + seed) instead of the zero-training seeds.
+    Returns the meta dict (incl. the committed ``version``).
+    """
+    import os
+
+    spark = corpus.sparkSession
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    versions = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v-"):
+                versions.append(name)
+    version = len(versions)
+    vdir = os.path.join(path, f"v-{version:06d}")
+
+    books = (
+        train_pq_codebooks(corpus, m=m, k=k, sample=sample, iters=iters,
+                           id_col=id_col, vec_col=vec_col)
+        if trained
+        else seed_pq_codebooks(corpus, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    )
+    centers = _seed_centers(corpus, n_clusters, id_col, vec_col)
+    enc = pq_encode(
+        corpus,
+        books,
+        id_col,
+        vec_col,
+        extra_cols=[_nearest_index(F.col(vec_col), centers).alias("cell")],
+        err_col="__err",
+    )
+    (
+        enc.repartition("cell")
+        .write.partitionBy("cell")
+        .parquet(os.path.join(vdir, "codes"))
+    )
+    spark.createDataFrame(
+        [(i, j, [float(x) for x in c]) for i, sub in enumerate(books) for j, c in enumerate(sub)],
+        "i int, j int, center array<double>",
+    ).coalesce(1).write.parquet(os.path.join(vdir, "books"))
+    spark.createDataFrame(
+        [(cell, [float(x) for x in c]) for cell, c in enumerate(centers)],
+        "cell int, center array<double>",
+    ).coalesce(1).write.parquet(os.path.join(vdir, "centers"))
+    meta = {
+        "version": version,
+        "m": m,
+        "k": k,
+        "n_clusters": n_clusters,
+        "trained": trained,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    spark.createDataFrame(
+        [(version, m, k, n_clusters, trained, id_col, vec_col)],
+        "version int, m int, k int, n_clusters int, trained boolean, "
+        "id_col string, vec_col string",
+    ).coalesce(1).write.parquet(os.path.join(vdir, "meta"))
+    fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
+    return meta
+
+
+def load_ann_index(spark: SparkSession, path: str, version: int | None = None) -> dict:
+    """Load a :func:`build_ann_index` artifact: {'books', 'centers',
+    'codes' (lazy DataFrame, cell-partitioned), 'meta'}. Latest
+    ``_SUCCESS``-complete version unless pinned. The books/centers
+    collects are bounded by construction (m*k and n_clusters rows) —
+    the corpus-sized part of the index stays a lazy scan."""
+    import os
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    complete = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("v-")
+                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+            ):
+                complete.append(int(name[2:]))
+    if not complete:
+        raise FileNotFoundError(f"no complete ANN index version under {path!r}")
+    v = max(complete) if version is None else int(version)
+    if v not in complete:
+        raise FileNotFoundError(f"ANN index version {v} not complete under {path!r}")
+    vdir = os.path.join(path, f"v-{v:06d}")
+    mrow = spark.read.parquet(os.path.join(vdir, "meta")).first()
+    meta = mrow.asDict()
+    m, k = meta["m"], meta["k"]
+    books = [[None] * k for _ in range(m)]
+    for r in spark.read.parquet(os.path.join(vdir, "books")).collect():
+        books[r["i"]][r["j"]] = list(r["center"])
+    centers_rows = spark.read.parquet(os.path.join(vdir, "centers")).collect()
+    centers = [None] * len(centers_rows)
+    for r in centers_rows:
+        centers[r["cell"]] = list(r["center"])
+    return {
+        "books": books,
+        "centers": centers,
+        "codes": spark.read.parquet(os.path.join(vdir, "codes")),
+        "meta": meta,
+    }
 
 
 # ------------------------------------------------------- query registry
@@ -751,6 +908,13 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
           ADC scan AND the re-rank.
         - 'ivfpq': the combined layout (coarse cells x PQ codes x
           exact re-rank), same row shape as 'pq'.
+        - 'ivfpq_served': the SAME ladder answered from a PERSISTED
+          index artifact (:func:`build_ann_index` to a scratch dir,
+          :func:`load_ann_index`, probed-cells-only partition-pruned
+          codes scan) — hash-compared against the same DuckDB twin
+          as 'ivfpq', so save -> load -> query agreement with the
+          build-fresh path is pinned row for row, and the index
+          build cost is amortized out of query time.
         - 'pq_trained': the PRODUCTION Lloyd-trained codebooks
           (:func:`train_pq_codebooks` — deterministic sample, fixed
           seed) through the same encode -> ADC -> exact re-rank
@@ -820,6 +984,27 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "neighbor_id",
             F.col("d2").alias("val"),
         )
+        # served-from-artifact leg: build the index once into scratch,
+        # load it back, answer from the loaded codes/books/centers
+        # with the probed-cells partition-pruned scan
+        from data_integration_and_harmonization_spark.functions.caching import (
+            scratch_dir,
+        )
+
+        idx_dir = scratch_dir("ann_index") + "/idx"
+        build_ann_index(corpus, idx_dir, m=4, k=8, n_clusters=8)
+        idx = load_ann_index(spark, idx_dir)
+        served_rows = ivfpq_topk(
+            corpus, queries, idx["books"], k=5, n_clusters=8, n_probe=2,
+            refine=4, codes=idx["codes"], centers=idx["centers"],
+            prune_codes=True,
+        ).select(
+            F.lit("ivfpq_served").alias("kind"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("d2").alias("val"),
+        )
         # Lloyd-trained leg: same ladder, production codebooks — and
         # the same build-once-query-many split as the seed leg: ONE
         # persisted trained encode (different books can't reuse `enc`)
@@ -853,6 +1038,7 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             recall_rows.unionByName(pq_rows)
             .unionByName(ivfpq_rows)
+            .unionByName(served_rows)
             .unionByName(trained_row)
         )
 
@@ -1056,6 +1242,11 @@ UNION ALL
 SELECT 'pq', query_id, rank::INTEGER, neighbor_id, d2 FROM pq_final
 UNION ALL
 SELECT 'ivfpq', query_id, rank::INTEGER, neighbor_id, d2 FROM ivfpq_final
+UNION ALL
+-- ivfpq_served: the engine answers the SAME ladder from the persisted
+-- index artifact (save -> load -> partition-pruned query); agreement
+-- with the build-fresh path means the expected rows are identical
+SELECT 'ivfpq_served', query_id, rank::INTEGER, neighbor_id, d2 FROM ivfpq_final
 UNION ALL
 -- pq_trained: the Lloyd path isn't SQL-replayable; the engine emits
 -- 1.0 iff the trained books' mean quantization distortion <= the seed

@@ -193,3 +193,53 @@ def test_pq_encode_err_col_matches_distortion(spark, emb):
     (d_standalone,) = pq_distortion(emb, books)
     d_enc = enc.agg(F.avg("err")).collect()[0][0]
     assert abs(d_enc - d_standalone) < 1e-9
+
+
+def test_ann_index_save_load_serve_agreement(spark, emb, tmp_path):
+    """r9 verdict item 6: build_ann_index persists codebooks, coarse
+    centers, and cell-PARTITIONED codes as a versioned artifact;
+    load_ann_index reads the latest complete version; serving
+    ivfpq_topk from the loaded artifact (probed-cells partition-pruned
+    scan) returns row-for-row the build-fresh result. A second build
+    bumps the version; an incomplete dir (no _SUCCESS) is invisible."""
+    import os
+    import shutil
+
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        build_ann_index,
+        ivfpq_topk,
+        load_ann_index,
+        seed_pq_codebooks,
+    )
+
+    idx_dir = str(tmp_path / "ann")
+    queries = emb.where(F.col("vec_id") < 6)
+    meta = build_ann_index(emb, idx_dir, m=4, k=8, n_clusters=8)
+    assert meta["version"] == 0
+    idx = load_ann_index(spark, idx_dir)
+    assert idx["meta"]["n_clusters"] == 8
+    assert set(idx["codes"].columns) >= {"id", "code", "cell"}
+
+    fresh = ivfpq_topk(
+        emb, queries, seed_pq_codebooks(emb, m=4, k=8),
+        k=5, n_clusters=8, n_probe=2, refine=4,
+    )
+    served = ivfpq_topk(
+        emb, queries, idx["books"], k=5, n_clusters=8, n_probe=2, refine=4,
+        codes=idx["codes"], centers=idx["centers"], prune_codes=True,
+    )
+    a = {(r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
+         for r in fresh.collect()}
+    b = {(r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
+         for r in served.collect()}
+    assert a == b and len(a) == 30
+
+    # versioning: new build -> v1 wins; torn build (no _SUCCESS) invisible
+    meta2 = build_ann_index(emb, idx_dir, m=4, k=8, n_clusters=8)
+    assert meta2["version"] == 1
+    assert load_ann_index(spark, idx_dir)["meta"]["version"] == 1
+    os.remove(os.path.join(idx_dir, "v-000001", "_SUCCESS"))
+    assert load_ann_index(spark, idx_dir)["meta"]["version"] == 0
+    shutil.rmtree(os.path.join(idx_dir, "v-000000"))
+    with pytest.raises(FileNotFoundError, match="no complete"):
+        load_ann_index(spark, idx_dir)
