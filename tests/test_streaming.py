@@ -3,6 +3,7 @@ drained over the same bounded input (availableNow + memory sink)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.operators import events as EV
@@ -327,6 +328,106 @@ def test_stream_cdc_newer_wins_and_replay_noop(spark, tmp_path):
         r["k"]: (r["ver"], r["val"])
         for r in read_version(spark, root).collect()
     } == final
+
+
+def test_stream_cdc_kill_mid_batch_recovers(spark, tmp_path, monkeypatch):
+    """r9 verdict item 8: kill the CDC apply BETWEEN the rewrite-dir
+    write and the manifest commit (the real torn-batch window — data
+    files exist, no version references them), then restart. Must
+    hold: (a) the torn batch is invisible (every committed version
+    reads cleanly, no half-visible state); (b) the restart converges
+    to the per-key argmax; (c) no key's order tuple ever REGRESSES
+    across the committed version sequence, torn run included."""
+    import os
+
+    from data_integration_and_harmonization_spark.sources import manifest as MAN
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        list_versions,
+        read_version,
+    )
+    from data_integration_and_harmonization_spark.streaming.pipeline import (
+        stream_cdc_to_versioned_table,
+        stream_events,
+    )
+
+    # four single-file micro-batches; keys 1/2 churn across batches
+    batches = [
+        [(1, 10, 100.0), (2, 10, 200.0)],
+        [(1, 20, 110.0), (2, 99, 290.0), (3, 10, 300.0)],
+        [(1, 30, 120.0), (2, 50, 250.0)],  # the batch we tear
+        [(1, 25, 115.0), (4, 10, 400.0)],  # stale k=1 row + new key
+    ]
+    src = str(tmp_path / "src")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    import shutil
+    from pathlib import Path
+
+    for i, rows in enumerate(batches):
+        d = os.path.join(src, f"b{i}.parquet")
+        spark.createDataFrame(rows, "k long, ver long, val double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        part = next(Path(d).glob("part-*.parquet"))
+        shutil.copy(part, Path(flat) / f"{i:03d}.parquet")
+
+    root = str(tmp_path / "tbl")
+    data = str(tmp_path / "data")
+
+    # one-shot injection: commit_files raises for the batch-2 MERGE —
+    # after merge_upsert_versioned wrote the rewrite dir, before the
+    # manifest version exists (the torn window)
+    real_commit = MAN.commit_files
+    state = {"armed": True}
+
+    def torn_commit(spark_, table_root_, files, note="", fmt="parquet", version=None):
+        if state["armed"] and note.startswith("merge") and "cdc_batch_000002" in str(files):
+            state["armed"] = False
+            raise RuntimeError("injected mid-batch crash")
+        return real_commit(
+            spark_, table_root_, files, note=note, fmt=fmt, version=version
+        )
+
+    monkeypatch.setattr(MAN, "commit_files", torn_commit)
+    with pytest.raises(Exception, match="injected mid-batch crash"):
+        stream_cdc_to_versioned_table(
+            stream_events(spark, flat, max_files_per_trigger=1),
+            root, data, ["k"], ["ver"],
+        )
+    monkeypatch.setattr(MAN, "commit_files", real_commit)
+
+    # (a) no half-visible version: every committed version reads
+    # cleanly and none contains batch-2's ver-30/ver-50 rows
+    vs_after_crash = list_versions(spark, root)
+    assert vs_after_crash, "pre-crash batches must have committed"
+    for v in vs_after_crash:
+        snap = {r["k"]: r["ver"] for r in read_version(spark, root, v).collect()}
+        assert snap.get(1) in (None, 10, 20) and snap.get(2) in (None, 10, 99)
+
+    # restart: fresh run over the same source — replayed rows are
+    # stale no-ops, the torn batch reapplies, the tail applies
+    stream_cdc_to_versioned_table(
+        stream_events(spark, flat, max_files_per_trigger=1),
+        root, data, ["k"], ["ver"],
+    )
+    final = {
+        r["k"]: (r["ver"], r["val"]) for r in read_version(spark, root).collect()
+    }
+    # (b) per-key argmax over the WHOLE stream
+    assert final == {
+        1: (30, 120.0),
+        2: (99, 290.0),
+        3: (10, 300.0),
+        4: (10, 400.0),
+    }
+    # (c) monotone key history: across the full committed version
+    # sequence no key's order tuple ever decreases
+    prev: dict = {}
+    for v in list_versions(spark, root):
+        snap = {r["k"]: r["ver"] for r in read_version(spark, root, v).collect()}
+        for k_, ver_ in snap.items():
+            assert prev.get(k_, -1) <= ver_, (v, k_, prev.get(k_), ver_)
+        prev.update(snap)
 
 
 def test_stream_versioned_replayed_batch_is_idempotent(spark, tmp_path):
