@@ -751,8 +751,11 @@ def incremental_near_dedup(
     )
     # two tables per batch, then ONE _SUCCESS at the batch root: a
     # crash between writes leaves the batch invisible (same
-    # visibility contract as before, now covering both tables)
-    keep_sig.write.parquet(os.path.join(out_dir, "sigs"))
+    # visibility contract as before, now covering both tables).
+    # sigs sort by id so each part file's min/max id stats are tight
+    # — the estimator join's hid fetch can row-group-skip instead of
+    # scanning every admitted signature
+    keep_sig.sort("id").write.parquet(os.path.join(out_dir, "sigs"))
     (
         _banded_rows(keep_sig, num_hashes, bands, hash_family)
         .withColumn("pbucket", pb(F.col("bucket")))
