@@ -72,10 +72,11 @@ ALLOWED = {
     "events_sessions_props": {"Exchange SinglePartition"},
     # target_encode's global-prior fit: 1-row aggregate, bounded
     "feat_zscore": {"Exchange SinglePartition"},
-    # '__integrate' funnel legs: five global no-groupBy stage
-    # aggregates (counts + the golden checksum) — each final merge
-    # sees one partial row per upstream task, bounded at any scale
-    "harmonize_union": {"Exchange SinglePartition"},
+    # (harmonize_union's funnel legs moved their stage aggregates to
+    # driver-side collects over a persisted frame in r9 — the
+    # returned plan no longer carries a SinglePartition exchange, so
+    # its former allowlist entry is gone; the audit's stale check is
+    # what caught the change.)
     # 'copairs' basket-total fit: global distinct-count final merge —
     # one partial row per upstream task, bounded
     "rel_grouping_sets": {"Exchange SinglePartition"},
