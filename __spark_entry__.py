@@ -448,10 +448,13 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
     single-reducer — and the 'ra_ok' column carries the
     rank-contract verdict on the sketch. The exact fit is
     SCALE-GATED (r9 verdict): it runs only at validation scale
-    (n <= FE.EXACT_FIT_MAX_ROWS, where the DuckDB oracle pins
-    exact interpolated values); above it the shipped robust stats
-    ARE the sketch quantiles — exact percentile's single-reducer
-    value->count merge never executes at scale."""
+    (n <= FE.EXACT_FIT_MAX_ROWS, where the DuckDB oracle pins the
+    exact interpolated values of r_qty/r_price); above the gate the
+    r_* parity columns are NULL on BOTH sides — exact percentile's
+    single-reducer value->count merge never executes at scale, the
+    production robust fit there is the sketch
+    (FE.robust_scale_fit_auto), and ra_ok carries the sketch's
+    rank-contract correctness at every scale."""
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag",
@@ -537,10 +540,19 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
         c: (stats[f"m_{c}"], stats[f"s_{c}"])
         for c in ("l_quantity", "l_extendedprice", "l_discount")
     }
-    # shipped robust stats: exact interpolated quantiles at
-    # validation scale (oracle parity), the GK-sketch quantiles above
-    rq = {c: (rrow[f"q_{c}"] if exact_fit else stats[f"qa_{c}"]) for c in _ra_cols}
-    rs = {c: (rq[c][1], rq[c][2] - rq[c][0]) for c in _ra_cols}
+    # r_* are the EXACT-fit parity columns: present at validation
+    # scale (where the oracle's quantile_cont pins them value for
+    # value), NULL above the gate — the production robust fit at
+    # scale is the GK sketch (FE.robust_scale_fit_auto), whose
+    # correctness the ra_ok rank-contract verdict carries at every
+    # scale. Emitting sketch-scaled values here instead would make
+    # the column mean different things at different scales AND be
+    # uncheckable (no SQL engine reproduces the GK element choice).
+    rs = (
+        {c: (rrow[f"q_{c}"][1], rrow[f"q_{c}"][2] - rrow[f"q_{c}"][0]) for c in _ra_cols}
+        if exact_fit
+        else None
+    )
     ms = {
         c: (stats[f"mn_{c}"], stats[f"mx_{c}"] - stats[f"mn_{c}"])
         for c in ("l_quantity", "l_extendedprice")
@@ -576,8 +588,12 @@ def q_feat_zscore(spark: SparkSession, sf: str) -> DataFrame:
         sc(zs, "l_quantity", "z_qty"),
         sc(zs, "l_extendedprice", "z_price"),
         sc(zs, "l_discount", "z_disc"),
-        sc(rs, "l_quantity", "r_qty"),
-        sc(rs, "l_extendedprice", "r_price"),
+        sc(rs, "l_quantity", "r_qty")
+        if rs is not None
+        else F.lit(None).cast("double").alias("r_qty"),
+        sc(rs, "l_extendedprice", "r_price")
+        if rs is not None
+        else F.lit(None).cast("double").alias("r_price"),
         sc(ms, "l_quantity", "m_qty"),
         sc(ms, "l_extendedprice", "m_price"),
         F.round("__te", 6).alias("te_flag"),
@@ -2472,8 +2488,17 @@ SELECT l_orderkey, l_linenumber,
   round((l_quantity - mq) / (CASE WHEN sq > 0 THEN sq ELSE 1 END), 6) AS z_qty,
   round((l_extendedprice - mp) / (CASE WHEN sp > 0 THEN sp ELSE 1 END), 6) AS z_price,
   round((l_discount - md) / (CASE WHEN sd > 0 THEN sd ELSE 1 END), 6) AS z_disc,
-  round((l_quantity - medq) / (CASE WHEN iqrq > 0 THEN iqrq ELSE 1 END), 6) AS r_qty,
-  round((l_extendedprice - medp) / (CASE WHEN iqrp > 0 THEN iqrp ELSE 1 END), 6) AS r_price,
+  -- r_* are the EXACT-fit parity columns and exist only at validation
+  -- scale (n <= 200k, mirroring the engine's EXACT_FIT_MAX_ROWS gate
+  -- — exact percentile's single-reducer merge must never run at
+  -- scale); above the gate both sides emit NULL and the sketch fit's
+  -- correctness is carried by the ra_ok rank-contract verdict
+  CASE WHEN (SELECT count(*) FROM lineitem) <= 200000
+       THEN round((l_quantity - medq) / (CASE WHEN iqrq > 0 THEN iqrq ELSE 1 END), 6)
+  END AS r_qty,
+  CASE WHEN (SELECT count(*) FROM lineitem) <= 200000
+       THEN round((l_extendedprice - medp) / (CASE WHEN iqrp > 0 THEN iqrp ELSE 1 END), 6)
+  END AS r_price,
   round((l_quantity - mnq) / (CASE WHEN rngq > 0 THEN rngq ELSE 1 END), 6) AS m_qty,
   round((l_extendedprice - mnp) / (CASE WHEN rngp > 0 THEN rngp ELSE 1 END), 6) AS m_price,
   round(CASE WHEN l_quantity IS NULL
