@@ -588,7 +588,7 @@ def incremental_near_dedup(
     bands: int = 8,
     gram: int = 3,
     hash_family: str = "murmur3",
-    store_partitions: int = 64,
+    store_partitions: int = 8,
 ) -> DataFrame:
     """Batch-over-batch NEAR-duplicate dedup against a persisted
     SIGNATURE store — the fuzzy sibling of
@@ -624,14 +624,20 @@ def incremental_near_dedup(
 
     History matching reads the index with the new batch's collided
     (band, pbucket) set pushed as a PARTITION filter (the set is
-    bounded by bands x store_partitions, collected once — ~512
-    values, never corpus-sized), so a small increment against years
-    of history physically opens only colliding bucket directories
-    instead of scanning — and re-banding — every admitted signature
-    per batch. The sigs scan that feeds the estimator verify touches
-    only candidate ids via the join (digest-width rows). Nothing
-    corpus-sized is collected or broadcast. Serialize batches like
-    the exact variant.
+    bounded by bands x store_partitions, collected once — never
+    corpus-sized), so a small increment against years of history
+    physically opens only colliding bucket directories instead of
+    scanning — and re-banding — every admitted signature per batch.
+    ``store_partitions`` MUST stay constant for the life of a store
+    (the prune keys are computed with the caller's value and must
+    match the directory layout every earlier batch wrote); the
+    default 8 keeps per-batch file counts small at validation scale —
+    a production store at 10^10+ docs sets 256-4096 so each pruned
+    directory stays worker-sized. The sigs scan that feeds the
+    estimator verify touches only candidate ids via the join
+    (digest-width rows, id-sorted files for row-group skipping).
+    Nothing corpus-sized is collected or broadcast. Serialize batches
+    like the exact variant.
 
     Returns the surviving rows of ``new_docs`` (original columns).
     """

@@ -795,11 +795,11 @@ def build_ann_index(
     spark.createDataFrame(
         [(i, j, [float(x) for x in c]) for i, sub in enumerate(books) for j, c in enumerate(sub)],
         "i int, j int, center array<double>",
-    ).coalesce(1).write.parquet(os.path.join(vdir, "books"))
+    ).repartition(1).write.parquet(os.path.join(vdir, "books"))
     spark.createDataFrame(
         [(cell, [float(x) for x in c]) for cell, c in enumerate(centers)],
         "cell int, center array<double>",
-    ).coalesce(1).write.parquet(os.path.join(vdir, "centers"))
+    ).repartition(1).write.parquet(os.path.join(vdir, "centers"))
     meta = {
         "version": version,
         "m": m,
@@ -813,7 +813,7 @@ def build_ann_index(
         [(version, m, k, n_clusters, trained, id_col, vec_col)],
         "version int, m int, k int, n_clusters int, trained boolean, "
         "id_col string, vec_col string",
-    ).coalesce(1).write.parquet(os.path.join(vdir, "meta"))
+    ).repartition(1).write.parquet(os.path.join(vdir, "meta"))
     fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
     return meta
 
