@@ -808,14 +808,87 @@ def build_ann_index(
         "trained": trained,
         "id_col": id_col,
         "vec_col": vec_col,
+        "parent": None,
     }
-    spark.createDataFrame(
-        [(version, m, k, n_clusters, trained, id_col, vec_col)],
-        "version int, m int, k int, n_clusters int, trained boolean, "
-        "id_col string, vec_col string",
-    ).repartition(1).write.parquet(os.path.join(vdir, "meta"))
+    _write_ann_meta(spark, vdir, meta)
     fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
     return meta
+
+
+_ANN_META_SCHEMA = (
+    "version int, m int, k int, n_clusters int, trained boolean, "
+    "id_col string, vec_col string, parent int"
+)
+
+
+def _write_ann_meta(spark: SparkSession, vdir: str, meta: dict) -> None:
+    import os
+
+    spark.createDataFrame(
+        [tuple(meta[f.split(" ")[0]] for f in _ANN_META_SCHEMA.split(", "))],
+        _ANN_META_SCHEMA,
+    ).repartition(1).write.parquet(os.path.join(vdir, "meta"))
+
+
+def append_ann_index(
+    new_vectors: DataFrame, path: str, version: int | None = None
+) -> dict:
+    """Grow a persisted index INCREMENTALLY — the continuously
+    ingesting corpus case, where rebuilding a 10^10-vector index per
+    increment is not viable. The new batch is encoded with the
+    chain's FROZEN codebooks and coarse centers (quantizer drift
+    would silently corrupt ADC distances against old codes), its
+    cell-partitioned codes land in a NEW version dir, and the meta
+    row records the parent version — old codes are referenced in
+    place, zero bytes move. :func:`load_ann_index` unions the chain,
+    so served queries see base + every increment; re-train by running
+    :func:`build_ann_index` again (a fresh base, parent-less).
+
+    New ids must be disjoint from the chain's (an id appended twice
+    would serve duplicate neighbors) — enforced with one id-column
+    semi-join scan, digest-width at any scale. Returns the committed
+    meta (incl. ``version`` and ``parent``)."""
+    import os
+
+    spark = new_vectors.sparkSession
+    idx = load_ann_index(spark, path, version)
+    meta = idx["meta"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dup = (
+        new_vectors.select(F.col(id_col).alias("id"))
+        .join(idx["codes"].select("id"), "id", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "append_ann_index: new ids overlap the index chain; "
+            "appends must carry previously-unseen ids"
+        )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_versions = sum(
+        1
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("v-")
+    )
+    vdir = os.path.join(path, f"v-{n_versions:06d}")
+    enc = pq_encode(
+        new_vectors,
+        idx["books"],
+        id_col,
+        vec_col,
+        extra_cols=[_nearest_index(F.col(vec_col), idx["centers"]).alias("cell")],
+        err_col="__err",
+    )
+    enc.repartition("cell").write.partitionBy("cell").parquet(
+        os.path.join(vdir, "codes")
+    )
+    new_meta = dict(meta, version=n_versions, parent=meta["version"])
+    _write_ann_meta(spark, vdir, new_meta)
+    fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
+    return new_meta
 
 
 def load_ann_index(spark: SparkSession, path: str, version: int | None = None) -> dict:
@@ -823,7 +896,15 @@ def load_ann_index(spark: SparkSession, path: str, version: int | None = None) -
     'codes' (lazy DataFrame, cell-partitioned), 'meta'}. Latest
     ``_SUCCESS``-complete version unless pinned. The books/centers
     collects are bounded by construction (m*k and n_clusters rows) —
-    the corpus-sized part of the index stays a lazy scan."""
+    the corpus-sized part of the index stays a lazy scan.
+
+    An APPENDED version (:func:`append_ann_index`) resolves through
+    its parent chain: codes are the UNION of every chain member's
+    cell-partitioned dir (one read per dir — a pruning filter pushed
+    by ``ivfpq_topk(prune_codes=True)`` lands below each union arm,
+    so partition pruning survives the chain), books/centers come from
+    the chain's base. Meta walks are bounded by chain length (tiny
+    one-row reads)."""
     import os
 
     jvm = spark._jvm
@@ -847,6 +928,23 @@ def load_ann_index(spark: SparkSession, path: str, version: int | None = None) -
     vdir = os.path.join(path, f"v-{v:06d}")
     mrow = spark.read.parquet(os.path.join(vdir, "meta")).first()
     meta = mrow.asDict()
+    # resolve the parent chain: codes dirs newest-to-base; books and
+    # centers live at the base (appends freeze the quantizers)
+    chain = [v]
+    cur = meta
+    while cur.get("parent") is not None:
+        p = int(cur["parent"])
+        if p not in complete:
+            raise FileNotFoundError(
+                f"ANN index version {v} chains to incomplete parent {p}"
+            )
+        chain.append(p)
+        cur = (
+            spark.read.parquet(os.path.join(path, f"v-{p:06d}", "meta"))
+            .first()
+            .asDict()
+        )
+    vdir = os.path.join(path, f"v-{chain[-1]:06d}")  # base: books/centers
     m, k = meta["m"], meta["k"]
     books = [[None] * k for _ in range(m)]
     for r in spark.read.parquet(os.path.join(vdir, "books")).collect():
@@ -855,10 +953,19 @@ def load_ann_index(spark: SparkSession, path: str, version: int | None = None) -
     centers = [None] * len(centers_rows)
     for r in centers_rows:
         centers[r["cell"]] = list(r["center"])
+    from functools import reduce
+
+    codes = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(os.path.join(path, f"v-{cv:06d}", "codes"))
+            for cv in chain
+        ],
+    )
     return {
         "books": books,
         "centers": centers,
-        "codes": spark.read.parquet(os.path.join(vdir, "codes")),
+        "codes": codes,
         "meta": meta,
     }
 

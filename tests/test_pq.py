@@ -243,3 +243,65 @@ def test_ann_index_save_load_serve_agreement(spark, emb, tmp_path):
     shutil.rmtree(os.path.join(idx_dir, "v-000000"))
     with pytest.raises(FileNotFoundError, match="no complete"):
         load_ann_index(spark, idx_dir)
+
+
+def test_ann_index_incremental_append(spark, emb, tmp_path):
+    """append_ann_index grows the index without rebuilding: the new
+    batch is encoded with the chain's FROZEN books/centers and only
+    its codes land in the new version (parent recorded; old codes
+    referenced in place). Serving from the appended chain equals an
+    in-memory run over the full corpus with the same frozen
+    quantizers; duplicate ids are refused; a rebuild (new base) does
+    not chain."""
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        append_ann_index,
+        build_ann_index,
+        ivfpq_topk,
+        load_ann_index,
+    )
+
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    inc = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 6)
+    idx_dir = str(tmp_path / "ann")
+    m0 = build_ann_index(base, idx_dir, m=4, k=8, n_clusters=8)
+    m1 = append_ann_index(inc, idx_dir)
+    assert (m1["version"], m1["parent"]) == (1, 0)
+
+    idx = load_ann_index(spark, idx_dir)
+    assert idx["meta"]["version"] == 1
+    served = ivfpq_topk(
+        emb, queries, idx["books"], k=5, n_clusters=8, n_probe=2, refine=4,
+        codes=idx["codes"], centers=idx["centers"], prune_codes=True,
+    )
+    # in-memory twin: full corpus encoded with the BASE's quantizers
+    # (books/centers seeded from the base corpus — the frozen state)
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        _nearest_index, _seed_centers, pq_encode, seed_pq_codebooks,
+    )
+
+    books_b = seed_pq_codebooks(base, m=4, k=8)
+    centers_b = _seed_centers(base, 8, "vec_id", "embedding")
+    enc_full = pq_encode(
+        emb, books_b,
+        extra_cols=[_nearest_index(F.col("embedding"), centers_b).alias("cell")],
+    )
+    twin = ivfpq_topk(
+        emb, queries, books_b, k=5, n_clusters=8, n_probe=2, refine=4,
+        codes=enc_full, centers=centers_b,
+    )
+    a = {(r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
+         for r in served.collect()}
+    b = {(r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
+         for r in twin.collect()}
+    assert a == b and len(a) == 30
+
+    # duplicate ids refused
+    with pytest.raises(ValueError, match="previously-unseen"):
+        append_ann_index(inc, idx_dir)
+    # a rebuild starts a NEW parentless base and does not chain
+    m2 = build_ann_index(emb, idx_dir, m=4, k=8, n_clusters=8)
+    assert m2["version"] == 2 and m2["parent"] is None
+    idx2 = load_ann_index(spark, idx_dir)
+    assert idx2["meta"]["parent"] is None
+    assert idx2["codes"].count() == emb.count()
