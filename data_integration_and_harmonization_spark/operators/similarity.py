@@ -891,6 +891,44 @@ def append_ann_index(
     return new_meta
 
 
+def delete_from_ann_index(
+    ids: DataFrame, path: str, version: int | None = None
+) -> dict:
+    """Remove vectors from a persisted index without rewriting any
+    codes — the tombstone half of incremental maintenance (dedup and
+    takedown pipelines REMOVE corpus members as often as ingestion
+    adds them). A new chain version holds only a ``tombstones/`` id
+    table (+ meta with the parent); :func:`load_ann_index` anti-joins
+    the chain's accumulated tombstones out of the unioned codes, so
+    served queries never return a deleted neighbor and zero code
+    bytes move. Missing ids are a no-op (Delta DELETE semantics).
+    ``ids``: one column, the index's id column. Re-adding a deleted
+    id later via :func:`append_ann_index` works — the append
+    id-disjointness check runs against the LIVE (post-tombstone)
+    code set."""
+    import os
+
+    spark = ids.sparkSession
+    idx = load_ann_index(spark, path, version)
+    meta = idx["meta"]
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_versions = sum(
+        1
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("v-")
+    )
+    vdir = os.path.join(path, f"v-{n_versions:06d}")
+    ids.toDF("id").dropDuplicates(["id"]).repartition(1).write.parquet(
+        os.path.join(vdir, "tombstones")
+    )
+    new_meta = dict(meta, version=n_versions, parent=meta["version"])
+    _write_ann_meta(spark, vdir, new_meta)
+    fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
+    return new_meta
+
+
 def load_ann_index(spark: SparkSession, path: str, version: int | None = None) -> dict:
     """Load a :func:`build_ann_index` artifact: {'books', 'centers',
     'codes' (lazy DataFrame, cell-partitioned), 'meta'}. Latest
@@ -953,15 +991,27 @@ def load_ann_index(spark: SparkSession, path: str, version: int | None = None) -
     centers = [None] * len(centers_rows)
     for r in centers_rows:
         centers[r["cell"]] = list(r["center"])
-    from functools import reduce
+    def _exists(cv: int, sub: str) -> bool:
+        return fs.exists(
+            jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"v-{cv:06d}", sub))
+        )
 
-    codes = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            spark.read.parquet(os.path.join(path, f"v-{cv:06d}", "codes"))
-            for cv in chain
-        ],
-    )
+    # replay the chain base -> newest: each version either ADDS codes
+    # (build/append) or MASKS the accumulated set with tombstones
+    # (delete). A tombstone epoch masks only what PRECEDED it, so a
+    # later re-append of a deleted id is live again. No broadcast
+    # hint on the anti-join: tombstone sets are usually
+    # takedown-sized (AQE broadcasts them), but a mass-delete epoch
+    # can be arbitrarily large — let the planner pick.
+    codes = None
+    for cv in reversed(chain):
+        vpath = os.path.join(path, f"v-{cv:06d}")
+        if _exists(cv, "codes"):
+            part = spark.read.parquet(os.path.join(vpath, "codes"))
+            codes = part if codes is None else codes.unionByName(part)
+        if _exists(cv, "tombstones") and codes is not None:
+            tombs = spark.read.parquet(os.path.join(vpath, "tombstones"))
+            codes = codes.join(tombs.dropDuplicates(["id"]), "id", "left_anti")
     return {
         "books": books,
         "centers": centers,

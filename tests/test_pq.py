@@ -305,3 +305,45 @@ def test_ann_index_incremental_append(spark, emb, tmp_path):
     idx2 = load_ann_index(spark, idx_dir)
     assert idx2["meta"]["parent"] is None
     assert idx2["codes"].count() == emb.count()
+
+
+def test_ann_index_tombstone_delete(spark, emb, tmp_path):
+    """delete_from_ann_index removes vectors with a tombstone version
+    — zero code bytes rewritten; served queries never return a
+    deleted neighbor; missing ids no-op; a deleted id can re-enter
+    via append (the disjointness check sees the LIVE set)."""
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        append_ann_index,
+        build_ann_index,
+        delete_from_ann_index,
+        ivfpq_topk,
+        load_ann_index,
+    )
+
+    idx_dir = str(tmp_path / "ann")
+    build_ann_index(emb, idx_dir, m=4, k=8, n_clusters=8)
+    n_all = load_ann_index(spark, idx_dir)["codes"].count()
+
+    queries = emb.where(F.col("vec_id") < 4)
+    victims = [r["neighbor_id"] for r in ivfpq_topk(
+        emb, queries, load_ann_index(spark, idx_dir)["books"],
+        k=5, n_clusters=8, n_probe=2, refine=4,
+    ).collect()][:3]
+    dels = spark.createDataFrame([(int(v),) for v in victims] + [(987654321,)], "id long")
+    m1 = delete_from_ann_index(dels, idx_dir)
+    assert m1["parent"] == 0
+
+    idx = load_ann_index(spark, idx_dir)
+    assert idx["codes"].count() == n_all - len(set(victims))  # missing id no-op
+    served = ivfpq_topk(
+        emb, queries, idx["books"], k=5, n_clusters=8, n_probe=2, refine=4,
+        codes=idx["codes"], centers=idx["centers"], prune_codes=True,
+    )
+    got = {r["neighbor_id"] for r in served.collect()}
+    assert got.isdisjoint(set(victims))
+
+    # deleted ids can re-enter via append (live-set disjointness)
+    back = emb.where(F.col("vec_id").isin([int(v) for v in victims]))
+    m2 = append_ann_index(back, idx_dir)
+    assert m2["parent"] == m1["version"]
+    assert load_ann_index(spark, idx_dir)["codes"].count() == n_all
