@@ -278,6 +278,87 @@ def frame_sample_stub(payload: bytes, n_frames: int = 4, frame_size: int = 16) -
     return out
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("band_share", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def audio_band_features(
+    payload: bytes, n_bands: int = 8, frame: int = 256
+) -> tuple[int, float, list[float]] | None:
+    """Spectral triage features for one WAV payload: frame the mono
+    mix into ``frame``-sample windows (hop = frame, no overlap —
+    deterministic), rFFT power per frame, energy SHARE per linear
+    frequency band (bin b of frame//2+1 maps to band
+    ``min(b * n_bands // (frame//2 + 1), n_bands - 1)``), plus RMS —
+    the music/speech/tone/noise discriminators an audio-corpus
+    curation pass bins on. None for non-WAV or shorter-than-one-frame
+    payloads (caller decides the fallback)."""
+    import numpy as np
+
+    if MC.sniff_format(payload) != "wav":
+        return None
+    try:
+        _, samples = MC.decode_wav(payload)
+    except Exception:  # noqa: BLE001 — malformed audio
+        return None
+    mono = samples.mean(axis=1)
+    n = (len(mono) // frame) * frame
+    if n == 0:
+        return None
+    frames = mono[:n].reshape(-1, frame)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    n_bins = frame // 2 + 1
+    band_of = np.minimum(np.arange(n_bins) * n_bands // n_bins, n_bands - 1)
+    band_power = np.zeros(n_bands)
+    for b in range(n_bands):
+        band_power[b] = power[:, band_of == b].sum()
+    total = band_power.sum()
+    shares = (band_power / total) if total > 0 else np.zeros(n_bands)
+    rms = float(np.sqrt(np.mean(mono[:n] ** 2)))
+    return (
+        int(n // frame),
+        round(rms, 9),
+        [round(float(s), 9) for s in shares],
+    )
+
+
+def extract_audio_features(
+    media: DataFrame, n_bands: int = 8, frame: int = 256
+) -> DataFrame:
+    """Arrow-batched spectral feature extraction over WAV payloads —
+    the audio sibling of :func:`extract_features` (same one-Python-
+    stage cost model; numpy rFFT is the per-payload C-speed kernel).
+    Non-WAV / too-short rows surface with NULL features rather than
+    dropping (a curation pass wants to SEE the undecodable rows)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, nfs, rmss, bands = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                r = audio_band_features(p, n_bands, frame)
+                ids.append(mid)
+                if r is None:
+                    nfs.append(None)
+                    rmss.append(None)
+                    bands.append(None)
+                else:
+                    nfs.append(r[0])
+                    rmss.append(r[1])
+                    bands.append(r[2])
+            yield pd.DataFrame(
+                {"media_id": ids, "n_frames": nfs, "rms": rmss, "band_share": bands}
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -451,6 +532,43 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round("freq", 6).alias("freq"),
             )
         )
+        # 'audio' rows (r10): spectral band shares + n_frames + rms of
+        # a synthesized sine WAV through the distributed
+        # extract_audio_features stage. f = rate/4 makes every sample
+        # exactly 0 or +-0.5 (16-bit PCM quantizes them EXACTLY, since
+        # 0.5*32767 rounds half-even to 16384 = 0.5*32768), the FFT
+        # bin (frame/4 = 64 of 129) is leakage-free, and band/rms are
+        # closed forms: all energy in band 64*8//129 = 3, rms =
+        # 0.5/sqrt(2). Shares and the two scalars fuse into ONE
+        # posexplode so the leg pays a single Arrow stage.
+        import numpy as np
+
+        sine = 0.5 * np.sin(np.pi * np.arange(2048) / 2)
+        audio_media = spark.createDataFrame(
+            [(-5, bytearray(MC.encode_wav(8192, sine)))],
+            "media_id long, payload binary",
+        )
+        audio_rows = (
+            extract_audio_features(audio_media, n_bands=8, frame=256)
+            .select(
+                "media_id",
+                F.posexplode(
+                    F.concat(
+                        "band_share",
+                        F.array(F.col("n_frames").cast("double"), "rms"),
+                    )
+                ).alias("bucket", "freq"),
+            )
+            .select(
+                F.lit("audio").alias("kind"),
+                "media_id",
+                F.lit(None).cast("string").alias("media_type"),
+                F.lit(None).cast("long").alias("n_bytes"),
+                "bucket",
+                F.lit(None).cast("string").alias("digest"),
+                F.round("freq", 6).alias("freq"),
+            )
+        )
         # 'frame' rows: per-frame byte stats through the full
         # media -> resize -> frame-sample -> agg chain (the former
         # mm_frames query, folded in to free a registry slot); pruned
@@ -470,7 +588,11 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("digest"),
             F.col("nf").cast("double").alias("freq"),
         )
-        return meta.unionByName(feats).unionByName(frame_rows)
+        return (
+            meta.unionByName(feats)
+            .unionByName(audio_rows)
+            .unionByName(frame_rows)
+        )
 
     return {"mm_meta_features": q_meta_features}
 
@@ -549,6 +671,19 @@ SELECT 'real', -4::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(8)) AS pos,
          unnest([10.0, 13.0, 3.0, 201 / 255.0, 0.0, 201 / 255.0, 201 / 255.0, 1.0]) AS val
+) u
+UNION ALL
+-- 'audio' rows (r10): the engine runs a synthesized sine WAV through
+-- the distributed spectral-feature stage. f = rate/4 quantizes
+-- EXACTLY in 16-bit PCM (samples 0/+-0.5) and lands leakage-free on
+-- FFT bin 64 of 129 -> band 64*8//129 = 3 holds ALL the energy; rms
+-- of the 0/+-0.5 cycle is sqrt(0.125). Buckets 0-7 = band shares,
+-- 8 = n_frames (2048 samples / 256), 9 = rms — all closed forms.
+SELECT 'audio', -5::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(10)) AS pos,
+         unnest([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 8.0, sqrt(0.125)]) AS val
 ) u
 UNION ALL
 -- 'frame' rows (former mm_frames query): resize_stub picks exactly

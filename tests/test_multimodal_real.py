@@ -157,6 +157,26 @@ def test_wav_roundtrip():
     assert np.abs(dec - sig).max() < 1e-3
 
 
+def test_audio_band_features_sine_and_fallbacks():
+    """Spectral triage features: a rate/4 sine (exactly representable
+    in 16-bit PCM, leakage-free FFT bin) puts ALL energy in one band
+    with closed-form rms; stereo mixes to mono first; non-WAV and
+    shorter-than-one-frame payloads return None."""
+    sine = 0.5 * np.sin(np.pi * np.arange(2048) / 2)
+    n_frames, rms, shares = MM.audio_band_features(
+        MC.encode_wav(8192, sine), n_bands=8, frame=256
+    )
+    assert n_frames == 8
+    assert abs(rms - 0.125 ** 0.5) < 1e-9
+    assert abs(shares[3] - 1.0) < 1e-9 and sum(shares) == pytest.approx(1.0)
+    # stereo: L = sine, R = -sine -> mono mix is silence (rms 0)
+    stereo = np.stack([sine, -sine], axis=1)
+    _, rms2, shares2 = MM.audio_band_features(MC.encode_wav(8192, stereo))
+    assert rms2 == 0.0 and sum(shares2) == 0.0
+    assert MM.audio_band_features(b"not audio") is None
+    assert MM.audio_band_features(MC.encode_wav(8192, sine[:100])) is None
+
+
 def test_sniff_and_stub_fallback():
     assert MC.sniff_format(b"not media at all") is None
     assert MM.decode_real(b"not media at all") is None
