@@ -752,26 +752,31 @@ def incremental_near_dedup(
         )
         keep_sig = keep_sig.join(hits, "id", "left_anti")
     keep_sig = track(keep_sig.persist())
-    out_dir = os.path.join(
-        store_path, f"batch-{len(batches):06d}-{uuid.uuid4().hex[:8]}"
-    )
-    # two tables per batch, then ONE _SUCCESS at the batch root: a
-    # crash between writes leaves the batch invisible (same
-    # visibility contract as before, now covering both tables).
-    # sigs sort by id so each part file's min/max id stats are tight
-    # — the estimator join's hid fetch can row-group-skip instead of
-    # scanning every admitted signature
-    keep_sig.sort("id").write.parquet(os.path.join(out_dir, "sigs"))
-    (
-        _banded_rows(keep_sig, num_hashes, bands, hash_family)
-        .withColumn("pbucket", pb(F.col("bucket")))
-        # co-locate each (band, pbucket) into one task so every
-        # partition directory gets one file, not one per task
-        .repartition("band", "pbucket")
-        .write.partitionBy("band", "pbucket")
-        .parquet(os.path.join(out_dir, "index"))
-    )
-    fs.create(jvm.org.apache.hadoop.fs.Path(out_dir, "_SUCCESS"), True).close()
+    if not keep_sig.isEmpty():
+        out_dir = os.path.join(
+            store_path, f"batch-{len(batches):06d}-{uuid.uuid4().hex[:8]}"
+        )
+        # two tables per batch, then ONE _SUCCESS at the batch root: a
+        # crash between writes leaves the batch invisible (same
+        # visibility contract as before, now covering both tables).
+        # sigs sort by id so each part file's min/max id stats are
+        # tight — the estimator join's hid fetch can row-group-skip
+        # instead of scanning every admitted signature. A batch that
+        # admits NOTHING (full replay / all-duplicate) writes no dir
+        # at all: an empty partitioned dir would crash every later
+        # schema-inferring read of the store, and a no-op batch must
+        # not grow it.
+        keep_sig.sort("id").write.parquet(os.path.join(out_dir, "sigs"))
+        (
+            _banded_rows(keep_sig, num_hashes, bands, hash_family)
+            .withColumn("pbucket", pb(F.col("bucket")))
+            # co-locate each (band, pbucket) into one task so every
+            # partition directory gets one file, not one per task
+            .repartition("band", "pbucket")
+            .write.partitionBy("band", "pbucket")
+            .parquet(os.path.join(out_dir, "index"))
+        )
+        fs.create(jvm.org.apache.hadoop.fs.Path(out_dir, "_SUCCESS"), True).close()
     # survivors: batch rows minus (dominated within batch) minus
     # (history hits) — i.e. anything whose id left the signature set,
     # PLUS the no-signature (too short) docs, which are never dropped
@@ -781,6 +786,67 @@ def incremental_near_dedup(
     return new_docs.join(
         dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
+
+
+def compact_near_dedup_store(spark, store_path: str) -> dict:
+    """Merge every complete batch of an :func:`incremental_near_dedup`
+    store into ONE batch dir — the store's lifecycle maintenance: a
+    continuously ingesting pipeline accumulates one dir (and one
+    id-sorted sigs file + one partition-dir set) per batch, and after
+    10^3-10^4 batches per-batch listing and footer overheads dominate
+    the history scan. Compaction unions the sigs (re-sorted by id, so
+    row-group stats stay tight) and the pre-banded index rows
+    (rewritten into one (band, pbucket) directory set — no re-banding,
+    no parameters needed: pbucket is already a column), commits the
+    new dir under the batch _SUCCESS protocol, then deletes the old
+    dirs. A crash between commit and deletion leaves duplicate
+    signatures, which is semantically harmless (the same matches fire,
+    ``distinct`` collapses candidate pairs) and is cleared by the next
+    compaction. Returns {"batches_compacted", "rows", "out_dir"}."""
+    import os
+    import uuid
+
+    from functools import reduce
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    batches: list[str] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch-")
+                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+            ):
+                batches.append(st.getPath().toString())
+    batches.sort()
+    if len(batches) < 2:
+        return {"batches_compacted": 0, "rows": 0, "out_dir": None}
+    sigs = spark.read.parquet(*[f"{b}/sigs" for b in batches])
+    idx = reduce(
+        lambda a, b2: a.unionByName(b2),
+        [spark.read.parquet(f"{b}/index") for b in batches],
+    )
+    out_dir = os.path.join(
+        store_path, f"batch-{len(batches):06d}-compact-{uuid.uuid4().hex[:8]}"
+    )
+    sigs.sort("id").write.parquet(os.path.join(out_dir, "sigs"))
+    (
+        idx.repartition("band", "pbucket")
+        .write.partitionBy("band", "pbucket")
+        .parquet(os.path.join(out_dir, "index"))
+    )
+    n_rows = spark.read.parquet(os.path.join(out_dir, "sigs")).count()
+    fs.create(jvm.org.apache.hadoop.fs.Path(out_dir, "_SUCCESS"), True).close()
+    for b in batches:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(b), True)
+    return {
+        "batches_compacted": len(batches),
+        "rows": int(n_rows),
+        "out_dir": out_dir,
+    }
 
 
 def snapshot_diff(

@@ -884,6 +884,43 @@ def test_near_dedup_store_layout_prunes(spark, tmp_path):
     assert total_files > 8 and pruned_files <= 8, (total_files, pruned_files)
 
 
+def test_near_dedup_store_compaction(spark, tmp_path):
+    """compact_near_dedup_store merges all complete batches into one
+    dir (sigs re-sorted, index partition layout preserved) and
+    deletes the old dirs; matching behavior afterwards is identical —
+    a replay of an already-admitted batch still admits nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        compact_near_dedup_store,
+        incremental_near_dedup,
+    )
+
+    store = str(tmp_path / "store")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(lo, hi)],
+        "doc_id long, text string",
+    )
+    incremental_near_dedup(mk(0, 10), store, threshold=0.5, hash_family="md5")
+    incremental_near_dedup(mk(10, 20), store, threshold=0.5, hash_family="md5")
+    incremental_near_dedup(mk(20, 30), store, threshold=0.5, hash_family="md5")
+    assert len([d for d in os.listdir(store) if d.startswith("batch-")]) == 3
+
+    stats = compact_near_dedup_store(spark, store)
+    assert stats["batches_compacted"] == 3 and stats["rows"] == 30
+    dirs = [d for d in os.listdir(store) if d.startswith("batch-")]
+    assert len(dirs) == 1 and "compact" in dirs[0]
+    assert os.path.isdir(os.path.join(store, dirs[0], "index"))
+
+    # replaying an admitted batch against the compacted store: no-op
+    out = incremental_near_dedup(mk(10, 20), store, threshold=0.5, hash_family="md5")
+    assert out.count() == 0
+    # idempotence guard: a single-batch store does not re-compact
+    assert compact_near_dedup_store(spark, store)["batches_compacted"] == 0
+
+
 def test_html_to_text_extraction(spark):
     """html_to_text: scripts/styles/comments vanish whole, block
     closers become newlines, entities decode in the order that avoids
