@@ -2464,7 +2464,7 @@ FROM customer
 """,
         "describe_all": _describe_all_oracle(),
         "corr_matrix": _corr_matrix_oracle(),
-        "feat_zscore": """
+        "feat_zscore": f"""
 -- scaler family: z-score (pop std), RobustScaler (median/IQR with
 -- quantile_cont == Spark's exact interpolated percentile) and
 -- MinMaxScaler, all as window-free global stats
@@ -2489,14 +2489,15 @@ SELECT l_orderkey, l_linenumber,
   round((l_extendedprice - mp) / (CASE WHEN sp > 0 THEN sp ELSE 1 END), 6) AS z_price,
   round((l_discount - md) / (CASE WHEN sd > 0 THEN sd ELSE 1 END), 6) AS z_disc,
   -- r_* are the EXACT-fit parity columns and exist only at validation
-  -- scale (n <= 200k, mirroring the engine's EXACT_FIT_MAX_ROWS gate
-  -- — exact percentile's single-reducer merge must never run at
-  -- scale); above the gate both sides emit NULL and the sketch fit's
+  -- scale (mirroring the engine's FE.EXACT_FIT_MAX_ROWS gate, whose
+  -- value is injected below so the two sides cannot drift — exact
+  -- percentile's single-reducer merge must never run at scale);
+  -- above the gate both sides emit NULL and the sketch fit's
   -- correctness is carried by the ra_ok rank-contract verdict
-  CASE WHEN (SELECT count(*) FROM lineitem) <= 200000
+  CASE WHEN (SELECT count(*) FROM lineitem) <= {FE.EXACT_FIT_MAX_ROWS}
        THEN round((l_quantity - medq) / (CASE WHEN iqrq > 0 THEN iqrq ELSE 1 END), 6)
   END AS r_qty,
-  CASE WHEN (SELECT count(*) FROM lineitem) <= 200000
+  CASE WHEN (SELECT count(*) FROM lineitem) <= {FE.EXACT_FIT_MAX_ROWS}
        THEN round((l_extendedprice - medp) / (CASE WHEN iqrp > 0 THEN iqrp ELSE 1 END), 6)
   END AS r_price,
   round((l_quantity - mnq) / (CASE WHEN rngq > 0 THEN rngq ELSE 1 END), 6) AS m_qty,

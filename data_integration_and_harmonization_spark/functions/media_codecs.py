@@ -831,6 +831,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = d[pos + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
+            # a marker — skip them (real encoders emit these; treating
+            # the fill as a marker would consume a garbage length)
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

@@ -703,6 +703,17 @@ def incremental_near_dedup(
         .withColumn("pbucket", pb(F.col("bucket")))
         .alias("n")
     )
+    if batches and not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(batches[0], "sigs")
+    ):
+        # a store written by the pre-r10 FLAT layout (id, sig at the
+        # batch root) passes the _SUCCESS check but has no sigs/ —
+        # fail with the cause instead of an opaque PATH_NOT_FOUND
+        raise ValueError(
+            f"signature store {store_path!r} predates the sigs/+index/ "
+            "batch layout; re-ingest it (or move each batch's parquet "
+            "into a sigs/ subdir and rebuild the index/ partitions)"
+        )
     if batches:
         hist = spark.read.parquet(*[f"{b}/sigs" for b in batches])  # (id, sig)
         # the new batch's collided partition set: bounded by
@@ -824,11 +835,15 @@ def compact_near_dedup_store(spark, store_path: str) -> dict:
     batches.sort()
     if len(batches) < 2:
         return {"batches_compacted": 0, "rows": 0, "out_dir": None}
-    sigs = spark.read.parquet(*[f"{b}/sigs" for b in batches])
+    # dropDuplicates makes compaction the CLEANUP the crash-window
+    # docstring promises: a prior compact that committed but crashed
+    # before deleting its sources left every signature twice — the
+    # merge collapses them instead of baking them in permanently
+    sigs = spark.read.parquet(*[f"{b}/sigs" for b in batches]).dropDuplicates(["id"])
     idx = reduce(
         lambda a, b2: a.unionByName(b2),
         [spark.read.parquet(f"{b}/index") for b in batches],
-    )
+    ).distinct()
     out_dir = os.path.join(
         store_path, f"batch-{len(batches):06d}-compact-{uuid.uuid4().hex[:8]}"
     )

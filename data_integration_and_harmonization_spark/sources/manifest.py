@@ -252,6 +252,7 @@ def merge_upsert_versioned(
     version: int | None = None,
     op_col: str | None = None,
     evolve_schema: bool = False,
+    allow_missing_update_cols: bool = False,
 ) -> dict:
     """MERGE against a manifest table — completes the maintenance
     trilogy next to :func:`delete_rows_versioned` and
@@ -369,16 +370,28 @@ def merge_upsert_versioned(
             ).count()
     else:
         survivors = None
+    missing = [c for c in tbl.columns if c not in upserts.columns]
+    if missing and not (evolve_schema or allow_missing_update_cols):
+        # loud by default (r10 review): a change batch that silently
+        # DROPS a table column (producer bug) must not rewrite every
+        # matched row with NULLs. Post-evolution batches that
+        # legitimately omit adopted columns opt in explicitly.
+        raise ValueError(
+            f"updates are missing table columns {missing}; matched rows "
+            "would be rewritten with NULLs — pass "
+            "allow_missing_update_cols=True if the omission is "
+            "intentional (e.g. columns adopted by an earlier "
+            "evolve_schema merge), or supply the columns"
+        )
     if survivors is None:
         out = upserts
     else:
         # allowMissingColumns both ways: with evolve_schema the
-        # survivors take NULL for the adopted columns; after a PRIOR
-        # evolution the survivors carry the adopted column while a
-        # later change batch may legitimately omit it — whole-row
-        # replace semantics make NULL the faithful value for a column
-        # the update row didn't supply (column order follows the
-        # survivor/table side).
+        # survivors take NULL for the adopted columns; with
+        # allow_missing_update_cols (post-evolution batches omitting
+        # adopted columns) whole-row replace semantics make NULL the
+        # faithful value for a column the update row didn't supply
+        # (column order follows the survivor/table side).
         out = survivors.unionByName(upserts, allowMissingColumns=True)
     out.write.mode("overwrite").format(fmt).save(rewrite_dir)
     from data_integration_and_harmonization_spark.sources.writers import (

@@ -117,6 +117,12 @@ def test_jpeg_roundtrip_matrix():
     dg = MC.decode_jpeg(MC.encode_jpeg(g, quality=95))
     assert dg.shape == (h, w, 1)
     assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).max() <= 6
+    # spec-legal 0xFF FILL bytes before a marker (T.81 B.1.1.2) must
+    # not derail header parsing (r10 review finding, fixed)
+    p = MC.encode_jpeg(img, quality=95)
+    i = p.index(b"\xff\xdb")
+    filled = p[:i] + b"\xff\xff\xff" + p[i:]
+    assert MC.decode_jpeg(filled).shape == (h, w, 3)
 
 
 def test_jpeg_constant_images_decode_exactly():

@@ -933,8 +933,10 @@ def test_merge_after_evolve_keeps_adopted_column(spark, tmp_path):
     a pre-evolution file must load them with mergeSchema — a plain load
     infers from an arbitrary footer and survivor rows in new-schema
     files silently lose the adopted column on rewrite. Also pins the
-    whole-row semantics: a post-evolve change batch that omits the
-    adopted column yields NULL for it, never an error or a drop."""
+    omission contract: a change batch missing table columns is LOUD
+    by default (producer-bug guard), and with the explicit
+    allow_missing_update_cols opt-in the omitted adopted column
+    NULL-fills under whole-row semantics instead of dropping."""
     from data_integration_and_harmonization_spark.sources.manifest import (
         commit_version,
         merge_upsert_versioned,
@@ -962,9 +964,16 @@ def test_merge_after_evolve_keeps_adopted_column(spark, tmp_path):
 
     # merge 2: touch BOTH schema generations (k=2 lives next to the
     # adopted w=100 row; k=3 lives in a pre-evolution file), updates
-    # omit w entirely
+    # omit w entirely — loud by default, explicit opt-in applies
     up2 = spark.createDataFrame([(2, 22.0), (3, 33.0)], "k long, v double")
-    s2 = merge_upsert_versioned(spark, root, str(tmp_path / "rw2"), up2, ["k"])
+    import pytest
+
+    with pytest.raises(ValueError, match="missing table columns"):
+        merge_upsert_versioned(spark, root, str(tmp_path / "rwx"), up2, ["k"])
+    s2 = merge_upsert_versioned(
+        spark, root, str(tmp_path / "rw2"), up2, ["k"],
+        allow_missing_update_cols=True,
+    )
 
     got = {
         (r["k"], r["v"], r["w"])
