@@ -12,6 +12,8 @@ fixtures need directly from their published specifications:
   Supported: SOF0/SOF1, 8-bit, 1/3 components, sampling factors to
   2x2, DRI/RSTn; progressive and arithmetic raise (PIL rescue path).
 - WAV  (RIFF/PCM): via the stdlib ``wave`` module, 8/16-bit PCM.
+- Y4M  (YUV4MPEG2, mjpegtools yuv4mpeg(5)): uncompressed planar
+  video. Supported: progressive, Cmono / C420* / C444.
 
 Decoding is per-payload Python — the right cost model here, because
 the operators call these inside Arrow-batched ``mapInPandas`` where
@@ -55,6 +57,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:10] == b"YUV4MPEG2 ":
+        return "y4m"
     return None
 
 
@@ -990,3 +994,122 @@ def try_pil_decode(payload: bytes) -> np.ndarray | None:
             return np.asarray(im)
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------- Y4M
+#
+# YUV4MPEG2 — the public uncompressed video interchange format
+# (mjpegtools yuv4mpeg(5)): an ASCII stream header carrying geometry /
+# frame-rate / colorspace tags, then per frame an ASCII `FRAME` marker
+# followed by raw planar YCbCr. It is the standard codec-free way to
+# move video between tools (ffmpeg, x264, mjpegtools all speak it),
+# which makes it the right spec-level "video" for an engine whose
+# container ships no codec library: real geometry, real frame rate,
+# real plane math — no entropy coding to re-implement. Supported
+# subset: progressive (`Ip` or absent), `Cmono` (luma only),
+# `C420jpeg`/`C420mpeg2`/`C420paldv` (2x2-subsampled chroma; the three
+# tags differ only in chroma SITING, which plane extraction ignores),
+# and `C444`. Interlaced streams and other colorspaces raise.
+
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _parse_y4m_tags(line: bytes) -> dict[str, bytes]:
+    tags: dict[str, bytes] = {}
+    for tok in line.split(b" "):
+        if tok:
+            tags[tok[:1].decode("ascii")] = tok[1:]
+    return tags
+
+
+def decode_y4m(payload: bytes) -> tuple[float, list[np.ndarray]]:
+    """Y4M -> (fps, frames). Frames are uint8 arrays: (h, w) for mono,
+    (h, w, 3) YCbCr for subsampled/full chroma (chroma planes
+    nearest-upsampled to luma geometry — exact for chroma constant
+    within each 2x2 site, the fixture regime). Values are YCbCr as
+    stored; no RGB conversion (features read the Y plane directly)."""
+    if payload[: len(Y4M_MAGIC)] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    tags = _parse_y4m_tags(payload[len(Y4M_MAGIC) - 1 : nl])
+    if "W" not in tags or "H" not in tags:
+        raise ValueError("Y4M header missing W/H")
+    w, h = int(tags["W"]), int(tags["H"])
+    if tags.get("I", b"p") not in (b"p", b"?"):
+        raise ValueError("interlaced Y4M unsupported")
+    num, _, den = tags.get("F", b"25:1").partition(b":")
+    fps = int(num) / int(den or b"1")
+    cs = tags.get("C", b"420jpeg").decode("ascii")
+    if cs == "mono":
+        chroma_div = 0
+    elif cs in ("420jpeg", "420mpeg2", "420paldv", "420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 requires even geometry")
+        chroma_div = 2
+    elif cs == "444":
+        chroma_div = 1
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    y_len = w * h
+    c_len = 0 if chroma_div == 0 else (w // chroma_div) * (h // chroma_div)
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        end = pos + y_len + 2 * c_len
+        if end > n:
+            raise ValueError("truncated Y4M frame")
+        ybuf = np.frombuffer(payload, dtype=np.uint8, count=y_len, offset=pos)
+        yp = ybuf.reshape(h, w)
+        if chroma_div == 0:
+            frames.append(yp.copy())
+        else:
+            ch, cw = h // chroma_div, w // chroma_div
+            cb = np.frombuffer(
+                payload, dtype=np.uint8, count=c_len, offset=pos + y_len
+            ).reshape(ch, cw)
+            cr = np.frombuffer(
+                payload, dtype=np.uint8, count=c_len, offset=pos + y_len + c_len
+            ).reshape(ch, cw)
+            if chroma_div > 1:  # nearest upsample to luma geometry
+                cb = np.repeat(np.repeat(cb, chroma_div, 0), chroma_div, 1)
+                cr = np.repeat(np.repeat(cr, chroma_div, 0), chroma_div, 1)
+            frames.append(np.stack([yp, cb, cr], axis=2))
+        pos = end
+    return fps, frames
+
+
+def encode_y4m(
+    frames: list[np.ndarray], fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Frames -> Y4M bytes. 2-D uint8 frames write `Cmono`; (h, w, 3)
+    YCbCr frames write `C420jpeg` (chroma 2x2 box-mean subsampled —
+    lossless round-trip when chroma is constant per 2x2 site). All
+    frames must share one geometry; C420 needs even dims."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    f0 = np.asarray(frames[0])
+    color = f0.ndim == 3
+    h, w = f0.shape[:2]
+    cs = b"C420jpeg" if color else b"Cmono"
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (w, h, fps[0], fps[1], cs)]
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.shape[:2] != (h, w) or (a.ndim == 3) != color:
+            raise ValueError("frame geometry mismatch")
+        out.append(b"FRAME\n")
+        if not color:
+            out.append(a.tobytes())
+        else:
+            if h % 2 or w % 2:
+                raise ValueError("C420 requires even geometry")
+            out.append(a[:, :, 0].tobytes())
+            for p in (1, 2):
+                c = a[:, :, p].astype(np.uint16)
+                sub = (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2] + 2) // 4
+                out.append(sub.astype(np.uint8).tobytes())
+    return b"".join(out)

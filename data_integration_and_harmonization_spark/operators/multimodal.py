@@ -4,8 +4,9 @@ Design: media are opaque ``binary`` columns + a typed metadata struct.
 Everything Spark-side is real — schema, partition-friendly layout,
 Arrow-batched UDF signatures, batch shapes — and the decode itself is
 REAL for the formats the engine's codecs cover
-(:mod:`..functions.media_codecs`: PNG, GIF, WAV from their public
-specs on stdlib+numpy; PIL preferred when importable). Payloads no
+(:mod:`..functions.media_codecs`: PNG, GIF, JPEG, WAV, Y4M video
+from their public specs on stdlib+numpy; PIL preferred when
+importable). Payloads no
 decoder recognizes fall back to the clearly-marked deterministic
 stubs (``decode_stub``/``resize_stub``/``frame_sample_stub``) so
 pipelines stay total: a corpus with undecodable blobs degrades to
@@ -75,6 +76,10 @@ def decode_real(payload: bytes, dim: int = 8) -> list[float] | None:
       n_frames]
     - audio (WAV): [n_samples, n_channels, sample_rate, mean, std,
       min, max, duration_sec]
+    - video (Y4M): [height, width, planes, meanY/255, stdY/255,
+      minY/255, maxY/255, n_frames] — pixel stats over the LUMA
+      plane of the first frame (chroma is siting-dependent; luma is
+      the modality-stable statistic)
 
     Leading spatial/temporal dims are >= 1, so real features are
     distinguishable from the stub's all-in-[0,1) histogram at a
@@ -121,6 +126,22 @@ def decode_real(payload: bytes, dim: int = 8) -> list[float] | None:
                 float(px.min()),
                 float(px.max()),
                 n_frames,
+            ]
+        elif fmt == "y4m":
+            _, vframes = MC.decode_y4m(payload)
+            if not vframes:
+                return None
+            f0 = vframes[0]
+            yp = (f0 if f0.ndim == 2 else f0[:, :, 0]).astype(np.float64) / 255.0
+            feats = [
+                float(f0.shape[0]),
+                float(f0.shape[1]),
+                float(1 if f0.ndim == 2 else f0.shape[2]),
+                float(yp.mean()),
+                float(yp.std()),
+                float(yp.min()),
+                float(yp.max()),
+                float(len(vframes)),
             ]
         else:  # wav
             rate, samples = MC.decode_wav(payload)
@@ -242,16 +263,21 @@ def frame_sample_real(payload: bytes, n_frames: int = 4) -> list[bytes] | None:
     """Real frame sampling for animated media: decode the GIF, pick
     ``n_frames`` evenly spaced frames (the standard video-sampling
     index formula i*T//n), re-encode each as PNG. A static PNG payload
-    yields its single frame repeated. None when no codec recognizes
-    the payload (caller falls back to the byte-window stub)."""
+    yields its single frame repeated; a Y4M video yields its sampled
+    LUMA planes re-encoded as grayscale PNG. None when no codec
+    recognizes the payload (caller falls back to the byte-window
+    stub)."""
     fmt = MC.sniff_format(payload) if payload is not None else None
-    if fmt not in ("png", "gif", "jpeg"):
+    if fmt not in ("png", "gif", "jpeg", "y4m"):
         return None
     try:
         if fmt == "png":
             frames = [MC.decode_png(payload)]
         elif fmt == "jpeg":
             frames = [MC.decode_jpeg(payload)]
+        elif fmt == "y4m":
+            _, vf = MC.decode_y4m(payload)
+            frames = [f if f.ndim == 2 else f[:, :, 0] for f in vf]
         else:
             frames = MC.decode_gif(payload)
         if not frames:
@@ -357,6 +383,130 @@ def extract_audio_features(
             )
 
     return media.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def video_temporal_features(
+    payload: bytes, n_sample: int = 4
+) -> tuple[int, float | None, int, int, list[float], list[float]] | None:
+    """Temporal triage features for one video payload — the
+    video-curation analogue of :func:`audio_band_features`:
+
+    - sample ``n_sample`` evenly spaced frames (index formula
+      ``i*T//n``, the same one :func:`frame_sample_real` uses),
+    - per sampled frame the mean LUMA in [0,1] (brightness walk —
+      the black-clip / slideshow / flicker discriminator),
+    - between consecutive sampled frames the mean |luma delta| in
+      [0,1] (motion proxy — static-card vs moving-content, the
+      standard cheap shot-change statistic).
+
+    Returns ``(n_frames, fps, height, width, luma[n_sample],
+    motion[n_sample-1])``. Y4M carries a real frame rate; animated
+    GIF is accepted as a degenerate video (fps None — the GIF
+    per-frame delay is presentation metadata, not a stream rate).
+    None when no video codec recognizes the payload."""
+    import numpy as np
+
+    fmt = MC.sniff_format(payload) if payload is not None else None
+    try:
+        if fmt == "y4m":
+            fps, frames = MC.decode_y4m(payload)
+            lum = [
+                (f if f.ndim == 2 else f[:, :, 0]).astype(np.float64)
+                for f in frames
+            ]
+        elif fmt == "gif":
+            fps = None
+            frames = MC.decode_gif(payload)
+            # BT.601 luma over the RGB palette output
+            lum = [
+                f.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                for f in frames
+            ]
+        else:
+            return None
+        if not lum:
+            return None
+    except Exception:  # noqa: BLE001 — malformed video
+        return None
+    total = len(lum)
+    picks = [lum[(i * total) // n_sample] for i in range(n_sample)]
+    luma = [round(float(p.mean()) / 255.0, 9) for p in picks]
+    motion = [
+        round(float(np.abs(b - a).mean()) / 255.0, 9)
+        for a, b in zip(picks, picks[1:])
+    ]
+    h, w = picks[0].shape
+    return total, fps, h, w, luma, motion
+
+
+TEMPORAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("vals", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_temporal_features(
+    media: DataFrame, n_bands: int = 8, frame: int = 256, n_sample: int = 4
+) -> DataFrame:
+    """ONE Arrow stage for both temporal modalities — dispatch by
+    sniffed format per payload, so a mixed audio+video corpus pays a
+    single Python round-trip instead of two (the r4 lesson: a 2-row
+    ``mapInPandas`` stage costs ~1.4 s of fixed Arrow overhead at
+    sf0.1 regardless of the work inside).
+
+    Long-format output ``(media_id, kind, vals)``:
+
+    - kind 'audio' (WAV): ``vals = band_share[n_bands] + [n_frames,
+      rms]`` — exactly :func:`audio_band_features`'s layout.
+    - kind 'video' (Y4M / animated GIF): ``vals = luma[n_sample] +
+      motion[n_sample-1] + [n_frames, fps, height, width]`` — see
+      :func:`video_temporal_features` (fps NULL for GIF).
+    - kind NULL otherwise — undecodable rows stay visible.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            kinds, vals = [], []
+            for p in pdf["payload"]:
+                fmt = MC.sniff_format(p) if p is not None else None
+                if fmt == "wav":
+                    r = audio_band_features(p, n_bands, frame)
+                    if r is None:
+                        kinds.append(None)
+                        vals.append(None)
+                    else:
+                        kinds.append("audio")
+                        vals.append(r[2] + [float(r[0]), r[1]])
+                elif fmt in ("y4m", "gif"):
+                    r = video_temporal_features(p, n_sample)
+                    if r is None:
+                        kinds.append(None)
+                        vals.append(None)
+                    else:
+                        nf, fps, h, w, luma, motion = r
+                        kinds.append("video")
+                        vals.append(
+                            luma
+                            + motion
+                            + [
+                                float(nf),
+                                None if fps is None else round(fps, 9),
+                                float(h),
+                                float(w),
+                            ]
+                        )
+                else:
+                    kinds.append(None)
+                    vals.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": kinds, "vals": vals}
+            )
+
+    return media.mapInPandas(batches, schema=TEMPORAL_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -532,35 +682,66 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round("freq", 6).alias("freq"),
             )
         )
-        # 'audio' rows (r10): spectral band shares + n_frames + rms of
-        # a synthesized sine WAV through the distributed
-        # extract_audio_features stage. f = rate/4 makes every sample
-        # exactly 0 or +-0.5 (16-bit PCM quantizes them EXACTLY, since
+        # 'audio' + 'video' rows (r10): both temporal modalities run
+        # through extract_temporal_features — ONE Arrow stage for the
+        # three synthetic payloads (the r4 lesson: each extra 2-row
+        # mapInPandas stage costs ~1.4 s of fixed overhead at sf0.1).
+        #
+        # audio (-5): spectral band shares + n_frames + rms of a
+        # synthesized sine WAV. f = rate/4 makes every sample exactly
+        # 0 or +-0.5 (16-bit PCM quantizes them EXACTLY, since
         # 0.5*32767 rounds half-even to 16384 = 0.5*32768), the FFT
         # bin (frame/4 = 64 of 129) is leakage-free, and band/rms are
         # closed forms: all energy in band 64*8//129 = 3, rms =
-        # 0.5/sqrt(2). Shares and the two scalars fuse into ONE
-        # posexplode so the leg pays a single Arrow stage.
+        # 0.5/sqrt(2).
+        #
+        # video (-6, -7): Y4M streams built with the engine's own
+        # spec encoder, constant-luma frames so every sampled-frame
+        # mean and inter-frame |delta| is a closed form:
+        #   -6 mono 16x12, 6 frames of luma 20+10k at F25:1 —
+        #      sample picks i*6//4 = frames 0/1/3/4;
+        #   -7 C420 color 8x8, 4 frames of Y=100+5k, Cb=Cr=128, at
+        #      F30000:1001 (NTSC) — constant chroma survives the 2x2
+        #      box subsample exactly, so the color plane path is also
+        #      spec-exact.
         import numpy as np
 
         sine = 0.5 * np.sin(np.pi * np.arange(2048) / 2)
-        audio_media = spark.createDataFrame(
-            [(-5, bytearray(MC.encode_wav(8192, sine)))],
+        v_mono = MC.encode_y4m(
+            [np.full((12, 16), 20 + 10 * k, dtype=np.uint8) for k in range(6)],
+            fps=(25, 1),
+        )
+        v_color = MC.encode_y4m(
+            [
+                np.stack(
+                    [
+                        np.full((8, 8), 100 + 5 * k, dtype=np.uint8),
+                        np.full((8, 8), 128, dtype=np.uint8),
+                        np.full((8, 8), 128, dtype=np.uint8),
+                    ],
+                    axis=2,
+                )
+                for k in range(4)
+            ],
+            fps=(30000, 1001),
+        )
+        av_media = spark.createDataFrame(
+            [
+                (-5, bytearray(MC.encode_wav(8192, sine))),
+                (-6, bytearray(v_mono)),
+                (-7, bytearray(v_color)),
+            ],
             "media_id long, payload binary",
         )
-        audio_rows = (
-            extract_audio_features(audio_media, n_bands=8, frame=256)
+        av_rows = (
+            extract_temporal_features(av_media, n_bands=8, frame=256, n_sample=4)
             .select(
+                "kind",
                 "media_id",
-                F.posexplode(
-                    F.concat(
-                        "band_share",
-                        F.array(F.col("n_frames").cast("double"), "rms"),
-                    )
-                ).alias("bucket", "freq"),
+                F.posexplode("vals").alias("bucket", "freq"),
             )
             .select(
-                F.lit("audio").alias("kind"),
+                "kind",
                 "media_id",
                 F.lit(None).cast("string").alias("media_type"),
                 F.lit(None).cast("long").alias("n_bytes"),
@@ -590,7 +771,7 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             meta.unionByName(feats)
-            .unionByName(audio_rows)
+            .unionByName(av_rows)
             .unionByName(frame_rows)
         )
 
@@ -684,6 +865,33 @@ SELECT 'audio', -5::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(10)) AS pos,
          unnest([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 8.0, sqrt(0.125)]) AS val
+) u
+UNION ALL
+-- 'video' rows (r10): two Y4M streams with constant-luma frames, so
+-- the sampled-frame brightness walk and motion proxies are closed
+-- forms. vals layout = luma[4] + motion[3] + [n_frames, fps, h, w].
+--   -6 mono, frames luma 20+10k (k<6), picks i*6//4 = 0/1/3/4:
+--      luma 20/30/50/60 /255; |delta| 10/20/10 /255; 6 frames @ 25fps,
+--      12x16.
+--   -7 C420, Y = 100+5k (k<4), picks 0..3: luma 100..115 /255;
+--      |delta| 5/255 x3; 4 frames @ 30000/1001 fps (round-9 first,
+--      like the engine's Python-side rounding), 8x8.
+SELECT 'video', -6::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(11)) AS pos,
+         unnest([20 / 255.0, 30 / 255.0, 50 / 255.0, 60 / 255.0,
+                 10 / 255.0, 20 / 255.0, 10 / 255.0,
+                 6.0, 25.0, 12.0, 16.0]) AS val
+) u
+UNION ALL
+SELECT 'video', -7::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(11)) AS pos,
+         unnest([100 / 255.0, 105 / 255.0, 110 / 255.0, 115 / 255.0,
+                 5 / 255.0, 5 / 255.0, 5 / 255.0,
+                 4.0, 30000 / 1001.0, 8.0, 8.0]) AS val
 ) u
 UNION ALL
 -- 'frame' rows (former mm_frames query): resize_stub picks exactly

@@ -263,3 +263,102 @@ def test_mm_query_fixtures_still_stub_path(spark):
     )
     feat = MM.extract_features(media).collect()[0]["feature"]
     assert feat == MM.decode_stub(b"plain text body", "text/plain")
+
+
+# ---------------------------------------------------------------- Y4M
+
+
+def _y4m_mono(n=6, h=12, w=16):
+    return MC.encode_y4m(
+        [np.full((h, w), 20 + 10 * k, dtype=np.uint8) for k in range(n)],
+        fps=(25, 1),
+    )
+
+
+def test_y4m_roundtrip_mono_and_c420():
+    mono_frames = [
+        np.arange(12 * 16, dtype=np.uint8).reshape(12, 16) + k for k in range(3)
+    ]
+    fps, dec = MC.decode_y4m(MC.encode_y4m(mono_frames, fps=(24, 1)))
+    assert fps == 24.0 and len(dec) == 3
+    assert all((a == b).all() for a, b in zip(mono_frames, dec))
+    # C420: chroma constant per 2x2 site -> box-subsample + nearest
+    # upsample round-trips exactly; luma is arbitrary per pixel
+    rng = np.random.default_rng(7)
+    color = []
+    for _ in range(4):
+        y = rng.integers(0, 256, (8, 10), dtype=np.uint8)
+        cb = np.repeat(np.repeat(rng.integers(0, 256, (4, 5)), 2, 0), 2, 1)
+        cr = np.repeat(np.repeat(rng.integers(0, 256, (4, 5)), 2, 0), 2, 1)
+        color.append(np.stack([y, cb, cr], axis=2).astype(np.uint8))
+    fps, dec = MC.decode_y4m(MC.encode_y4m(color, fps=(30000, 1001)))
+    assert abs(fps - 30000 / 1001) < 1e-12
+    assert all((a == b).all() for a, b in zip(color, dec))
+
+
+def test_y4m_rejects_bad_streams():
+    good = _y4m_mono()
+    with pytest.raises(ValueError):
+        MC.decode_y4m(b"not a stream")
+    with pytest.raises(ValueError):  # interlaced
+        MC.decode_y4m(good.replace(b" Ip ", b" It "))
+    with pytest.raises(ValueError):  # truncated last frame
+        MC.decode_y4m(good[:-1])
+    with pytest.raises(ValueError):  # unsupported colorspace
+        MC.decode_y4m(good.replace(b"Cmono", b"C411 "))
+    with pytest.raises(ValueError):  # odd geometry under C420
+        MC.encode_y4m([np.zeros((7, 8, 3), dtype=np.uint8)])
+    assert MC.sniff_format(good) == "y4m"
+
+
+def test_video_temporal_features_closed_forms():
+    nf, fps, h, w, luma, motion = MM.video_temporal_features(
+        _y4m_mono(), n_sample=4
+    )
+    assert (nf, fps, h, w) == (6, 25.0, 12, 16)
+    # picks i*6//4 = frames 0,1,3,4 -> luma 20/30/50/60
+    assert luma == [round(v / 255, 9) for v in (20, 30, 50, 60)]
+    assert motion == [round(v / 255, 9) for v in (10, 20, 10)]
+    # animated GIF = degenerate video: fps is None, BT.601 luma
+    g = MC.encode_gif([np.full((8, 8, 3), v, dtype=np.uint8) for v in (30, 60, 90)])
+    nf, fps, *_rest, luma, motion = MM.video_temporal_features(g, n_sample=3)
+    assert nf == 3 and fps is None
+    assert luma == [round(v / 255, 9) for v in (30, 60, 90)]
+    assert MM.video_temporal_features(b"garbage") is None
+
+
+def test_decode_real_and_frame_sample_take_y4m():
+    feats = MM.decode_real(_y4m_mono())
+    assert feats == [12.0, 16.0, 1.0, round(20 / 255, 9), 0.0,
+                     round(20 / 255, 9), round(20 / 255, 9), 6.0]
+    frames = MM.frame_sample_real(_y4m_mono(), n_frames=2)
+    assert len(frames) == 2
+    # sampled luma planes re-encode as grayscale PNG: frame 1 is the
+    # source's frame 3 (1*6//2) with constant luma 50
+    assert (np.squeeze(MC.decode_png(frames[1])) == 50).all()
+
+
+def test_extract_temporal_features_fused_stage(spark):
+    sine = 0.5 * np.sin(np.pi * np.arange(2048) / 2)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(MC.encode_wav(8192, sine))),
+            (2, bytearray(_y4m_mono())),
+            (3, b"neither modality"),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in MM.extract_temporal_features(media, n_sample=4).collect()
+    }
+    assert rows[1]["kind"] == "audio"
+    assert rows[1]["vals"][8] == 8.0  # n_frames = 2048/256
+    assert rows[1]["vals"][3] == 1.0  # all energy in band 3
+    assert rows[2]["kind"] == "video"
+    assert rows[2]["vals"] == [
+        *[round(v / 255, 9) for v in (20, 30, 50, 60)],
+        *[round(v / 255, 9) for v in (10, 20, 10)],
+        6.0, 25.0, 12.0, 16.0,
+    ]
+    assert rows[3]["kind"] is None and rows[3]["vals"] is None
