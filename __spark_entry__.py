@@ -410,11 +410,33 @@ def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_low_diversity") == 0).cast("long").alias("freq"),
         )
     )
+    # r10 'sketch' legs: mergeable-HLL cardinality profiling
+    # (P.sketch_distinct_report) — the distinct-count a 100-TB profile
+    # ships. count carries the exact twin (the oracle pin); freq
+    # carries the fused verdict: global sketch AND union-of-shard
+    # sketches both within 5% of exact (merge path = how 1000
+    # executors would profile: per-shard sketches, register-max
+    # union, one tiny merge instead of a distinct-value shuffle).
+    sketch = P.sketch_distinct_report(
+        orders,
+        ["o_custkey", "o_orderdate", "o_orderpriority"],
+        shard_key="o_orderkey",
+    ).select(
+        F.lit("sketch").alias("kind"),
+        F.concat(F.lit("hll:"), F.col("col_name")).alias("col_name"),
+        F.col("n_exact").alias("count"),
+        F.lit(None).cast("double").alias("mean"),
+        *null_stats,
+        F.lit(None).cast("long").alias("n_unique"),
+        F.col("col_name").alias("top"),
+        (F.col("merge_ok") * F.col("err_ok")).cast("long").alias("freq"),
+    )
     return (
         num.unionByName(obj)
         .unionByName(dq)
         .unionByName(split_rows)
         .unionByName(priv_rows)
+        .unionByName(sketch)
     )
 
 
@@ -2050,6 +2072,20 @@ FROM ({k_anon_agg})"""
   (CASE WHEN n_low_diversity = 0 THEN 1 ELSE 0 END)::BIGINT AS freq
 FROM ({k_anon_agg})"""
     )
+    # 'sketch' legs — the exact-distinct twin pins count; freq = 1
+    # expects BOTH the global HLL estimate and the union-of-shard
+    # estimate within 5% of exact (engine-side fused verdict, the
+    # ra_ok convention)
+    for c in ("o_custkey", "o_orderdate", "o_orderpriority"):
+        parts.append(
+            f"""SELECT 'sketch' AS kind, 'hll:{c}' AS col_name,
+  count(DISTINCT {c})::BIGINT AS count, CAST(NULL AS DOUBLE) AS mean,
+  CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS min,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS max,
+  CAST(NULL AS BIGINT) AS n_unique, '{c}' AS top, 1::BIGINT AS freq
+FROM orders"""
+        )
     return "\nUNION ALL\n".join(parts)
 
 

@@ -494,3 +494,100 @@ def fd_report(df: DataFrame, pairs: Sequence[tuple]) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def sketch_distinct_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    shard_key: str,
+    n_shards: int = 32,
+    lg_k: int = 12,
+    rel_err: float = 0.05,
+) -> DataFrame:
+    """Mergeable-sketch cardinality profiling — the distinct-count a
+    100-TB profile actually ships. Exact ``count(DISTINCT)`` is a
+    full shuffle of every distinct value per column; the Datasketches
+    HLL sketch (Spark's ``hll_sketch_agg``) is a fixed 2^lg_k-register
+    summary whose union is register-wise max — associative and
+    commutative — so 1000 executors each sketch their shard and the
+    driver-side union is exact over the sketches: ONE tiny merge
+    replaces the value shuffle.
+
+    This report proves both halves on real data, per column:
+
+    - ``est`` — the one-pass global sketch estimate (deterministic:
+      the sketch is a pure function of the value SET),
+    - ``merge_ok`` — the estimate rebuilt the distributed way (group
+      by ``pmod(hash(shard_key), n_shards)``, one sketch per shard,
+      ``hll_union_agg`` over the shard sketches) ALSO lands within
+      ``rel_err`` of the exact count — the mergeability contract.
+      (Bit-equality with the global sketch is deliberately NOT the
+      check: a Datasketches HLL's representation depends on its build
+      path — low-cardinality shard sketches stay in sparse
+      exact-coupon mode, so their union can be MORE accurate than the
+      one-shot dense sketch. Both paths must meet the error bound;
+      neither must reproduce the other's rounding.)
+    - ``n_exact`` + ``err_ok`` — the exact twin and the
+      |est - exact| / exact <= rel_err agreement verdict. The exact
+      twin is the validation-scale pin (same convention as the
+      robust-scale fit): above validation scale a deployment drops
+      it and keeps the sketch columns.
+
+    Scale shape: one global agg (all columns fused, map-side partial
+    sketches) + one grouped agg with <= n_shards output rows. Nothing
+    corpus-sized is collected or shuffled.
+    """
+    # hll_sketch_agg accepts int/bigint/string/binary — other types
+    # profile through their canonical string form (both the sketch and
+    # the exact twin read the SAME expression, so the comparison holds)
+    ok_types = ("int", "bigint", "string", "binary")
+    val = {
+        c: (
+            F.col(c)
+            if df.schema[c].dataType.simpleString() in ok_types
+            else F.col(c).cast("string")
+        )
+        for c in cols
+    }
+    shard = F.pmod(F.hash(F.col(shard_key)), F.lit(n_shards)).alias("__shard")
+    per_shard = df.groupBy(shard).agg(
+        *[F.hll_sketch_agg(val[c], lg_k).alias(f"sk_{c}") for c in cols]
+    )
+    merged = per_shard.agg(
+        *[
+            F.hll_sketch_estimate(F.hll_union_agg(F.col(f"sk_{c}"))).alias(
+                f"m_{c}"
+            )
+            for c in cols
+        ]
+    )
+    glob = df.agg(
+        *[
+            x
+            for c in cols
+            for x in (
+                F.countDistinct(val[c]).alias(f"x_{c}"),
+                F.hll_sketch_estimate(F.hll_sketch_agg(val[c], lg_k)).alias(
+                    f"g_{c}"
+                ),
+            )
+        ]
+    )
+    both = glob.crossJoin(F.broadcast(merged))
+    rows = [
+        both.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"x_{c}").cast("long").alias("n_exact"),
+            F.col(f"g_{c}").alias("est"),
+            (
+                F.abs(F.col(f"m_{c}") - F.col(f"x_{c}"))
+                <= F.lit(rel_err) * F.col(f"x_{c}")
+            ).cast("long").alias("merge_ok"),
+            (
+                F.abs(F.col(f"g_{c}") - F.col(f"x_{c}"))
+                <= F.lit(rel_err) * F.col(f"x_{c}")
+            ).cast("long").alias("err_ok"),
+        )
+        for c in cols
+    ]
+    return reduce(DataFrame.unionByName, rows)

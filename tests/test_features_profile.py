@@ -358,3 +358,40 @@ def test_dq_expr_rule_not_true_violates(spark):
     assert sorted(x["id"] for x in passed.collect()) == [1, 3, 4]
     q = quar.collect()
     assert len(q) == 1 and q[0]["__dq_violations"] == ["expr:amt_tier"]
+
+
+def test_sketch_distinct_report_contracts(spark):
+    # 5000 rows, known cardinalities: id unique, mod-97 key, 3 labels
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("k97"),
+        (F.col("id") % 3).cast("string").alias("lab"),
+    )
+    rows = {
+        r["col_name"]: r
+        for r in P.sketch_distinct_report(
+            df, ["id", "k97", "lab"], shard_key="id"
+        ).collect()
+    }
+    assert rows["id"]["n_exact"] == 5000
+    assert rows["k97"]["n_exact"] == 97
+    assert rows["lab"]["n_exact"] == 3
+    for r in rows.values():
+        assert r["err_ok"] == 1 and r["merge_ok"] == 1
+        assert abs(r["est"] - r["n_exact"]) <= 0.05 * r["n_exact"]
+    # small cardinalities estimate exactly (sparse coupon mode)
+    assert rows["lab"]["est"] == 3.0
+    # determinism: the sketch is a pure function of the value set —
+    # a different partitioning yields the identical estimate
+    again = {
+        r["col_name"]: r
+        for r in P.sketch_distinct_report(
+            df.repartition(17, "lab"), ["id", "k97", "lab"], shard_key="id"
+        ).collect()
+    }
+    for c in ("id", "k97", "lab"):
+        assert again[c]["est"] == rows[c]["est"]
+    # unsupported input types profile through their string form
+    ts = df.select(F.timestamp_seconds(F.col("id") % 11).alias("t"), "id")
+    r = P.sketch_distinct_report(ts, ["t"], shard_key="id").collect()[0]
+    assert r["n_exact"] == 11 and r["err_ok"] == 1
