@@ -39,6 +39,7 @@ from data_integration_and_harmonization_spark.operators import similarity as SIM
 from data_integration_and_harmonization_spark.operators import text as TX
 from data_integration_and_harmonization_spark.plans import curation as CUR
 from data_integration_and_harmonization_spark.plans import pipeline as PL
+from data_integration_and_harmonization_spark.plans import sql as _SQL
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -669,9 +670,7 @@ def q_feat_label_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_sql_shipping(spark: SparkSession, sf: str) -> DataFrame:
-    from data_integration_and_harmonization_spark.plans.sql import shipping_priority
-
-    return shipping_priority(spark, sf)
+    return _SQL.correlated_analytics(spark, sf)
 
 
 def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
@@ -2567,20 +2566,11 @@ SELECT 'onehot_ok', '*',
        (CASE WHEN (SELECT count(*) FROM customer WHERE c_mktsegment IS NULL) = 0
              THEN 1 ELSE 0 END)::BIGINT
 """,
-        "sql_shipping_priority": """
-SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
-       o_orderdate
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1997-03-15'
-  AND l_shipdate > TIMESTAMP '1997-03-15'
-GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
-""",
+        # ONE ANSI text, two engines: the oracle executes the exact
+        # string Catalyst parses (plans/sql.py CORRELATED_SQL) — Q3
+        # plus the correlated-subquery decorrelation family
+        # (Q17 scalar-correlated, Q4 EXISTS, Q22 NOT EXISTS + scalar).
+        "sql_shipping_priority": _SQL.CORRELATED_SQL,
         # Each streaming path must reproduce its batch twin exactly,
         # so every agreement summary is itself SQL-derivable:
         # n_windows = n_agree = the batch-side group count per leg,

@@ -245,3 +245,17 @@ def test_pagerank_loop_shuffles_only_rank_frame(spark):
     finally:
         ed.unpersist(False)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """Catalyst must rewrite the SQL surface's correlated shapes into
+    joins — EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, the correlated
+    scalar average into an aggregate+join — and never into a
+    per-row re-execution or a cartesian product."""
+    from data_integration_and_harmonization_spark.plans.sql import correlated_analytics
+
+    plan = correlated_analytics(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin Inner" not in plan, plan

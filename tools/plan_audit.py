@@ -80,6 +80,11 @@ ALLOWED = {
     # 'copairs' basket-total fit: global distinct-count final merge —
     # one partial row per upstream task, bounded
     "rel_grouping_sets": {"Exchange SinglePartition"},
+    # r10 correlated-subquery legs: q3's global top-10 merge (limit
+    # rows per upstream task) and the q17/q22 uncorrelated scalar
+    # subqueries (1-row global averages) — bounded at any scale; the
+    # correlated shapes themselves decorrelate to semi/anti joins
+    "sql_shipping_priority": {"Exchange SinglePartition"},
 }
 
 
