@@ -515,8 +515,11 @@ def sketch_distinct_report(
 
     This report proves both halves on real data, per column:
 
-    - ``est`` — the one-pass global sketch estimate (deterministic:
-      the sketch is a pure function of the value SET),
+    - ``est`` — the one-pass global sketch estimate (NOT exactly
+      partition-independent: executor-side partial sketches merge in
+      sparse or dense mode depending on each partition's cardinality,
+      so the estimate can drift a few units across layouts — which is
+      why downstream oracles pin the VERDICT columns, never ``est``),
     - ``merge_ok`` — the estimate rebuilt the distributed way (group
       by ``pmod(hash(shard_key), n_shards)``, one sketch per shard,
       ``hll_union_agg`` over the shard sketches) ALSO lands within
@@ -573,21 +576,36 @@ def sketch_distinct_report(
             )
         ]
     )
+    # one row per column via stack over the single joined 1-row frame
+    # — NOT a union of per-column selects, which would re-execute both
+    # aggregates once per column and add a plan branch (and a codegen
+    # unit) per column to every query this report rides in
     both = glob.crossJoin(F.broadcast(merged))
-    rows = [
-        both.select(
-            F.lit(c).alias("col_name"),
-            F.col(f"x_{c}").cast("long").alias("n_exact"),
-            F.col(f"g_{c}").alias("est"),
-            (
-                F.abs(F.col(f"m_{c}") - F.col(f"x_{c}"))
-                <= F.lit(rel_err) * F.col(f"x_{c}")
-            ).cast("long").alias("merge_ok"),
-            (
-                F.abs(F.col(f"g_{c}") - F.col(f"x_{c}"))
-                <= F.lit(rel_err) * F.col(f"x_{c}")
-            ).cast("long").alias("err_ok"),
-        )
-        for c in cols
-    ]
-    return reduce(DataFrame.unionByName, rows)
+    stacked = both.select(
+        F.stack(
+            F.lit(len(cols)),
+            *[
+                x
+                for c in cols
+                for x in (
+                    F.lit(c),
+                    F.col(f"x_{c}").cast("long"),
+                    F.col(f"g_{c}"),
+                    F.col(f"m_{c}"),
+                )
+            ],
+        ).alias("col_name", "n_exact", "est", "m_est")
+    )
+    return stacked.select(
+        "col_name",
+        "n_exact",
+        "est",
+        (
+            F.abs(F.col("m_est") - F.col("n_exact"))
+            <= F.lit(rel_err) * F.col("n_exact")
+        ).cast("long").alias("merge_ok"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= F.lit(rel_err) * F.col("n_exact")
+        ).cast("long").alias("err_ok"),
+    )
