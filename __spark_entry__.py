@@ -835,6 +835,38 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         reject_empty=True,
         skip_errors=False,
     )
+    # '__xlsx_ds' row: the DISTRIBUTED xlsx path (sources/pyds.py, a
+    # Spark-4 Python DataSource: one executor partition per workbook,
+    # stdlib ECMA-376 decode on the executors) — the corpus-scale
+    # sibling of the driver-side S2 bridge above. Region is split
+    # into TWO workbooks with different header orders; the scan must
+    # align by name across both files. sum_nkey carries the number of
+    # distinct source files seen (pins the per-file partitioning and
+    # the _src_file provenance column); sum_rkey the key checksum
+    # through the all-string schema-on-read cast back to long.
+    from data_integration_and_harmonization_spark.sources.pyds import (
+        read_xlsx_corpus,
+    )
+
+    ds_dir = base + "_region_corpus"
+    os.makedirs(ds_dir, exist_ok=True)
+    write_xlsx(
+        os.path.join(ds_dir, "part1.xlsx"),
+        ["r_regionkey", "r_name"],
+        region_rows[:2],
+    )
+    write_xlsx(
+        os.path.join(ds_dir, "part2.xlsx"),
+        ["r_name", "r_regionkey"],
+        [[n, k] for k, n in region_rows[2:]],
+    )
+    xlsx_ds_row = read_xlsx_corpus(spark, ds_dir).agg(
+        F.lit("__xlsx_ds").alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.countDistinct("_src_file").alias("sum_nkey"),
+        F.sum(F.col("r_regionkey").cast("long")).alias("sum_rkey"),
+    )
     u = H.harmonize(srcs)
     agg = u.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1205,6 +1237,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(merge_row)
         .unionByName(evolve_row)
         .unionByName(skip_row)
+        .unionByName(xlsx_ds_row)
     )
 
 
@@ -2458,6 +2491,14 @@ SELECT '__skip', count(*)::BIGINT, round(sum(l_quantity), 6),
        1::BIGINT, CAST(NULL AS BIGINT)
 FROM lineitem
 WHERE l_orderkey % 10 = 7 AND l_orderkey >= 2500 AND l_orderkey <= 2999
+UNION ALL
+-- distributed xlsx corpus scan (Python DataSource): region split
+-- across two workbooks with different header orders, aligned by
+-- name; sum_nkey = distinct source files (2), sum_rkey = key
+-- checksum through the all-string schema-on-read
+SELECT '__xlsx_ds', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       2::BIGINT, sum(r_regionkey)::BIGINT
+FROM region
 """,
         "ml_exact_split": """
 WITH ranked AS (

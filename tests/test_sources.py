@@ -989,3 +989,35 @@ def test_merge_after_evolve_keeps_adopted_column(spark, tmp_path):
     }
     assert s2["rows_matched"] == 2 and s2["rows_inserted"] == 0
     assert s1["version"] < s2["version"]
+
+
+def test_xlsx_corpus_datasource_distributed_scan(spark, tmp_path):
+    """sources/pyds.py: Spark-4 Python DataSource — one partition per
+    workbook, executor-side stdlib decode, by-name alignment."""
+    from data_integration_and_harmonization_spark.sources.pyds import read_xlsx_corpus
+    from data_integration_and_harmonization_spark.sources.xlsx import write_xlsx
+
+    d = tmp_path / "books"
+    d.mkdir()
+    write_xlsx(str(d / "a.xlsx"), ["id", "name", "bal"], [[1, "alice", 10.5], [2, "bob", 3.0]])
+    # different column ORDER + an extra column: aligns by name, extras drop
+    write_xlsx(str(d / "b.xlsx"), ["bal", "id", "junk"], [[7.25, 3, "zzz"]])
+    # missing column: reads NULL
+    write_xlsx(str(d / "c.xlsx"), ["id"], [[4]])
+    df = read_xlsx_corpus(spark, str(d))
+    assert df.schema.simpleString() == (
+        "struct<id:string,name:string,bal:string,_src_file:string>"
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per workbook
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["2"]["bal"] == "3"  # integral float renders canonical
+    assert rows["3"]["name"] is None and rows["3"]["bal"] == "7.25"
+    assert rows["4"]["bal"] is None
+    assert {r["_src_file"] for r in rows.values()} == {"a.xlsx", "b.xlsx", "c.xlsx"}
+    # glob form
+    assert read_xlsx_corpus(spark, str(d / "*.xlsx")).count() == 4
+    # no matches: clear error, not an empty frame
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no workbooks match"):
+        read_xlsx_corpus(spark, str(d / "nope-*.xlsx")).count()
