@@ -432,12 +432,61 @@ def q_describe_all(spark: SparkSession, sf: str) -> DataFrame:
         F.col("col_name").alias("top"),
         (F.col("merge_ok") * F.col("err_ok")).cast("long").alias("freq"),
     )
+    # r10 'sketch' INCREMENTAL legs: the store-backed profile
+    # (P.profile_store_update / profile_store_estimate) — orders
+    # arrives as two batches, each appends ~KB of per-column HLL
+    # sketches to a store, and the corpus-wide profile is read off
+    # the STORE alone (history never rescanned: O(batch) profiling).
+    # count carries the store's total row count (oracle: count(*)),
+    # n_unique the batch count (oracle: 2), freq the fused verdict —
+    # store estimate within 5% of the whole-table exact distinct AND
+    # row counts conserved across batches.
+    import os as _os
+
+    from data_integration_and_harmonization_spark.functions.caching import (
+        scratch_dir as _scratch,
+    )
+
+    inc_cols = ["o_custkey", "o_orderpriority"]
+    store = _os.path.join(_scratch("profstore"), "orders_profile")
+    P.profile_store_update(
+        orders.where(F.col("o_orderkey") % 2 == 0), store, inc_cols
+    )
+    P.profile_store_update(
+        orders.where(F.col("o_orderkey") % 2 == 1), store, inc_cols
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("x_o_custkey"),
+        F.countDistinct("o_orderpriority").alias("x_o_orderpriority"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    x_of = F.when(
+        F.col("col_name") == "o_custkey", F.col("x_o_custkey")
+    ).otherwise(F.col("x_o_orderpriority"))
+    inc_rows = (
+        P.profile_store_estimate(spark, store)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit("sketch").alias("kind"),
+            F.concat(F.lit("inc:"), F.col("col_name")).alias("col_name"),
+            F.col("n_rows").alias("count"),
+            F.lit(None).cast("double").alias("mean"),
+            *null_stats,
+            F.col("n_batches").alias("n_unique"),
+            F.col("col_name").alias("top"),
+            (
+                (F.abs(F.col("est_distinct") - x_of) <= F.lit(0.05) * x_of)
+                & (F.col("n_rows") == F.col("n_all"))
+            ).cast("long").alias("freq"),
+        )
+    )
     return (
         num.unionByName(obj)
         .unionByName(dq)
         .unionByName(split_rows)
         .unionByName(priv_rows)
         .unionByName(sketch)
+        .unionByName(inc_rows)
     )
 
 
@@ -2116,6 +2165,19 @@ FROM ({k_anon_agg})"""
   CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
   CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS max,
   CAST(NULL AS BIGINT) AS n_unique, '{c}' AS top, 1::BIGINT AS freq
+FROM orders"""
+        )
+    # incremental sketch-store legs: count = total rows conserved
+    # across the two store batches, n_unique = the batch count, freq =
+    # the engine-side estimate-vs-exact + row-conservation verdict
+    for c in ("o_custkey", "o_orderpriority"):
+        parts.append(
+            f"""SELECT 'sketch' AS kind, 'inc:{c}' AS col_name,
+  count(*)::BIGINT AS count, CAST(NULL AS DOUBLE) AS mean,
+  CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS min,
+  CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,
+  CAST(NULL AS DOUBLE) AS p75, CAST(NULL AS DOUBLE) AS max,
+  2::BIGINT AS n_unique, '{c}' AS top, 1::BIGINT AS freq
 FROM orders"""
         )
     return "\nUNION ALL\n".join(parts)

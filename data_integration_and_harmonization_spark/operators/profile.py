@@ -609,3 +609,113 @@ def sketch_distinct_report(
             <= F.lit(rel_err) * F.col("n_exact")
         ).cast("long").alias("err_ok"),
     )
+
+
+def _complete_batches(spark, store_path: str) -> list[str]:
+    """List the store's COMPLETE batch subdirectories (same batch- +
+    _SUCCESS protocol as the dedup stores: Hadoop FS listing so remote
+    stores work; crashed writers' dirs are invisible)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[str] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("batch-")
+                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+            ):
+                out.append(st.getPath().toString())
+    out.sort()
+    return out
+
+
+PROFILE_STORE_SCHEMA = "col_name string, sketch binary, n_nonnull long, n_rows long"
+
+
+def profile_store_update(
+    batch_df: DataFrame,
+    store_path: str,
+    cols: Sequence[str],
+    lg_k: int = 12,
+) -> str:
+    """Append ONE batch's mergeable profile to a sketch store — the
+    incremental sibling of :func:`sketch_distinct_report`, and the
+    profiling shape a continuously-ingesting corpus needs: per batch
+    the store gains one ~KB row per column (HLL sketch + null/row
+    counts); the corpus-wide profile is then a union over the store
+    (:func:`profile_store_estimate`) that never rescans history —
+    profiling cost is O(new batch), not O(corpus).
+
+    Store layout: ``store_path/batch-NNNNNN-<uuid>/`` parquet under
+    the engine's batch + _SUCCESS protocol (same as the dedup
+    signature stores: crashed writers stay invisible, and the explicit
+    batch list makes reads recompute-stable). Not atomic across
+    concurrent callers — serialize batches, which is how ingestion
+    runs anyway. Returns the new batch directory.
+
+    Scale shape: ONE map-side-combined aggregate over the batch
+    (sketches + counts fused), melted to a column-per-row frame of
+    fixed size — nothing batch-sized is collected or shuffled.
+    """
+    import os
+    import uuid
+
+    spark = batch_df.sparkSession
+    ok_types = ("int", "bigint", "string", "binary")
+    val = {
+        c: (
+            F.col(c)
+            if batch_df.schema[c].dataType.simpleString() in ok_types
+            else F.col(c).cast("string")
+        )
+        for c in cols
+    }
+    agg = batch_df.agg(
+        *[
+            x
+            for c in cols
+            for x in (
+                F.hll_sketch_agg(val[c], lg_k).alias(f"sk_{c}"),
+                F.count(val[c]).alias(f"nn_{c}"),
+            )
+        ],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rows = agg.select(
+        F.stack(
+            F.lit(len(cols)),
+            *[
+                x
+                for c in cols
+                for x in (F.lit(c), F.col(f"sk_{c}"), F.col(f"nn_{c}"))
+            ],
+        ).alias("col_name", "sketch", "n_nonnull"),
+        F.col("__n").alias("n_rows"),
+    )
+    batches = _complete_batches(spark, store_path)
+    out_dir = os.path.join(
+        store_path, f"batch-{len(batches):06d}-{uuid.uuid4().hex[:8]}"
+    )
+    rows.write.parquet(out_dir)
+    return out_dir
+
+
+def profile_store_estimate(spark, store_path: str) -> DataFrame:
+    """Corpus-wide profile off the sketch store alone: per column the
+    distinct-count estimate (register-max union over every batch's
+    sketch — mergeability is exactly why the store can stand for the
+    corpus), total non-null and row counts, and the batch count. One
+    scan of a store that is ~KB per admitted batch."""
+    batches = _complete_batches(spark, store_path)
+    if not batches:
+        raise FileNotFoundError(f"profile store {store_path!r} has no batches")
+    rows = spark.read.schema(PROFILE_STORE_SCHEMA).parquet(*batches)
+    return rows.groupBy("col_name").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_batches"),
+    )

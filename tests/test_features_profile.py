@@ -397,3 +397,31 @@ def test_sketch_distinct_report_contracts(spark):
     ts = df.select(F.timestamp_seconds(F.col("id") % 11).alias("t"), "id")
     r = P.sketch_distinct_report(ts, ["t"], shard_key="id").collect()[0]
     assert r["n_exact"] == 11 and r["err_ok"] == 1
+
+
+def test_profile_store_incremental(spark, tmp_path):
+    store = str(tmp_path / "prof")
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("lab")
+    )
+    b1 = df.where(F.col("id") % 2 == 0)
+    b2 = df.where(F.col("id") % 2 == 1)
+    P.profile_store_update(b1, store, ["id", "lab"])
+    P.profile_store_update(b2, store, ["id", "lab"])
+    rows = {r["col_name"]: r for r in P.profile_store_estimate(spark, store).collect()}
+    assert rows["id"]["n_rows"] == 4000 and rows["id"]["n_batches"] == 2
+    assert rows["lab"]["est_distinct"] == 7.0  # sparse mode: exact
+    assert abs(rows["id"]["est_distinct"] - 4000) <= 0.05 * 4000
+    assert rows["lab"]["n_nonnull"] == 4000
+    # a crashed writer's dir (no _SUCCESS) is invisible to the profile
+    import os
+
+    crashed = os.path.join(store, "batch-999999-deadbeef")
+    os.makedirs(crashed)
+    rows2 = {r["col_name"]: r for r in P.profile_store_estimate(spark, store).collect()}
+    assert rows2["id"]["n_batches"] == 2
+    # empty store: clear error
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        P.profile_store_estimate(spark, str(tmp_path / "missing"))
