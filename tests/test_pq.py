@@ -347,3 +347,62 @@ def test_ann_index_tombstone_delete(spark, emb, tmp_path):
     m2 = append_ann_index(back, idx_dir)
     assert m2["parent"] == m1["version"]
     assert load_ann_index(spark, idx_dir)["codes"].count() == n_all
+
+
+def test_ann_index_streaming_maintenance(spark, emb, tmp_path):
+    """Composition: a STREAM of embedding batches maintains the
+    persisted index — each micro-batch lands through append_ann_index
+    inside foreachBatch (the streaming index-maintenance shape: the
+    base is built once, increments ride the drain). After the drain,
+    serving from the chain equals an in-memory run over the full
+    corpus with the same frozen quantizers."""
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        append_ann_index,
+        build_ann_index,
+        ivfpq_topk,
+        load_ann_index,
+    )
+
+    idx_dir = str(tmp_path / "ann_stream")
+    src_dir = str(tmp_path / "emb_src")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    build_ann_index(base, idx_dir, m=4, k=8, n_clusters=8)
+
+    # the increment arrives as files -> a bounded file stream
+    emb.where(F.col("vec_id") % 3 == 1).write.parquet(src_dir + "/b1")
+    emb.where(F.col("vec_id") % 3 == 2).write.parquet(src_dir + "/b2")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/b*")
+    )
+
+    def maintain(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        append_ann_index(batch_df, idx_dir)
+
+    (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    idx = load_ann_index(spark, idx_dir)
+    assert idx["codes"].count() == emb.count()  # nothing lost or doubled
+    queries = emb.where(F.col("vec_id") < 5)
+    served = ivfpq_topk(
+        emb, queries, idx["books"], k=5, n_clusters=8, n_probe=2, refine=4,
+        codes=idx["codes"], centers=idx["centers"], prune_codes=True,
+    )
+    fresh_codes_free = ivfpq_topk(
+        emb, queries, idx["books"], k=5, n_clusters=8, n_probe=2, refine=4,
+        centers=idx["centers"],
+    )
+    a = {(r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
+         for r in served.collect()}
+    b = {(r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
+         for r in fresh_codes_free.collect()}
+    assert a == b and len(a) == 25
