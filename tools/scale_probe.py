@@ -64,6 +64,9 @@ OPERATORS = {
     # r9 third-wave additions
     "clean_coerce": "numeric + locale + multi-format timestamp coercion",
     "text_bm25_topk": "BM25 + inverted index + Zipf diagnostics",
+    # r10 session additions
+    "mm_meta_features": "media decode + fused audio/video temporal features",
+    "sql_shipping_priority": "SQL Q3 + correlated-subquery decorrelation",
 }
 
 
