@@ -659,6 +659,11 @@ def profile_store_update(
     Scale shape: ONE map-side-combined aggregate over the batch
     (sketches + counts fused), melted to a column-per-row frame of
     fixed size — nothing batch-sized is collected or shuffled.
+
+    An EMPTY batch is harmless: it writes rows with a NULL sketch and
+    zero counts — ``hll_union_agg`` skips NULLs and the count sums add
+    nothing, so estimates are unchanged (pinned by the empty-batch
+    check in tests).
     """
     import os
     import uuid
@@ -719,3 +724,50 @@ def profile_store_estimate(spark, store_path: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         F.count(F.lit(1)).alias("n_batches"),
     )
+
+
+def compact_profile_store(spark, store_path: str) -> dict:
+    """Merge every complete batch of a profile store into ONE batch —
+    the store-lifecycle sibling of ``compact_near_dedup_store``: after
+    10^4 ingested batches the per-column profile is 10^4 sketch rows
+    that every estimate re-unions; compaction folds them to one row
+    per column (HLL union is lossless — register-wise max — and the
+    counts are sums), preserving every future estimate exactly.
+
+    Protocol: write the merged rows to a new ``batch-*-compact`` dir,
+    _SUCCESS last (the parquet committer's), then delete the
+    originals — a crash before the write completes leaves the old
+    batches authoritative; a crash between write and delete serves
+    correct (double-listed but union-idempotent sketches are NOT
+    count-idempotent, so deletion failures raise rather than pass).
+    Not atomic across concurrent writers — serialize with updates,
+    as ingestion already does. Returns {'batches_before', 'out_dir'}.
+    """
+    import os
+    import uuid
+
+    batches = _complete_batches(spark, store_path)
+    if not batches:
+        raise FileNotFoundError(f"profile store {store_path!r} has no batches")
+    rows = spark.read.schema(PROFILE_STORE_SCHEMA).parquet(*batches)
+    merged = rows.groupBy("col_name").agg(
+        F.hll_union_agg("sketch").alias("sketch"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    out_dir = os.path.join(
+        store_path, f"batch-{len(batches):06d}-compact-{uuid.uuid4().hex[:8]}"
+    )
+    merged.write.parquet(out_dir)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for b in batches:
+        if not fs.delete(jvm.org.apache.hadoop.fs.Path(b), True):
+            raise IOError(
+                f"compact_profile_store: could not delete {b!r} — counts "
+                "would double-serve; store left with the compacted batch "
+                "plus this remnant, delete it before the next estimate"
+            )
+    return {"batches_before": len(batches), "out_dir": out_dir}

@@ -66,6 +66,16 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         # a previously .option()-set value
         return spark.read.text(path, wholetext=True).withColumnRenamed("value", "text")
     if ext == "xlsx":
+        # a directory or glob of workbooks is a CORPUS — route to the
+        # distributed Python DataSource (one partition per file,
+        # executor-side decode); a single workbook keeps the
+        # driver-side bridge and its pandas dtype-inference parity
+        if os.path.isdir(path) or any(ch in path for ch in "*?["):
+            from data_integration_and_harmonization_spark.sources.pyds import (
+                read_xlsx_corpus,
+            )
+
+            return read_xlsx_corpus(spark, path)
         return _read_excel_driver_side(spark, path)
     raise ValueError(f"unsupported source format: {ext!r} ({path})")
 

@@ -425,3 +425,40 @@ def test_profile_store_incremental(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         P.profile_store_estimate(spark, str(tmp_path / "missing"))
+
+
+def test_compact_profile_store_preserves_estimates(spark, tmp_path):
+    store = str(tmp_path / "prof_c")
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 13).cast("string").alias("lab")
+    )
+    for m in range(3):
+        P.profile_store_update(df.where(F.col("id") % 3 == m), store, ["id", "lab"])
+    before = {r["col_name"]: r for r in P.profile_store_estimate(spark, store).collect()}
+    out = P.compact_profile_store(spark, store)
+    assert out["batches_before"] == 3
+    after = {r["col_name"]: r for r in P.profile_store_estimate(spark, store).collect()}
+    for c in ("id", "lab"):
+        # HLL union is lossless register-max: estimates survive exactly
+        assert after[c]["est_distinct"] == before[c]["est_distinct"]
+        assert after[c]["n_rows"] == 3000 and after[c]["n_batches"] == 1
+    # the store keeps growing after compaction
+    P.profile_store_update(
+        spark.range(3000, 4000).select(
+            F.col("id"), (F.col("id") % 13).cast("string").alias("lab")
+        ),
+        store,
+        ["id", "lab"],
+    )
+    grown = {r["col_name"]: r for r in P.profile_store_estimate(spark, store).collect()}
+    assert grown["id"]["n_rows"] == 4000 and grown["id"]["n_batches"] == 2
+    assert abs(grown["id"]["est_distinct"] - 4000) <= 0.05 * 4000
+
+
+def test_profile_store_empty_batch_harmless(spark, tmp_path):
+    store = str(tmp_path / "prof_e")
+    df = spark.range(100)
+    P.profile_store_update(df, store, ["id"])
+    P.profile_store_update(df.where(F.col("id") < 0), store, ["id"])
+    r = P.profile_store_estimate(spark, store).collect()[0]
+    assert (r["est_distinct"], r["n_rows"], r["n_batches"]) == (100.0, 100, 2)

@@ -1021,3 +1021,19 @@ def test_xlsx_corpus_datasource_distributed_scan(spark, tmp_path):
 
     with _pytest.raises(Exception, match="no workbooks match"):
         read_xlsx_corpus(spark, str(d / "nope-*.xlsx")).count()
+
+
+def test_read_any_routes_xlsx_dirs_to_corpus_source(spark, tmp_path):
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+    from data_integration_and_harmonization_spark.sources.xlsx import write_xlsx
+
+    d = tmp_path / "books2"
+    d.mkdir()
+    write_xlsx(str(d / "a.xlsx"), ["k", "v"], [[1, "x"]])
+    write_xlsx(str(d / "b.xlsx"), ["k", "v"], [[2, "y"]])
+    df = read_any(spark, str(d), fmt="xlsx")
+    assert "_src_file" in df.columns and df.count() == 2
+    assert df.rdd.getNumPartitions() == 2
+    # single file keeps the driver-side bridge (no provenance column)
+    single = read_any(spark, str(d / "a.xlsx"))
+    assert "_src_file" not in single.columns and single.count() == 1
