@@ -365,6 +365,32 @@ def json_props_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def variant_props_agg(events: DataFrame) -> DataFrame:
+    """The Spark-4 VARIANT path over the same semi-structured column:
+    ``try_parse_json`` materializes props as a binary VariantType
+    value ONCE (at 100 TB that's the difference between parsing the
+    JSON text per extracted field — every ``get_json_object`` is a
+    full re-parse — and parsing per ROW, with every later
+    ``variant_get`` a cheap binary traversal), then a typed
+    ``variant_get(..., '$.k', 'long')`` extraction feeds the same
+    aggregate as :func:`json_props_agg`.
+
+    ``n_bad`` counts rows whose props text exists but does not parse
+    (``try_parse_json`` NULL on non-NULL input) — the malformed-row
+    audit the lenient path silently folds into NULLs.
+    """
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.sum(
+            (F.col("props").isNotNull() & v.isNull()).cast("long")
+        ).alias("n_bad"),
+    )
+
+
 # ------------------------------------------------------- query registry
 
 def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -440,6 +466,18 @@ def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sum_k",
             "avg_k",
         )
+        # 'vprops' leg: the VARIANT path must reproduce the JSON-text
+        # path value-for-value (user_id carries the malformed-row
+        # count — 0 on this table, and the oracle expects exactly 0)
+        vp = variant_props_agg(ev).select(
+            F.lit("vprops").alias("kind"),
+            F.col("n_bad").alias("user_id"),
+            "event_type",
+            F.lit(None).cast("timestamp").alias("t0"),
+            "n_events",
+            "sum_k",
+            "avg_k",
+        )
         # r8 'rolling' leg: per-event trailing-1h window stats keyed by
         # user (exact microsecond range frame — see _event_micros);
         # 'anomaly' leg: rolling z-score outlier counts per event_type
@@ -485,6 +523,7 @@ def events_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             s.unionByName(p)
+            .unionByName(vp)
             .unionByName(roll)
             .unionByName(anom)
             .unionByName(hll)
@@ -587,6 +626,14 @@ SELECT 'session' AS kind, user_id, CAST(NULL AS VARCHAR) AS event_type,
 FROM g GROUP BY user_id, sid
 UNION ALL
 SELECT 'props' AS kind, CAST(NULL AS BIGINT) AS user_id, event_type,
+       CAST(NULL AS TIMESTAMP) AS t0, count(*)::BIGINT AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY 3
+UNION ALL
+-- 'vprops': the engine's VARIANT path must agree value-for-value
+-- with the JSON-text path; user_id carries its malformed-row count
+SELECT 'vprops' AS kind, 0::BIGINT AS user_id, event_type,
        CAST(NULL AS TIMESTAMP) AS t0, count(*)::BIGINT AS n_events,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k

@@ -966,3 +966,30 @@ def test_pseudonymize_deterministic_join_preserving(spark):
     # a different salt is a different one-way mapping
     ta2 = SC.pseudonymize(a, ["user"], salt="s2")
     assert {r["user"] for r in ta2.collect()} != {r["user"] for r in ta.collect()}
+
+
+def test_variant_props_agg_matches_json_and_counts_bad(spark):
+    from data_integration_and_harmonization_spark.operators.events import (
+        json_props_agg,
+        variant_props_agg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "view", '{"k": 3}'),
+            (2, "view", '{"k": 4, "x": "y"}'),
+            (3, "click", '{"k": 10}'),
+            (4, "click", "{not json"),     # malformed: lenient path NULLs it
+            (5, "click", None),            # absent props is NOT malformed
+        ],
+        "user_id long, event_type string, props string",
+    )
+    j = {r["event_type"]: r for r in json_props_agg(df).collect()}
+    v = {r["event_type"]: r for r in variant_props_agg(df).collect()}
+    for et in ("view", "click"):
+        assert (v[et]["n_events"], v[et]["sum_k"], v[et]["avg_k"]) == (
+            j[et]["n_events"], j[et]["sum_k"], j[et]["avg_k"],
+        )
+    assert v["view"]["n_bad"] == 0
+    assert v["click"]["n_bad"] == 1  # the malformed row, not the NULL one
+    assert v["view"]["sum_k"] == 7 and v["click"]["sum_k"] == 10
