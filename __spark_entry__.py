@@ -916,6 +916,34 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("_src_file").alias("sum_nkey"),
         F.sum(F.col("r_regionkey").cast("long")).alias("sum_rkey"),
     )
+    # '__csv_dlq' row: PERMISSIVE csv ingestion with corrupt-record
+    # ROUTING (read_csv_audited — the batch dead-letter queue): the
+    # region rows are written as csv text with two deliberately
+    # corrupt lines (a type failure and an extra-column row); good
+    # rows aggregate as usual, n_rows carries the good count,
+    # sum_nkey the quarantined line count — the oracle derives both
+    # from region + the two synthetic bad lines.
+    from data_integration_and_harmonization_spark.sources.readers import (
+        read_csv_audited,
+    )
+
+    dlq_file = base + "_region_dlq.csv"
+    with open(dlq_file, "w") as fh:
+        fh.write("r_regionkey,r_name\n")
+        for k, n in region_rows:
+            fh.write(f"{k},{n}\n")
+        fh.write("not_a_key,GARBAGE\n")
+        fh.write("9,EXTRA,trailing_field\n")
+    good_csv, bad_csv = read_csv_audited(
+        spark, dlq_file, "r_regionkey long, r_name string"
+    )
+    dlq_row = good_csv.agg(
+        F.lit("__csv_dlq").alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(bad_csv.count()).cast("long").alias("sum_nkey"),
+        F.sum(F.col("r_regionkey").cast("long")).alias("sum_rkey"),
+    )
     u = H.harmonize(srcs)
     agg = u.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1287,6 +1315,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(evolve_row)
         .unionByName(skip_row)
         .unionByName(xlsx_ds_row)
+        .unionByName(dlq_row)
     )
 
 
@@ -2559,6 +2588,13 @@ UNION ALL
 -- name; sum_nkey = distinct source files (2), sum_rkey = key
 -- checksum through the all-string schema-on-read
 SELECT '__xlsx_ds', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       2::BIGINT, sum(r_regionkey)::BIGINT
+FROM region
+UNION ALL
+-- csv dead-letter-queue leg: region written as csv plus a type-failure
+-- line and an extra-column line; both quarantine (sum_nkey = 2), the
+-- good half aggregates exactly region
+SELECT '__csv_dlq', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        2::BIGINT, sum(r_regionkey)::BIGINT
 FROM region
 """,

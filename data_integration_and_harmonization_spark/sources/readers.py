@@ -239,3 +239,44 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_csv_audited(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE csv scan with corrupt-record ROUTING — the
+    batch-ingestion dead-letter queue (the sibling of the streaming
+    ``stream_dq_split``): rows that parse land in ``good`` typed to
+    ``schema``; rows the parser rejects (malformed quoting, type
+    failures under the declared schema) land in ``bad`` with the raw
+    line preserved in ``_corrupt_record`` for quarantine triage —
+    instead of PERMISSIVE's default silent null-fill or FAILFAST
+    killing a 100-TB job for one bad line.
+
+    ``schema`` is required (DDL string): corrupt-record capture only
+    works against a DECLARED schema — under inference Spark samples
+    the file and widens types, so nothing is ever "corrupt".
+
+    The parsed frame is persisted before the split: Spark disallows
+    filtering on the internal corrupt column of a raw scan (the
+    parser prunes columns, so the corrupt flag would be
+    filter-dependent); materializing first is the documented pattern,
+    and both halves want the single parse anyway.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    full = T.StructType.fromDDL(schema).add("_corrupt_record", "string")
+    df = track(
+        spark.read.schema(full)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .persist()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad

@@ -1037,3 +1037,28 @@ def test_read_any_routes_xlsx_dirs_to_corpus_source(spark, tmp_path):
     # single file keeps the driver-side bridge (no provenance column)
     single = read_any(spark, str(d / "a.xlsx"))
     assert "_src_file" not in single.columns and single.count() == 1
+
+
+def test_read_csv_audited_routes_corrupt_records(spark, tmp_path):
+    """read_csv_audited: PERMISSIVE parse against a DECLARED schema,
+    corrupt rows routed with the raw line preserved — the batch
+    dead-letter queue."""
+    from data_integration_and_harmonization_spark.sources.readers import read_csv_audited
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "k,name\n"
+        "1,alpha\n"
+        "2,beta\n"
+        "xx,gamma\n"        # type failure under k long
+        "3,delta,extra\n"   # extra column
+        ",epsilon\n"        # empty key is a NULL, NOT corrupt
+    )
+    good, bad = read_csv_audited(spark, str(p), "k long, name string")
+    assert sorted(
+        ((r["k"], r["name"]) for r in good.collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    ) == [(1, "alpha"), (2, "beta"), (None, "epsilon")]
+    assert sorted(r["_corrupt_record"] for r in bad.collect()) == [
+        "3,delta,extra", "xx,gamma",
+    ]
