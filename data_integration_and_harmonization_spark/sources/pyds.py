@@ -117,6 +117,23 @@ class XlsxCorpusDataSource(DataSource):
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return XlsxCorpusReader(schema, _matched_paths(self._path()))
 
+    def writer(self, schema: T.StructType, overwrite: bool) -> "XlsxCorpusWriter":
+        # Python data sources support Append and Overwrite only (the
+        # API rejects ErrorIfExists/Ignore before reaching here):
+        # overwrite clears prior parts + manifest, append adds parts
+        # (job-unique names — taskAttemptId — so nothing collides)
+        # and the commit merges the manifest.
+        path = self._path()
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(path):
+                if f.endswith(".xlsx") or f == "_SUCCESS":
+                    try:
+                        os.remove(os.path.join(path, f))
+                    except OSError:
+                        pass
+        return XlsxCorpusWriter(schema, path)
+
 
 def register_xlsx_corpus(spark: SparkSession) -> None:
     """Idempotent registration of the corpus source on a session."""
@@ -128,3 +145,77 @@ def read_xlsx_corpus(spark: SparkSession, path: str) -> DataFrame:
     workbook, stdlib decode, all-string schema + ``_src_file``."""
     register_xlsx_corpus(spark)
     return spark.read.format("xlsx_corpus").load(path)
+
+
+def write_xlsx_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed xlsx SINK: one workbook per non-empty partition,
+    encoded executor-side, with a driver-committed ``_SUCCESS``
+    manifest naming the parts. The export shape for handing query
+    results back to spreadsheet consumers — the reverse of the
+    reference's upload-a-workbook front door. Local/shared-FS paths
+    (the stdlib encoder writes with plain ``open``)."""
+    register_xlsx_corpus(df.sparkSession)
+    df.write.format("xlsx_corpus").mode(mode).save(path)
+
+
+# ----------------------------------------------------------- the sink
+
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _XlsxCommit(WriterCommitMessage):
+    file: str | None = None
+    n_rows: int = 0
+
+
+class XlsxCorpusWriter(DataSourceWriter):
+    """One workbook per NON-EMPTY partition, written executor-side
+    with the stdlib ECMA-376 encoder; empty partitions write nothing
+    (the empty-batch-dir lesson from the dedup stores). The driver's
+    ``commit`` writes a ``_SUCCESS`` manifest naming every part —
+    readers that care about torn writes can check it; ``abort``
+    removes whatever partial parts reported back."""
+
+    def __init__(self, schema: T.StructType, path: str) -> None:
+        self._cols = [f.name for f in schema.fields]
+        self._path = path
+
+    def write(self, iterator) -> _XlsxCommit:
+        from pyspark import TaskContext
+
+        from data_integration_and_harmonization_spark.sources.xlsx import write_xlsx
+
+        rows = []
+        for row in iterator:
+            rows.append([
+                v if isinstance(v, (int, float, bool, str)) or v is None
+                else str(v)
+                for v in row
+            ])
+        if not rows:
+            return _XlsxCommit(None, 0)
+        ctx = TaskContext.get()
+        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.xlsx"
+        write_xlsx(os.path.join(self._path, name), self._cols, rows)
+        return _XlsxCommit(name, len(rows))
+
+    def commit(self, messages) -> None:
+        files = {m.file for m in messages if m and m.file}
+        marker = os.path.join(self._path, "_SUCCESS")
+        if os.path.exists(marker):  # append job: merge the manifest
+            with open(marker) as fh:
+                files.update(line for line in fh.read().splitlines() if line)
+        with open(marker, "w") as fh:
+            fh.write("\n".join(sorted(files)))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.file:
+                try:
+                    os.remove(os.path.join(self._path, m.file))
+                except OSError:
+                    pass

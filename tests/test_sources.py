@@ -1062,3 +1062,38 @@ def test_read_csv_audited_routes_corrupt_records(spark, tmp_path):
     assert sorted(r["_corrupt_record"] for r in bad.collect()) == [
         "3,delta,extra", "xx,gamma",
     ]
+
+
+def test_xlsx_corpus_writer_roundtrip(spark, tmp_path):
+    """The distributed xlsx SINK: one workbook per non-empty
+    partition, _SUCCESS manifest, overwrite semantics, and a full
+    write -> corpus-read roundtrip."""
+    from data_integration_and_harmonization_spark.sources.pyds import (
+        read_xlsx_corpus,
+        write_xlsx_corpus,
+    )
+
+    out = str(tmp_path / "export")
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("twice")
+    ).repartition(3)
+    write_xlsx_corpus(df, out)
+    import os
+
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".xlsx"))
+    assert 1 <= len(parts) <= 3
+    manifest = open(os.path.join(out, "_SUCCESS")).read().splitlines()
+    assert manifest == parts
+    back = read_xlsx_corpus(spark, out)
+    got = sorted((int(r["id"]), int(r["twice"])) for r in back.collect())
+    assert got == [(i, 2 * i) for i in range(10)]
+    # append adds parts and merges the manifest
+    write_xlsx_corpus(df.limit(3), out, mode="append")
+    assert read_xlsx_corpus(spark, out).count() == 13
+    manifest2 = open(os.path.join(out, "_SUCCESS")).read().splitlines()
+    assert len(manifest2) == len(
+        [f for f in os.listdir(out) if f.endswith(".xlsx")]
+    )
+    # overwrite replaces, never appends
+    write_xlsx_corpus(df.limit(4), out)
+    assert read_xlsx_corpus(spark, out).count() == 4
