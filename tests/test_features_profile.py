@@ -462,3 +462,12 @@ def test_profile_store_empty_batch_harmless(spark, tmp_path):
     P.profile_store_update(df.where(F.col("id") < 0), store, ["id"])
     r = P.profile_store_estimate(spark, store).collect()[0]
     assert (r["est_distinct"], r["n_rows"], r["n_batches"]) == (100.0, 100, 2)
+    # schema evolution for free: a later batch profiling a NEW column
+    # just contributes new col_name rows — per-column batch counts
+    # tell a reader how much of the corpus each profile covers
+    P.profile_store_update(
+        df.select("id", (F.col("id") % 5).alias("grp")), store, ["id", "grp"]
+    )
+    rows = {x["col_name"]: x for x in P.profile_store_estimate(spark, store).collect()}
+    assert rows["grp"]["n_batches"] == 1 and rows["grp"]["est_distinct"] == 5.0
+    assert rows["id"]["n_batches"] == 3 and rows["id"]["n_rows"] == 200
