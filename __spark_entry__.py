@@ -937,13 +937,17 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     good_csv, bad_csv = read_csv_audited(
         spark, dlq_file, "r_regionkey long, r_name string"
     )
+    # quarantine count joins in lazily (a 1-row broadcast) — an eager
+    # bad_csv.count() here would cost one extra job per invocation,
+    # including every warmup pass
     dlq_row = good_csv.agg(
         F.lit("__csv_dlq").alias("l_returnflag"),
         F.count(F.lit(1)).alias("n_rows"),
         F.lit(None).cast("double").alias("sum_qty"),
-        F.lit(bad_csv.count()).cast("long").alias("sum_nkey"),
         F.sum(F.col("r_regionkey").cast("long")).alias("sum_rkey"),
-    )
+    ).crossJoin(
+        F.broadcast(bad_csv.agg(F.count(F.lit(1)).alias("sum_nkey")))
+    ).select("l_returnflag", "n_rows", "sum_qty", "sum_nkey", "sum_rkey")
     u = H.harmonize(srcs)
     agg = u.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
