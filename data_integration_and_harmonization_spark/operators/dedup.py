@@ -510,20 +510,11 @@ def incremental_exact_dedup(
     # and admit every duplicate forever. Batches without _SUCCESS
     # (a crashed prior writer) are skipped the same way Spark's own
     # committers ignore uncommitted output.
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    batches: list[str] = []
-    if fs.exists(root):
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if (
-                st.isDirectory()
-                and name.startswith("batch-")
-                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-            ):
-                batches.append(st.getPath().toString())
-    batches.sort()
+    from data_integration_and_harmonization_spark.functions.stores import (
+        complete_batches,
+    )
+
+    batches = complete_batches(spark, store_path)
     if batches:
         seen = spark.read.parquet(*batches)
         fresh = fresh.join(seen.select(F.col("fp").alias("__fp")), "__fp", "left_anti")
@@ -681,20 +672,13 @@ def incremental_near_dedup(
     keep_sig = sig.join(dominated, "id", "left_anti")
     # (b) against history: candidate (new, admitted) band collisions,
     # estimator-thresholded
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    batches: list[str] = []
-    if fs.exists(root):
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if (
-                st.isDirectory()
-                and name.startswith("batch-")
-                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-            ):
-                batches.append(st.getPath().toString())
-    batches.sort()
+    from data_integration_and_harmonization_spark.functions.stores import (
+        complete_batches,
+        store_fs,
+    )
+
+    jvm, fs, _ = store_fs(spark, store_path)
+    batches = complete_batches(spark, store_path)
     P = int(store_partitions)
     # bucket is a string key — hash to a stable int before the mod
     pb = lambda c: F.pmod(F.xxhash64(c), F.lit(P))  # noqa: E731
@@ -819,20 +803,13 @@ def compact_near_dedup_store(spark, store_path: str) -> dict:
 
     from functools import reduce
 
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    batches: list[str] = []
-    if fs.exists(root):
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if (
-                st.isDirectory()
-                and name.startswith("batch-")
-                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-            ):
-                batches.append(st.getPath().toString())
-    batches.sort()
+    from data_integration_and_harmonization_spark.functions.stores import (
+        complete_batches,
+        store_fs,
+    )
+
+    jvm, fs, _ = store_fs(spark, store_path)
+    batches = complete_batches(spark, store_path)
     if len(batches) < 2:
         return {"batches_compacted": 0, "rows": 0, "out_dir": None}
     # dropDuplicates makes compaction the CLEANUP the crash-window

@@ -380,7 +380,11 @@ def variant_props_agg(events: DataFrame) -> DataFrame:
     audit the lenient path silently folds into NULLs.
     """
     v = F.try_parse_json("props")
-    k = F.variant_get(v, "$.k", "long")
+    # try_variant_get, not variant_get: the strict form THROWS on a k
+    # that exists but can't cast to long (e.g. {"k": "abc"}), where the
+    # JSON-text twin's CAST(... AS BIGINT) yields NULL — lenient
+    # extraction is required for the value-for-value parity contract
+    k = F.try_variant_get(v, "$.k", "long")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),

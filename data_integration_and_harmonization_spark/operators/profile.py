@@ -496,6 +496,24 @@ def fd_report(df: DataFrame, pairs: Sequence[tuple]) -> DataFrame:
     return out
 
 
+
+def _sketch_val(df: DataFrame, cols: Sequence[str]) -> dict:
+    """Per-column sketchable expression: hll_sketch_agg accepts
+    int/bigint/string/binary — other types profile through their
+    canonical string form. BOTH the one-shot report and the store
+    path read this SAME expression (and the exact twins alongside
+    them), so their comparisons hold by construction."""
+    ok_types = ("int", "bigint", "string", "binary")
+    return {
+        c: (
+            F.col(c)
+            if df.schema[c].dataType.simpleString() in ok_types
+            else F.col(c).cast("string")
+        )
+        for c in cols
+    }
+
+
 def sketch_distinct_report(
     df: DataFrame,
     cols: Sequence[str],
@@ -540,18 +558,7 @@ def sketch_distinct_report(
     sketches) + one grouped agg with <= n_shards output rows. Nothing
     corpus-sized is collected or shuffled.
     """
-    # hll_sketch_agg accepts int/bigint/string/binary — other types
-    # profile through their canonical string form (both the sketch and
-    # the exact twin read the SAME expression, so the comparison holds)
-    ok_types = ("int", "bigint", "string", "binary")
-    val = {
-        c: (
-            F.col(c)
-            if df.schema[c].dataType.simpleString() in ok_types
-            else F.col(c).cast("string")
-        )
-        for c in cols
-    }
+    val = _sketch_val(df, cols)
     shard = F.pmod(F.hash(F.col(shard_key)), F.lit(n_shards)).alias("__shard")
     per_shard = df.groupBy(shard).agg(
         *[F.hll_sketch_agg(val[c], lg_k).alias(f"sk_{c}") for c in cols]
@@ -611,25 +618,50 @@ def sketch_distinct_report(
     )
 
 
-def _complete_batches(spark, store_path: str) -> list[str]:
-    """List the store's COMPLETE batch subdirectories (same batch- +
-    _SUCCESS protocol as the dedup stores: Hadoop FS listing so remote
-    stores work; crashed writers' dirs are invisible)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+def _store_listing(spark, store_path: str) -> tuple[list[str], list[str]]:
+    """(live, masked_leftovers) — the store's COMPLETE batch
+    subdirectories (the shared batch- + _SUCCESS protocol,
+    :mod:`..functions.stores`), refined for the profile store's
+    compaction crash windows:
+
+    - a ``-compact-`` batch without its ``_replaces`` sidecar is NOT
+      yet live (the compactor crashed between the parquet commit and
+      the sidecar) — the original batches still serve;
+    - batches a sidecar names are MASKED even while still on disk (a
+      compactor that crashed between sidecar and deletes) — counts
+      are sums, so double-listing would silently double the profile.
+      The leftovers are returned separately so the next compaction
+      can reap them."""
+    from data_integration_and_harmonization_spark.functions.stores import (
+        complete_batches,
+        store_fs,
+    )
+
+    jvm, fs, _ = store_fs(spark, store_path)
     out: list[str] = []
-    if fs.exists(root):
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if (
-                st.isDirectory()
-                and name.startswith("batch-")
-                and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-            ):
-                out.append(st.getPath().toString())
-    out.sort()
-    return out
+    replaced: set[str] = set()
+    for p in complete_batches(spark, store_path):
+        name = p.rsplit("/", 1)[-1]
+        side = jvm.org.apache.hadoop.fs.Path(p, "_replaces")
+        has_side = fs.exists(side)
+        if "-compact-" in name and not has_side:
+            continue
+        out.append(p)
+        if has_side:
+            stream = fs.open(side)
+            try:
+                data = bytes(stream.readAllBytes()).decode("utf-8")
+            finally:
+                stream.close()
+            replaced.update(n for n in data.splitlines() if n)
+    live = sorted(p for p in out if p.rsplit("/", 1)[-1] not in replaced)
+    leftovers = sorted(p for p in out if p.rsplit("/", 1)[-1] in replaced)
+    return live, leftovers
+
+
+def _complete_batches(spark, store_path: str) -> list[str]:
+    """The live batch list (see :func:`_store_listing`)."""
+    return _store_listing(spark, store_path)[0]
 
 
 PROFILE_STORE_SCHEMA = "col_name string, sketch binary, n_nonnull long, n_rows long"
@@ -669,15 +701,7 @@ def profile_store_update(
     import uuid
 
     spark = batch_df.sparkSession
-    ok_types = ("int", "bigint", "string", "binary")
-    val = {
-        c: (
-            F.col(c)
-            if batch_df.schema[c].dataType.simpleString() in ok_types
-            else F.col(c).cast("string")
-        )
-        for c in cols
-    }
+    val = _sketch_val(batch_df, cols)
     agg = batch_df.agg(
         *[
             x
@@ -734,19 +758,31 @@ def compact_profile_store(spark, store_path: str) -> dict:
     per column (HLL union is lossless — register-wise max — and the
     counts are sums), preserving every future estimate exactly.
 
-    Protocol: write the merged rows to a new ``batch-*-compact`` dir,
-    _SUCCESS last (the parquet committer's), then delete the
-    originals — a crash before the write completes leaves the old
-    batches authoritative; a crash between write and delete serves
-    correct (double-listed but union-idempotent sketches are NOT
-    count-idempotent, so deletion failures raise rather than pass).
+    Protocol (every crash window read-correct — sketches union
+    idempotently but counts are sums, so double-listing would
+    silently double the profile):
+
+    1. write the merged rows to a new ``batch-*-compact-*`` dir (the
+       parquet committer's _SUCCESS lands last) — but a compact dir
+       is NOT live yet: ``_complete_batches`` ignores compact dirs
+       without a ``_replaces`` sidecar, so a crash here leaves the
+       originals authoritative;
+    2. write the ``_replaces`` sidecar naming the folded batches —
+       the compact batch is now live and the originals are MASKED
+       even while still on disk;
+    3. delete the originals — pure housekeeping at this point; a
+       failure here (or a crash mid-loop) never changes what the
+       reader serves, and leftovers are reaped by the next
+       compaction.
+
     Not atomic across concurrent writers — serialize with updates,
-    as ingestion already does. Returns {'batches_before', 'out_dir'}.
+    as ingestion already does. Returns {'batches_before', 'out_dir',
+    'undeleted'}.
     """
     import os
     import uuid
 
-    batches = _complete_batches(spark, store_path)
+    batches, leftovers = _store_listing(spark, store_path)
     if not batches:
         raise FileNotFoundError(f"profile store {store_path!r} has no batches")
     rows = spark.read.schema(PROFILE_STORE_SCHEMA).parquet(*batches)
@@ -763,11 +799,23 @@ def compact_profile_store(spark, store_path: str) -> dict:
     fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
-    for b in batches:
+    side = jvm.org.apache.hadoop.fs.Path(out_dir, "_replaces")
+    stream = fs.create(side, True)
+    try:
+        stream.write(
+            "\n".join(b.rsplit("/", 1)[-1] for b in batches).encode("utf-8")
+        )
+    finally:
+        stream.close()
+    undeleted = []
+    # the folded batches, plus any masked leftovers a previously
+    # crashed compactor left behind (they're excluded from the live
+    # listing, so this sweep is their only reaper)
+    for b in batches + leftovers:
         if not fs.delete(jvm.org.apache.hadoop.fs.Path(b), True):
-            raise IOError(
-                f"compact_profile_store: could not delete {b!r} — counts "
-                "would double-serve; store left with the compacted batch "
-                "plus this remnant, delete it before the next estimate"
-            )
-    return {"batches_before": len(batches), "out_dir": out_dir}
+            undeleted.append(b)  # masked by the sidecar; reaped later
+    return {
+        "batches_before": len(batches),
+        "out_dir": out_dir,
+        "undeleted": undeleted,
+    }

@@ -120,7 +120,9 @@ SELECT 'q22' AS kind, CAST(c_nationkey AS BIGINT) AS k,
        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS val,
        CAST(NULL AS STRING) AS tag
 FROM customer cu
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders oo
                   WHERE oo.o_custkey = cu.c_custkey
                     AND oo.o_orderpriority = '1-URGENT')

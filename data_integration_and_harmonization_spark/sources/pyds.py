@@ -38,7 +38,37 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
-def _matched_paths(path: str) -> list[str]:
+def _read_manifest(path: str) -> dict | None:
+    """The sink's committed ``_SUCCESS`` manifest for a directory, or
+    None (absent / not a directory / unparseable)."""
+    import json
+
+    marker = os.path.join(path, "_SUCCESS")
+    if not (os.path.isdir(path) and os.path.exists(marker)):
+        return None
+    try:
+        with open(marker) as fh:
+            m = json.load(fh)
+        if isinstance(m, dict) and "files" in m and "columns" in m:
+            return m
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _matched_paths(path: str) -> tuple[list[str], list[str] | None]:
+    """(workbook paths, committed columns or None).
+
+    A directory carrying the sink's manifest is read through it: ONLY
+    committed parts are served — a crashed or speculative task attempt
+    may have left torn/duplicate .xlsx files on disk, and a glob would
+    serve them as data. The manifest also carries the column list, so
+    an EMPTY committed corpus still has a schema. Plain directories
+    and globs (workbooks from outside the sink) fall back to matching
+    files directly."""
+    m = _read_manifest(path)
+    if m is not None:
+        return [os.path.join(path, f) for f in m["files"]], list(m["columns"])
     if os.path.isdir(path):
         pattern = os.path.join(path, "*.xlsx")
     else:
@@ -46,7 +76,7 @@ def _matched_paths(path: str) -> list[str]:
     paths = sorted(_glob.glob(pattern))
     if not paths:
         raise FileNotFoundError(f"no workbooks match {path!r}")
-    return paths
+    return paths, None
 
 
 def _render(v: object) -> str | None:
@@ -77,6 +107,8 @@ class XlsxCorpusReader(DataSourceReader):
         return [_WorkbookPartition(p) for p in self._paths]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if partition is None:  # empty corpus: partitions() returned []
+            return
         # executor-side: stdlib decode of ONE workbook
         from data_integration_and_harmonization_spark.sources.xlsx import read_xlsx
 
@@ -104,25 +136,41 @@ class XlsxCorpusDataSource(DataSource):
         return p
 
     def schema(self) -> T.StructType:
-        # driver reads ONE header row of the first workbook — the only
-        # driver-side byte touch in the whole scan
-        from data_integration_and_harmonization_spark.sources.xlsx import read_xlsx
+        # manifest-committed corpora carry their column list; otherwise
+        # the driver reads ONE header row of the first workbook
+        # (read_xlsx_header stops the sheet parse after row 1 — never
+        # the full cell grid) — the only driver-side byte touch in the
+        # whole scan
+        paths, cols = _matched_paths(self._path())
+        if cols is None:
+            from data_integration_and_harmonization_spark.sources.xlsx import (
+                read_xlsx_header,
+            )
 
-        header, _ = read_xlsx(_matched_paths(self._path())[0])
+            cols = read_xlsx_header(paths[0])
         return T.StructType(
-            [T.StructField(c, T.StringType(), True) for c in header]
+            [T.StructField(c, T.StringType(), True) for c in cols]
             + [T.StructField("_src_file", T.StringType(), False)]
         )
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
-        return XlsxCorpusReader(schema, _matched_paths(self._path()))
+        return XlsxCorpusReader(schema, _matched_paths(self._path())[0])
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "XlsxCorpusWriter":
         # Python data sources support Append and Overwrite only (the
         # API rejects ErrorIfExists/Ignore before reaching here):
-        # overwrite clears prior parts + manifest, append adds parts
-        # (job-unique names — taskAttemptId — so nothing collides)
-        # and the commit merges the manifest.
+        # overwrite clears prior parts + manifest; append adds parts
+        # (names carry a uuid — taskAttemptId alone is only unique
+        # within one SparkContext, and a second application's counter
+        # restarts at 0) and the commit merges the manifest — after
+        # checking the columns agree, since a part written under a
+        # different header would silently read as misaligned NULLs.
+        if "_src_file" in [f.name for f in schema.fields]:
+            raise ValueError(
+                "xlsx_corpus sink: drop the _src_file column before writing "
+                "— it is the read side's provenance column and would "
+                "collide on read-back"
+            )
         path = self._path()
         os.makedirs(path, exist_ok=True)
         if overwrite:
@@ -132,6 +180,14 @@ class XlsxCorpusDataSource(DataSource):
                         os.remove(os.path.join(path, f))
                     except OSError:
                         pass
+        else:
+            m = _read_manifest(path)
+            if m is not None and list(m["columns"]) != [f.name for f in schema.fields]:
+                raise ValueError(
+                    "xlsx_corpus append: column mismatch with the committed "
+                    f"corpus — existing {m['columns']}, appending "
+                    f"{[f.name for f in schema.fields]}"
+                )
         return XlsxCorpusWriter(schema, path)
 
 
@@ -198,19 +254,29 @@ class XlsxCorpusWriter(DataSourceWriter):
             ])
         if not rows:
             return _XlsxCommit(None, 0)
+        import uuid
+
         ctx = TaskContext.get()
-        name = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.xlsx"
+        # uuid, not taskAttemptId: attempt ids restart per application,
+        # and a retried/speculative attempt must never reuse a name the
+        # committed manifest might already carry
+        name = f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex[:8]}.xlsx"
         write_xlsx(os.path.join(self._path, name), self._cols, rows)
         return _XlsxCommit(name, len(rows))
 
     def commit(self, messages) -> None:
+        # only files whose tasks REPORTED BACK are committed — a
+        # crashed or speculative attempt's torn workbook stays on disk
+        # but outside the manifest, and manifest-aware reads never
+        # serve it
+        import json
+
         files = {m.file for m in messages if m and m.file}
-        marker = os.path.join(self._path, "_SUCCESS")
-        if os.path.exists(marker):  # append job: merge the manifest
-            with open(marker) as fh:
-                files.update(line for line in fh.read().splitlines() if line)
-        with open(marker, "w") as fh:
-            fh.write("\n".join(sorted(files)))
+        prior = _read_manifest(self._path)
+        if prior is not None:  # append job: merge the manifest
+            files.update(prior["files"])
+        with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+            json.dump({"columns": self._cols, "files": sorted(files)}, fh)
 
     def abort(self, messages) -> None:
         for m in messages:

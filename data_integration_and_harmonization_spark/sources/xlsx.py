@@ -172,3 +172,41 @@ def read_xlsx(path: str) -> tuple[list[str], list[list]]:
     grid = [[r.get(i) for i in range(width)] for r in raw]
     header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(grid[0])]
     return header, grid[1:]
+
+
+def read_xlsx_header(path: str) -> list[str]:
+    """Header row ONLY — stops the sheet parse after the first row
+    instead of materializing the whole cell grid (schema probes read
+    this; a corpus scan's driver should never decode a full workbook
+    just to learn column names). Shared strings are resolved lazily:
+    the table is loaded only if a header cell references it."""
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        sheet_names = sorted(
+            n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheet_names:
+            raise ValueError(f"no worksheet found in {path}")
+        cells: dict[int, object] = {}
+        shared: list[str] | None = None
+        with z.open(sheet_names[0]) as fh:
+            for _, elem in ET.iterparse(fh):
+                if elem.tag == f"{_NS}row":
+                    for c in elem.iter(f"{_NS}c"):
+                        if shared is None and c.get("t") == "s":
+                            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+                            shared = [
+                                "".join(t.text or "" for t in si.iter(f"{_NS}t"))
+                                for si in root.findall(f"{_NS}si")
+                            ]
+                        ref = c.get("r")
+                        ci = _col_index(ref) if ref else len(cells)
+                        cells[ci] = _cell_value(c, shared or [])
+                    break  # first row only
+    if not cells:
+        return []
+    width = max(cells) + 1
+    return [
+        str(cells[i]) if cells.get(i) is not None else f"col_{i}"
+        for i in range(width)
+    ]

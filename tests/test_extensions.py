@@ -981,6 +981,8 @@ def test_variant_props_agg_matches_json_and_counts_bad(spark):
             (3, "click", '{"k": 10}'),
             (4, "click", "{not json"),     # malformed: lenient path NULLs it
             (5, "click", None),            # absent props is NOT malformed
+            (6, "view", '{"k": "abc"}'),   # k exists but can't cast: NULL,
+                                           # must NOT throw (try_variant_get)
         ],
         "user_id long, event_type string, props string",
     )
@@ -993,3 +995,4 @@ def test_variant_props_agg_matches_json_and_counts_bad(spark):
     assert v["view"]["n_bad"] == 0
     assert v["click"]["n_bad"] == 1  # the malformed row, not the NULL one
     assert v["view"]["sum_k"] == 7 and v["click"]["sum_k"] == 10
+    assert v["view"]["n_events"] == 3  # the uncastable-k row still counts

@@ -471,3 +471,45 @@ def test_profile_store_empty_batch_harmless(spark, tmp_path):
     rows = {x["col_name"]: x for x in P.profile_store_estimate(spark, store).collect()}
     assert rows["grp"]["n_batches"] == 1 and rows["grp"]["est_distinct"] == 5.0
     assert rows["id"]["n_batches"] == 3 and rows["id"]["n_rows"] == 200
+
+
+def test_compact_profile_store_crash_windows_read_correct(spark, tmp_path):
+    """Every compactor crash window serves correct counts: a compact
+    dir without its _replaces sidecar is not yet live; once the
+    sidecar exists, still-present originals are masked; the next
+    compaction sweeps masked leftovers."""
+    import os
+    import shutil
+
+    store = str(tmp_path / "prof_w")
+    df = spark.range(500)
+    P.profile_store_update(df.where(F.col("id") % 2 == 0), store, ["id"])
+    P.profile_store_update(df.where(F.col("id") % 2 == 1), store, ["id"])
+
+    def est():
+        r = P.profile_store_estimate(spark, store).collect()[0]
+        return r["n_rows"], r["n_batches"]
+
+    assert est() == (500, 2)
+    # window 1: compact dir committed but no sidecar -> ignored
+    dead = os.path.join(store, "batch-000099-compact-dead")
+    os.makedirs(dead)
+    open(os.path.join(dead, "_SUCCESS"), "w").close()
+    assert est() == (500, 2)
+    shutil.rmtree(dead)
+
+    out = P.compact_profile_store(spark, store)
+    assert est() == (500, 1)
+    # window 2: an original the compactor failed to delete reappears —
+    # the sidecar masks it, counts do NOT double
+    replaced = open(os.path.join(out["out_dir"], "_replaces")).read().splitlines()
+    leftover_name = replaced[0]
+    src = out["out_dir"]  # any valid batch dir's parquet serves as content
+    leftover = os.path.join(store, leftover_name)
+    shutil.copytree(src, leftover)
+    os.remove(os.path.join(leftover, "_replaces"))
+    assert est() == (500, 1)
+    # the next compaction reaps the masked leftover
+    P.compact_profile_store(spark, store)
+    assert not os.path.exists(leftover)
+    assert est() == (500, 1)

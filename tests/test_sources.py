@@ -1080,20 +1080,44 @@ def test_xlsx_corpus_writer_roundtrip(spark, tmp_path):
     write_xlsx_corpus(df, out)
     import os
 
+    import json
+
     parts = sorted(f for f in os.listdir(out) if f.endswith(".xlsx"))
     assert 1 <= len(parts) <= 3
-    manifest = open(os.path.join(out, "_SUCCESS")).read().splitlines()
-    assert manifest == parts
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["files"] == parts and manifest["columns"] == ["id", "twice"]
     back = read_xlsx_corpus(spark, out)
     got = sorted((int(r["id"]), int(r["twice"])) for r in back.collect())
     assert got == [(i, 2 * i) for i in range(10)]
     # append adds parts and merges the manifest
     write_xlsx_corpus(df.limit(3), out, mode="append")
     assert read_xlsx_corpus(spark, out).count() == 13
-    manifest2 = open(os.path.join(out, "_SUCCESS")).read().splitlines()
-    assert len(manifest2) == len(
+    manifest2 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert len(manifest2["files"]) == len(
         [f for f in os.listdir(out) if f.endswith(".xlsx")]
     )
+    # a torn/speculative attempt's file on disk but OUTSIDE the
+    # manifest is never served
+    open(os.path.join(out, "part-99999-deadbeef.xlsx"), "wb").write(b"torn")
+    assert read_xlsx_corpus(spark, out).count() == 13
+    # append with different columns is refused (misaligned NULLs
+    # otherwise), and so is a _src_file column
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="column mismatch"):
+        write_xlsx_corpus(
+            df.selectExpr("id", "twice AS thrice"), out, mode="append"
+        )
+    with _pytest.raises(Exception, match="_src_file"):
+        write_xlsx_corpus(
+            df.selectExpr("id", "'x' AS _src_file"), out, mode="append"
+        )
     # overwrite replaces, never appends
     write_xlsx_corpus(df.limit(4), out)
     assert read_xlsx_corpus(spark, out).count() == 4
+    # an EMPTY committed corpus reads back as an empty frame with the
+    # manifest's schema (the write->read roundtrip is total)
+    empty_out = str(tmp_path / "export_empty")
+    write_xlsx_corpus(df.where(F.lit(False)), empty_out)
+    e = read_xlsx_corpus(spark, empty_out)
+    assert e.columns == ["id", "twice", "_src_file"] and e.count() == 0
