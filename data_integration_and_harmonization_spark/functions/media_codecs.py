@@ -46,7 +46,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def sniff_format(payload: bytes) -> str | None:
     """Identify a payload by magic bytes:
-    'png' | 'gif' | 'jpeg' | 'wav' | None."""
+    'png' | 'gif' | 'jpeg' | 'wav' | 'y4m' | None."""
     if payload is None:
         return None
     if payload[:8] == PNG_MAGIC:
@@ -348,11 +348,17 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
-def encode_gif(frames: list[np.ndarray]) -> bytes:
+def encode_gif(
+    frames: list[np.ndarray], delays: list[int] | None = None
+) -> bytes:
     """List of (H, W, 3) uint8 frames (same size, <=256 distinct colors
-    across all frames) -> animated GIF89a bytes."""
+    across all frames) -> animated GIF89a bytes. ``delays`` (per-frame
+    centiseconds) emits a Graphic Control Extension before each image
+    descriptor — the spec's presentation-timing block."""
     if not frames:
         raise ValueError("need at least one frame")
+    if delays is not None and len(delays) != len(frames):
+        raise ValueError("delays must match frames 1:1")
     h, w = frames[0].shape[:2]
     flat = np.concatenate([f.reshape(-1, 3) for f in frames])
     palette, inverse = np.unique(flat, axis=0, return_inverse=True)
@@ -370,6 +376,9 @@ def encode_gif(frames: list[np.ndarray]) -> bytes:
     min_code = max(2, bits)
     for k in range(len(frames)):
         idx = inverse[k * n_px : (k + 1) * n_px].tolist()
+        if delays is not None:
+            # GCE: size 4, no disposal/transparency, LE delay
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delays[k]) + b"\x00\x00"
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
         out.append(min_code)
         data = _lzw_encode(idx, min_code)
@@ -1113,3 +1122,50 @@ def encode_y4m(
                 sub = (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2] + 2) // 4
                 out.append(sub.astype(np.uint8).tobytes())
     return b"".join(out)
+
+
+def gif_frame_delays(payload: bytes) -> list[int]:
+    """Per-frame delays in centiseconds from the Graphic Control
+    Extension preceding each image descriptor (GIF89a spec block
+    0x21/0xF9: packed byte, 2-byte little-endian delay, transparent
+    index). Frames without a GCE report 0 — the spec's own default.
+    Presentation metadata only: :func:`decode_gif` ignores it, the
+    video features use it to derive a nominal fps for animations."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    delays: list[int] = []
+    pending = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 3:
+                pending = struct.unpack(
+                    "<H", payload[pos + 2 : pos + 4]
+                )[0]
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        delays.append(pending)
+        pending = 0  # a GCE governs only the next image
+        left, top, iw, ih = struct.unpack("<HHHH", payload[pos : pos + 8])
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        while payload[pos]:
+            pos += payload[pos] + 1
+        pos += 1
+    return delays

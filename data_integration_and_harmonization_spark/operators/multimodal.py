@@ -400,10 +400,11 @@ def video_temporal_features(
       standard cheap shot-change statistic).
 
     Returns ``(n_frames, fps, height, width, luma[n_sample],
-    motion[n_sample-1])``. Y4M carries a real frame rate; animated
-    GIF is accepted as a degenerate video (fps None — the GIF
-    per-frame delay is presentation metadata, not a stream rate).
-    None when no video codec recognizes the payload."""
+    motion[n_sample-1])``. Y4M carries a real stream rate; animated
+    GIF reports the nominal rate its Graphic Control Extension
+    delays imply (100 / median positive delay, centiseconds), or
+    fps None when the animation carries no timing. None when no
+    video codec recognizes the payload."""
     import numpy as np
 
     fmt = MC.sniff_format(payload) if payload is not None else None
@@ -415,7 +416,16 @@ def video_temporal_features(
                 for f in frames
             ]
         elif fmt == "gif":
-            fps = None
+            # nominal rate from the Graphic Control Extension delays
+            # (centiseconds): 100 / median delay; None when the GIF
+            # carries no timing (static or GCE-less animations)
+            delays = [d for d in MC.gif_frame_delays(payload) if d > 0]
+            if delays:
+                delays.sort()
+                med = delays[len(delays) // 2]
+                fps = round(100.0 / med, 9)
+            else:
+                fps = None
             frames = MC.decode_gif(payload)
             # BT.601 luma over the RGB palette output
             lum = [

@@ -362,3 +362,17 @@ def test_extract_temporal_features_fused_stage(spark):
         6.0, 25.0, 12.0, 16.0,
     ]
     assert rows[3]["kind"] is None and rows[3]["vals"] is None
+
+
+def test_gif_delays_and_nominal_fps():
+    frames = [np.full((6, 6, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    timed = MC.encode_gif(frames, delays=[10, 10, 20])
+    assert MC.gif_frame_delays(timed) == [10, 10, 20]
+    # decode ignores timing; frames unchanged
+    assert len(MC.decode_gif(timed)) == 3
+    nf, fps, *_ = MM.video_temporal_features(timed, n_sample=3)
+    assert nf == 3 and fps == 10.0  # 100 / median(10,10,20)
+    # GCE-less GIF still reports no rate
+    plain = MC.encode_gif(frames)
+    assert MC.gif_frame_delays(plain) == [0, 0, 0]
+    assert MM.video_temporal_features(plain, n_sample=3)[1] is None
