@@ -626,7 +626,9 @@ def _store_listing(spark, store_path: str) -> tuple[list[str], list[str]]:
 
     - a ``-compact-`` batch without its ``_replaces`` sidecar is NOT
       yet live (the compactor crashed between the parquet commit and
-      the sidecar) — the original batches still serve;
+      the sidecar) — the original batches still serve, and the orphan
+      compact dir joins the leftovers so the next compaction's reap
+      sweep deletes it instead of leaking it on disk forever;
     - batches a sidecar names are MASKED even while still on disk (a
       compactor that crashed between sidecar and deletes) — counts
       are sums, so double-listing would silently double the profile.
@@ -639,12 +641,17 @@ def _store_listing(spark, store_path: str) -> tuple[list[str], list[str]]:
 
     jvm, fs, _ = store_fs(spark, store_path)
     out: list[str] = []
+    orphans: list[str] = []
     replaced: set[str] = set()
     for p in complete_batches(spark, store_path):
         name = p.rsplit("/", 1)[-1]
         side = jvm.org.apache.hadoop.fs.Path(p, "_replaces")
         has_side = fs.exists(side)
         if "-compact-" in name and not has_side:
+            # crashed between parquet _SUCCESS and the sidecar: never
+            # served, but reapable — the originals it meant to fold
+            # are still live, so its content is fully redundant
+            orphans.append(p)
             continue
         out.append(p)
         if has_side:
@@ -655,7 +662,9 @@ def _store_listing(spark, store_path: str) -> tuple[list[str], list[str]]:
                 stream.close()
             replaced.update(n for n in data.splitlines() if n)
     live = sorted(p for p in out if p.rsplit("/", 1)[-1] not in replaced)
-    leftovers = sorted(p for p in out if p.rsplit("/", 1)[-1] in replaced)
+    leftovers = sorted(
+        [p for p in out if p.rsplit("/", 1)[-1] in replaced] + orphans
+    )
     return live, leftovers
 
 

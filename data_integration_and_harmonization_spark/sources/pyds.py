@@ -40,7 +40,11 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 def _read_manifest(path: str) -> dict | None:
     """The sink's committed ``_SUCCESS`` manifest for a directory, or
-    None (absent / not a directory / unparseable)."""
+    None when absent / not a directory. A manifest that EXISTS but
+    fails to parse raises: the commit path writes it atomically
+    (temp + ``os.replace``), so a torn file signals real corruption —
+    silently falling back to a glob would serve exactly the
+    torn/speculative parts the manifest exists to exclude."""
     import json
 
     marker = os.path.join(path, "_SUCCESS")
@@ -49,11 +53,18 @@ def _read_manifest(path: str) -> dict | None:
     try:
         with open(marker) as fh:
             m = json.load(fh)
-        if isinstance(m, dict) and "files" in m and "columns" in m:
-            return m
-    except (OSError, ValueError):
-        pass
-    return None
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"xlsx_corpus: manifest {marker!r} exists but is unreadable "
+            f"({e}) — refusing the glob fallback, which could serve "
+            "uncommitted part files"
+        ) from e
+    if not (isinstance(m, dict) and "files" in m and "columns" in m):
+        raise ValueError(
+            f"xlsx_corpus: manifest {marker!r} parsed but lacks the "
+            "files/columns keys — not a corpus manifest"
+        )
+    return m
 
 
 def _matched_paths(path: str) -> tuple[list[str], list[str] | None]:
@@ -159,12 +170,16 @@ class XlsxCorpusDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool) -> "XlsxCorpusWriter":
         # Python data sources support Append and Overwrite only (the
         # API rejects ErrorIfExists/Ignore before reaching here):
-        # overwrite clears prior parts + manifest; append adds parts
-        # (names carry a uuid — taskAttemptId alone is only unique
-        # within one SparkContext, and a second application's counter
-        # restarts at 0) and the commit merges the manifest — after
-        # checking the columns agree, since a part written under a
-        # different header would silently read as misaligned NULLs.
+        # overwrite REPLACES the committed corpus, but destruction is
+        # DEFERRED to commit() — new parts (uuid-named, so they never
+        # collide with the old ones) are written alongside the prior
+        # corpus, the manifest is atomically swapped to name only the
+        # new parts, and only then are the old parts removed. A failed
+        # or aborted overwrite therefore leaves the prior committed
+        # corpus fully readable. Append adds parts and the commit
+        # merges the manifest — after checking the columns agree,
+        # since a part written under a different header would silently
+        # read as misaligned NULLs.
         if "_src_file" in [f.name for f in schema.fields]:
             raise ValueError(
                 "xlsx_corpus sink: drop the _src_file column before writing "
@@ -173,14 +188,7 @@ class XlsxCorpusDataSource(DataSource):
             )
         path = self._path()
         os.makedirs(path, exist_ok=True)
-        if overwrite:
-            for f in os.listdir(path):
-                if f.endswith(".xlsx") or f == "_SUCCESS":
-                    try:
-                        os.remove(os.path.join(path, f))
-                    except OSError:
-                        pass
-        else:
+        if not overwrite:
             m = _read_manifest(path)
             if m is not None and list(m["columns"]) != [f.name for f in schema.fields]:
                 raise ValueError(
@@ -188,7 +196,7 @@ class XlsxCorpusDataSource(DataSource):
                     f"corpus — existing {m['columns']}, appending "
                     f"{[f.name for f in schema.fields]}"
                 )
-        return XlsxCorpusWriter(schema, path)
+        return XlsxCorpusWriter(schema, path, overwrite=overwrite)
 
 
 def register_xlsx_corpus(spark: SparkSession) -> None:
@@ -236,9 +244,12 @@ class XlsxCorpusWriter(DataSourceWriter):
     readers that care about torn writes can check it; ``abort``
     removes whatever partial parts reported back."""
 
-    def __init__(self, schema: T.StructType, path: str) -> None:
+    def __init__(
+        self, schema: T.StructType, path: str, overwrite: bool = False
+    ) -> None:
         self._cols = [f.name for f in schema.fields]
         self._path = path
+        self._overwrite = overwrite
 
     def write(self, iterator) -> _XlsxCommit:
         from pyspark import TaskContext
@@ -268,15 +279,33 @@ class XlsxCorpusWriter(DataSourceWriter):
         # only files whose tasks REPORTED BACK are committed — a
         # crashed or speculative attempt's torn workbook stays on disk
         # but outside the manifest, and manifest-aware reads never
-        # serve it
+        # serve it. The manifest itself lands atomically (temp file in
+        # the same directory + os.replace): a driver crash mid-commit
+        # leaves either the prior manifest or the new one, never a
+        # torn JSON that would force readers onto the glob fallback.
         import json
+        import tempfile
 
         files = {m.file for m in messages if m and m.file}
         prior = _read_manifest(self._path)
-        if prior is not None:  # append job: merge the manifest
-            files.update(prior["files"])
-        with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+        if prior is not None and not self._overwrite:
+            files.update(prior["files"])  # append job: merge the manifest
+        fd, tmp = tempfile.mkstemp(
+            prefix="._SUCCESS.", dir=self._path, text=True
+        )
+        with os.fdopen(fd, "w") as fh:
             json.dump({"columns": self._cols, "files": sorted(files)}, fh)
+        os.replace(tmp, os.path.join(self._path, "_SUCCESS"))
+        if self._overwrite and prior is not None:
+            # the swap above is the commit point: prior parts are now
+            # unreferenced, and removing them is pure housekeeping —
+            # a crash mid-sweep leaves orphan files the manifest never
+            # serves
+            for f in set(prior["files"]) - files:
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         for m in messages:

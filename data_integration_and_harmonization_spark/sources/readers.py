@@ -262,6 +262,13 @@ def read_csv_audited(
     parser prunes columns, so the corrupt flag would be
     filter-dependent); materializing first is the documented pattern,
     and both halves want the single parse anyway.
+
+    Cache lifecycle: the persisted parse is registered with
+    ``functions.caching.track``. The bench/driver contract releases it
+    at query boundaries via ``caching.release_all``; standalone
+    callers must do the same once both halves are consumed (or call
+    ``good.sparkSession.catalog.clearCache()``) — otherwise repeated
+    calls accumulate cached parses for the life of the session.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

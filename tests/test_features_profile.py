@@ -513,3 +513,49 @@ def test_compact_profile_store_crash_windows_read_correct(spark, tmp_path):
     P.compact_profile_store(spark, store)
     assert not os.path.exists(leftover)
     assert est() == (500, 1)
+
+
+def test_profile_store_orphan_compact_dir_is_reaped(spark, tmp_path):
+    """A compactor that crashed between the parquet _SUCCESS and the
+    _replaces sidecar leaves an orphan compact dir: it must never be
+    SERVED (the originals stay authoritative) and must be REAPED by
+    the next compaction instead of leaking on disk forever."""
+    import os
+
+    store = str(tmp_path / "prof_orphan")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("lab")
+    )
+    for m in range(2):
+        P.profile_store_update(df.where(F.col("id") % 2 == m), store, ["id", "lab"])
+    before = {
+        r["col_name"]: r for r in P.profile_store_estimate(spark, store).collect()
+    }
+
+    # simulate the crash window: a committed compact batch WITHOUT its
+    # sidecar — same rows as a real compaction would write
+    rows = spark.read.schema(P.PROFILE_STORE_SCHEMA).parquet(
+        *[os.path.join(store, d) for d in os.listdir(store)]
+    )
+    orphan = os.path.join(store, "batch-000002-compact-deadbeef")
+    rows.groupBy("col_name").agg(
+        F.hll_union_agg("sketch").alias("sketch"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.sum("n_rows").alias("n_rows"),
+    ).write.parquet(orphan)
+    assert os.path.exists(os.path.join(orphan, "_SUCCESS"))
+
+    # never served: estimates unchanged, batch counts still 2
+    mid = {r["col_name"]: r for r in P.profile_store_estimate(spark, store).collect()}
+    for c in ("id", "lab"):
+        assert mid[c]["est_distinct"] == before[c]["est_distinct"]
+        assert mid[c]["n_rows"] == 2000 and mid[c]["n_batches"] == 2
+
+    # the next compaction reaps the orphan alongside the folded batches
+    out = P.compact_profile_store(spark, store)
+    assert out["batches_before"] == 2 and not out["undeleted"]
+    assert not os.path.exists(orphan)
+    after = {r["col_name"]: r for r in P.profile_store_estimate(spark, store).collect()}
+    for c in ("id", "lab"):
+        assert after[c]["est_distinct"] == before[c]["est_distinct"]
+        assert after[c]["n_rows"] == 2000 and after[c]["n_batches"] == 1

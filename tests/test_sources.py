@@ -1121,3 +1121,63 @@ def test_xlsx_corpus_writer_roundtrip(spark, tmp_path):
     write_xlsx_corpus(df.where(F.lit(False)), empty_out)
     e = read_xlsx_corpus(spark, empty_out)
     assert e.columns == ["id", "twice", "_src_file"] and e.count() == 0
+
+
+def test_xlsx_corpus_failed_overwrite_preserves_prior(spark, tmp_path):
+    """Overwrite destruction is deferred to commit(): a job that fails
+    mid-write leaves the previously committed corpus fully readable
+    (old parts + manifest untouched); only a SUCCESSFUL overwrite
+    swaps the manifest and reaps the replaced parts."""
+    import os
+
+    from data_integration_and_harmonization_spark.sources.pyds import (
+        read_xlsx_corpus,
+        write_xlsx_corpus,
+    )
+
+    out = str(tmp_path / "export_ow")
+    v1 = spark.range(5).select(F.col("id"), (F.col("id") + 1).alias("nxt"))
+    write_xlsx_corpus(v1, out)
+    assert read_xlsx_corpus(spark, out).count() == 5
+    old_parts = {f for f in os.listdir(out) if f.endswith(".xlsx")}
+
+    # an overwrite whose tasks FAIL: the job aborts before commit()
+    import pytest as _pytest
+
+    bad = spark.range(3).select(
+        F.col("id"),
+        F.assert_true(F.col("id") < 0).alias("nxt"),  # every row raises
+    )
+    with _pytest.raises(Exception):
+        write_xlsx_corpus(bad, out, mode="overwrite")
+    # prior corpus intact: same manifest, same parts, same rows
+    assert {f for f in os.listdir(out) if f.endswith(".xlsx")} >= old_parts
+    assert read_xlsx_corpus(spark, out).count() == 5
+
+    # a SUCCESSFUL overwrite swaps the manifest and reaps old parts
+    write_xlsx_corpus(v1.limit(2), out, mode="overwrite")
+    assert read_xlsx_corpus(spark, out).count() == 2
+    assert not (
+        {f for f in os.listdir(out) if f.endswith(".xlsx")} & old_parts
+    )
+
+
+def test_xlsx_corpus_torn_manifest_raises(spark, tmp_path):
+    """A _SUCCESS manifest that exists but cannot be parsed must
+    RAISE, not silently fall back to globbing (which would serve
+    uncommitted torn/speculative part files as data)."""
+    import os
+
+    import pytest as _pytest
+
+    from data_integration_and_harmonization_spark.sources.pyds import (
+        read_xlsx_corpus,
+        write_xlsx_corpus,
+    )
+
+    out = str(tmp_path / "export_torn")
+    write_xlsx_corpus(spark.range(3).select("id"), out)
+    with open(os.path.join(out, "_SUCCESS"), "w") as fh:
+        fh.write('{"columns": ["id"], "fil')  # torn mid-write
+    with _pytest.raises(Exception, match="unreadable"):
+        read_xlsx_corpus(spark, out).count()
