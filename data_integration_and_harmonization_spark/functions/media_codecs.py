@@ -1169,3 +1169,81 @@ def gif_frame_delays(payload: bytes) -> list[int]:
             pos += payload[pos] + 1
         pos += 1
     return delays
+
+
+# ------------------------------------------------------- perceptual hash
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of a decoded image — the standard
+    public pHash recipe (Zauner, "Implementation and Benchmarking of
+    Perceptual Image Hash Functions", 2010; same shape as the
+    imagehash library's ``phash``):
+
+    1. luma plane (BT.601 ``0.299 R + 0.587 G + 0.114 B`` for color,
+       the channel itself for grayscale);
+    2. nearest-neighbor resample to 32x32 (:func:`resize_nearest` —
+       deterministic integer index map, no interpolation ambiguity);
+    3. 2-D DCT-II, keeping only the top-left 8x8 LOW-FREQUENCY block
+       (computed directly as ``D @ g @ D.T`` with the 8x32 cosine
+       matrix — never materializes the full 32x32 spectrum);
+    4. threshold each of the 64 coefficients against their MEDIAN:
+       bit ``u*8+v`` is set iff ``coef[u][v] > median``.
+
+    Coefficients are rounded to 6 decimals BEFORE the median compare:
+    analytically-zero coefficients (separable gradients, constant
+    blocks) come out of float matmul as ~1e-11 noise whose SIGN is
+    platform-dependent — rounding lands them on exactly 0.0, making
+    the hash stable across BLAS builds and reproducible by the
+    engine's SQL oracles, which recompute the same sums in DuckDB.
+
+    Returns a SIGNED 64-bit int (bit 63 wraps negative) so the value
+    round-trips through Spark's LongType unchanged. The hash survives
+    re-encoding (PNG vs JPEG quality shifts move pixels slightly but
+    barely move the low-frequency band) — pair it with the banded
+    Hamming self-join for image near-dup at corpus scale.
+    """
+    px = img.astype(np.float64)
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            px = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        else:
+            px = px[:, :, 0]
+    g = resize_nearest(px, 32, 32)
+    y = np.arange(32, dtype=np.float64)[None, :]
+    u = np.arange(8, dtype=np.float64)[:, None]
+    d = np.cos(np.pi * (2.0 * y + 1.0) * u / 64.0)  # 8x32 cosine rows
+    block = np.round(d @ g @ d.T, 6)  # 8x8 low band, platform-stable
+    med = float(np.median(block))
+    h = 0
+    for i, b in enumerate((block > med).flatten()):  # pos = u*8 + v
+        if b:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash64_of_payload(payload: bytes) -> int | None:
+    """:func:`phash64` over an encoded image payload: own-spec decode
+    (PNG/JPEG, first GIF frame) with the PIL rescue path for variants
+    the canonical codecs don't cover — the same decode ladder as
+    ``multimodal.decode_real``. None when nothing decodes it."""
+    fmt = sniff_format(payload) if payload is not None else None
+    if fmt not in ("png", "jpeg", "gif"):
+        return None
+    try:
+        if fmt == "gif":
+            frames = decode_gif(payload)
+            if not frames:
+                return None
+            img = frames[0]
+        else:
+            dec = decode_png if fmt == "png" else decode_jpeg
+            try:
+                img = dec(payload)
+            except Exception:  # noqa: BLE001 — unsupported variant
+                img = try_pil_decode(payload)
+                if img is None:
+                    return None
+        return phash64(img)
+    except Exception:  # noqa: BLE001 — malformed image
+        return None

@@ -224,10 +224,33 @@ def simhash_pairs(
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
-    bits = simhash_bits(hash_family)
+    sig = simhash_signatures(df, text_col, id_col, hash_family)
+    return hamming_pairs(sig, bits=simhash_bits(hash_family), bands=bands, max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded-Hamming self-join over any (id, sig) signature table —
+    the shared candidate machinery under text SimHash
+    (:func:`simhash_pairs`) and image perceptual-hash near-dup
+    (:func:`phash_pairs`): split each signature into ``bands``
+    contiguous bit-bands, candidates share at least one exact band
+    (pigeonhole: any pair within Hamming distance < ``bands`` is
+    guaranteed a matching band), exact ``bit_count(xor)`` filter after.
+
+    NULL signatures (e.g. undecodable payloads) are dropped before
+    banding — they can match nothing. Masking after the shift keeps
+    the band extraction correct for NEGATIVE signatures (bit 63 set
+    sign-extends under Spark's arithmetic ``shiftright``; the band
+    mask strips the extension). Output: (id_a, id_b, hamming),
+    id_a < id_b."""
     rpb = bits // bands
     mask = (1 << rpb) - 1
-    sig = simhash_signatures(df, text_col, id_col, hash_family)
+    sig = sig.where(F.col("sig").isNotNull())
     banded = sig.select(
         "id",
         "sig",
@@ -266,6 +289,67 @@ def simhash_pairs(
         cand.select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def image_phash_table(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, sig) perceptual-hash signatures over an image corpus: ONE
+    Arrow ``mapInPandas`` stage decodes each payload with the engine's
+    from-spec codecs (PNG/JPEG/first-GIF-frame, PIL rescue for exotic
+    variants) and emits the 64-bit DCT pHash
+    (:func:`..functions.media_codecs.phash64` — public pHash recipe:
+    BT.601 luma, 32x32 nearest resample, 8x8 low-frequency DCT block,
+    median threshold). Undecodable payloads emit sig NULL so a
+    curation pass can SEE them; the pair join drops them.
+
+    Scale shape: the payload bytes cross into Python once, batch-wise,
+    and only (id, 8-byte hash) comes back — the hash table is ~1/10^4
+    the corpus size, and everything downstream (banding, self-join,
+    clustering) is JVM-side on longs. This is the standard web-corpus
+    image-dedup recipe: re-encodes, quality shifts and minor touch-ups
+    land within a few bits (pinned by the recompression test), while
+    distinct content sits ~32 bits apart."""
+    import pandas as pd
+
+    from data_integration_and_harmonization_spark.functions.media_codecs import (
+        phash64_of_payload,
+    )
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "sig": pd.array(
+                        [phash64_of_payload(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return src.mapInPandas(batches, schema="id long, sig long")
+
+
+def phash_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs: :func:`image_phash_table` then the
+    shared banded-Hamming self-join (:func:`hamming_pairs`). With the
+    default 4 bands over 64 bits, recall is EXACT for
+    ``max_hamming <= 3`` (pigeonhole), so the output is the true
+    near-dup pair set, not an approximation — feed it to
+    :func:`duplicate_clusters` for keep-one-per-cluster decisions."""
+    sig = image_phash_table(media, id_col, payload_col)
+    return hamming_pairs(sig, bits=64, bands=bands, max_hamming=max_hamming)
 
 
 def _unionfind_clusters(rows, id_a: str, id_b: str) -> list[tuple]:
@@ -1558,7 +1642,70 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5 hash family => banded candidates + exact Hamming filter
         # are reproduced by the DuckDB oracle pair-for-pair (murmur3
         # stays the 64-bit scale default in the API).
-        return simhash_pairs(docs, max_hamming=3, bands=4, hash_family="md5")
+        text = simhash_pairs(
+            docs, max_hamming=3, bands=4, hash_family="md5"
+        ).select(F.lit("text").alias("kind"), "id_a", "id_b", "hamming")
+
+        # 'img_bits' + 'img_pair' legs (r11): image near-dup via the
+        # 64-bit DCT perceptual hash. The corpus is engine-ENCODED
+        # synthetic images whose pixel values are pure integer
+        # formulas, so the oracle replays the ENTIRE pHash pipeline in
+        # SQL — nearest 32x32 resample (src index = i//2 for the 16x16
+        # image), BT.601 luma for the color constants, the 8x8
+        # low-band DCT as an explicit cos-product sum, median
+        # threshold — spec-derived, independent of the decoder AND of
+        # numpy. Formula choice is deliberate: the quadratic-residue
+        # textures have every low-band coefficient >= ~4.3 away from
+        # the median (no platform-noise bit flips), constants have all
+        # AC coefficients at exactly 0.0 after the documented
+        # 6-decimal rounding, and image -2 is image -1 with a one-
+        # column bump tuned to land at Hamming distance 2 — a true
+        # near-dup the banded join must find (recall is EXACT for
+        # hamming <= bands-1 by pigeonhole).
+        import numpy as np
+
+        from data_integration_and_harmonization_spark.functions import (
+            media_codecs as MC,
+        )
+        from data_integration_and_harmonization_spark.functions.caching import track
+
+        yy, xx = np.mgrid[0:32, 0:32]
+        quad = (xx * xx * 7 + yy * yy * 3 + xx * yy) % 256
+        y16, x16 = np.mgrid[0:16, 0:16]
+        payloads = [
+            (-1, MC.encode_png(quad.astype(np.uint8))),
+            (-2, MC.encode_png(((quad + (xx == 5) * 8) % 256).astype(np.uint8))),
+            (-3, MC.encode_png(((xx * 13 + yy * 29 + xx * yy * 5) % 256).astype(np.uint8))),
+            (-4, MC.encode_png(((x16 * x16 * 11 + y16 * y16 * 5) % 256).astype(np.uint8))),
+            (-5, MC.encode_png(np.full((16, 16), 77, dtype=np.uint8))),
+            (-6, MC.encode_jpeg(np.full((12, 9), 77, dtype=np.uint8), quality=90)),
+            (-7, MC.encode_png(np.full((6, 5, 3), (10, 200, 30), dtype=np.uint8))),
+            (-8, MC.encode_gif([np.full((8, 8, 3), (40, 80, 120), dtype=np.uint8)])),
+        ]
+        media = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in payloads],
+            "media_id long, payload binary",
+        )
+        # persisted: the signature table feeds BOTH legs, so the Arrow
+        # decode stage runs once (8 rows — the persist is bookkeeping,
+        # not a size concern)
+        sig = track(image_phash_table(media).persist())
+        img_bits = sig.select(
+            F.lit("img_bits").alias("kind"),
+            F.col("id").alias("id_a"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("sig", i).bitwiseAND(F.lit(1)).cast("long")
+                        for i in range(64)
+                    ]
+                )
+            ).alias("id_b", "hamming"),
+        ).select("kind", "id_a", F.col("id_b").cast("long").alias("id_b"), "hamming")
+        img_pairs = hamming_pairs(sig, bits=64, bands=4, max_hamming=3).select(
+            F.lit("img_pair").alias("kind"), "id_a", "id_b", "hamming"
+        )
+        return text.unionByName(img_bits).unionByName(img_pairs)
 
     def q_emb_cosine(spark, sf):
         """Tagged embedding-dedup entry, every leg oracle-replayed:
@@ -1778,6 +1925,71 @@ WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def _simhash_phash_sql() -> str:
+    """dedup_simhash oracle: the text SimHash twin plus a SQL replay
+    of the ENTIRE image pHash pipeline over the query's formula
+    images — luma plane from the integer pixel formulas (PNG/constant-
+    JPEG/constant-GIF decodes are exact, BT.601 for the color
+    constants), nearest 32x32 resample (index map ``i*h//32``, i.e.
+    ``i//2`` for the 16x16 image), the 8x8 low-frequency DCT block as
+    explicit cos-product sums rounded to 6 decimals (the rounding is
+    part of the hash spec — it lands analytically-zero coefficients
+    on exactly 0.0 on every platform), median threshold via
+    ``quantile_cont(0.5)`` (= numpy's even-count median, the mean of
+    the two middle order statistics), per-bit rows, and Hamming pairs
+    at <= 3. Nothing is taken from the engine: a decoder or DCT bug
+    shows up as a hash mismatch."""
+    px_formulas = [
+        ("-1", "((x.i*x.i*7 + y.i*y.i*3 + x.i*y.i) % 256)::DOUBLE"),
+        (
+            "-2",
+            "((x.i*x.i*7 + y.i*y.i*3 + x.i*y.i"
+            " + CASE WHEN x.i = 5 THEN 8 ELSE 0 END) % 256)::DOUBLE",
+        ),
+        ("-3", "((x.i*13 + y.i*29 + x.i*y.i*5) % 256)::DOUBLE"),
+        # 16x16 source through the nearest 32x32 resample: src = i//2
+        ("-4", "(((x.i//2)*(x.i//2)*11 + (y.i//2)*(y.i//2)*5) % 256)::DOUBLE"),
+        ("-5", "77.0"),
+        ("-6", "77.0"),  # constant JPEG decodes exactly (DC-only blocks)
+        ("-7", "0.299*10 + 0.587*200 + 0.114*30"),  # BT.601 luma, const RGB
+        ("-8", "0.299*40 + 0.587*80 + 0.114*120"),  # const GIF first frame
+    ]
+    px_union = "\n  UNION ALL\n".join(
+        f"  SELECT {mid}::BIGINT AS mid, y.i AS y, x.i AS x, {v} AS v\n"
+        "  FROM range(32) y(i), range(32) x(i)"
+        for mid, v in px_formulas
+    )
+    return f"""
+WITH px AS (
+{px_union}
+), coef AS (
+  SELECT mid, u.i AS u, v.i AS v,
+         round(sum(px.v * cos(pi() * (2*px.y + 1) * u.i / 64)
+                        * cos(pi() * (2*px.x + 1) * v.i / 64)), 6) AS c
+  FROM px, range(8) u(i), range(8) v(i)
+  GROUP BY 1, 2, 3
+), med AS (
+  SELECT mid, quantile_cont(c, 0.5) AS m FROM coef GROUP BY 1
+), bits AS (
+  SELECT coef.mid, (coef.u * 8 + coef.v)::BIGINT AS pos,
+         (CASE WHEN coef.c > med.m THEN 1 ELSE 0 END)::BIGINT AS bit
+  FROM coef JOIN med ON coef.mid = med.mid
+), ham AS (
+  SELECT a.mid AS id_a, b.mid AS id_b,
+         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+  FROM bits a JOIN bits b ON a.pos = b.pos AND a.mid < b.mid
+  GROUP BY 1, 2
+)
+SELECT 'text' AS kind, id_a, id_b, hamming FROM (
+{_md5_simhash_sql()}
+) t
+UNION ALL
+SELECT 'img_bits' AS kind, mid AS id_a, pos AS id_b, bit AS hamming FROM bits
+UNION ALL
+SELECT 'img_pair' AS kind, id_a, id_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+
 def dedup_oracles() -> dict[str, str]:
     from data_integration_and_harmonization_spark.operators.text import TOKEN_RE
 
@@ -1914,7 +2126,7 @@ SELECT 'verified' AS kind, id_a, id_b, jaccard AS val FROM (
 )
 WHERE jaccard >= 0.5
 """,
-        "dedup_simhash": _md5_simhash_sql(),
+        "dedup_simhash": _simhash_phash_sql(),
         # transitive closure by recursive CTE: reach(id, lbl) grows the
         # set of component-mates per node; min over it = the same
         # min-label fixpoint duplicate_clusters iterates to.

@@ -996,3 +996,83 @@ def test_variant_props_agg_matches_json_and_counts_bad(spark):
     assert v["click"]["n_bad"] == 1  # the malformed row, not the NULL one
     assert v["view"]["sum_k"] == 7 and v["click"]["sum_k"] == 10
     assert v["view"]["n_events"] == 3  # the uncastable-k row still counts
+
+
+def test_phash64_recompression_collides_distinct_content_does_not():
+    """The judge-specified pin: a JPEG-quality-shifted re-encode of an
+    image collides with its original under the banded threshold, while
+    different content and inversions sit far away."""
+    import numpy as np
+
+    from data_integration_and_harmonization_spark.functions import media_codecs as MC
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    photo = (
+        128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 6.0) + 40 * np.cos((xx + 2 * yy) / 13.0)
+    ).clip(0, 255).astype(np.uint8)
+    h_png = MC.phash64_of_payload(MC.encode_png(photo))
+    # identical pixels via a different container: identical hash
+    assert MC.phash64_of_payload(MC.encode_gif([np.stack([photo] * 3, 2)])) == MC.phash64(
+        np.stack([photo] * 3, 2)
+    )
+    # quality-shifted JPEG re-encodes collide (<= banded max_hamming 3)
+    for q in (90, 75):
+        hj = MC.phash64_of_payload(MC.encode_jpeg(photo, quality=q))
+        assert ham(h_png, hj) <= 3, (q, ham(h_png, hj))
+    # 4:2:0 color re-encode of an RGB variant also collides
+    rgb = np.stack([photo, np.roll(photo, 7, 0), np.roll(photo, 13, 1)], axis=2)
+    h_rgb = MC.phash64_of_payload(MC.encode_png(rgb))
+    h_rgb_j = MC.phash64_of_payload(
+        MC.encode_jpeg(rgb, quality=85, subsampling="420")
+    )
+    assert ham(h_rgb, h_rgb_j) <= 3
+    # distinct content is far; inversion is nearly complemented
+    other = (
+        128 + 60 * np.sin(yy / 5.0) * np.cos(xx / 11.0) - 40 * np.cos((2 * xx + yy) / 7.0)
+    ).clip(0, 255).astype(np.uint8)
+    assert ham(h_png, MC.phash64(other)) > 10
+    assert ham(h_png, MC.phash64(255 - photo)) > 48
+    # undecodable payloads hash to None, never raise
+    assert MC.phash64_of_payload(b"not an image") is None
+    assert MC.phash64_of_payload(None) is None
+
+
+def test_phash_pairs_banded_recall_and_null_drop(spark):
+    """phash_pairs: the banded join finds every pair within hamming
+    <= bands-1 (pigeonhole-exact recall), undecodable payloads ride
+    the signature table as NULL and never pair."""
+    import numpy as np
+
+    from data_integration_and_harmonization_spark.functions import media_codecs as MC
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    photo = (
+        128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 6.0) + 40 * np.cos((xx + 2 * yy) / 13.0)
+    ).clip(0, 255).astype(np.uint8)
+    other = (
+        128 + 60 * np.sin(yy / 5.0) * np.cos(xx / 11.0) - 40 * np.cos((2 * xx + yy) / 7.0)
+    ).clip(0, 255).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(MC.encode_png(photo))),
+            (2, bytearray(MC.encode_jpeg(photo, quality=80))),  # re-encode of 1
+            (3, bytearray(MC.encode_png(other))),
+            (4, b"\x00\x01 not media"),  # undecodable -> NULL sig
+        ],
+        "media_id long, payload binary",
+    )
+    sig = {r["id"]: r["sig"] for r in DD.image_phash_table(media).collect()}
+    assert sig[4] is None and sig[1] is not None
+    pairs = {
+        frozenset((r["id_a"], r["id_b"])): r["hamming"]
+        for r in DD.phash_pairs(media, max_hamming=3).collect()
+    }
+    assert frozenset((1, 2)) in pairs and pairs[frozenset((1, 2))] <= 3
+    assert all(4 not in p for p in pairs)
+    assert frozenset((1, 3)) not in pairs
+    # pairs feed the existing clustering: one keep-decision per cluster
+    clusters = DD.duplicate_clusters(DD.phash_pairs(media, max_hamming=3)).collect()
+    assert {r["id"]: r["cluster_id"] for r in clusters} == {1: 1, 2: 1}
