@@ -59,6 +59,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:10] == b"YUV4MPEG2 ":
         return "y4m"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -1247,3 +1249,275 @@ def phash64_of_payload(payload: bytes) -> int | None:
         return phash64(img)
     except Exception:  # noqa: BLE001 — malformed image
         return None
+
+
+# ------------------------------------------------------ MP4 / ISO-BMFF
+#
+# Box-structure metadata only, from the public ISO/IEC 14496-12
+# grammar: a file is a sequence of [size:u32][type:4cc][payload]
+# boxes (size 1 -> u64 largesize follows; size 0 -> to end of file),
+# containers nest the same grammar. Duration / fps / geometry / codec
+# come from mvhd, tkhd, mdhd, hdlr, stsd and stts WITHOUT touching a
+# media frame — full H.264/AAC decode is out of scope (and
+# unnecessary: curation triage wants the envelope, not the pixels).
+
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    data[start:end], per the 14496-12 size grammar."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        btype = data[pos + 4 : pos + 8]
+        payload = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            payload = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < payload - pos or pos + size > end:
+            raise ValueError(f"box {btype!r} overruns its container")
+        yield btype, payload, pos + size
+        pos += size
+
+
+def _mp4_fullbox(data: bytes, start: int) -> tuple[int, int]:
+    """(version, first-content offset) of a FullBox payload."""
+    return data[start], start + 4
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Container metadata of an ISO-BMFF (MP4/MOV/M4A) payload:
+
+    ``{'brand', 'timescale', 'duration', 'duration_sec',
+    'tracks': [{'track_id', 'handler', 'codec', 'timescale',
+    'duration', 'n_samples', 'fps', 'width', 'height'}]}``
+
+    - movie duration from ``mvhd`` (version 0 u32 / version 1 u64
+      fields per spec);
+    - per track: geometry from ``tkhd`` (width/height are 16.16
+      fixed-point), media timescale/duration from ``mdhd``, the
+      handler fourcc from ``hdlr`` ('vide'/'soun'), the sample-entry
+      codec fourcc from ``stsd``, and the sample count from ``stts``
+      run-lengths;
+    - ``fps = timescale * n_samples / media duration`` — exactly the
+      stts arithmetic, no frame decode (None for non-video or
+      zero-duration tracks).
+
+    Raises ValueError on payloads that violate the box grammar."""
+    if sniff_format(payload) != "mp4":
+        raise ValueError("not an ISO-BMFF payload")
+    data = bytes(payload)
+    meta: dict = {"brand": None, "timescale": None, "duration": None, "tracks": []}
+
+    def walk(start: int, end: int, track: dict | None) -> None:
+        for btype, p, q in _mp4_boxes(data, start, end):
+            if btype == b"ftyp":
+                meta["brand"] = data[p : p + 4].decode("latin-1")
+            elif btype == b"mvhd":
+                ver, c = _mp4_fullbox(data, p)
+                if ver == 1:
+                    meta["timescale"] = struct.unpack(">I", data[c + 16 : c + 20])[0]
+                    meta["duration"] = struct.unpack(">Q", data[c + 20 : c + 28])[0]
+                else:
+                    meta["timescale"] = struct.unpack(">I", data[c + 8 : c + 12])[0]
+                    meta["duration"] = struct.unpack(">I", data[c + 12 : c + 16])[0]
+            elif btype == b"trak":
+                t = {
+                    "track_id": None,
+                    "handler": None,
+                    "codec": None,
+                    "timescale": None,
+                    "duration": None,
+                    "n_samples": None,
+                    "fps": None,
+                    "width": None,
+                    "height": None,
+                }
+                meta["tracks"].append(t)
+                walk(p, q, t)
+            elif btype == b"tkhd" and track is not None:
+                ver, c = _mp4_fullbox(data, p)
+                track["track_id"] = struct.unpack(
+                    ">I", data[c + (16 if ver == 1 else 8) : c + (20 if ver == 1 else 12)]
+                )[0]
+                # width/height: the LAST 8 bytes of the box, 16.16 fixed
+                w, h = struct.unpack(">II", data[q - 8 : q])
+                track["width"] = w / 65536.0
+                track["height"] = h / 65536.0
+            elif btype == b"mdhd" and track is not None:
+                ver, c = _mp4_fullbox(data, p)
+                if ver == 1:
+                    track["timescale"] = struct.unpack(">I", data[c + 16 : c + 20])[0]
+                    track["duration"] = struct.unpack(">Q", data[c + 20 : c + 28])[0]
+                else:
+                    track["timescale"] = struct.unpack(">I", data[c + 8 : c + 12])[0]
+                    track["duration"] = struct.unpack(">I", data[c + 12 : c + 16])[0]
+            elif btype == b"hdlr" and track is not None:
+                _, c = _mp4_fullbox(data, p)
+                track["handler"] = data[c + 4 : c + 8].decode("latin-1")
+            elif btype == b"stsd" and track is not None:
+                _, c = _mp4_fullbox(data, p)
+                if struct.unpack(">I", data[c : c + 4])[0] >= 1:
+                    track["codec"] = data[c + 8 : c + 12].decode("latin-1")
+            elif btype == b"stts" and track is not None:
+                _, c = _mp4_fullbox(data, p)
+                n_entries = struct.unpack(">I", data[c : c + 4])[0]
+                total = 0
+                for i in range(n_entries):
+                    total += struct.unpack(">I", data[c + 4 + 8 * i : c + 8 + 8 * i])[0]
+                track["n_samples"] = total
+            elif btype in _MP4_CONTAINERS:
+                walk(p, q, track)
+
+    walk(0, len(data), None)
+    ts, dur = meta["timescale"], meta["duration"]
+    meta["duration_sec"] = (dur / ts) if ts else None
+    for t in meta["tracks"]:
+        if (
+            t["handler"] == "vide"
+            and t["n_samples"]
+            and t["timescale"]
+            and t["duration"]
+        ):
+            t["fps"] = t["timescale"] * t["n_samples"] / t["duration"]
+    return meta
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4_meta(
+    width: int,
+    height: int,
+    n_frames: int,
+    timescale: int = 30000,
+    frame_delta: int = 1001,
+    codec: bytes = b"avc1",
+    with_audio: bool = False,
+) -> bytes:
+    """Minimal spec-shaped ISO-BMFF fixture: ftyp + moov(mvhd +
+    trak(tkhd + mdia(mdhd + hdlr + minf(vmhd + dinf/dref +
+    stbl(stsd + stts + stsc + stsz + stco))))) + empty mdat. The
+    sample tables carry real run-lengths (one stts run of
+    ``n_frames x frame_delta``) but reference no media bytes — the
+    metadata-parsing analogue of the engine's other synthetic
+    fixtures, with every derived quantity a closed form:
+    ``fps = timescale/frame_delta``, media duration =
+    ``n_frames * frame_delta``. ``with_audio`` appends a second,
+    'soun'-handler mp4a track so multi-track walks are testable."""
+    media_dur = n_frames * frame_delta
+    movie_ts = 1000
+    movie_dur = (media_dur * movie_ts + timescale - 1) // timescale
+    unity = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+    def mvhd() -> bytes:
+        return _mp4_box(
+            b"mvhd",
+            struct.pack(">I", 0)  # version 0 + flags
+            + struct.pack(">IIII", 0, 0, movie_ts, movie_dur)
+            + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, rsvd
+            + b"\x00" * 8
+            + unity
+            + b"\x00" * 24
+            + struct.pack(">I", 3),  # next_track_ID
+        )
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        return _mp4_box(
+            b"tkhd",
+            struct.pack(">I", 3)  # version 0, flags: enabled|in-movie
+            + struct.pack(">IIII", 0, 0, track_id, 0)
+            + struct.pack(">I", movie_dur)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0x0100 if w == 0 else 0, 0)
+            + unity
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    def mdhd() -> bytes:
+        return _mp4_box(
+            b"mdhd",
+            struct.pack(">I", 0)
+            + struct.pack(">IIII", 0, 0, timescale, media_dur)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+
+    def hdlr(handler: bytes, name: bytes) -> bytes:
+        return _mp4_box(
+            b"hdlr",
+            struct.pack(">I", 0) + b"\x00" * 4 + handler + b"\x00" * 12 + name + b"\x00",
+        )
+
+    def stbl(entry: bytes) -> bytes:
+        stsd = _mp4_box(b"stsd", struct.pack(">II", 0, 1) + entry)
+        stts = _mp4_box(
+            b"stts", struct.pack(">IIII", 0, 1, n_frames, frame_delta)
+        )
+        stsc = _mp4_box(b"stsc", struct.pack(">II", 0, 0))
+        stsz = _mp4_box(b"stsz", struct.pack(">III", 0, 0, n_frames))
+        stco = _mp4_box(b"stco", struct.pack(">II", 0, 0))
+        return _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    def visual_entry() -> bytes:
+        body = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)  # data_reference_index
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4
+            + struct.pack(">H", 1)  # frame_count
+            + b"\x00" * 32  # compressorname
+            + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+        )
+        return _mp4_box(codec, body)
+
+    def audio_entry() -> bytes:
+        body = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 8
+            + struct.pack(">HHI", 2, 16, 0)  # channels, samplesize
+            + struct.pack(">I", 44100 << 16)
+        )
+        return _mp4_box(b"mp4a", body)
+
+    dref = _mp4_box(
+        b"dinf",
+        _mp4_box(
+            b"dref",
+            struct.pack(">II", 0, 1) + _mp4_box(b"url ", struct.pack(">I", 1)),
+        ),
+    )
+    vmhd = _mp4_box(b"vmhd", struct.pack(">I", 1) + b"\x00" * 8)
+    smhd = _mp4_box(b"smhd", struct.pack(">I", 0) + b"\x00" * 4)
+    v_trak = _mp4_box(
+        b"trak",
+        tkhd(1, width, height)
+        + _mp4_box(
+            b"mdia",
+            mdhd()
+            + hdlr(b"vide", b"VideoHandler")
+            + _mp4_box(b"minf", vmhd + dref + stbl(visual_entry())),
+        ),
+    )
+    traks = v_trak
+    if with_audio:
+        traks += _mp4_box(
+            b"trak",
+            tkhd(2, 0, 0)
+            + _mp4_box(
+                b"mdia",
+                mdhd()
+                + hdlr(b"soun", b"SoundHandler")
+                + _mp4_box(b"minf", smhd + dref + stbl(audio_entry())),
+            ),
+        )
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    return ftyp + _mp4_box(b"moov", mvhd() + traks) + _mp4_box(b"mdat", b"")

@@ -404,11 +404,35 @@ def video_temporal_features(
     GIF reports the nominal rate its Graphic Control Extension
     delays imply (100 / median positive delay, centiseconds), or
     fps None when the animation carries no timing. None when no
-    video codec recognizes the payload."""
+    video codec recognizes the payload.
+
+    MP4/ISO-BMFF (r11): compressed containers get the METADATA tier —
+    n_frames from the stts run-lengths, fps from the sample-table
+    arithmetic, geometry from tkhd (``media_codecs.parse_mp4_meta``,
+    ISO/IEC 14496-12 box grammar) — with luma/motion NULL, since
+    those need frame decode and full H.264 is out of scope. ~100% of
+    real web video is compressed-container, so the envelope features
+    a triage pass bins on (duration, rate, geometry, codec presence)
+    must not require a from-scratch AVC decoder."""
     import numpy as np
 
     fmt = MC.sniff_format(payload) if payload is not None else None
     try:
+        if fmt == "mp4":
+            meta = MC.parse_mp4_meta(payload)
+            vid = next(
+                (t for t in meta["tracks"] if t["handler"] == "vide"), None
+            )
+            if vid is None or not vid["n_samples"]:
+                return None
+            return (
+                int(vid["n_samples"]),
+                None if vid["fps"] is None else round(vid["fps"], 9),
+                int(vid["height"] or 0),
+                int(vid["width"] or 0),
+                [None] * n_sample,
+                [None] * (n_sample - 1),
+            )
         if fmt == "y4m":
             fps, frames = MC.decode_y4m(payload)
             lum = [
@@ -471,9 +495,11 @@ def extract_temporal_features(
 
     - kind 'audio' (WAV): ``vals = band_share[n_bands] + [n_frames,
       rms]`` — exactly :func:`audio_band_features`'s layout.
-    - kind 'video' (Y4M / animated GIF): ``vals = luma[n_sample] +
-      motion[n_sample-1] + [n_frames, fps, height, width]`` — see
-      :func:`video_temporal_features` (fps NULL for GIF).
+    - kind 'video' (Y4M / animated GIF / MP4 container): ``vals =
+      luma[n_sample] + motion[n_sample-1] + [n_frames, fps, height,
+      width]`` — see :func:`video_temporal_features` (fps NULL for
+      timing-less GIF; luma/motion NULL for compressed containers,
+      whose metadata tier never decodes a frame).
     - kind NULL otherwise — undecodable rows stay visible.
     """
     import pandas as pd
@@ -491,7 +517,7 @@ def extract_temporal_features(
                     else:
                         kinds.append("audio")
                         vals.append(r[2] + [float(r[0]), r[1]])
-                elif fmt in ("y4m", "gif"):
+                elif fmt in ("y4m", "gif", "mp4"):
                     r = video_temporal_features(p, n_sample)
                     if r is None:
                         kinds.append(None)
@@ -735,11 +761,26 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             fps=(30000, 1001),
         )
+        # video -8 (r11): an MP4/ISO-BMFF container fixture — the
+        # engine's own from-spec box encoder, so every emitted value
+        # is sample-table arithmetic: n_frames = the stts run length
+        # (48), fps = timescale/frame_delta = 30000/1001 (NTSC),
+        # geometry from tkhd 16.16 fixed-point; luma/motion are NULL
+        # by design (metadata tier — no frame decode in a compressed
+        # container).
         av_media = spark.createDataFrame(
             [
                 (-5, bytearray(MC.encode_wav(8192, sine))),
                 (-6, bytearray(v_mono)),
                 (-7, bytearray(v_color)),
+                (
+                    -8,
+                    bytearray(
+                        MC.encode_mp4_meta(
+                            640, 360, 48, timescale=30000, frame_delta=1001
+                        )
+                    ),
+                ),
             ],
             "media_id long, payload binary",
         )
@@ -902,6 +943,19 @@ FROM (
          unnest([100 / 255.0, 105 / 255.0, 110 / 255.0, 115 / 255.0,
                  5 / 255.0, 5 / 255.0, 5 / 255.0,
                  4.0, 30000 / 1001.0, 8.0, 8.0]) AS val
+) u
+UNION ALL
+-- 'video' MP4 rows (r11): an ISO-BMFF container fixture parsed by
+-- box grammar alone — luma/motion (positions 0-6) are NULL (metadata
+-- tier, no frame decode); n_frames = the stts run length, fps =
+-- timescale/frame_delta, geometry from tkhd — all closed forms of
+-- the encoder arguments (640x360, 48 frames at 30000/1001).
+SELECT 'video', -8::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(11)) AS pos,
+         unnest([CAST(NULL AS DOUBLE), NULL, NULL, NULL, NULL, NULL, NULL,
+                 48.0, 30000 / 1001.0, 360.0, 640.0]) AS val
 ) u
 UNION ALL
 -- 'frame' rows (former mm_frames query): resize_stub picks exactly
