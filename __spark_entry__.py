@@ -1309,6 +1309,58 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("priority").isNotNull().cast("long")).alias("sum_rkey"),
         )
     )
+    # '__pdf' + '__pdfmd5_*' rows (r11): baseline PDF text extraction
+    # (functions/pdf.py — Flate content streams + Tj/TJ show
+    # operators, ISO 32000-1). One two-page PDF per region row is
+    # ENGINE-ENCODED with text derived purely from the region table
+    # (page 1: 'Region (<name>)', page 2: 'key \\ <k>' — parens and a
+    # backslash in every document, so the string-escape grammar is on
+    # the oracle path), extracted back by the distributed Arrow stage.
+    # The '__pdf' row carries count / total extracted length / the
+    # key checksum REPARSED FROM THE TEXT; the second row's
+    # l_returnflag embeds the md5 of every extracted text in key
+    # order — one byte of drift anywhere in encode->extract and the
+    # hash row misses. The oracle reconstructs both from region alone.
+    from data_integration_and_harmonization_spark.functions.pdf import encode_pdf
+    from data_integration_and_harmonization_spark.operators.text import (
+        pdf_text_table,
+    )
+
+    pdf_df = spark.createDataFrame(
+        [
+            (k, bytearray(encode_pdf([f"Region ({n})", f"key \\ {k}"])))
+            for k, n in region_rows
+        ],
+        "doc_id long, payload binary",
+    )
+    pdf_texts = pdf_text_table(pdf_df)
+    pdf_row = pdf_texts.agg(
+        F.lit("__pdf").alias("l_returnflag"),
+        F.count("text").alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.sum(F.length("text")).alias("sum_nkey"),
+        F.sum(
+            F.regexp_extract("text", r"key \\ (\d+)", 1).cast("long")
+        ).alias("sum_rkey"),
+    )
+    pdf_md5_row = pdf_texts.agg(
+        F.concat(
+            F.lit("__pdfmd5_"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\x1f",
+                )
+            ),
+        ).alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("long").alias("sum_nkey"),
+        F.lit(None).cast("long").alias("sum_rkey"),
+    )
     return (
         agg.unionByName(prev_row)
         .unionByName(part_row)
@@ -1320,6 +1372,8 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(skip_row)
         .unionByName(xlsx_ds_row)
         .unionByName(dlq_row)
+        .unionByName(pdf_row)
+        .unionByName(pdf_md5_row)
     )
 
 
@@ -2601,6 +2655,27 @@ UNION ALL
 SELECT '__csv_dlq', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        2::BIGINT, sum(r_regionkey)::BIGINT
 FROM region
+UNION ALL
+-- PDF extraction legs: one engine-encoded two-page PDF per region row
+-- (page 1 'Region (<name>)', page 2 'key \\ <k>' — parens + backslash
+-- exercise the literal-string escape grammar), extracted back by the
+-- distributed baseline extractor. The reconstruction below is the
+-- extractor's CONTRACT (pages newline-joined); sum_rkey reparses the
+-- key from the text, and the md5 row pins every extracted byte.
+SELECT '__pdf', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length(txt))::BIGINT,
+       sum(CAST(regexp_extract(txt, 'key \\\\ ([0-9]+)', 1) AS BIGINT))::BIGINT
+FROM (SELECT 'Region (' || r_name || ')' || chr(10) ||
+             'key \ ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+SELECT '__pdfmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
+       count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT r_regionkey,
+             'Region (' || r_name || ')' || chr(10) ||
+             'key \ ' || r_regionkey AS txt
+      FROM region)
 """,
         "ml_exact_split": """
 WITH ranked AS (

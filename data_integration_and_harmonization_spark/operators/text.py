@@ -401,6 +401,41 @@ def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pdf_text_table(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, text) extraction over a PDF corpus: ONE Arrow
+    ``mapInPandas`` stage runs the engine's from-spec baseline
+    extractor (:mod:`..functions.pdf` — Flate content streams +
+    Tj/TJ/'/\" show operators, ISO 32000-1) per payload. Non-PDF or
+    text-free payloads surface with text NULL so a curation pass can
+    quarantine them; everything downstream (``document_profile``,
+    dedup, quality gates) consumes the text column like any other
+    document source. Same cost model as the media codecs: payload
+    bytes cross into Python once, batch-wise; only the extracted text
+    comes back."""
+    import pandas as pd
+
+    from data_integration_and_harmonization_spark.functions.pdf import (
+        extract_pdf_text,
+    )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "text": [extract_pdf_text(p) for p in pdf["payload"]],
+                }
+            )
+
+    return src.mapInPandas(batches, schema="id long, text string")
+
+
 # ------------------------------------------------------- query registry
 
 def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

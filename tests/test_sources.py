@@ -1181,3 +1181,82 @@ def test_xlsx_corpus_torn_manifest_raises(spark, tmp_path):
         fh.write('{"columns": ["id"], "fil')  # torn mid-write
     with _pytest.raises(Exception, match="unreadable"):
         read_xlsx_corpus(spark, out).count()
+
+
+def test_pdf_codec_roundtrip_and_string_grammar():
+    """functions/pdf.py: the fixture writer round-trips through the
+    baseline extractor (pages newline-joined, escapes intact), and the
+    extractor handles the full string grammar on a handcrafted stream:
+    TJ arrays with kerning numbers, hex strings, octal escapes, the
+    quote show operators, and comments."""
+    import zlib as _zlib
+
+    from data_integration_and_harmonization_spark.functions import pdf as P
+
+    pages = ["Hello (world) \\ test", "Second page\nwith two lines"]
+    payload = P.encode_pdf(pages)
+    assert P.is_pdf(payload)
+    assert P.extract_pdf_text(payload) == "\n".join(pages)
+    # uncompressed streams too
+    assert P.extract_pdf_text(P.encode_pdf(["plain"], compress=False)) == "plain"
+    content = (
+        b"BT /F1 12 Tf 72 720 Td\n"
+        b"[(Kerned ) -120 (pa) 3 (ir)] TJ\n"
+        b"% a comment ( with parens )\n"
+        b"<48657821> Tj\n"
+        b"T* (Oct\\101l \\(esc\\)) Tj\n"
+        b"(next line) '\n"
+        b"ET"
+    )
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert P.extract_pdf_text(raw) == "Kerned pairHex!\nOctAl (esc)\nnext line"
+    # FlateDecode variant of the same stream extracts identically
+    comp = _zlib.compress(content)
+    raw_flate = (
+        b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(comp)).encode()
+        + b" >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert P.extract_pdf_text(raw_flate) == P.extract_pdf_text(raw)
+    # non-PDF -> None; torn Flate stream degrades to other streams
+    assert P.extract_pdf_text(b"not a pdf") is None
+    assert P.extract_pdf_text(None) is None
+    torn = raw_flate.replace(comp, comp[: len(comp) // 2]) + P.encode_pdf(["ok"])[8:]
+    assert "ok" in (P.extract_pdf_text(b"%PDF-1.4\n" + torn[9:]) or "")
+
+
+def test_pdf_text_table_distributed_extraction(spark):
+    """operators/text.pdf_text_table: one Arrow stage, NULL for
+    non-PDF payloads, extracted text feeds document_profile."""
+    from data_integration_and_harmonization_spark.functions import pdf as P
+    from data_integration_and_harmonization_spark.operators.text import (
+        document_profile,
+        pdf_text_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(P.encode_pdf(["alpha beta gamma", "delta"]))),
+            (2, bytearray(P.encode_pdf(["the quick brown fox"]))),
+            (3, b"not a pdf at all"),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["id"]: r["text"] for r in pdf_text_table(df).collect()}
+    assert rows[1] == "alpha beta gamma\ndelta"
+    assert rows[2] == "the quick brown fox"
+    assert rows[3] is None
+    prof = document_profile(
+        pdf_text_table(df).where(F.col("text").isNotNull()).select(
+            F.col("id").alias("doc_id"), "text"
+        )
+    ).collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in prof} == {1: 4, 2: 4}
