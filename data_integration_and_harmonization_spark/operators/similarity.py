@@ -942,6 +942,78 @@ def delete_from_ann_index(
     return new_meta
 
 
+def compact_ann_index(spark: SparkSession, path: str) -> dict:
+    """Fold an index CHAIN into one parent-less version — the
+    lifecycle twin of ``dedup.compact_near_dedup_store`` (r10 verdict
+    item 3): a long-lived incrementally-maintained index accumulates
+    append/delete versions forever, and every served query pays one
+    union arm + one anti-join per chain link. Compaction materializes
+    the LIVE code set (chain union minus accumulated tombstones) once,
+    after which :func:`load_ann_index` resolves in a single read.
+
+    Protocol (each crash window read-correct, same reasoning as the
+    profile-store compactor):
+
+    1. write the new version dir — live codes (cell-PARTITIONED, so
+       probed-cells pruning survives compaction), the base's frozen
+       books/centers, a parent-less meta — with ``_SUCCESS`` last: a
+       crash before the marker leaves the chain authoritative (the
+       incomplete dir is invisible to loads and reaped by the next
+       compaction's sweep);
+    2. the ``_SUCCESS`` create IS the commit: loads serve the highest
+       complete version, now the compacted one, and the old chain
+       became garbage in the same instant;
+    3. delete every older version dir — pure housekeeping; a crash
+       mid-sweep changes nothing a reader serves, and leftovers are
+       reaped by the next compaction.
+
+    Compaction DESTROYS pinned-version history by design — the chain
+    is a maintenance log, not time travel (the manifest tables in
+    ``sources/manifest.py`` own that contract); run it when chain
+    length, not history, is what you're paying for. Returns
+    {'versions_before', 'version', 'undeleted'}."""
+    import os
+
+    idx = load_ann_index(spark, path)
+    meta = idx["meta"]
+    jvm, fs, root = _ann_fs(spark, path)
+    all_vs = _ann_versions(fs, root, require_success=False)
+    new_version = _next_ann_version(fs, root)
+    vdir = os.path.join(path, f"v-{new_version:06d}")
+    (
+        idx["codes"]
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .parquet(os.path.join(vdir, "codes"))
+    )
+    spark.createDataFrame(
+        [
+            (i, j, [float(x) for x in c])
+            for i, sub in enumerate(idx["books"])
+            for j, c in enumerate(sub)
+        ],
+        "i int, j int, center array<double>",
+    ).repartition(1).write.parquet(os.path.join(vdir, "books"))
+    spark.createDataFrame(
+        [(cell, [float(x) for x in c]) for cell, c in enumerate(idx["centers"])],
+        "cell int, center array<double>",
+    ).repartition(1).write.parquet(os.path.join(vdir, "centers"))
+    _write_ann_meta(spark, vdir, dict(meta, version=new_version, parent=None))
+    fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
+    undeleted: list[int] = []
+    for v in all_vs:
+        if v >= new_version:
+            continue
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"v-{v:06d}"))
+        if not fs.delete(p, True):
+            undeleted.append(v)
+    return {
+        "versions_before": len(all_vs),
+        "version": new_version,
+        "undeleted": undeleted,
+    }
+
+
 def load_ann_index(
     spark: SparkSession,
     path: str,
@@ -1173,6 +1245,20 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if idx_dir is None:
             idx_dir = scratch_dir("ann_index") + "/idx"
             build_ann_index(corpus, idx_dir, m=4, k=8, n_clusters=8)
+            # r11: the served artifact exercises the FULL maintenance
+            # lifecycle before first use — tombstone a slice,
+            # re-append the same vectors (legal: the disjointness
+            # check runs against the LIVE set), compact the 3-link
+            # chain to one parent-less version. Encoding is
+            # deterministic under the frozen quantizers, so the live
+            # set is bit-identical to the fresh build — the
+            # hash-matched served rows below therefore double as the
+            # delete->append->compact equivalence pin, against the
+            # UNCHANGED DuckDB twin.
+            slice_back = corpus.where(F.col("vec_id") % 5 == 2)
+            delete_from_ann_index(slice_back.select("vec_id"), idx_dir)
+            append_ann_index(slice_back, idx_dir)
+            compact_ann_index(spark, idx_dir)
             _SERVED_IDX_CACHE[cache_key] = idx_dir
         idx = load_ann_index(spark, idx_dir)
         served_rows = ivfpq_topk(

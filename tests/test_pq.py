@@ -406,3 +406,71 @@ def test_ann_index_streaming_maintenance(spark, emb, tmp_path):
     b = {(r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
          for r in fresh_codes_free.collect()}
     assert a == b and len(a) == 25
+
+
+def test_ann_index_chain_compaction(spark, emb, tmp_path):
+    """compact_ann_index (r10 verdict item 3): build + append +
+    tombstone-delete, then compact — serving is IDENTICAL before and
+    after, the chain is length 1 (parent-less), old version dirs are
+    deleted, and the crash window (compacted dir without _SUCCESS)
+    leaves the chain authoritative and is reaped by the next run."""
+    import os
+
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        ivfpq_topk,
+        load_ann_index,
+    )
+
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    inc = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 6)
+    idx_dir = str(tmp_path / "ann")
+    build_ann_index(base, idx_dir, m=4, k=8, n_clusters=8)
+    append_ann_index(inc, idx_dir)
+    delete_from_ann_index(
+        emb.where(F.col("vec_id") % 7 == 3).select("vec_id"), idx_dir
+    )
+
+    def serve():
+        idx = load_ann_index(spark, idx_dir)
+        res = ivfpq_topk(
+            emb, queries, idx["books"], k=5, n_clusters=8, n_probe=2,
+            refine=4, codes=idx["codes"], centers=idx["centers"],
+            prune_codes=True,
+        )
+        return idx, {
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
+            for r in res.collect()
+        }
+
+    idx_pre, before = serve()
+    n_live_pre = idx_pre["codes"].count()
+    assert idx_pre["meta"]["parent"] is not None  # a real chain
+    chain_dirs = set(os.listdir(idx_dir))
+
+    # crash window: a compactor that died between writing its codes
+    # and creating _SUCCESS leaves an incomplete version dir — loads
+    # ignore it and the chain still serves identically
+    orphan = os.path.join(idx_dir, "v-000099")
+    os.makedirs(os.path.join(orphan, "codes"))
+    idx_crash, during = serve()
+    assert during == before
+    assert set(os.listdir(idx_dir)) == chain_dirs | {"v-000099"}
+
+    # the real compaction folds the chain AND reaps the orphan
+    stats = compact_ann_index(spark, idx_dir)
+    idx_post, after = serve()
+    assert after == before and len(after) == 30
+    assert idx_post["meta"]["parent"] is None
+    assert idx_post["codes"].count() == n_live_pre
+    # chain folded to ONE version dir on disk; orphan reaped
+    assert sorted(os.listdir(idx_dir)) == [f"v-{stats['version']:06d}"]
+    assert not stats["undeleted"]
+    # idempotent lifecycle: compaction of a length-1 chain still works
+    stats2 = compact_ann_index(spark, idx_dir)
+    _, again = serve()
+    assert again == before and stats2["versions_before"] == 1
