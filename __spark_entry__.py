@@ -1904,6 +1904,61 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(dq_agree.cast("long")).alias("n_agree"),
         F.min(dq_agree).alias("all_agree"),
     )
+    # ---- 9th leg (r11): the streaming CHANGE DATA FEED source
+    # (sources/cdf_stream.py, a Spark-4 Python streaming DataSource
+    # whose offsets ARE the manifest version numbers) drains the
+    # versioned drain's own commit sequence with availableNow. The
+    # table is append-only here, so the cumulative feed must be
+    # exactly one 'added' row per event — compared key-for-key
+    # against the raw events (an INDEPENDENT twin: the feed computes
+    # its diffs executor-side with pyarrow, never through Spark's
+    # exceptAll). The dirs the feed reads are the versioned leg's
+    # committed manifests — so this leg also re-checks that chain.
+    import os as _os2
+
+    from data_integration_and_harmonization_spark.functions.caching import (
+        scratch_dir as _scratch2,
+    )
+    from data_integration_and_harmonization_spark.sources.cdf_stream import (
+        read_manifest_cdf,
+    )
+
+    cdf_base = _scratch2(f"twin_cdf_feed_{run_id}")
+    cdf_out = _os2.path.join(cdf_base, "out")
+    (
+        read_manifest_cdf(spark, ver_root, ["event_id"])
+        .writeStream.format("parquet")
+        .option("path", cdf_out)
+        .option("checkpointLocation", _os2.path.join(cdf_base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    s_feed = (
+        spark.read.schema("version int, change string, event_id long")
+        .parquet(cdf_out)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("s_n"),
+            F.min(F.col("change") == F.lit("added")).alias("s_added"),
+        )
+    )
+    fj = s_feed.join(
+        events.select("event_id").withColumn("b_seen", F.lit(1)),
+        "event_id",
+        "full_outer",
+    )
+    feed_agree = (
+        F.col("s_n").eqNullSafe(F.lit(1))
+        & F.coalesce(F.col("s_added"), F.lit(False))
+        & F.col("b_seen").isNotNull()
+    )
+    cdf_feed_row = fj.agg(
+        F.lit("cdf_feed").alias("kind"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(feed_agree.cast("long")).alias("n_agree"),
+        F.min(feed_agree).alias("all_agree"),
+    )
     return (
         tumbling_row.unionByName(dedup_row)
         .unionByName(stateful_row)
@@ -1912,6 +1967,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(versioned_row)
         .unionByName(cdc_row)
         .unionByName(dq_row)
+        .unionByName(cdf_feed_row)
     )
 
 
@@ -2866,6 +2922,12 @@ FROM (
   ], x -> x IS NOT NULL), '|'), '') AS labels
   FROM events
 )
+UNION ALL
+-- streaming CDF source: the manifest_cdf reader drains the versioned
+-- table's commit sequence (offsets = version numbers, diffs computed
+-- executor-side in pyarrow) — append-only table, so the cumulative
+-- feed is exactly one 'added' row per event, compared key-for-key
+SELECT 'cdf_feed', count(*)::BIGINT, count(*)::BIGINT, true FROM events
 """,
     }
     o.update(E.eda_oracles())

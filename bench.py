@@ -79,9 +79,53 @@ HEADLINE = [
 ]
 
 
+def _cpu_probe_sec() -> float:
+    """Single-thread CPU probe: md5 over a fixed 1 MiB buffer, 200
+    rounds (~0.2 s on this VM class, PLANS.md). Recorded at bench
+    start and end so a 126-vs-167 s total swing across rounds is
+    separable inside the artifact: probe moved too -> host/placement
+    noise; probe flat, totals moved -> a real plan change."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.md5()
+    for _ in range(200):
+        h.update(buf)
+    h.hexdigest()
+    return round(time.time() - t0, 4)
+
+
+_JVM_PID: list[int | None] = []
+
+
+def _jvm_cpu_ns(spark) -> int | None:
+    """Cumulative CPU time of the Spark JVM (driver + all local-mode
+    executor threads — one process on local[n]) from
+    ``/proc/<pid>/stat`` utime+stime. The MXBean route is blocked by
+    JPMS (py4j reflects on ``com.sun.management.internal``, which the
+    module system doesn't export); the JVM's own pid IS reachable
+    through the public ``ProcessHandle`` interface, and /proc is
+    authoritative on this platform. None off-Linux — the artifact
+    simply omits CPU fields there."""
+    try:
+        if not _JVM_PID:
+            _JVM_PID.append(
+                int(spark._jvm.java.lang.ProcessHandle.current().pid())
+            )
+        pid = _JVM_PID[0]
+        with open(f"/proc/{pid}/stat") as fh:
+            parts = fh.read().rsplit(") ", 1)[1].split()
+        ticks = int(parts[11]) + int(parts[12])  # utime + stime
+        return ticks * (10**9 // os.sysconf("SC_CLK_TCK"))
+    except Exception:  # noqa: BLE001 — diagnostics must never sink a bench
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+    cpu_probe = {"start": _cpu_probe_sec()}
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
@@ -147,8 +191,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
+    # per-run JVM process CPU (driver + every local-mode executor
+    # thread): wall/CPU together separate "the plan got slower" from
+    # "the host got slower" — a wall spike with flat CPU is scheduling
+    # /placement noise, wall and CPU moving together is real work
+    query_cpu: dict[str, float] = {}
+    runs_cpu: dict[str, list[float]] = {}
     for _ in range(max(1, timed_runs)):
         for name in names:
+            c0 = _jvm_cpu_ns(spark)
             t0 = time.time()
             try:
                 rows[name] = qs[name](spark, sf_dir).count()
@@ -173,9 +224,16 @@ def main() -> None:
                 if not transient:
                     raise
                 print(f"# timed {name} failed once; retrying. First traceback:\n{tb}", file=sys.stderr)
+                c0 = _jvm_cpu_ns(spark)
                 t0 = time.time()
                 rows[name] = qs[name](spark, sf_dir).count()
             t = time.time() - t0
+            c1 = _jvm_cpu_ns(spark)
+            if c0 is not None and c1 is not None:
+                c = round((c1 - c0) / 1e9, 3)
+                runs_cpu.setdefault(name, []).append(c)
+                if t < timings.get(name, float("inf")):
+                    query_cpu[name] = c  # CPU of the run that set the min
             timings[name] = round(min(timings.get(name, float("inf")), t), 3)
             runs.setdefault(name, []).append(round(t, 3))
     for name in names:
@@ -213,6 +271,12 @@ def main() -> None:
             f"({sum(len(v) - 1 for v in legs.values())} legs)",
             file=sys.stderr,
         )
+
+    cpu_probe["end"] = _cpu_probe_sec()
+    print(
+        f"# cpu probe: start {cpu_probe['start']:.3f}s end {cpu_probe['end']:.3f}s",
+        file=sys.stderr,
+    )
 
     codecache: dict[str, str] = {}
     try:
@@ -259,6 +323,12 @@ def main() -> None:
         "legs": legs,
         "rows": rows,
         "codecache": codecache,
+        # host-noise separators (r10 verdict item 6): the single-thread
+        # probe brackets the run; query_cpu is the JVM process CPU of
+        # each query's min-wall run, runs_cpu every run's
+        "cpu_probe": cpu_probe,
+        "query_cpu": query_cpu,
+        "runs_cpu": runs_cpu,
         "sf": sf_val,
     }
     try:
@@ -281,6 +351,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "cpu_probe": cpu_probe,
                 "full": full_path,
             }
         )

@@ -681,6 +681,7 @@ def profile_store_update(
     store_path: str,
     cols: Sequence[str],
     lg_k: int = 12,
+    tag: str | None = None,
 ) -> str:
     """Append ONE batch's mergeable profile to a sketch store — the
     incremental sibling of :func:`sketch_distinct_report`, and the
@@ -705,11 +706,29 @@ def profile_store_update(
     zero counts — ``hll_union_agg`` skips NULLs and the count sums add
     nothing, so estimates are unchanged (pinned by the empty-batch
     check in tests).
+
+    ``tag`` makes the append IDEMPOTENT per logical batch: the dir is
+    named by the tag instead of a fresh uuid, and a complete batch
+    already carrying it is returned without rewriting — the contract a
+    streaming ``foreachBatch`` caller needs (a replayed micro-batch
+    after a crash must not double the counts; pass the checkpointed
+    batch_id as the tag).
     """
     import os
     import uuid
 
     spark = batch_df.sparkSession
+    if tag is not None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9_.=-]+", tag) or "compact" in tag:
+            raise ValueError(
+                f"profile store tag {tag!r} must be a plain token and must "
+                "not contain 'compact' (reserved for the compactor's dirs)"
+            )
+        for p in _complete_batches(spark, store_path):
+            if p.rsplit("/", 1)[-1].endswith(f"-{tag}"):
+                return p  # replayed batch: already admitted
     val = _sketch_val(batch_df, cols)
     agg = batch_df.agg(
         *[
@@ -735,9 +754,10 @@ def profile_store_update(
     )
     batches = _complete_batches(spark, store_path)
     out_dir = os.path.join(
-        store_path, f"batch-{len(batches):06d}-{uuid.uuid4().hex[:8]}"
+        store_path,
+        f"batch-{len(batches):06d}-{tag if tag is not None else uuid.uuid4().hex[:8]}",
     )
-    rows.write.parquet(out_dir)
+    rows.write.mode("overwrite").parquet(out_dir)
     return out_dir
 
 

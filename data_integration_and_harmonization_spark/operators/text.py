@@ -78,8 +78,18 @@ def train_bpe_merges(
     DISTINCT words (Zipf-bounded), which is why classic BPE trainers
     are feasible at web scale. ``n_merges`` Spark jobs of vocab-table
     size are the honest cost of the sequential algorithm.
+
+    Lineage truncation (r10 verdict item; the documented
+    connected-components lesson, ``dedup.py`` loop): each round wraps
+    ``syms`` in another codegen'd ``aggregate`` fold, so round k would
+    otherwise analyze k nested lambdas — O(n^2) analysis time and an
+    eventual codegen blowup at large ``n_merges``. Every 16 rounds the
+    words table is ``localCheckpoint``-ed (eager), restarting the plan
+    from materialized partitions; 16 nested folds stay comfortably
+    under the analyzer/Janino limits while amortizing the checkpoint
+    I/O (vocab-sized, not corpus-sized) across rounds.
     """
-    words = (
+    base = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -87,9 +97,13 @@ def train_bpe_merges(
         .select("syms", "freq")
         .persist()
     )
+    words = base
     merges: list[tuple[str, str]] = []
     try:
-        for _ in range(n_merges):
+        for round_no in range(n_merges):
+            if round_no and round_no % 16 == 0:
+                # truncate the nested-fold lineage (see docstring)
+                words = words.localCheckpoint(eager=True)
             pairs = (
                 words.select(
                     F.explode(
@@ -129,7 +143,10 @@ def train_bpe_merges(
             )
         return merges
     finally:
-        words.unpersist(False)
+        # unpersist the frame that was actually persisted (the loop
+        # reassigns `words` to derived frames, whose unpersist would
+        # be a no-op on the cached vocab table)
+        base.unpersist(False)
 
 
 def bpe_segment_sql(col_sql: str, merges: list[tuple[str, str]]) -> Column:

@@ -1076,3 +1076,20 @@ def test_phash_pairs_banded_recall_and_null_drop(spark):
     # pairs feed the existing clustering: one keep-decision per cluster
     clusters = DD.duplicate_clusters(DD.phash_pairs(media, max_hamming=3)).collect()
     assert {r["id"]: r["cluster_id"] for r in clusters} == {1: 1, 2: 1}
+
+
+def test_bpe_trainer_lineage_truncation_deep_merges(spark):
+    """train_bpe_merges at n_merges far past the 16-round checkpoint
+    cadence: the nested-fold lineage is truncated, so a deep training
+    run completes without analyzer blowup AND produces the identical
+    merge sequence as the shallow runs pinned elsewhere (the
+    checkpoint must be semantically invisible)."""
+    rows = [
+        (i, " ".join(["lower lowest newer newest wider widest"] * 2))
+        for i in range(6)
+    ] + [(99, "low low low new new wide wide est est er er")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    deep = TX.train_bpe_merges(df, n_merges=40)
+    shallow = TX.train_bpe_merges(df, n_merges=12)
+    assert deep[: len(shallow)] == shallow
+    assert len(deep) > 16  # crossed at least one checkpoint boundary

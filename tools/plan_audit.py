@@ -88,6 +88,66 @@ ALLOWED = {
 }
 
 
+# Expected GLOBAL (unpartitioned) window count per query — the
+# known-bounded sites (frames of <= bins rows, capped top-k merges,
+# distinct-category ranks). Every WindowExec with an empty partition
+# spec forces a serial Sort + SinglePartition exchange, so a NEW one
+# over a non-aggregated frame is a scale-killer; this budget turns the
+# undifferentiated "WindowExec: No Partition Defined" log spam into a
+# red/green signal (r10 verdict item 7). A query exceeding its budget
+# (default 0) flags; a query under it is reported as a stale budget.
+GLOBAL_WINDOW_BUDGET: dict[str, int] = {
+    # scoring.py rank-over-term-frequency sites: the frame is the
+    # top-1000-capped distinct-term table, bounded by construction
+    "text_bm25_topk": 2,
+    # profile.py drift legs (cum/full windows): the frame is the
+    # per-bucket histogram, <= bins rows at any corpus size
+    "corr_matrix": 2,
+    # features.py label map + robust-fit rank: frames are distinct
+    # category values / the scale-gated exact-fit sample
+    "feat_label_encode": 2,
+}
+
+
+def _global_window_count(plan: str) -> int:
+    """WindowExec nodes with an EMPTY partition spec — the shape that
+    forces a serial Sort + SinglePartition exchange. The node prints
+    its specs as top-level bracket groups after the expression list:
+    ``Window [exprs], [partSpec], [orderSpec]`` when partitioned and
+    ordered, ``Window [exprs], [orderSpec]`` when GLOBAL (empty
+    partition spec omitted), ``Window [exprs], [partSpec]`` for
+    partitioned-unordered frames (count-over-partition). The last two
+    are distinguished by the second group's content: an order spec
+    carries sort directions (``ASC``/``DESC``); a partition spec is
+    bare expressions. Groups are parsed at bracket depth 0 so array
+    subscripts inside expressions don't miscount."""
+    n = 0
+    for line in plan.splitlines():
+        i = line.find("Window [")
+        if i < 0:
+            continue
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in line[i + 7 :]:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            n += 1
+    return n
+
+
 def _single_partition_split(plan: str) -> tuple[int, int]:
     """(offending, bloom) SinglePartition exchanges. Spark's
     injected runtime-filter subqueries (``bloom_filter_agg``) end in a
@@ -116,6 +176,7 @@ def _single_partition_split(plan: str) -> tuple[int, int]:
 def audit(name: str, df) -> tuple[dict[str, int], list[str], set[str]]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     sp_off, sp_bloom = _single_partition_split(plan)
+    gw = _global_window_count(plan)
     counts = {
         "shuffle": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning"),
@@ -126,6 +187,7 @@ def audit(name: str, df) -> tuple[dict[str, int], list[str], set[str]]:
         # "Window [" is WindowExec; a bare substring count would also
         # match WindowGroupLimit (rank-pushdown helper nodes)
         "window": plan.count("Window ["),
+        "global_window": gw,
         # executedPlan toString marks codegen stages as "*(n)"
         "codegen": plan.count("*("),
     }
@@ -136,6 +198,9 @@ def audit(name: str, df) -> tuple[dict[str, int], list[str], set[str]]:
     }
     used = {f for f in FLAGS if present[f] and f in ALLOWED.get(name, set())}
     bad = [f for f in FLAGS if present[f] and f not in ALLOWED.get(name, set())]
+    budget = GLOBAL_WINDOW_BUDGET.get(name, 0)
+    if gw > budget:
+        bad.append(f"GlobalWindow {gw}>{budget}")
     return counts, bad, used
 
 
@@ -198,6 +263,7 @@ def main() -> int:
     spark = get_spark("plan_audit")
     failures = []
     allow_used: dict[str, set[str]] = {}
+    gw_seen: dict[str, int] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -208,6 +274,7 @@ def main() -> int:
             failures.append(name)
             continue
         allow_used[name] = used
+        gw_seen[name] = counts["global_window"]
         line = " ".join(f"{k}={v}" for k, v in counts.items())
         if bad:
             failures.append(name)
@@ -221,7 +288,14 @@ def main() -> int:
             f"{name}:{sorted(ALLOWED[name] - allow_used.get(name, set()))}"
             for name in sorted(ALLOWED)
             if name in allow_used and ALLOWED[name] - allow_used.get(name, set())
-        ] + [f"{name} (not in registry)" for name in sorted(set(ALLOWED) - set(qs))]
+        ] + [f"{name} (not in registry)" for name in sorted(set(ALLOWED) - set(qs))] + [
+            f"{name} (global-window budget {b} > seen {gw_seen[name]})"
+            for name, b in sorted(GLOBAL_WINDOW_BUDGET.items())
+            if name in gw_seen and gw_seen[name] < b
+        ] + [
+            f"{name} (global-window budget, not in registry)"
+            for name in sorted(set(GLOBAL_WINDOW_BUDGET) - set(qs))
+        ]
         if stale:
             print(f"\nSTALE ALLOWLIST: {', '.join(stale)}")
             failures.extend(["<stale-allowlist>"])
