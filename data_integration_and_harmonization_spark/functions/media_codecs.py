@@ -61,6 +61,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "y4m"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 4 and _mp3_frame(payload, 0) is not None
+    ):
+        return "mp3"
     return None
 
 
@@ -1521,3 +1525,160 @@ def encode_mp4_meta(
         )
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
     return ftyp + _mp4_box(b"moov", mvhd() + traks) + _mp4_box(b"mdat", b"")
+
+
+# ------------------------------------------------------------ MP3
+#
+# Frame-header metadata only, from the public MPEG audio framing
+# (ISO/IEC 11172-3 / 13818-3): an MP3 is a sequence of frames, each
+# led by a 32-bit header (11-bit sync, version, layer, bitrate index,
+# sample-rate index, padding, channel mode). Duration / rate /
+# bitrate / channel layout come from walking the headers WITHOUT
+# decoding a single granule — the audio sibling of the MP4 box walk.
+
+_MP3_BITRATES = {
+    # kbps by (version_group, layer): version_group 1 = MPEG1,
+    # 2 = MPEG2/2.5 (they share tables)
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 when absent): 10-byte
+    header + syncsafe 28-bit size."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    s = payload[6:10]
+    if any(b & 0x80 for b in s):
+        return 0  # not syncsafe: not a valid tag
+    return 10 + ((s[0] << 21) | (s[1] << 14) | (s[2] << 7) | s[3])
+
+
+def _mp3_frame(payload: bytes, pos: int) -> tuple[int, int, int, int, int] | None:
+    """(frame_bytes, samples_per_frame, sample_rate, bitrate_kbps,
+    channels) for the frame header at ``pos``, or None when the four
+    bytes there aren't a valid header."""
+    if pos + 4 > len(payload):
+        return None
+    h = struct.unpack(">I", payload[pos : pos + 4])[0]
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    ver_bits = (h >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer_bits = (h >> 17) & 3  # 3=Layer I, 2=Layer II, 1=Layer III
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits
+    vgroup = 1 if ver_bits == 3 else 2
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format/bad bitrate or reserved rate
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx]
+    rate = _MP3_RATES[ver_bits][sr_idx]
+    padding = (h >> 9) & 1
+    channels = 1 if ((h >> 6) & 3) == 3 else 2
+    if layer == 1:
+        samples = 384
+        size = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        samples = 1152 if (vgroup == 1 or layer == 2) else 576
+        size = samples // 8 * bitrate * 1000 // rate + padding
+    return size, samples, rate, bitrate, channels
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Stream metadata of an MP3 payload by walking frame headers:
+
+    ``{'n_frames', 'sample_rate', 'channels', 'duration_sec',
+    'bitrate_kbps', 'vbr'}``
+
+    - duration = sum of per-frame ``samples/rate`` (exact for both
+      CBR and VBR — no byte-length estimate);
+    - bitrate_kbps = the constant rate for CBR, the duration-weighted
+      mean rounded to 3 decimals for VBR (``vbr`` flags which);
+    - a leading ID3v2 tag is skipped by its syncsafe size; trailing
+      garbage/ID3v1 ends the walk at the first non-frame position.
+
+    Raises ValueError when no valid frame exists."""
+    data = bytes(payload)
+    pos = _id3v2_size(data)
+    n = len(data)
+    n_frames = 0
+    total_samples = 0
+    rates: set[int] = set()
+    bitrates: set[int] = set()
+    channels = None
+    dur = 0.0
+    weighted_kbps = 0.0
+    while pos < n:
+        fr = _mp3_frame(data, pos)
+        if fr is None:
+            break
+        size, samples, rate, kbps, ch = fr
+        if size <= 4 or pos + size > n:
+            break
+        n_frames += 1
+        total_samples += samples
+        rates.add(rate)
+        bitrates.add(kbps)
+        channels = ch if channels is None else channels
+        fdur = samples / rate
+        dur += fdur
+        weighted_kbps += kbps * fdur
+        pos += size
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frame found")
+    vbr = len(bitrates) > 1
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rates.pop() if len(rates) == 1 else None,
+        "channels": channels,
+        "duration_sec": round(dur, 9),
+        "bitrate_kbps": (
+            bitrates.pop() if not vbr else round(weighted_kbps / dur, 3)
+        ),
+        "vbr": vbr,
+    }
+
+
+def encode_mp3_meta(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    with_id3: bool = False,
+) -> bytes:
+    """Minimal spec-shaped MPEG-1 Layer III CBR fixture: ``n_frames``
+    valid frame headers with zero-filled payloads (metadata-only, the
+    MP4 fixture's audio sibling) and optionally a leading ID3v2 tag.
+    Every derived quantity is a closed form: frame size =
+    ``1152/8 * bitrate / rate`` (no padding), duration =
+    ``n_frames * 1152 / rate``."""
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    h = (
+        (0x7FF << 21)
+        | (3 << 19)  # MPEG1
+        | (1 << 17)  # Layer III
+        | (1 << 16)  # no CRC
+        | (br_idx << 12)
+        | (sr_idx << 10)
+        | (0 << 9)  # no padding
+        | (0 << 6)  # stereo
+    )
+    size = 1152 // 8 * bitrate_kbps * 1000 // sample_rate
+    frame = struct.pack(">I", h) + b"\x00" * (size - 4)
+    tag = b""
+    if with_id3:
+        body = b"engine fixture"
+        # syncsafe size
+        L = len(body)
+        tag = b"ID3\x04\x00\x00" + bytes(
+            [(L >> 21) & 0x7F, (L >> 14) & 0x7F, (L >> 7) & 0x7F, L & 0x7F]
+        ) + body
+    return tag + frame * n_frames

@@ -500,6 +500,11 @@ def extract_temporal_features(
       width]`` — see :func:`video_temporal_features` (fps NULL for
       timing-less GIF; luma/motion NULL for compressed containers,
       whose metadata tier never decodes a frame).
+    - kind 'audio_meta' (MP3): the frame-header walk
+      (``media_codecs.parse_mp3_meta`` — ISO/IEC 11172-3 framing, no
+      granule decode) as ``vals = [duration_sec, bitrate_kbps,
+      sample_rate, n_frames, channels]`` — the compressed-audio
+      sibling of the MP4 metadata tier.
     - kind NULL otherwise — undecodable rows stay visible.
     """
     import pandas as pd
@@ -517,6 +522,23 @@ def extract_temporal_features(
                     else:
                         kinds.append("audio")
                         vals.append(r[2] + [float(r[0]), r[1]])
+                elif fmt == "mp3":
+                    try:
+                        m = MC.parse_mp3_meta(p)
+                    except ValueError:
+                        kinds.append(None)
+                        vals.append(None)
+                    else:
+                        kinds.append("audio_meta")
+                        vals.append(
+                            [
+                                m["duration_sec"],
+                                float(m["bitrate_kbps"]),
+                                float(m["sample_rate"] or 0),
+                                float(m["n_frames"]),
+                                float(m["channels"]),
+                            ]
+                        )
                 elif fmt in ("y4m", "gif", "mp4"):
                     r = video_temporal_features(p, n_sample)
                     if r is None:
@@ -781,6 +803,16 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         )
                     ),
                 ),
+                # audio_meta -9 (r11): an MP3 CBR fixture behind an
+                # ID3v2 tag — 30 MPEG-1 Layer III frames at 128 kbps /
+                # 44100 Hz, every emitted value frame-header
+                # arithmetic: duration = 30*1152/44100.
+                (
+                    -9,
+                    bytearray(
+                        MC.encode_mp3_meta(30, 128, 44100, with_id3=True)
+                    ),
+                ),
             ],
             "media_id long, payload binary",
         )
@@ -956,6 +988,17 @@ FROM (
   SELECT unnest(range(11)) AS pos,
          unnest([CAST(NULL AS DOUBLE), NULL, NULL, NULL, NULL, NULL, NULL,
                  48.0, 30000 / 1001.0, 360.0, 640.0]) AS val
+) u
+UNION ALL
+-- 'audio_meta' MP3 rows (r11): the frame-header walk over an
+-- engine-built CBR fixture (ID3v2-tagged, 30 MPEG-1 Layer III frames
+-- at 128 kbps / 44100 Hz) — vals = [duration, bitrate, rate,
+-- n_frames, channels], duration = 30*1152/44100 exactly.
+SELECT 'audio_meta', -9::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(5)) AS pos,
+         unnest([30 * 1152 / 44100.0, 128.0, 44100.0, 30.0, 2.0]) AS val
 ) u
 UNION ALL
 -- 'frame' rows (former mm_frames query): resize_stub picks exactly

@@ -429,3 +429,52 @@ def test_video_temporal_features_mp4_metadata_tier():
     # (the fixture always writes a video trak; simulate audio-only by
     # checking the no-vide-track guard directly on a stripped payload)
     assert MM.video_temporal_features(b"\x00" * 16, 4) is None
+
+
+def test_mp3_meta_walk_and_variants():
+    """MP3 frame-header metadata (ISO/IEC 11172-3 framing): CBR
+    roundtrip with exact duration, ID3v2 skip, VBR detection with
+    duration-weighted mean bitrate, trailing-garbage stop, and
+    rejection of frameless payloads."""
+    p = MC.encode_mp3_meta(30, 128, 44100, with_id3=True)
+    assert MC.sniff_format(p) == "mp3"
+    m = MC.parse_mp3_meta(p)
+    assert m["n_frames"] == 30 and m["sample_rate"] == 44100
+    assert m["bitrate_kbps"] == 128 and not m["vbr"] and m["channels"] == 2
+    assert m["duration_sec"] == pytest.approx(30 * 1152 / 44100, abs=1e-9)
+    # untagged variant sniffs by the frame sync itself
+    raw = MC.encode_mp3_meta(5, 64, 32000)
+    assert MC.sniff_format(raw) == "mp3"
+    assert MC.parse_mp3_meta(raw)["sample_rate"] == 32000
+    # VBR: two rates concatenated -> vbr flag + weighted mean
+    v = MC.encode_mp3_meta(10, 64, 44100) + MC.encode_mp3_meta(10, 192, 44100)
+    mv = MC.parse_mp3_meta(v)
+    assert mv["vbr"] and mv["n_frames"] == 20
+    assert mv["bitrate_kbps"] == pytest.approx(128.0, abs=0.01)
+    # trailing garbage (e.g. an ID3v1 tag) ends the walk cleanly
+    mg = MC.parse_mp3_meta(raw + b"TAG" + b"\x00" * 125)
+    assert mg["n_frames"] == 5
+    with pytest.raises(ValueError, match="no MPEG audio frame"):
+        MC.parse_mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+    # a JPEG's FFD8 never false-sniffs as an mp3 sync
+    assert MC.sniff_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
+
+
+def test_extract_temporal_features_audio_meta_tier(spark):
+    """MP3 payloads ride the fused Arrow stage as kind='audio_meta'
+    with frame-header values; WAVs still take the spectral tier."""
+    import numpy as np
+
+    mp3 = MC.encode_mp3_meta(30, 128, 44100)
+    wav = MC.encode_wav(8192, 0.5 * np.sin(np.pi * np.arange(2048) / 2))
+    media = spark.createDataFrame(
+        [(1, bytearray(mp3)), (2, bytearray(wav)), (3, b"junk")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in MM.extract_temporal_features(media).collect()}
+    assert rows[1]["kind"] == "audio_meta"
+    assert rows[1]["vals"] == pytest.approx(
+        [30 * 1152 / 44100, 128.0, 44100.0, 30.0, 2.0], abs=1e-6
+    )
+    assert rows[2]["kind"] == "audio" and len(rows[2]["vals"]) == 10
+    assert rows[3]["kind"] is None and rows[3]["vals"] is None
