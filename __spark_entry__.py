@@ -2579,7 +2579,7 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
   round(CASE WHEN v IS NOT NULL THEN v ELSE pv END, 6) AS v_fill
 FROM w
 """,
-        "src_roundtrip": """
+        "src_roundtrip": r"""
 WITH src AS (
   SELECT l_returnflag, l_quantity, CAST(NULL AS BIGINT) AS n_nationkey,
          CAST(NULL AS BIGINT) AS r_regionkey
@@ -2720,7 +2720,7 @@ UNION ALL
 -- key from the text, and the md5 row pins every extracted byte.
 SELECT '__pdf', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        sum(length(txt))::BIGINT,
-       sum(CAST(regexp_extract(txt, 'key \\\\ ([0-9]+)', 1) AS BIGINT))::BIGINT
+       sum(CAST(regexp_extract(txt, 'key \\ ([0-9]+)', 1) AS BIGINT))::BIGINT
 FROM (SELECT 'Region (' || r_name || ')' || chr(10) ||
              'key \ ' || r_regionkey AS txt
       FROM region)
