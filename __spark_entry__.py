@@ -1669,6 +1669,37 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
             return p_dir, q_dir
 
         f_dq = pool.submit(_drain_dq)
+
+        # 9th leg's DRAIN (r11): the manifest_cdf streaming source over
+        # the versioned drain's table. Submitted INTO the pool, gated
+        # on f_ver (its input is that drain's commit chain), so its
+        # fixed streaming-query cost overlaps the remaining drains
+        # instead of serializing after them.
+        def _drain_cdf_feed():
+            import os as _os
+
+            from data_integration_and_harmonization_spark.functions.caching import (
+                scratch_dir as _scratch,
+            )
+            from data_integration_and_harmonization_spark.sources.cdf_stream import (
+                read_manifest_cdf,
+            )
+
+            root, _ = f_ver.result()
+            b = _scratch(f"twin_cdf_feed_{run_id}")
+            out = _os.path.join(b, "out")
+            (
+                read_manifest_cdf(spark, root, ["event_id"])
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", _os.path.join(b, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            return out
+
+        f_cdf_feed = pool.submit(_drain_cdf_feed)
         drained, dd, st, sj_pairs, sess, (ver_root, ver_versions), cdc_root = (
             f_tumble.result(),
             f_dd.result(),
@@ -1679,6 +1710,7 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
             f_cdc.result(),
         )
         dq_passed_dir, dq_quar_dir = f_dq.result()
+        cdf_out = f_cdf_feed.result()
     s = drained.select(
         "window_start", "event_type", F.col("n_events").alias("s_n"), F.col("sum_value").alias("s_sum")
     )
@@ -1906,34 +1938,15 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     )
     # ---- 9th leg (r11): the streaming CHANGE DATA FEED source
     # (sources/cdf_stream.py, a Spark-4 Python streaming DataSource
-    # whose offsets ARE the manifest version numbers) drains the
-    # versioned drain's own commit sequence with availableNow. The
-    # table is append-only here, so the cumulative feed must be
-    # exactly one 'added' row per event — compared key-for-key
-    # against the raw events (an INDEPENDENT twin: the feed computes
-    # its diffs executor-side with pyarrow, never through Spark's
-    # exceptAll). The dirs the feed reads are the versioned leg's
-    # committed manifests — so this leg also re-checks that chain.
-    import os as _os2
-
-    from data_integration_and_harmonization_spark.functions.caching import (
-        scratch_dir as _scratch2,
-    )
-    from data_integration_and_harmonization_spark.sources.cdf_stream import (
-        read_manifest_cdf,
-    )
-
-    cdf_base = _scratch2(f"twin_cdf_feed_{run_id}")
-    cdf_out = _os2.path.join(cdf_base, "out")
-    (
-        read_manifest_cdf(spark, ver_root, ["event_id"])
-        .writeStream.format("parquet")
-        .option("path", cdf_out)
-        .option("checkpointLocation", _os2.path.join(cdf_base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    # whose offsets ARE the manifest version numbers) drained the
+    # versioned drain's own commit sequence with availableNow (inside
+    # the pool above, gated on that drain). The table is append-only
+    # here, so the cumulative feed must be exactly one 'added' row per
+    # event — compared key-for-key against the raw events (an
+    # INDEPENDENT twin: the feed computes its diffs executor-side with
+    # pyarrow, never through Spark's exceptAll). The dirs the feed
+    # reads are the versioned leg's committed manifests — so this leg
+    # also re-checks that chain.
     s_feed = (
         spark.read.schema("version int, change string, event_id long")
         .parquet(cdf_out)
