@@ -1333,7 +1333,12 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "doc_id long, payload binary",
     )
-    pdf_texts = pdf_text_table(pdf_df)
+    from data_integration_and_harmonization_spark.functions.caching import track
+
+    # persisted: BOTH leg rows consume the extraction, and a 5-row
+    # Arrow stage still costs a full Python worker round-trip (~1 s at
+    # sf0.1 — the r4 fixed-overhead lesson); one stage, two readers
+    pdf_texts = track(pdf_text_table(pdf_df).persist())
     pdf_row = pdf_texts.agg(
         F.lit("__pdf").alias("l_returnflag"),
         F.count("text").alias("n_rows"),
