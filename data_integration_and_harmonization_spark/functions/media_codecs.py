@@ -61,6 +61,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "y4m"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:3] == b"ID3" or (
         len(payload) >= 4 and _mp3_frame(payload, 0) is not None
     ):
@@ -1682,3 +1684,116 @@ def encode_mp3_meta(
             [(L >> 21) & 0x7F, (L >> 14) & 0x7F, (L >> 7) & 0x7F, L & 0x7F]
         ) + body
     return tag + frame * n_frames
+
+
+# ----------------------------------------------------------- WebP
+#
+# Container metadata only, from the public WebP container + bitstream
+# specs (RIFF grammar; VP8 key-frame header per RFC 6386 §9.1; VP8L
+# stream header; VP8X extended-format chunk). Geometry and layout
+# flags without entropy decode — the image sibling of the MP4/MP3
+# metadata tiers (full VP8 decode is out of scope, and triage wants
+# the envelope).
+
+
+def parse_webp_meta(payload: bytes) -> dict:
+    """``{'variant', 'width', 'height', 'has_alpha', 'has_anim'}`` of
+    a WebP payload by walking its RIFF chunks:
+
+    - ``VP8 `` (lossy): 3-byte frame tag (keyframe bit must be 0),
+      the 9D 01 2A start code, then 14-bit width/height;
+    - ``VP8L`` (lossless): the 0x2F signature byte, then width-1 /
+      height-1 in 14 bits each, alpha in bit 28;
+    - ``VP8X`` (extended): feature flags byte + 24-bit canvas
+      width-1 / height-1 (alpha/animation from the flags; the first
+      frame chunk is not consulted — canvas IS the display geometry).
+
+    Raises ValueError on non-WebP or malformed headers."""
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = pos + 8
+        if fourcc == b"VP8 ":
+            if data[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 key-frame start code")
+            tag = data[body] | (data[body + 1] << 8) | (data[body + 2] << 16)
+            if tag & 1:
+                raise ValueError("VP8 first frame is not a key frame")
+            w = struct.unpack("<H", data[body + 6 : body + 8])[0] & 0x3FFF
+            h = struct.unpack("<H", data[body + 8 : body + 10])[0] & 0x3FFF
+            return {
+                "variant": "vp8",
+                "width": w,
+                "height": h,
+                "has_alpha": False,
+                "has_anim": False,
+            }
+        if fourcc == b"VP8L":
+            if data[body] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = struct.unpack("<I", data[body + 1 : body + 5])[0]
+            return {
+                "variant": "vp8l",
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "has_alpha": bool((bits >> 28) & 1),
+                "has_anim": False,
+            }
+        if fourcc == b"VP8X":
+            flags = data[body]
+            w = 1 + (data[body + 4] | (data[body + 5] << 8) | (data[body + 6] << 16))
+            h = 1 + (data[body + 7] | (data[body + 8] << 8) | (data[body + 9] << 16))
+            return {
+                "variant": "vp8x",
+                "width": w,
+                "height": h,
+                "has_alpha": bool(flags & 0x10),
+                "has_anim": bool(flags & 0x02),
+            }
+        pos = body + size + (size & 1)  # RIFF chunks pad to even
+    raise ValueError("no VP8/VP8L/VP8X chunk found")
+
+
+def encode_webp_meta(
+    width: int,
+    height: int,
+    variant: str = "vp8",
+    has_alpha: bool = False,
+    has_anim: bool = False,
+) -> bytes:
+    """Minimal spec-shaped WebP fixture: a RIFF/WEBP container whose
+    first chunk carries a valid header of the requested ``variant``
+    (geometry + flags) over a zero-filled body — metadata-only, the
+    image sibling of ``encode_mp4_meta``/``encode_mp3_meta``."""
+    if variant == "vp8":
+        body = (
+            b"\x00\x00\x00"  # key frame tag (keyframe bit 0)
+            + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width & 0x3FFF, height & 0x3FFF)
+            + b"\x00" * 16
+        )
+        chunk_id = b"VP8 "
+    elif variant == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14) | (int(has_alpha) << 28)
+        body = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+        chunk_id = b"VP8L"
+    elif variant == "vp8x":
+        flags = (0x10 if has_alpha else 0) | (0x02 if has_anim else 0)
+        body = (
+            bytes([flags])
+            + b"\x00\x00\x00"
+            + struct.pack("<I", width - 1)[:3]
+            + struct.pack("<I", height - 1)[:3]
+        )
+        chunk_id = b"VP8X"
+    else:
+        raise ValueError(f"unknown WebP variant {variant!r}")
+    chunk = chunk_id + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -505,6 +505,11 @@ def extract_temporal_features(
       granule decode) as ``vals = [duration_sec, bitrate_kbps,
       sample_rate, n_frames, channels]`` — the compressed-audio
       sibling of the MP4 metadata tier.
+    - kind 'image_meta' (WebP): the RIFF/VP8-header walk
+      (``media_codecs.parse_webp_meta`` — geometry + layout flags, no
+      entropy decode) as ``vals = [height, width, has_alpha,
+      has_anim]`` — the compressed-image sibling of the same tier
+      (full VP8 decode is out of scope; triage bins on the envelope).
     - kind NULL otherwise — undecodable rows stay visible.
     """
     import pandas as pd
@@ -522,6 +527,22 @@ def extract_temporal_features(
                     else:
                         kinds.append("audio")
                         vals.append(r[2] + [float(r[0]), r[1]])
+                elif fmt == "webp":
+                    try:
+                        w = MC.parse_webp_meta(p)
+                    except ValueError:
+                        kinds.append(None)
+                        vals.append(None)
+                    else:
+                        kinds.append("image_meta")
+                        vals.append(
+                            [
+                                float(w["height"]),
+                                float(w["width"]),
+                                float(w["has_alpha"]),
+                                float(w["has_anim"]),
+                            ]
+                        )
                 elif fmt == "mp3":
                     try:
                         m = MC.parse_mp3_meta(p)
@@ -813,6 +834,19 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         MC.encode_mp3_meta(30, 128, 44100, with_id3=True)
                     ),
                 ),
+                # image_meta -10/-11 (r11): WebP fixtures — a lossy
+                # VP8 key-frame header (320x180) and an extended VP8X
+                # canvas (1920x1080, alpha + animation flags) — every
+                # value is header arithmetic, no entropy decode.
+                (-10, bytearray(MC.encode_webp_meta(320, 180, "vp8"))),
+                (
+                    -11,
+                    bytearray(
+                        MC.encode_webp_meta(
+                            1920, 1080, "vp8x", has_alpha=True, has_anim=True
+                        )
+                    ),
+                ),
             ],
             "media_id long, payload binary",
         )
@@ -999,6 +1033,22 @@ SELECT 'audio_meta', -9::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(5)) AS pos,
          unnest([30 * 1152 / 44100.0, 128.0, 44100.0, 30.0, 2.0]) AS val
+) u
+UNION ALL
+-- 'image_meta' WebP rows (r11): RIFF/VP8-header geometry + flags —
+-- vals = [height, width, has_alpha, has_anim]; -10 is a lossy VP8
+-- key frame (320x180), -11 an extended VP8X canvas (1920x1080,
+-- alpha + animation bits set) — all header arithmetic.
+SELECT 'image_meta', -10::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(4)) AS pos, unnest([180.0, 320.0, 0.0, 0.0]) AS val
+) u
+UNION ALL
+SELECT 'image_meta', -11::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(4)) AS pos, unnest([1080.0, 1920.0, 1.0, 1.0]) AS val
 ) u
 UNION ALL
 -- 'frame' rows (former mm_frames query): resize_stub picks exactly

@@ -478,3 +478,50 @@ def test_extract_temporal_features_audio_meta_tier(spark):
     )
     assert rows[2]["kind"] == "audio" and len(rows[2]["vals"]) == 10
     assert rows[3]["kind"] is None and rows[3]["vals"] is None
+
+
+def test_webp_meta_variants_and_grammar():
+    """WebP container metadata (RIFF + VP8/VP8L/VP8X headers): all
+    three variants roundtrip geometry and flags; grammar violations
+    raise; RIFF even-padding is honored when a leading chunk must be
+    skipped."""
+    import struct as S
+
+    for v, kw, alpha, anim in [
+        ("vp8", {}, False, False),
+        ("vp8l", {"has_alpha": True}, True, False),
+        ("vp8x", {"has_alpha": True, "has_anim": True}, True, True),
+    ]:
+        p = MC.encode_webp_meta(320, 180, v, **kw)
+        assert MC.sniff_format(p) == "webp"
+        m = MC.parse_webp_meta(p)
+        assert (m["variant"], m["width"], m["height"]) == (v, 320, 180)
+        assert (m["has_alpha"], m["has_anim"]) == (alpha, anim)
+    # an unknown odd-sized leading chunk is skipped with even padding
+    p = MC.encode_webp_meta(64, 48, "vp8l")
+    junk = b"JUNK" + S.pack("<I", 3) + b"abc\x00"  # 3 bytes + pad
+    padded = p[:12] + junk + p[12:]
+    padded = padded[:4] + S.pack("<I", len(padded) - 8) + padded[8:]
+    assert MC.parse_webp_meta(padded)["width"] == 64
+    with pytest.raises(ValueError, match="not a WebP"):
+        MC.parse_webp_meta(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="no VP8"):
+        MC.parse_webp_meta(b"RIFF\x04\x00\x00\x00WEBP")
+    # a RIFF/WAVE payload still sniffs as wav
+    import numpy as np
+
+    assert MC.sniff_format(MC.encode_wav(8000, np.zeros(16))) == "wav"
+
+
+def test_extract_temporal_features_image_meta_tier(spark):
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(MC.encode_webp_meta(320, 180, "vp8"))),
+            (2, bytearray(MC.encode_webp_meta(1920, 1080, "vp8x", has_alpha=True, has_anim=True))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in MM.extract_temporal_features(media).collect()}
+    assert rows[1]["kind"] == "image_meta"
+    assert rows[1]["vals"] == [180.0, 320.0, 0.0, 0.0]
+    assert rows[2]["vals"] == [1080.0, 1920.0, 1.0, 1.0]
