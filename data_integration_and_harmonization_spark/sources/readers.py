@@ -77,6 +77,37 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
 
             return read_xlsx_corpus(spark, path)
         return _read_excel_driver_side(spark, path)
+    if ext == "pdf":
+        # a PDF corpus through the document front door: Spark's
+        # binaryFile source distributes the byte scan (payloads never
+        # touch the driver), then ONE Arrow stage runs the engine's
+        # from-spec baseline extractor (functions/pdf.py), carrying
+        # file provenance THROUGH the stage (no synthetic join key —
+        # monotonically_increasing_id is re-evaluation-unstable).
+        # Output (text, _src_file) matches the txt/wholetext corpora
+        # shapes plus provenance; undecodable PDFs surface as NULL
+        # text for quarantine rather than failing the scan.
+        pattern = os.path.join(path, "*.pdf") if os.path.isdir(path) else path
+        bins = spark.read.format("binaryFile").load(pattern).select("content", "path")
+
+        def _extract_batches(it):
+            import pandas as pd
+
+            from data_integration_and_harmonization_spark.functions.pdf import (
+                extract_pdf_text,
+            )
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "text": [extract_pdf_text(p) for p in pdf["content"]],
+                        "_src_file": [
+                            p.rsplit("/", 1)[-1] for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        return bins.mapInPandas(_extract_batches, "text string, _src_file string")
     raise ValueError(f"unsupported source format: {ext!r} ({path})")
 
 

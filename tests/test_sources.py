@@ -1260,3 +1260,26 @@ def test_pdf_text_table_distributed_extraction(spark):
         )
     ).collect()
     assert {r["doc_id"]: r["n_tokens"] for r in prof} == {1: 4, 2: 4}
+
+
+def test_read_any_pdf_corpus(spark, tmp_path):
+    """read_any routes .pdf dirs/globs through the distributed
+    binaryFile scan + one Arrow extraction stage, with per-file
+    provenance; undecodable files surface with NULL text."""
+    from data_integration_and_harmonization_spark.functions import pdf as P
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(P.encode_pdf(["alpha beta"]))
+    (d / "b.pdf").write_bytes(P.encode_pdf(["gamma", "delta page"]))
+    (d / "c.pdf").write_bytes(b"%PDF-1.4\nnot really parseable")
+    df = read_any(spark, str(d), fmt="pdf")
+    assert df.columns == ["text", "_src_file"]
+    rows = {r["_src_file"]: r["text"] for r in df.collect()}
+    assert rows["a.pdf"] == "alpha beta"
+    assert rows["b.pdf"] == "gamma\ndelta page"
+    assert rows["c.pdf"] in (None, "")  # torn: quarantine row, not a crash
+    # glob form + single file
+    assert read_any(spark, str(d / "*.pdf")).count() == 3
+    assert read_any(spark, str(d / "a.pdf")).first()["text"] == "alpha beta"
