@@ -1797,3 +1797,58 @@ def encode_webp_meta(
     if len(body) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def audio_simhash64(
+    payload: bytes, n_bands: int = 8, n_buckets: int = 8, frame: int = 256
+) -> int | None:
+    """64-bit spectral fingerprint of a WAV payload — the audio leg of
+    the perceptual near-dup family (a simplified variant of the
+    band-energy fingerprints in Haitsma & Kalker, "A Highly Robust
+    Audio Fingerprinting System", 2002: they threshold band-energy
+    DIFFERENCES per frame; this thresholds band energies against the
+    clip-global median, trading some robustness for a closed-form
+    oracle and a fixed 64-bit signature):
+
+    1. mono mix, split into ``n_buckets`` equal time segments;
+    2. per segment: non-overlapping ``frame``-sample windows, rFFT
+       power, energy per linear band (the same binning as
+       ``audio_band_features``) — an ``n_buckets x n_bands`` cell
+       energy grid;
+    3. cells rounded to 3 decimals (quantization-noise cells — the
+       int16 round-trip leaves ~1e-6 of leakage energy per cell —
+       land on exactly 0.0; the same platform-stability move as
+       :func:`phash64`, one scale coarser because FFT leakage is
+       bigger than DCT matmul noise), bit ``bucket*n_bands + band``
+       set iff the cell exceeds the median of all 64 cells.
+
+    Invariant under uniform amplitude scaling (all cells scale
+    together, the median with them). None for non-WAV payloads or
+    clips shorter than one frame per segment. Returns a SIGNED 64-bit
+    int for Spark LongType, like :func:`phash64`."""
+    if sniff_format(payload) != "wav":
+        return None
+    try:
+        _, samples = decode_wav(payload)
+    except Exception:  # noqa: BLE001 — malformed audio
+        return None
+    mono = samples.mean(axis=1)
+    seg = len(mono) // n_buckets
+    if seg < frame:
+        return None
+    n_bins = frame // 2 + 1
+    band_of = np.minimum(np.arange(n_bins) * n_bands // n_bins, n_bands - 1)
+    cells = np.zeros((n_buckets, n_bands))
+    for b in range(n_buckets):
+        s = mono[b * seg : (b + 1) * seg]
+        m = (len(s) // frame) * frame
+        power = np.abs(np.fft.rfft(s[:m].reshape(-1, frame), axis=1)) ** 2
+        for band in range(n_bands):
+            cells[b, band] = power[:, band_of == band].sum()
+    cells = np.round(cells, 3)
+    med = float(np.median(cells))
+    h = 0
+    for i, bit in enumerate((cells > med).flatten()):
+        if bit:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h

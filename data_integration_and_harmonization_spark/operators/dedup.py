@@ -335,6 +335,60 @@ def image_phash_table(
     return src.mapInPandas(batches, schema="id long, sig long")
 
 
+def media_signature_table(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, kind, sig) perceptual signatures over a MIXED media corpus
+    in ONE Arrow stage, dispatched by sniffed format: images
+    (PNG/JPEG/GIF) hash with the DCT pHash (:func:`image_phash_table`'s
+    kernel), WAV audio with the spectral band-energy fingerprint
+    (``media_codecs.audio_simhash64``). kind marks the modality so
+    pair joins stay WITHIN it — a 64-bit image hash colliding with a
+    64-bit audio hash is coincidence, not similarity. Undecodable or
+    unfingerprintable payloads ride with kind/sig NULL.
+
+    The near-dup recipe per modality is the same downstream machinery:
+    ``hamming_pairs`` over the kind's subset, then
+    :func:`duplicate_clusters`."""
+    import pandas as pd
+
+    from data_integration_and_harmonization_spark.functions.media_codecs import (
+        audio_simhash64,
+        phash64_of_payload,
+        sniff_format,
+    )
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def batches(it):
+        for pdf in it:
+            kinds, sigs = [], []
+            for p in pdf["payload"]:
+                fmt = sniff_format(p) if p is not None else None
+                if fmt in ("png", "jpeg", "gif"):
+                    s = phash64_of_payload(p)
+                    kinds.append("image" if s is not None else None)
+                    sigs.append(s)
+                elif fmt == "wav":
+                    s = audio_simhash64(p)
+                    kinds.append("audio" if s is not None else None)
+                    sigs.append(s)
+                else:
+                    kinds.append(None)
+                    sigs.append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "kind": kinds,
+                    "sig": pd.array(sigs, dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(batches, schema="id long, kind string, sig long")
+
+
 def phash_pairs(
     media: DataFrame,
     id_col: str = "media_id",
@@ -1669,9 +1723,36 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from data_integration_and_harmonization_spark.functions.caching import track
 
+        # 'aud_bits' / 'aud_pair' legs (r11 second wave): audio
+        # near-dup via the spectral band-energy fingerprint
+        # (media_codecs.audio_simhash64). The corpus is tone SEQUENCES
+        # whose per-segment bins are leakage-free (bin 8+16b of a
+        # 256-sample frame lands wholly in band b) and whose 16-bit
+        # PCM quantization noise rounds to exactly 0.0 at the recipe's
+        # 3-decimal cell rounding — so the expected bit grid is pure
+        # arithmetic: bit(bucket*8+band) = 1 iff segment `bucket`
+        # plays band `band`. -12 is -11 with ONE segment's band moved
+        # (Hamming 2, a true pair); -13 reverses the sequence (Hamming
+        # 16, excluded); -14 is silence (hash 0, pairs nothing).
+        # Images and audio hash in the SAME Arrow stage
+        # (media_signature_table dispatches by sniffed format); the
+        # banded join runs per modality.
         yy, xx = np.mgrid[0:32, 0:32]
         quad = (xx * xx * 7 + yy * yy * 3 + xx * yy) % 256
         y16, x16 = np.mgrid[0:16, 0:16]
+
+        def tone_seq(bands_seq):
+            t = np.arange(1024)
+            return MC.encode_wav(
+                8192,
+                np.concatenate(
+                    [
+                        0.5 * np.sin(2 * np.pi * (8 + 16 * b) * t / 256)
+                        for b in bands_seq
+                    ]
+                ),
+            )
+
         payloads = [
             (-1, MC.encode_png(quad.astype(np.uint8))),
             (-2, MC.encode_png(((quad + (xx == 5) * 8) % 256).astype(np.uint8))),
@@ -1681,31 +1762,56 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (-6, MC.encode_jpeg(np.full((12, 9), 77, dtype=np.uint8), quality=90)),
             (-7, MC.encode_png(np.full((6, 5, 3), (10, 200, 30), dtype=np.uint8))),
             (-8, MC.encode_gif([np.full((8, 8, 3), (40, 80, 120), dtype=np.uint8)])),
+            (-11, tone_seq([0, 1, 2, 3, 4, 5, 6, 7])),
+            (-12, tone_seq([0, 1, 2, 3, 4, 5, 6, 6])),
+            (-13, tone_seq([7, 6, 5, 4, 3, 2, 1, 0])),
+            (-14, MC.encode_wav(8192, np.zeros(8192))),
         ]
         media = spark.createDataFrame(
             [(i, bytearray(p)) for i, p in payloads],
             "media_id long, payload binary",
         )
-        # persisted: the signature table feeds BOTH legs, so the Arrow
-        # decode stage runs once (8 rows — the persist is bookkeeping,
-        # not a size concern)
-        sig = track(image_phash_table(media).persist())
-        img_bits = sig.select(
-            F.lit("img_bits").alias("kind"),
-            F.col("id").alias("id_a"),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.shiftright("sig", i).bitwiseAND(F.lit(1)).cast("long")
-                        for i in range(64)
-                    ]
+        # persisted: the signature table feeds FOUR legs, so the Arrow
+        # decode stage runs once (12 rows — the persist is
+        # bookkeeping, not a size concern)
+        sig = track(media_signature_table(media).persist())
+
+        def bit_rows(kind_tag, kind_val):
+            return (
+                sig.where(F.col("kind") == kind_val)
+                .select(
+                    F.lit(kind_tag).alias("kind"),
+                    F.col("id").alias("id_a"),
+                    F.posexplode(
+                        F.array(
+                            *[
+                                F.shiftright("sig", i)
+                                .bitwiseAND(F.lit(1))
+                                .cast("long")
+                                for i in range(64)
+                            ]
+                        )
+                    ).alias("id_b", "hamming"),
                 )
-            ).alias("id_b", "hamming"),
-        ).select("kind", "id_a", F.col("id_b").cast("long").alias("id_b"), "hamming")
-        img_pairs = hamming_pairs(sig, bits=64, bands=4, max_hamming=3).select(
-            F.lit("img_pair").alias("kind"), "id_a", "id_b", "hamming"
+                .select(
+                    "kind", "id_a", F.col("id_b").cast("long").alias("id_b"), "hamming"
+                )
+            )
+
+        def pair_rows(kind_tag, kind_val):
+            return hamming_pairs(
+                sig.where(F.col("kind") == kind_val).select("id", "sig"),
+                bits=64,
+                bands=4,
+                max_hamming=3,
+            ).select(F.lit(kind_tag).alias("kind"), "id_a", "id_b", "hamming")
+
+        return (
+            text.unionByName(bit_rows("img_bits", "image"))
+            .unionByName(pair_rows("img_pair", "image"))
+            .unionByName(bit_rows("aud_bits", "audio"))
+            .unionByName(pair_rows("aud_pair", "audio"))
         )
-        return text.unionByName(img_bits).unionByName(img_pairs)
 
     def q_emb_cosine(spark, sf):
         """Tagged embedding-dedup entry, every leg oracle-replayed:
@@ -1937,8 +2043,13 @@ def _simhash_phash_sql() -> str:
     on exactly 0.0 on every platform), median threshold via
     ``quantile_cont(0.5)`` (= numpy's even-count median, the mean of
     the two middle order statistics), per-bit rows, and Hamming pairs
-    at <= 3. Nothing is taken from the engine: a decoder or DCT bug
-    shows up as a hash mismatch."""
+    at <= 3. The audio legs replay the spectral fingerprint the same
+    way, one level up: the tone fixtures make each cell's
+    above-median verdict pure arithmetic of the band SEQUENCE
+    (leakage-free bins + the 3-decimal cell rounding), so the oracle
+    derives the bit grid from the sequences alone. Nothing is taken
+    from the engine: a decoder, DCT, or FFT-binning bug shows up as a
+    hash mismatch."""
     px_formulas = [
         ("-1", "((x.i*x.i*7 + y.i*y.i*3 + x.i*y.i) % 256)::DOUBLE"),
         (
@@ -1979,6 +2090,26 @@ WITH px AS (
          sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
   FROM bits a JOIN bits b ON a.pos = b.pos AND a.mid < b.mid
   GROUP BY 1, 2
+), aud_seq(mid, seq) AS (
+  -- per-segment band sequences of the engine's tone fixtures; the
+  -- fingerprint recipe makes the bit grid pure arithmetic of these
+  -- (leakage-free bins, quantization noise rounds to 0.0 — see the
+  -- query docstring): bit(bucket*8+band) = 1 iff seq[bucket] = band.
+  -- -14 is silence: every cell 0, nothing exceeds the median.
+  VALUES (-11, [0, 1, 2, 3, 4, 5, 6, 7]),
+         (-12, [0, 1, 2, 3, 4, 5, 6, 6]),
+         (-13, [7, 6, 5, 4, 3, 2, 1, 0]),
+         (-14, CAST(NULL AS INT[]))
+), aud_bits AS (
+  SELECT mid, (p.i)::BIGINT AS pos,
+         (CASE WHEN seq IS NOT NULL AND seq[p.i // 8 + 1] = p.i % 8
+               THEN 1 ELSE 0 END)::BIGINT AS bit
+  FROM aud_seq, range(64) p(i)
+), aud_ham AS (
+  SELECT a.mid AS id_a, b.mid AS id_b,
+         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+  FROM aud_bits a JOIN aud_bits b ON a.pos = b.pos AND a.mid < b.mid
+  GROUP BY 1, 2
 )
 SELECT 'text' AS kind, id_a, id_b, hamming FROM (
 {_md5_simhash_sql()}
@@ -1987,6 +2118,10 @@ UNION ALL
 SELECT 'img_bits' AS kind, mid AS id_a, pos AS id_b, bit AS hamming FROM bits
 UNION ALL
 SELECT 'img_pair' AS kind, id_a, id_b, hamming FROM ham WHERE hamming <= 3
+UNION ALL
+SELECT 'aud_bits' AS kind, mid AS id_a, pos AS id_b, bit AS hamming FROM aud_bits
+UNION ALL
+SELECT 'aud_pair' AS kind, id_a, id_b, hamming FROM aud_ham WHERE hamming <= 3
 """
 
 

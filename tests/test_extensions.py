@@ -1093,3 +1093,64 @@ def test_bpe_trainer_lineage_truncation_deep_merges(spark):
     shallow = TX.train_bpe_merges(df, n_merges=12)
     assert deep[: len(shallow)] == shallow
     assert len(deep) > 16  # crossed at least one checkpoint boundary
+
+
+def test_audio_fingerprint_invariants_and_pairs(spark):
+    """audio_simhash64 + the fused media_signature_table: amplitude
+    scaling is signature-invariant, a one-segment edit lands within
+    the banded threshold, different content sits far, silence hashes
+    to 0, and the mixed-corpus stage keeps modalities apart."""
+    import numpy as np
+
+    from data_integration_and_harmonization_spark.functions import media_codecs as MC
+
+    def tone_seq(bands, amp=0.5):
+        t = np.arange(1024)
+        return MC.encode_wav(
+            8192,
+            np.concatenate(
+                [amp * np.sin(2 * np.pi * (8 + 16 * b) * t / 256) for b in bands]
+            ),
+        )
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    base = MC.audio_simhash64(tone_seq([0, 1, 2, 3, 4, 5, 6, 7]))
+    assert MC.audio_simhash64(tone_seq([0, 1, 2, 3, 4, 5, 6, 7], amp=0.1)) == base
+    assert ham(base, MC.audio_simhash64(tone_seq([0, 1, 2, 3, 4, 5, 6, 6]))) == 2
+    assert ham(base, MC.audio_simhash64(tone_seq([7, 6, 5, 4, 3, 2, 1, 0]))) == 16
+    assert MC.audio_simhash64(MC.encode_wav(8192, np.zeros(8192))) == 0
+    assert MC.audio_simhash64(MC.encode_wav(8192, np.zeros(100))) is None  # too short
+    assert MC.audio_simhash64(b"not audio") is None
+
+    # mixed corpus: ONE Arrow stage, per-modality pairs only
+    yy, xx = np.mgrid[0:64, 0:64]
+    photo = (128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 6.0)).clip(0, 255).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(MC.encode_png(photo))),
+            (2, bytearray(MC.encode_jpeg(photo, quality=85))),
+            (3, bytearray(tone_seq([0, 1, 2, 3, 4, 5, 6, 7]))),
+            (4, bytearray(tone_seq([0, 1, 2, 3, 4, 5, 6, 6]))),
+            (5, b"neither"),
+        ],
+        "media_id long, payload binary",
+    )
+    sig = DD.media_signature_table(media)
+    rows = {r["id"]: (r["kind"], r["sig"]) for r in sig.collect()}
+    assert rows[1][0] == "image" and rows[3][0] == "audio"
+    assert rows[5] == (None, None)
+    from pyspark.sql import functions as F2
+
+    pairs = {
+        kind: {
+            frozenset((r["id_a"], r["id_b"]))
+            for r in DD.hamming_pairs(
+                sig.where(F2.col("kind") == kind).select("id", "sig")
+            ).collect()
+        }
+        for kind in ("image", "audio")
+    }
+    assert pairs["image"] == {frozenset((1, 2))}
+    assert pairs["audio"] == {frozenset((3, 4))}
