@@ -1852,3 +1852,43 @@ def audio_simhash64(
         if bit:
             h |= 1 << i
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def video_phash64(payload: bytes) -> int | None:
+    """64-bit perceptual hash of a VIDEO payload: sample 4 evenly
+    spaced frames (the ``i*T//4`` index map every sampler in the
+    engine uses), average their luma planes, and :func:`phash64` the
+    mean image — the standard cheap video near-dup signature (a
+    re-encode, container change, or small frame-rate shift barely
+    moves the temporal average's low-frequency band, while different
+    footage moves it completely). Decodable formats: Y4M streams and
+    ANIMATED GIFs (>1 frame — a single-frame GIF is an image and
+    belongs to :func:`phash64`'s family). None otherwise."""
+    fmt = sniff_format(payload) if payload is not None else None
+    try:
+        if fmt == "y4m":
+            _, frames = decode_y4m(payload)
+            lum = [
+                (f if f.ndim == 2 else f[:, :, 0]).astype(np.float64)
+                for f in frames
+            ]
+        elif fmt == "gif":
+            frames = decode_gif(payload)
+            if len(frames) <= 1:
+                return None
+            lum = [
+                0.299 * f[:, :, 0].astype(np.float64)
+                + 0.587 * f[:, :, 1].astype(np.float64)
+                + 0.114 * f[:, :, 2].astype(np.float64)
+                for f in frames
+            ]
+        else:
+            return None
+        if not lum:
+            return None
+    except Exception:  # noqa: BLE001 — malformed video
+        return None
+    total = len(lum)
+    picks = [lum[(i * total) // 4] for i in range(4)]
+    mean = sum(picks) / 4.0
+    return phash64(mean)

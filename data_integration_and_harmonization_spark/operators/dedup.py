@@ -339,23 +339,28 @@ def media_signature_table(
     media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
     """(id, kind, sig) perceptual signatures over a MIXED media corpus
-    in ONE Arrow stage, dispatched by sniffed format: images
-    (PNG/JPEG/GIF) hash with the DCT pHash (:func:`image_phash_table`'s
-    kernel), WAV audio with the spectral band-energy fingerprint
-    (``media_codecs.audio_simhash64``). kind marks the modality so
-    pair joins stay WITHIN it — a 64-bit image hash colliding with a
+    in ONE Arrow stage, dispatched by sniffed format: still images
+    (PNG/JPEG/single-frame GIF) hash with the DCT pHash
+    (:func:`image_phash_table`'s kernel), WAV audio with the spectral
+    band-energy fingerprint (``media_codecs.audio_simhash64``), and
+    VIDEO (Y4M / animated GIF) with the temporal-average pHash
+    (``media_codecs.video_phash64``). kind marks the modality so pair
+    joins stay WITHIN it — a 64-bit image hash colliding with a
     64-bit audio hash is coincidence, not similarity. Undecodable or
     unfingerprintable payloads ride with kind/sig NULL.
 
     The near-dup recipe per modality is the same downstream machinery:
     ``hamming_pairs`` over the kind's subset, then
-    :func:`duplicate_clusters`."""
+    :func:`duplicate_clusters` — with this stage, every modality the
+    engine decodes (text has :func:`simhash_pairs`) shares one
+    near-dup pipeline."""
     import pandas as pd
 
     from data_integration_and_harmonization_spark.functions.media_codecs import (
         audio_simhash64,
         phash64_of_payload,
         sniff_format,
+        video_phash64,
     )
 
     src = media.select(
@@ -367,7 +372,14 @@ def media_signature_table(
             kinds, sigs = [], []
             for p in pdf["payload"]:
                 fmt = sniff_format(p) if p is not None else None
-                if fmt in ("png", "jpeg", "gif"):
+                if fmt in ("png", "jpeg", "gif", "y4m"):
+                    # animated GIFs and Y4M streams are video; a
+                    # single-frame GIF falls through to the image hash
+                    s = video_phash64(p)
+                    if s is not None:
+                        kinds.append("video")
+                        sigs.append(s)
+                        continue
                     s = phash64_of_payload(p)
                     kinds.append("image" if s is not None else None)
                     sigs.append(s)
@@ -1766,6 +1778,35 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (-12, tone_seq([0, 1, 2, 3, 4, 5, 6, 6])),
             (-13, tone_seq([7, 6, 5, 4, 3, 2, 1, 0])),
             (-14, MC.encode_wav(8192, np.zeros(8192))),
+            # 'vid_bits' / 'vid_pair' fixtures: video near-dup via the
+            # temporal-average pHash (video_phash64 — sample i*T//4
+            # frames, mean luma, DCT pHash). With 2 frames the picks
+            # are [0,0,1,1], so the mean is (f0+f1)/2 — a pure formula
+            # the oracle replays through the SAME px->coef->bits SQL
+            # as the images. -22 bumps one frame's column (mean moves
+            # by bump/2 -> Hamming 2, a true pair); -23 is different
+            # footage; -24 is an animated constant GIF (temporal mean
+            # constant -> hash 1, also pins the GIF-as-video dispatch).
+            (-21, MC.encode_y4m([quad.astype(np.uint8), ((xx * 13 + yy * 29 + xx * yy * 5) % 256).astype(np.uint8)])),
+            (
+                -22,
+                MC.encode_y4m(
+                    [
+                        ((quad + (xx == 5) * 16) % 256).astype(np.uint8),
+                        ((xx * 13 + yy * 29 + xx * yy * 5) % 256).astype(np.uint8),
+                    ]
+                ),
+            ),
+            (-23, MC.encode_y4m([((xx * 31 + yy * 17 + xx * xx * 5) % 256).astype(np.uint8)] * 2)),
+            (
+                -24,
+                MC.encode_gif(
+                    [
+                        np.full((8, 8, 3), 30, dtype=np.uint8),
+                        np.full((8, 8, 3), 90, dtype=np.uint8),
+                    ]
+                ),
+            ),
         ]
         media = spark.createDataFrame(
             [(i, bytearray(p)) for i, p in payloads],
@@ -1811,6 +1852,8 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(pair_rows("img_pair", "image"))
             .unionByName(bit_rows("aud_bits", "audio"))
             .unionByName(pair_rows("aud_pair", "audio"))
+            .unionByName(bit_rows("vid_bits", "video"))
+            .unionByName(pair_rows("vid_pair", "video"))
         )
 
     def q_emb_cosine(spark, sf):
@@ -2064,6 +2107,23 @@ def _simhash_phash_sql() -> str:
         ("-6", "77.0"),  # constant JPEG decodes exactly (DC-only blocks)
         ("-7", "0.299*10 + 0.587*200 + 0.114*30"),  # BT.601 luma, const RGB
         ("-8", "0.299*40 + 0.587*80 + 0.114*120"),  # const GIF first frame
+        # video means (video_phash64 samples i*2//4 = [0,0,1,1] of the
+        # 2-frame fixtures -> mean = (f0+f1)/2, replayed through the
+        # SAME DCT pipeline; -24's animated constant GIF averages to a
+        # constant plane — any positive constant yields the same bits)
+        (
+            "-21",
+            "(((x.i*x.i*7 + y.i*y.i*3 + x.i*y.i) % 256)"
+            " + ((x.i*13 + y.i*29 + x.i*y.i*5) % 256)) / 2.0",
+        ),
+        (
+            "-22",
+            "(((x.i*x.i*7 + y.i*y.i*3 + x.i*y.i"
+            " + CASE WHEN x.i = 5 THEN 16 ELSE 0 END) % 256)"
+            " + ((x.i*13 + y.i*29 + x.i*y.i*5) % 256)) / 2.0",
+        ),
+        ("-23", "((x.i*31 + y.i*17 + x.i*x.i*5) % 256)::DOUBLE"),
+        ("-24", "60.0"),
     ]
     px_union = "\n  UNION ALL\n".join(
         f"  SELECT {mid}::BIGINT AS mid, y.i AS y, x.i AS x, {v} AS v\n"
@@ -2086,9 +2146,13 @@ WITH px AS (
          (CASE WHEN coef.c > med.m THEN 1 ELSE 0 END)::BIGINT AS bit
   FROM coef JOIN med ON coef.mid = med.mid
 ), ham AS (
+  -- pairs stay within a modality family: image mids are > -10,
+  -- video mids < -20 (the engine's per-kind hamming_pairs joins)
   SELECT a.mid AS id_a, b.mid AS id_b,
          sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
-  FROM bits a JOIN bits b ON a.pos = b.pos AND a.mid < b.mid
+  FROM bits a JOIN bits b
+    ON a.pos = b.pos AND a.mid < b.mid
+   AND (a.mid > -10) = (b.mid > -10)
   GROUP BY 1, 2
 ), aud_seq(mid, seq) AS (
   -- per-segment band sequences of the engine's tone fixtures; the
@@ -2115,13 +2179,21 @@ SELECT 'text' AS kind, id_a, id_b, hamming FROM (
 {_md5_simhash_sql()}
 ) t
 UNION ALL
-SELECT 'img_bits' AS kind, mid AS id_a, pos AS id_b, bit AS hamming FROM bits
+SELECT 'img_bits' AS kind, mid AS id_a, pos AS id_b, bit AS hamming
+FROM bits WHERE mid > -10
 UNION ALL
-SELECT 'img_pair' AS kind, id_a, id_b, hamming FROM ham WHERE hamming <= 3
+SELECT 'img_pair' AS kind, id_a, id_b, hamming
+FROM ham WHERE hamming <= 3 AND id_a > -10
 UNION ALL
 SELECT 'aud_bits' AS kind, mid AS id_a, pos AS id_b, bit AS hamming FROM aud_bits
 UNION ALL
 SELECT 'aud_pair' AS kind, id_a, id_b, hamming FROM aud_ham WHERE hamming <= 3
+UNION ALL
+SELECT 'vid_bits' AS kind, mid AS id_a, pos AS id_b, bit AS hamming
+FROM bits WHERE mid < -20
+UNION ALL
+SELECT 'vid_pair' AS kind, id_a, id_b, hamming
+FROM ham WHERE hamming <= 3 AND id_a < -20
 """
 
 

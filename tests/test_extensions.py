@@ -1154,3 +1154,48 @@ def test_audio_fingerprint_invariants_and_pairs(spark):
     }
     assert pairs["image"] == {frozenset((1, 2))}
     assert pairs["audio"] == {frozenset((3, 4))}
+
+
+def test_video_phash_and_full_modality_dispatch(spark):
+    """video_phash64: re-encode-style perturbations land within the
+    banded threshold, different footage is far, animated GIFs are
+    video while single-frame GIFs stay images — and the fused stage
+    dispatches all four payload classes correctly."""
+    import numpy as np
+
+    from data_integration_and_harmonization_spark.functions import media_codecs as MC
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    fa = ((xx * xx * 7 + yy * yy * 3 + xx * yy) % 256).astype(np.uint8)
+    fb = ((xx * 13 + yy * 29 + xx * yy * 5) % 256).astype(np.uint8)
+    fa_bump = ((fa.astype(int) + (xx == 5) * 16) % 256).astype(np.uint8)
+    v = MC.video_phash64(MC.encode_y4m([fa, fb]))
+    v_bump = MC.video_phash64(MC.encode_y4m([fa_bump, fb]))
+    assert 0 < ham(v, v_bump) <= 3
+    # frame-order reversal preserves the temporal average exactly
+    assert MC.video_phash64(MC.encode_y4m([fb, fa])) == v
+    other = MC.video_phash64(
+        MC.encode_y4m([((xx * 31 + yy * 17 + xx * xx * 5) % 256).astype(np.uint8)] * 2)
+    )
+    assert ham(v, other) > 10
+    anim = MC.encode_gif(
+        [np.full((8, 8, 3), 30, np.uint8), np.full((8, 8, 3), 90, np.uint8)]
+    )
+    assert MC.video_phash64(anim) == 1  # constant temporal mean
+    assert MC.video_phash64(MC.encode_gif([np.full((8, 8, 3), 30, np.uint8)])) is None
+    assert MC.video_phash64(b"junk") is None
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(MC.encode_png(fa))),
+            (2, bytearray(MC.encode_y4m([fa, fb]))),
+            (3, bytearray(anim)),
+            (4, bytearray(MC.encode_gif([np.full((8, 8, 3), 30, np.uint8)]))),
+        ],
+        "media_id long, payload binary",
+    )
+    kinds = {r["id"]: r["kind"] for r in DD.media_signature_table(media).collect()}
+    assert kinds == {1: "image", 2: "video", 3: "video", 4: "image"}
