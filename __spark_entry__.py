@@ -1348,6 +1348,32 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_extract("text", r"key \\ (\d+)", 1).cast("long")
         ).alias("sum_rkey"),
     )
+    # '__srt' row (r11): SubRip transcript ingestion — one cue per
+    # region row (start = 60000*k + 1500, 2500 ms long, two text
+    # lines), written driver-side like the DLQ csv, parsed back by
+    # the all-JVM read_srt pipeline. n_rows = cue count, sum_nkey =
+    # sum(start_ms + end_ms), sum_rkey = the key REPARSED from the cue
+    # text — the oracle rebuilds all three from region arithmetic.
+    from data_integration_and_harmonization_spark.sources.readers import read_srt
+
+    srt_file = base + "_region.srt"
+    with open(srt_file, "w") as fh:
+        for k, n in region_rows:
+            s_ms = 60000 * k + 1500
+            fh.write(f"{k + 1}\n")
+            fh.write(
+                f"00:{s_ms // 60000:02d}:01,500 --> 00:{s_ms // 60000:02d}:04,000\n"
+            )
+            fh.write(f"Region {n}\nkey {k}\n\n")
+    srt_row = read_srt(spark, srt_file).agg(
+        F.lit("__srt").alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
+        F.sum(F.regexp_extract("text", r"key (\d+)", 1).cast("long")).alias(
+            "sum_rkey"
+        ),
+    )
     pdf_md5_row = pdf_texts.agg(
         F.concat(
             F.lit("__pdfmd5_"),
@@ -1379,6 +1405,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(dlq_row)
         .unionByName(pdf_row)
         .unionByName(pdf_md5_row)
+        .unionByName(srt_row)
     )
 
 
@@ -2750,6 +2777,14 @@ FROM (SELECT r_regionkey,
              'Region (' || r_name || ')' || chr(10) ||
              'key \ ' || r_regionkey AS txt
       FROM region)
+UNION ALL
+-- SubRip transcript leg: one cue per region row, start = 60000*k+1500
+-- for 2500 ms, key reparsed from the two-line cue text — the all-JVM
+-- read_srt pipeline must reproduce the generator's arithmetic
+SELECT '__srt', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum((60000 * r_regionkey + 1500) + (60000 * r_regionkey + 4000))::BIGINT,
+       sum(r_regionkey)::BIGINT
+FROM region
 """,
         "ml_exact_split": """
 WITH ranked AS (

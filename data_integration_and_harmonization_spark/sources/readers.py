@@ -108,7 +108,74 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
                 )
 
         return bins.mapInPandas(_extract_batches, "text string, _src_file string")
+    if ext == "srt":
+        return read_srt(spark, path)
     raise ValueError(f"unsupported source format: {ext!r} ({path})")
+
+
+def read_srt(spark: SparkSession, path: str) -> DataFrame:
+    """SubRip subtitle ingestion — the transcript side of a video
+    corpus (every curation pipeline that touches video wants the
+    dialogue as TEXT): one row per cue with
+    ``(seq, start_ms, end_ms, text, _src_file)``.
+
+    The parse is ENTIRELY JVM-side column expressions (wholetext scan
+    -> blank-line block split -> posexplode -> regexp timecode
+    extraction -> line slicing), so it rides whole-stage codegen with
+    no Python in the path and is replayable by any SQL engine — the
+    '__srt' oracle leg replays it in DuckDB verbatim. Blocks that
+    don't carry a ``-->`` timecode line (stray numbering, BOM junk)
+    are dropped rather than failing the scan; multi-line cue text is
+    newline-joined. Both ``,`` and ``.`` millisecond separators are
+    accepted (the spec says comma; tooling writes both)."""
+    from pyspark.sql import functions as F
+
+    pattern = os.path.join(path, "*.srt") if os.path.isdir(path) else path
+    raw = (
+        spark.read.text(pattern, wholetext=True)
+        .select(
+            F.col("value").alias("content"),
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_src_file"),
+        )
+    )
+    ts = r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})"
+
+    def _ms(prefix: str) -> F.Column:
+        h, m, s, ms = (F.col(f"{prefix}{i}").cast("long") for i in range(1, 5))
+        return (h * 3600 + m * 60 + s) * 1000 + ms
+
+    blocks = raw.select(
+        "_src_file",
+        F.posexplode(F.split("content", r"\r?\n[ \t]*\r?\n")).alias("pos", "block"),
+    ).where(F.col("block").rlike("-->"))
+    parts = blocks.select(
+        "_src_file",
+        "pos",
+        F.split(F.regexp_replace("block", "\r", ""), "\n").alias("lines"),
+    ).select(
+        "_src_file",
+        "pos",
+        F.col("lines")[0].cast("int").alias("seq"),
+        *[
+            F.regexp_extract(F.col("lines")[1], f"^\\s*{ts}\\s*-->", i).alias(f"s{i}")
+            for i in range(1, 5)
+        ],
+        *[
+            F.regexp_extract(F.col("lines")[1], f"-->\\s*{ts}", i).alias(f"e{i}")
+            for i in range(1, 5)
+        ],
+        F.array_join(
+            F.slice(F.col("lines"), 3, F.greatest(F.size("lines") - 2, F.lit(0))),
+            "\n",
+        ).alias("text"),
+    )
+    return parts.select(
+        "seq",
+        _ms("s").alias("start_ms"),
+        _ms("e").alias("end_ms"),
+        "text",
+        "_src_file",
+    )
 
 
 def _read_excel_driver_side(spark: SparkSession, path: str) -> DataFrame:

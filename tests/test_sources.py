@@ -1283,3 +1283,32 @@ def test_read_any_pdf_corpus(spark, tmp_path):
     # glob form + single file
     assert read_any(spark, str(d / "*.pdf")).count() == 3
     assert read_any(spark, str(d / "a.pdf")).first()["text"] == "alpha beta"
+
+
+def test_read_srt_transcript_corpus(spark, tmp_path):
+    """read_srt / read_any(fmt='srt'): all-JVM SubRip parse — cue
+    rows with ms-exact timecodes, multi-line text joined, comma AND
+    dot millisecond separators, CRLF tolerance, timecode-less blocks
+    dropped, per-file provenance, and NO Python stage in the plan."""
+    d = tmp_path / "subs"
+    d.mkdir()
+    (d / "a.srt").write_text(
+        "1\n00:00:01,000 --> 00:00:03,500\nHello there.\nSecond line.\n\n"
+        "2\n00:00:04.250 --> 00:01:05,000\nAnother cue\n\n"
+        "not a cue\n\n"
+    )
+    (d / "b.srt").write_text(
+        "7\r\n01:02:03,004 --> 01:02:04,005\r\nCRLF cue\r\n\r\n"
+    )
+    df = R.read_any(spark, str(d), fmt="srt")
+    rows = {(r["_src_file"], r["seq"]): r for r in df.collect()}
+    assert rows[("a.srt", 1)]["start_ms"] == 1000
+    assert rows[("a.srt", 1)]["end_ms"] == 3500
+    assert rows[("a.srt", 1)]["text"] == "Hello there.\nSecond line."
+    assert rows[("a.srt", 2)]["start_ms"] == 4250  # dot separator
+    assert rows[("a.srt", 2)]["end_ms"] == 65000
+    assert rows[("b.srt", 7)]["start_ms"] == 1 * 3600000 + 2 * 60000 + 3000 + 4
+    assert rows[("b.srt", 7)]["text"] == "CRLF cue"
+    assert len(rows) == 3  # the timecode-less block is dropped
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # stays whole-stage codegen
