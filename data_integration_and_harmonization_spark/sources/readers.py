@@ -127,7 +127,11 @@ def read_srt(spark: SparkSession, path: str) -> DataFrame:
     don't carry a ``-->`` timecode line (stray numbering, BOM junk)
     are dropped rather than failing the scan; multi-line cue text is
     newline-joined. Both ``,`` and ``.`` millisecond separators are
-    accepted (the spec says comma; tooling writes both)."""
+    accepted (the spec says comma; tooling writes both). Numeric
+    fields go through ``try_cast`` so a block that matched ``-->`` but
+    carries a torn timecode yields NULL fields instead of an ANSI-mode
+    cast error killing the scan (session-config-proof, like every
+    front-door reader)."""
     from pyspark.sql import functions as F
 
     pattern = os.path.join(path, "*.srt") if os.path.isdir(path) else path
@@ -141,7 +145,9 @@ def read_srt(spark: SparkSession, path: str) -> DataFrame:
     ts = r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})"
 
     def _ms(prefix: str) -> F.Column:
-        h, m, s, ms = (F.col(f"{prefix}{i}").cast("long") for i in range(1, 5))
+        h, m, s, ms = (
+            F.col(f"{prefix}{i}").try_cast("long") for i in range(1, 5)
+        )
         return (h * 3600 + m * 60 + s) * 1000 + ms
 
     blocks = raw.select(
@@ -155,7 +161,7 @@ def read_srt(spark: SparkSession, path: str) -> DataFrame:
     ).select(
         "_src_file",
         "pos",
-        F.col("lines")[0].cast("int").alias("seq"),
+        F.col("lines")[0].try_cast("int").alias("seq"),
         *[
             F.regexp_extract(F.col("lines")[1], f"^\\s*{ts}\\s*-->", i).alias(f"s{i}")
             for i in range(1, 5)
