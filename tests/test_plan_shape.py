@@ -276,3 +276,36 @@ def test_mm_query_arrow_stage_budget(spark, sf_dir):
     desc = E.queries()["describe_all"](spark, sf_dir)
     dplan = desc._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in dplan and "BatchEvalPython" not in dplan
+
+
+def test_dedup_simhash_fused_signature_stage_budget(spark, sf_dir):
+    """The perceptual legs of dedup_simhash pay ONE Python (Arrow)
+    stage for ALL THREE modalities (media_signature_table dispatches
+    image/audio/video hashes per payload), and that stage sits behind
+    the persisted signature table: every MapInPandas occurrence in the
+    executed plan must be inside an InMemoryTableScan reference (the
+    cache serves all six legs; the decode never re-executes per leg).
+    A bare MapInPandas means someone dropped the persist or split the
+    fused stage per modality (~1.4 s of fixed Arrow overhead each —
+    the r4 lesson)."""
+    import __spark_entry__ as E
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        media_signature_table,
+    )
+
+    media = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    sig_plan = (
+        media_signature_table(media)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sig_plan.count("MapInPandas") == 1, sig_plan
+
+    df = E.queries()["dedup_simhash"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every Python stage print is a cached-plan reference, not a live
+    # stage: references == MapInPandas occurrences, and there is at
+    # least one reference per perceptual leg
+    assert plan.count("MapInPandas") == plan.count("InMemoryTableScan"), (
+        plan.count("MapInPandas"),
+        plan.count("InMemoryTableScan"),
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
