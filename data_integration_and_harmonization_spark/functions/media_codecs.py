@@ -63,10 +63,15 @@ def sniff_format(payload: bytes) -> str | None:
         return "mp4"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
-    if payload[:3] == b"ID3" or (
-        len(payload) >= 4 and _mp3_frame(payload, 0) is not None
-    ):
+    if payload[:3] == b"ID3":
         return "mp3"
+    if len(payload) >= 4:
+        # a lone 32-bit header is too loose a test (arbitrary binary
+        # can satisfy it); require a SECOND consecutive valid frame
+        # header at pos + frame_bytes before claiming mp3
+        fr = _mp3_frame(payload, 0)
+        if fr is not None and _mp3_frame(payload, fr[0]) is not None:
+            return "mp3"
     return None
 
 
@@ -1559,7 +1564,10 @@ def _id3v2_size(payload: bytes) -> int:
     s = payload[6:10]
     if any(b & 0x80 for b in s):
         return 0  # not syncsafe: not a valid tag
-    return 10 + ((s[0] << 21) | (s[1] << 14) | (s[2] << 7) | s[3])
+    size = 10 + ((s[0] << 21) | (s[1] << 14) | (s[2] << 7) | s[3])
+    if payload[5] & 0x10:
+        size += 10  # footer flag (ID3v2.4 §3.1): footer is NOT counted
+    return size
 
 
 def _mp3_frame(payload: bytes, pos: int) -> tuple[int, int, int, int, int] | None:
@@ -1876,19 +1884,64 @@ def video_phash64(payload: bytes) -> int | None:
             frames = decode_gif(payload)
             if len(frames) <= 1:
                 return None
-            lum = [
-                0.299 * f[:, :, 0].astype(np.float64)
-                + 0.587 * f[:, :, 1].astype(np.float64)
-                + 0.114 * f[:, :, 2].astype(np.float64)
-                for f in frames
-            ]
+            lum = [_bt601_luma(f) for f in frames]
         else:
             return None
-        if not lum:
-            return None
+        return _temporal_phash64(lum)
     except Exception:  # noqa: BLE001 — malformed video
+        return None
+
+
+def _bt601_luma(f: np.ndarray) -> np.ndarray:
+    """BT.601 luma plane of an (H, W, 3+) uint8 frame as float64."""
+    return (
+        0.299 * f[:, :, 0].astype(np.float64)
+        + 0.587 * f[:, :, 1].astype(np.float64)
+        + 0.114 * f[:, :, 2].astype(np.float64)
+    )
+
+
+def _temporal_phash64(lum: list[np.ndarray]) -> int | None:
+    """Temporal-average pHash kernel over decoded luma planes: sample
+    4 evenly spaced frames (the ``i*T//4`` index map), mean, pHash."""
+    if not lum:
         return None
     total = len(lum)
     picks = [lum[(i * total) // 4] for i in range(4)]
     mean = sum(picks) / 4.0
     return phash64(mean)
+
+
+def media_signature(payload: bytes) -> tuple[str | None, int | None]:
+    """(kind, sig) perceptual-signature dispatch with AT MOST ONE
+    decode per payload — the fused kernel under
+    ``dedup.media_signature_table``: still images (PNG/JPEG/
+    single-frame GIF) -> ('image', DCT pHash), video (Y4M / animated
+    GIF) -> ('video', temporal-average pHash), WAV audio ->
+    ('audio', spectral band-energy fingerprint). A GIF is decoded
+    ONCE and routed by its frame count (the naive
+    video-then-image ladder decodes single-frame GIFs twice).
+    (None, None) for undecodable or unfingerprintable payloads."""
+    fmt = sniff_format(payload) if payload is not None else None
+    if fmt == "gif":
+        try:
+            frames = decode_gif(payload)
+            if not frames:
+                return None, None
+            if len(frames) > 1:
+                s = _temporal_phash64([_bt601_luma(f) for f in frames])
+                return ("video", s) if s is not None else (None, None)
+            s = phash64(frames[0])
+            return "image", s
+        except Exception:  # noqa: BLE001 — malformed GIF
+            return None, None
+    if fmt == "y4m":
+        s = video_phash64(payload)
+        return ("video", s) if s is not None else (None, None)
+    if fmt in ("png", "jpeg"):
+        s = phash64_of_payload(payload)
+        return ("image", s) if s is not None else (None, None)
+    if fmt == "wav":
+        s = audio_simhash64(payload)
+        return ("audio", s) if s is not None else (None, None)
+    return None, None

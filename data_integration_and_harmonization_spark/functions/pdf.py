@@ -197,7 +197,8 @@ def extract_pdf_text(payload: bytes) -> str | None:
             _extract_from_content(raw, out)
         except (ValueError, IndexError):
             continue  # torn stream: keep what other streams yield
-    return "".join(out).strip("\n")
+    txt = "".join(out).strip("\n")
+    return txt or None  # text-free payloads surface as NULL (quarantine)
 
 
 def encode_pdf(pages: list[str], compress: bool = True) -> bytes:

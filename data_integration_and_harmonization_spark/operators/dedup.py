@@ -228,11 +228,72 @@ def simhash_pairs(
     return hamming_pairs(sig, bits=simhash_bits(hash_family), bands=bands, max_hamming=max_hamming)
 
 
+def _banded_signatures(sig: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(id, sig, band, bucket) banding of a signature table — the
+    shared front half of :func:`hamming_pairs` and
+    :func:`hamming_bucket_report`. NULL signatures are dropped (they
+    can match nothing); masking after the shift keeps band extraction
+    correct for NEGATIVE signatures."""
+    rpb = bits // bands
+    mask = (1 << rpb) - 1
+    sig = sig.where(F.col("sig").isNotNull())
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * rpb)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def hamming_bucket_report(
+    sig: DataFrame, bits: int = 64, bands: int = 4, top_n: int = 5
+) -> DataFrame:
+    """Hot-bucket diagnostic for the banded-Hamming self-join — run it
+    BEFORE paying the shuffle: a (band, bucket) group of n signatures
+    emits O(n^2) candidate pairs, so a constant-content corpus (solid
+    images, silence -> sig 0) detonates quadratically in ONE bucket
+    while staying invisible in row counts. Reuses
+    :func:`..functions.skew.key_skew_report` over the banded keys:
+    the top row's ``x_mean`` IS the skew factor, and its ``key``
+    (``'band|bucket'``) names the bucket a ``max_bucket`` cap (or a
+    corpus fix) should target. Cost: one grouped count."""
+    from data_integration_and_harmonization_spark.functions.skew import key_skew_report
+
+    return key_skew_report(_banded_signatures(sig, bits, bands), ["band", "bucket"], top_n)
+
+
+def hamming_dropped_buckets(
+    sig: DataFrame, max_bucket: int, bits: int = 64, bands: int = 4
+) -> DataFrame:
+    """(band, bucket, n) groups a ``max_bucket``-capped
+    :func:`hamming_pairs` run SKIPPED — the flag side of
+    cap-and-flag: pair generation stays bounded while this report
+    makes the dropped candidates auditable instead of silent."""
+    return (
+        _banded_signatures(sig, bits, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+    )
+
+
 def hamming_pairs(
     sig: DataFrame,
     bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-Hamming self-join over any (id, sig) signature table —
     the shared candidate machinery under text SimHash
@@ -243,29 +304,30 @@ def hamming_pairs(
     guaranteed a matching band), exact ``bit_count(xor)`` filter after.
 
     NULL signatures (e.g. undecodable payloads) are dropped before
-    banding — they can match nothing. Masking after the shift keeps
-    the band extraction correct for NEGATIVE signatures (bit 63 set
-    sign-extends under Spark's arithmetic ``shiftright``; the band
-    mask strips the extension). Output: (id_a, id_b, hamming),
-    id_a < id_b."""
-    rpb = bits // bands
-    mask = (1 << rpb) - 1
-    sig = sig.where(F.col("sig").isNotNull())
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * rpb).bitwiseAND(F.lit(mask)).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    banding — they can match nothing (banding details:
+    :func:`_banded_signatures`). Output: (id_a, id_b, hamming),
+    id_a < id_b.
+
+    ``max_bucket`` is the hot-bucket GUARD: a (band, bucket) group of
+    n signatures self-joins into O(n^2) candidates, so a degenerate
+    corpus (all-identical content) detonates in one bucket. With the
+    cap set, groups larger than ``max_bucket`` are skipped (one
+    window count over the banded keys — same shuffle key the join
+    pays anyway) and reported by :func:`hamming_dropped_buckets`;
+    a pair whose EVERY matching band is capped is lost, so the exact
+    pigeonhole recall guarantee holds only for the uncapped default.
+    Run :func:`hamming_bucket_report` first to see whether a corpus
+    needs the cap at all."""
+    banded = _banded_signatures(sig, bits, bands)
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(
@@ -356,12 +418,7 @@ def media_signature_table(
     near-dup pipeline."""
     import pandas as pd
 
-    from data_integration_and_harmonization_spark.functions.media_codecs import (
-        audio_simhash64,
-        phash64_of_payload,
-        sniff_format,
-        video_phash64,
-    )
+    from data_integration_and_harmonization_spark.functions import media_codecs as MC
 
     src = media.select(
         F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
@@ -371,25 +428,12 @@ def media_signature_table(
         for pdf in it:
             kinds, sigs = [], []
             for p in pdf["payload"]:
-                fmt = sniff_format(p) if p is not None else None
-                if fmt in ("png", "jpeg", "gif", "y4m"):
-                    # animated GIFs and Y4M streams are video; a
-                    # single-frame GIF falls through to the image hash
-                    s = video_phash64(p)
-                    if s is not None:
-                        kinds.append("video")
-                        sigs.append(s)
-                        continue
-                    s = phash64_of_payload(p)
-                    kinds.append("image" if s is not None else None)
-                    sigs.append(s)
-                elif fmt == "wav":
-                    s = audio_simhash64(p)
-                    kinds.append("audio" if s is not None else None)
-                    sigs.append(s)
-                else:
-                    kinds.append(None)
-                    sigs.append(None)
+                # single-decode dispatch: a GIF is decoded ONCE and
+                # routed by frame count (animated -> video hash,
+                # single-frame -> image hash)
+                k, s = MC.media_signature(p)
+                kinds.append(k)
+                sigs.append(s)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],

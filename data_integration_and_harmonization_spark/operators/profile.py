@@ -727,7 +727,10 @@ def profile_store_update(
                 "not contain 'compact' (reserved for the compactor's dirs)"
             )
         for p in _complete_batches(spark, store_path):
-            if p.rsplit("/", 1)[-1].endswith(f"-{tag}"):
+            # dir format is batch-NNNNNN-<tag>; compare the exact tag
+            # segment (tags may themselves contain '-', so a suffix
+            # match would false-positive on e.g. '16' vs '2026-08-16')
+            if p.rsplit("/", 1)[-1].split("-", 2)[2] == tag:
                 return p  # replayed batch: already admitted
     val = _sketch_val(batch_df, cols)
     agg = batch_df.agg(

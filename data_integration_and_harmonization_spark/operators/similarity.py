@@ -942,7 +942,7 @@ def delete_from_ann_index(
     return new_meta
 
 
-def compact_ann_index(spark: SparkSession, path: str) -> dict:
+def compact_ann_index(spark: SparkSession, path: str, sweep: bool = True) -> dict:
     """Fold an index CHAIN into one parent-less version — the
     lifecycle twin of ``dedup.compact_near_dedup_store`` (r10 verdict
     item 3): a long-lived incrementally-maintained index accumulates
@@ -970,8 +970,18 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     Compaction DESTROYS pinned-version history by design — the chain
     is a maintenance log, not time travel (the manifest tables in
     ``sources/manifest.py`` own that contract); run it when chain
-    length, not history, is what you're paying for. Returns
-    {'versions_before', 'version', 'undeleted'}."""
+    length, not history, is what you're paying for.
+
+    CONCURRENT READERS: step 3's sweep assumes no LIVE reader holds a
+    lazy DataFrame over the old chain — ``load_ann_index`` returns
+    lazy scans, and a query planned before compaction that
+    materializes after the sweep fails with FileNotFound (the crash
+    windows above cover the WRITER, not readers). When readers may
+    overlap maintenance, pass ``sweep=False``: the old dirs are left
+    in place (still invisible to new loads — version resolution picks
+    the highest complete dir) and the NEXT compaction's sweep reaps
+    them, giving in-flight queries one full compaction interval of
+    grace. Returns {'versions_before', 'version', 'undeleted'}."""
     import os
 
     idx = load_ann_index(spark, path)
@@ -1003,6 +1013,9 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     undeleted: list[int] = []
     for v in all_vs:
         if v >= new_version:
+            continue
+        if not sweep:
+            undeleted.append(v)  # grace mode: next compaction reaps
             continue
         p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"v-{v:06d}"))
         if not fs.delete(p, True):

@@ -453,6 +453,37 @@ def pdf_text_table(
     return src.mapInPandas(batches, schema="id long, text string")
 
 
+def docx_text_table(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, text) extraction over a DOCX corpus — the
+    WordprocessingML sibling of :func:`pdf_text_table`: ONE Arrow
+    ``mapInPandas`` stage runs the engine's stdlib ECMA-376 extractor
+    (:mod:`..sources.docx` — zip + ``word/document.xml`` run walk)
+    per payload. Non-docx or text-free payloads surface with text
+    NULL for quarantine; only the extracted text crosses back."""
+    import pandas as pd
+
+    from data_integration_and_harmonization_spark.sources.docx import (
+        extract_docx_text,
+    )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def batches(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "text": [extract_docx_text(p) for p in pdf["payload"]],
+                }
+            )
+
+    return src.mapInPandas(batches, schema="id long, text string")
+
+
 # ------------------------------------------------------- query registry
 
 def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -108,6 +108,36 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
                 )
 
         return bins.mapInPandas(_extract_batches, "text string, _src_file string")
+    if ext == "docx":
+        # a DOCX corpus through the same document front door as pdf:
+        # distributed binaryFile scan, ONE Arrow stage running the
+        # stdlib ECMA-376 extractor (sources/docx.py — the
+        # WordprocessingML sibling of the xlsx codec), provenance
+        # carried through the stage. Output (text, _src_file);
+        # non-docx / text-free payloads surface as NULL text.
+        pattern = os.path.join(path, "*.docx") if os.path.isdir(path) else path
+        bins = spark.read.format("binaryFile").load(pattern).select("content", "path")
+
+        def _extract_docx_batches(it):
+            import pandas as pd
+
+            from data_integration_and_harmonization_spark.sources.docx import (
+                extract_docx_text,
+            )
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "text": [extract_docx_text(p) for p in pdf["content"]],
+                        "_src_file": [
+                            p.rsplit("/", 1)[-1] for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        return bins.mapInPandas(
+            _extract_docx_batches, "text string, _src_file string"
+        )
     if ext == "srt":
         return read_srt(spark, path)
     raise ValueError(f"unsupported source format: {ext!r} ({path})")

@@ -1199,3 +1199,39 @@ def test_video_phash_and_full_modality_dispatch(spark):
     )
     kinds = {r["id"]: r["kind"] for r in DD.media_signature_table(media).collect()}
     assert kinds == {1: "image", 2: "video", 3: "video", 4: "image"}
+
+
+def test_media_signature_single_decode_per_gif(monkeypatch):
+    """media_signature decodes each GIF payload AT MOST once: the old
+    video-then-image ladder ran decode_gif twice for single-frame
+    GIFs (full LZW decode wasted); the dispatcher now decodes once
+    and branches on frame count. Signatures agree with the per-kind
+    kernels."""
+    import numpy as np
+
+    from data_integration_and_harmonization_spark.functions import media_codecs as MC
+
+    single = MC.encode_gif([np.full((8, 8, 3), 30, np.uint8)])
+    anim = MC.encode_gif(
+        [np.full((8, 8, 3), 30, np.uint8), np.full((8, 8, 3), 90, np.uint8)]
+    )
+    calls = {"n": 0}
+    real = MC.decode_gif
+
+    def counted(payload):
+        calls["n"] += 1
+        return real(payload)
+
+    monkeypatch.setattr(MC, "decode_gif", counted)
+    k1, s1 = MC.media_signature(single)
+    assert (k1, calls["n"]) == ("image", 1)
+    calls["n"] = 0
+    k2, s2 = MC.media_signature(anim)
+    assert (k2, calls["n"]) == ("video", 1)
+    monkeypatch.undo()
+    # dispatch agrees with the standalone kernels
+    assert s1 == MC.phash64_of_payload(single)
+    assert s2 == MC.video_phash64(anim)
+    # non-media and None stay (None, None)
+    assert MC.media_signature(b"junk") == (None, None)
+    assert MC.media_signature(None) == (None, None)

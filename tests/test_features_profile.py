@@ -559,3 +559,24 @@ def test_profile_store_orphan_compact_dir_is_reaped(spark, tmp_path):
     for c in ("id", "lab"):
         assert after[c]["est_distinct"] == before[c]["est_distinct"]
         assert after[c]["n_rows"] == 2000 and after[c]["n_batches"] == 1
+
+
+def test_profile_store_tag_exact_segment_match(spark, tmp_path):
+    """Replay idempotency compares the EXACT tag segment of the batch
+    dir (batch-NNNNNN-<tag>), not a dash-suffix: a tag like '16' must
+    not false-match an earlier '2026-08-16' batch (which would
+    silently drop the new batch's counts)."""
+    store = str(tmp_path / "prof_tag")
+    df = spark.range(100)
+    p1 = P.profile_store_update(df, store, ["id"], tag="2026-08-16")
+    # same tag replays as a no-op returning the admitted dir
+    replay = P.profile_store_update(df, store, ["id"], tag="2026-08-16")
+    assert replay.rsplit("/", 1)[-1] == p1.rsplit("/", 1)[-1]
+    # dash-suffix tag is a DIFFERENT logical batch and must be admitted
+    P.profile_store_update(df, store, ["id"], tag="16")
+    r = P.profile_store_estimate(spark, store).collect()[0]
+    assert r["n_batches"] == 2 and r["n_rows"] == 200
+    # and IT is idempotent under its own exact tag too
+    P.profile_store_update(df, store, ["id"], tag="16")
+    r2 = P.profile_store_estimate(spark, store).collect()[0]
+    assert r2["n_batches"] == 2 and r2["n_rows"] == 200

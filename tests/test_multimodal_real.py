@@ -525,3 +525,29 @@ def test_extract_temporal_features_image_meta_tier(spark):
     assert rows[1]["kind"] == "image_meta"
     assert rows[1]["vals"] == [180.0, 320.0, 0.0, 0.0]
     assert rows[2]["vals"] == [1080.0, 1920.0, 1.0, 1.0]
+
+
+def test_mp3_sniff_requires_second_frame_and_id3_footer():
+    """sniff_format only claims 'mp3' for untagged payloads when a
+    SECOND consecutive valid frame header follows the first (a lone
+    32-bit header is satisfiable by arbitrary binary), and
+    _id3v2_size honors the ID3v2.4 footer flag (+10 bytes, not
+    counted in the syncsafe size)."""
+    # a crafted lone header followed by garbage: NOT mp3 anymore
+    lone = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x7f" * 400
+    assert MC.sniff_format(lone) is None
+    # two consecutive frames still sniff as mp3 without any tag
+    raw = MC.encode_mp3_meta(2, 128, 44100)
+    assert MC.sniff_format(raw) == "mp3"
+    # footer-flagged ID3v2.4 tag: flags bit 4 set -> +10 bytes footer
+    body = b"x" * 20
+    L = len(body)
+    tag = (
+        b"ID3\x04\x00\x10"
+        + bytes([(L >> 21) & 0x7F, (L >> 14) & 0x7F, (L >> 7) & 0x7F, L & 0x7F])
+        + body
+        + b"3DI" + b"\x04\x00\x10" + b"\x00\x00\x00\x14"  # 10-byte footer
+    )
+    payload = tag + MC.encode_mp3_meta(3, 128, 44100)
+    m = MC.parse_mp3_meta(payload)
+    assert m["n_frames"] == 3 and m["sample_rate"] == 44100

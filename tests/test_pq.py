@@ -474,3 +474,44 @@ def test_ann_index_chain_compaction(spark, emb, tmp_path):
     stats2 = compact_ann_index(spark, idx_dir)
     _, again = serve()
     assert again == before and stats2["versions_before"] == 1
+
+
+def test_ann_compaction_reader_grace_sweep_false(spark, emb, tmp_path):
+    """compact_ann_index(sweep=False): the compacted version commits
+    and serves, but the old chain dirs stay on disk so a live reader
+    holding lazy DataFrames over them keeps working; the NEXT
+    compaction's sweep reaps the leftovers."""
+    import os
+
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        ivfpq_topk,
+        load_ann_index,
+    )
+
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    inc = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.where(F.col("vec_id") < 4)
+    idx_dir = str(tmp_path / "ann_grace")
+    build_ann_index(base, idx_dir, m=4, k=8, n_clusters=8)
+    append_ann_index(inc, idx_dir)
+
+    # a reader plans a query over the CHAIN before compaction runs
+    idx_old = load_ann_index(spark, idx_dir)
+    lazy_old = ivfpq_topk(
+        emb, queries, idx_old["books"], k=3, n_clusters=8, n_probe=2,
+        refine=4, codes=idx_old["codes"], centers=idx_old["centers"],
+    )
+    dirs_before = set(os.listdir(idx_dir))
+
+    stats = compact_ann_index(spark, idx_dir, sweep=False)
+    # old dirs retained (reported as undeleted), new version serves
+    assert set(stats["undeleted"]) and set(os.listdir(idx_dir)) > dirs_before
+    assert load_ann_index(spark, idx_dir)["meta"]["parent"] is None
+    # the pre-compaction lazy plan still materializes (grace window)
+    assert lazy_old.count() == 12
+    # next compaction (default sweep) reaps everything older
+    stats2 = compact_ann_index(spark, idx_dir)
+    assert sorted(os.listdir(idx_dir)) == [f"v-{stats2['version']:06d}"]

@@ -1312,3 +1312,27 @@ def test_read_srt_transcript_corpus(spark, tmp_path):
     assert len(rows) == 3  # the timecode-less block is dropped
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # stays whole-stage codegen
+
+
+def test_pdf_text_free_payload_returns_null():
+    """A structurally valid PDF that shows no text extracts as None
+    (not ''), honoring the quarantine contract pdf_text_table/read_any
+    document: isNotNull filters must exclude text-free documents."""
+    from data_integration_and_harmonization_spark.functions import pdf as P
+
+    no_text = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 20 >>\nstream\n"
+        b"0 0 m 10 10 l S       \nendstream\nendobj\n%%EOF"
+    )
+    assert P.is_pdf(no_text)
+    assert P.extract_pdf_text(no_text) is None
+    # a BT/ET block with positioning but no show operator is also text-free
+    content = b"BT /F1 12 Tf 72 720 Td ET"
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert P.extract_pdf_text(raw) is None
