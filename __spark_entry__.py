@@ -1323,22 +1323,66 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # hash row misses. The oracle reconstructs both from region alone.
     from data_integration_and_harmonization_spark.functions.pdf import encode_pdf
     from data_integration_and_harmonization_spark.operators.text import (
-        pdf_text_table,
+        document_text_table,
     )
+    from data_integration_and_harmonization_spark.sources.docx import encode_docx
 
-    pdf_df = spark.createDataFrame(
+    # '__docx' + '__docxmd5_*' rows (r12): DOCX text extraction
+    # (sources/docx.py — stdlib ECMA-376 zip + word/document.xml run
+    # walk). One two-paragraph document per region row with a w:tab
+    # in paragraph 2 ('key\t<k>' — the tab element is on the oracle
+    # path), riding in the SAME fused Arrow stage as the PDFs
+    # (document_text_table dispatches by magic bytes): a mixed
+    # document corpus pays ONE Python worker round-trip. docx ids
+    # offset by 100 so both modalities split out of one frame.
+    doc_df = spark.createDataFrame(
         [
             (k, bytearray(encode_pdf([f"Region ({n})", f"key \\ {k}"])))
+            for k, n in region_rows
+        ]
+        + [
+            (100 + k, bytearray(encode_docx([f"Region ({n})", f"key\t{k}"])))
             for k, n in region_rows
         ],
         "doc_id long, payload binary",
     )
     from data_integration_and_harmonization_spark.functions.caching import track
 
-    # persisted: BOTH leg rows consume the extraction, and a 5-row
-    # Arrow stage still costs a full Python worker round-trip (~1 s at
-    # sf0.1 — the r4 fixed-overhead lesson); one stage, two readers
-    pdf_texts = track(pdf_text_table(pdf_df).persist())
+    # persisted: all four leg rows consume the extraction, and a
+    # 10-row Arrow stage still costs a full Python worker round-trip
+    # (~1 s at sf0.1 — the r4 fixed-overhead lesson); one stage
+    doc_texts = track(document_text_table(doc_df).persist())
+    pdf_texts = doc_texts.where(F.col("fmt") == "pdf").select("id", "text")
+    docx_texts = doc_texts.where(F.col("fmt") == "docx").select(
+        (F.col("id") - 100).alias("id"), "text"
+    )
+    docx_row = docx_texts.agg(
+        F.lit("__docx").alias("l_returnflag"),
+        F.count("text").alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.sum(F.length("text")).alias("sum_nkey"),
+        F.sum(
+            F.regexp_extract("text", r"key\t(\d+)", 1).cast("long")
+        ).alias("sum_rkey"),
+    )
+    docx_md5_row = docx_texts.agg(
+        F.concat(
+            F.lit("__docxmd5_"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\x1f",
+                )
+            ),
+        ).alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("long").alias("sum_nkey"),
+        F.lit(None).cast("long").alias("sum_rkey"),
+    )
     pdf_row = pdf_texts.agg(
         F.lit("__pdf").alias("l_returnflag"),
         F.count("text").alias("n_rows"),
@@ -1405,6 +1449,8 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(dlq_row)
         .unionByName(pdf_row)
         .unionByName(pdf_md5_row)
+        .unionByName(docx_row)
+        .unionByName(docx_md5_row)
         .unionByName(srt_row)
     )
 
@@ -2776,6 +2822,28 @@ SELECT '__pdfmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
 FROM (SELECT r_regionkey,
              'Region (' || r_name || ')' || chr(10) ||
              'key \ ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+-- DOCX extraction legs (r12): one engine-encoded two-paragraph
+-- document per region row (para 1 'Region (<name>)', para 2
+-- 'key<TAB><k>' — the w:tab run element is on the oracle path),
+-- extracted by the fused document stage. The reconstruction below is
+-- the extractor's CONTRACT (paragraphs newline-joined, w:tab = tab);
+-- sum_rkey reparses the key from after the tab, the md5 row pins
+-- every extracted byte.
+SELECT '__docx', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length(txt))::BIGINT,
+       sum(CAST(regexp_extract(txt, 'key\t([0-9]+)', 1) AS BIGINT))::BIGINT
+FROM (SELECT 'Region (' || r_name || ')' || chr(10) ||
+             'key' || chr(9) || r_regionkey AS txt
+      FROM region)
+UNION ALL
+SELECT '__docxmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
+       count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT r_regionkey,
+             'Region (' || r_name || ')' || chr(10) ||
+             'key' || chr(9) || r_regionkey AS txt
       FROM region)
 UNION ALL
 -- SubRip transcript leg: one cue per region row, start = 60000*k+1500

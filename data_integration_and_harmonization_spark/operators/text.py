@@ -484,6 +484,50 @@ def docx_text_table(
     return src.mapInPandas(batches, schema="id long, text string")
 
 
+def document_text_table(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, fmt, text) extraction over a MIXED document corpus in ONE
+    Arrow stage, dispatched by magic bytes — the document sibling of
+    ``dedup.media_signature_table``: PDF payloads run the from-spec
+    ISO 32000-1 extractor, DOCX the stdlib ECMA-376 run walk. A real
+    crawl's document bucket holds both shapes interleaved, and one
+    fused stage costs one Python worker round-trip instead of one per
+    format (the r4 fixed-overhead lesson). Unrecognized or text-free
+    payloads ride with fmt/text NULL for quarantine."""
+    import pandas as pd
+
+    from data_integration_and_harmonization_spark.functions.pdf import (
+        extract_pdf_text,
+        is_pdf,
+    )
+    from data_integration_and_harmonization_spark.sources.docx import (
+        extract_docx_text,
+        is_docx,
+    )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
+    )
+
+    def batches(it):
+        for pdf in it:
+            fmts, texts = [], []
+            for p in pdf["payload"]:
+                if p is not None and is_pdf(p):
+                    fmts.append("pdf")
+                    texts.append(extract_pdf_text(p))
+                elif p is not None and is_docx(p):
+                    fmts.append("docx")
+                    texts.append(extract_docx_text(p))
+                else:
+                    fmts.append(None)
+                    texts.append(None)
+            yield pd.DataFrame({"id": pdf["id"], "fmt": fmts, "text": texts})
+
+    return src.mapInPandas(batches, schema="id long, fmt string, text string")
+
+
 # ------------------------------------------------------- query registry
 
 def text_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

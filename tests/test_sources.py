@@ -1336,3 +1336,76 @@ def test_pdf_text_free_payload_returns_null():
         + b"\nendstream\nendobj\n%%EOF"
     )
     assert P.extract_pdf_text(raw) is None
+
+
+def test_docx_codec_roundtrip_and_grammar():
+    """sources/docx.py: the ECMA-376 fixture writer round-trips
+    through the extractor (paragraphs newline-joined; w:tab -> tab,
+    w:br -> newline), table-cell paragraphs ride the same walk,
+    non-docx and text-free payloads are None."""
+    import io
+    import zipfile
+
+    from data_integration_and_harmonization_spark.sources import docx as D
+
+    paras = ["Hello (world)", "tab\there", "line\nbreak", "", "last & <xml>"]
+    payload = D.encode_docx(paras)
+    assert D.is_docx(payload)
+    assert D.extract_docx_text(payload) == "\n".join(paras)
+    # a handcrafted document with a table: cell paragraphs extract in
+    # document order like body paragraphs (w:tbl/w:tr/w:tc nest w:p)
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        "<w:p><w:r><w:t>before</w:t></w:r></w:p>"
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell A</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>cell B</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+        "<w:p><w:r><w:t>after</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+    assert D.extract_docx_text(buf.getvalue()) == "before\ncell A\ncell B\nafter"
+    # quarantine contract: None for non-docx, torn zip, and text-free
+    assert D.extract_docx_text(b"not a docx") is None
+    assert D.extract_docx_text(None) is None
+    assert D.extract_docx_text(payload[: len(payload) // 2]) is None
+    assert D.extract_docx_text(D.encode_docx([""])) is None
+    # an ordinary xlsx zip is NOT a docx
+    assert not D.is_docx(b"PK\x03\x04" + b"\x00" * 40)
+
+
+def test_docx_front_door_and_text_table(spark, tmp_path):
+    """read_any(fmt='docx') over a directory of workbooks-of-words:
+    distributed binaryFile scan + one Arrow stage -> (text, _src_file);
+    operators.text.docx_text_table gives the (id, text) corpus shape
+    with NULL quarantine for alien payloads."""
+    from data_integration_and_harmonization_spark.operators.text import (
+        docx_text_table,
+    )
+    from data_integration_and_harmonization_spark.sources import docx as D
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(3):
+        (d / f"doc{i}.docx").write_bytes(
+            D.encode_docx([f"Document {i}", f"key {i}"])
+        )
+    out = read_any(spark, str(d), fmt="docx")
+    assert out.columns == ["text", "_src_file"]
+    rows = {r["_src_file"]: r["text"] for r in out.collect()}
+    assert rows == {f"doc{i}.docx": f"Document {i}\nkey {i}" for i in range(3)}
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(D.encode_docx(["alpha"]))),
+            (2, bytearray(b"junk bytes")),
+            (3, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["id"]: r["text"] for r in docx_text_table(df).collect()}
+    assert got == {1: "alpha", 2: None, 3: None}
