@@ -774,6 +774,7 @@ def incremental_near_dedup(
     gram: int = 3,
     hash_family: str = "murmur3",
     store_partitions: int = 8,
+    tag: str | None = None,
 ) -> DataFrame:
     """Batch-over-batch NEAR-duplicate dedup against a persisted
     SIGNATURE store — the fuzzy sibling of
@@ -824,13 +825,32 @@ def incremental_near_dedup(
     Nothing corpus-sized is collected or broadcast. Serialize batches
     like the exact variant.
 
+    ``tag`` makes the admit IDEMPOTENT per logical batch — the
+    contract a streaming ``foreachBatch`` maintenance consumer needs
+    (:func:`..sources.cdf_stream.stream_cdf_neardedup_maintenance`):
+    the batch dir is named by the tag, and a replay whose tag already
+    names a complete batch EXCLUDES that dir from the history it
+    matches against and skips the store write — recomputing exactly
+    the original run's survivors without doubling the store. Replays
+    are only well-defined for the LAST admitted batch (streaming's
+    crash window); replaying an older tag after later batches landed
+    would see history the original run didn't.
+
     Returns the surviving rows of ``new_docs`` (original columns).
     """
     import os
+    import re
     import uuid
 
     from data_integration_and_harmonization_spark.functions.caching import track
 
+    if tag is not None and (
+        not re.fullmatch(r"[A-Za-z0-9_.=-]+", tag) or "compact" in tag
+    ):
+        raise ValueError(
+            f"near-dedup store tag {tag!r} must be a plain token and must "
+            "not contain 'compact' (reserved for the compactor's dirs)"
+        )
     spark = new_docs.sparkSession
     sig = track(
         minhash_signatures(
@@ -873,6 +893,16 @@ def incremental_near_dedup(
 
     jvm, fs, _ = store_fs(spark, store_path)
     batches = complete_batches(spark, store_path)
+    replayed = False
+    if tag is not None:
+        # dir format is batch-NNNNNN-<tag>: compare the exact tag
+        # segment (the profile store's suffix-match lesson). A replay
+        # matches against history WITHOUT its own prior admit and
+        # skips the write — same survivors, no double-count.
+        own = {b for b in batches if b.rsplit("/", 1)[-1].split("-", 2)[2] == tag}
+        if own:
+            replayed = True
+            batches = [b for b in batches if b not in own]
     P = int(store_partitions)
     # bucket is a string key — hash to a stable int before the mod
     pb = lambda c: F.pmod(F.xxhash64(c), F.lit(P))  # noqa: E731
@@ -941,10 +971,20 @@ def incremental_near_dedup(
         )
         keep_sig = keep_sig.join(hits, "id", "left_anti")
     keep_sig = track(keep_sig.persist())
-    if not keep_sig.isEmpty():
+    if not replayed and not keep_sig.isEmpty():
         out_dir = os.path.join(
-            store_path, f"batch-{len(batches):06d}-{uuid.uuid4().hex[:8]}"
+            store_path,
+            f"batch-{len(batches):06d}-"
+            f"{tag if tag is not None else uuid.uuid4().hex[:8]}",
         )
+        if tag is not None:
+            # a writer that crashed BETWEEN the table writes and the
+            # _SUCCESS create left a torn dir under this same tagged
+            # name (invisible to reads, but in the way of the replay's
+            # rewrite) — sweep it first
+            torn = jvm.org.apache.hadoop.fs.Path(out_dir)
+            if fs.exists(torn):
+                fs.delete(torn, True)
         # two tables per batch, then ONE _SUCCESS at the batch root: a
         # crash between writes leaves the batch invisible (same
         # visibility contract as before, now covering both tables).
@@ -1600,6 +1640,79 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fp = fingerprint_dedup(docs).select(
             F.lit("normalized").alias("kind"), "fp", "n_copies", "keep_id"
         )
+        # 'cdfnd' leg (r12): the CDF-DRIVEN maintenance consumer
+        # (stream_cdf_neardedup_maintenance, the signature store's
+        # sibling of the profile consumer) checked VALUE-FOR-VALUE:
+        # the 20% subset (doc_id % 5 == 0) is committed as TWO
+        # manifest versions (even ids, then odd ids) and ONE
+        # availableNow drain catches up across both — a true
+        # multi-version drain, one micro-batch admit. Each leg row is
+        # a stored signature with fp = md5 of the rendered sig array,
+        # so the ORACLE pins the streamed store's full content (ids
+        # AND all 32 minima) by replaying the subset admit with the
+        # 'c_'-prefixed CTE chain — no Spark-side batch twin needed.
+        # Sequential drains / history hits / tag replay are pinned by
+        # tests/test_streaming.py. The chain runs on a DRIVER THREAD
+        # so its streaming fixed costs overlap the main sequence's
+        # store builds (independent stores — no ordering between the
+        # chains).
+        def _cdfnd_chain():
+            import os as _os
+
+            from data_integration_and_harmonization_spark.functions.stores import (
+                complete_batches,
+            )
+            from data_integration_and_harmonization_spark.sources.cdf_stream import (
+                stream_cdf_neardedup_maintenance,
+            )
+            from data_integration_and_harmonization_spark.sources.manifest import (
+                commit_files,
+                commit_version,
+                read_manifest,
+            )
+            from data_integration_and_harmonization_spark.sources.writers import (
+                list_data_files,
+            )
+
+            sub = docs.where(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+            cb = scratch_dir("cdfnd")
+            root = _os.path.join(cb, "tbl")
+            s_stream = _os.path.join(cb, "store")
+            ckpt = _os.path.join(cb, "ckpt")
+            d1 = _os.path.join(cb, "d1")
+            d2 = _os.path.join(cb, "d2")
+            sub.where(F.col("doc_id") % 2 == 0).write.parquet(d1)
+            commit_version(spark, root, d1, note="even")
+            sub.where(F.col("doc_id") % 2 == 1).write.parquet(d2)
+            commit_files(
+                spark,
+                root,
+                read_manifest(spark, root)["files"]
+                + [{"path": p, "bytes": b} for p, b in list_data_files(spark, d2)],
+                note="odd",
+            )
+            stream_cdf_neardedup_maintenance(
+                spark, root, s_stream, ckpt, threshold=0.5, hash_family="md5"
+            )
+            streamed = spark.read.parquet(
+                *[f"{p}/sigs" for p in complete_batches(spark, s_stream)]
+            )
+            return streamed.select(
+                F.lit("cdfnd").alias("kind"),
+                F.md5(
+                    F.array_join(
+                        F.transform("sig", lambda x: x.cast("string")), ","
+                    )
+                ).alias("fp"),
+                F.lit(None).cast("long").alias("n_copies"),
+                F.col("id").alias("keep_id"),
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        _f_cdfnd = _pool.submit(_cdfnd_chain)
+
         store = scratch_dir("fp_store") + "/store"
         b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
         b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
@@ -1617,6 +1730,8 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.where(F.col("doc_id") % 2 == 1), nd_store,
             threshold=0.5, hash_family="md5",
         )
+        cdfnd = _f_cdfnd.result()
+        _pool.shutdown()
 
         def inc_rows(b: DataFrame, kind: str) -> DataFrame:
             # same null-text sentinel the store uses, so a null-text
@@ -1648,6 +1763,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(inc_rows(b2, "inc2"))
             .unionByName(inc_rows(n1, "nd1"))
             .unionByName(inc_rows(n2, "nd2"))
+            .unionByName(cdfnd)
             .unionByName(diff)
         )
 
@@ -2030,6 +2146,7 @@ def _md5_minhash_cte(
     bands: int = 8,
     source: str = "documents",
     bare: bool = False,
+    prefix: str = "",
 ) -> str:
     """DuckDB twin of ``minhash_signatures(hash_family='md5')`` +
     ``minhash_lsh_candidates``: same shingle hash (first 15 md5 hex
@@ -2039,7 +2156,10 @@ def _md5_minhash_cte(
     ``source``: the relation the documents come from (a table name or
     an inline subquery exposing ``doc_id``/``text``); ``bare=True``
     omits the leading ``WITH `` so the CTE chain can be spliced into a
-    larger WITH block (e.g. the curation funnel's)."""
+    larger WITH block (e.g. the curation funnel's); ``prefix`` renames
+    every CTE (``sh``/``ex``/``sig``/``banded``/``cand`` ->
+    ``<p>sh``...) so two instances can coexist in one WITH block."""
+    p = prefix
     rpb = num_hashes // bands
     base = "(CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)"
     mins = ",\n    ".join(
@@ -2049,23 +2169,23 @@ def _md5_minhash_cte(
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT id, {b} AS band, "
         + " || '|' || ".join(f"m{b * rpb + r}::VARCHAR" for r in range(rpb))
-        + " AS bucket FROM sig"
+        + f" AS bucket FROM {p}sig"
         for b in range(bands)
     )
     return f"""
-{'' if bare else 'WITH '}sh AS MATERIALIZED (
+{'' if bare else 'WITH '}{p}sh AS MATERIALIZED (
   SELECT doc_id AS id, {shingles} AS shl FROM {source}
-), ex AS (
-  SELECT id, unnest(shl) AS s FROM sh
-), sig AS (
+), {p}ex AS (
+  SELECT id, unnest(shl) AS s FROM {p}sh
+), {p}sig AS (
   SELECT id,
     {mins}
-  FROM ex GROUP BY id
-), banded AS (
+  FROM {p}ex GROUP BY id
+), {p}banded AS (
 {band_rows}
-), cand AS (
+), {p}cand AS (
   SELECT l.id AS id_a, r.id AS id_b, count(*)::BIGINT AS n_shared_bands
-  FROM banded l JOIN banded r
+  FROM {p}banded l JOIN {p}banded r
     ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
   GROUP BY 1, 2
 )
@@ -2241,6 +2361,78 @@ FROM ham WHERE hamming <= 3 AND id_a < -20
 """
 
 
+def _nd_admit_cte(
+    shingles: str, prefix: str = "", source: str = "documents"
+) -> str:
+    """Bare CTE chain replaying the two-batch (even ids first, odd
+    ids second) ``incremental_near_dedup`` admit sequence over
+    ``source``: md5 MinHash signatures, banded candidates, estimated
+    Jaccard at 0.5, per-parity in-batch components (keep the minimum
+    id), odd-batch history hits against the STORED (signature-bearing)
+    even survivors. Exposes ``<p>nd1_ids``/``<p>nd2_ids`` (all
+    survivors) and ``<p>nd1_stored``/``<p>nd2_stored`` (the
+    signature-store content). ``prefix`` isolates the names so
+    multiple admit replays coexist in one WITH block. Splice after
+    ``WITH RECURSIVE`` (the component reachability is recursive)."""
+    p = prefix
+    agree_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(32)
+    )
+    return (
+        _md5_minhash_cte(shingles, bare=True, source=source, prefix=p)
+        + f""",
+{p}nd_agree AS (
+  SELECT c.id_a, c.id_b
+  FROM {p}cand c JOIN {p}sig a ON a.id = c.id_a JOIN {p}sig b ON b.id = c.id_b
+  WHERE ({agree_sum}) / 32.0 >= 0.5
+),
+{p}nd_e_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM {p}nd_agree WHERE id_a % 2 = 0 AND id_b % 2 = 0
+  UNION
+  SELECT id_b, id_a FROM {p}nd_agree WHERE id_a % 2 = 0 AND id_b % 2 = 0
+),
+{p}nd_e_reach(id, lbl) AS (
+  SELECT src, src FROM {p}nd_e_edges
+  UNION
+  SELECT e.dst, r.lbl FROM {p}nd_e_reach r JOIN {p}nd_e_edges e ON e.src = r.id
+),
+{p}nd_e_comp AS (SELECT id, min(lbl) AS cid FROM {p}nd_e_reach GROUP BY id),
+{p}nd1_ids AS (
+  SELECT doc_id AS id FROM {source}
+  WHERE doc_id % 2 = 0
+    AND doc_id NOT IN (SELECT id FROM {p}nd_e_comp WHERE id <> cid)
+),
+{p}nd1_stored AS (
+  SELECT id FROM {p}nd1_ids WHERE id IN (SELECT id FROM {p}sig)
+),
+{p}nd_o_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM {p}nd_agree WHERE id_a % 2 = 1 AND id_b % 2 = 1
+  UNION
+  SELECT id_b, id_a FROM {p}nd_agree WHERE id_a % 2 = 1 AND id_b % 2 = 1
+),
+{p}nd_o_reach(id, lbl) AS (
+  SELECT src, src FROM {p}nd_o_edges
+  UNION
+  SELECT e.dst, r.lbl FROM {p}nd_o_reach r JOIN {p}nd_o_edges e ON e.src = r.id
+),
+{p}nd_o_comp AS (SELECT id, min(lbl) AS cid FROM {p}nd_o_reach GROUP BY id),
+{p}nd2_ids AS (
+  SELECT doc_id AS id FROM {source} k
+  WHERE doc_id % 2 = 1
+    AND doc_id NOT IN (SELECT id FROM {p}nd_o_comp WHERE id <> cid)
+    AND NOT EXISTS (
+      SELECT 1 FROM {p}nd_agree g
+      WHERE (g.id_a = k.doc_id AND g.id_b IN (SELECT id FROM {p}nd1_stored))
+         OR (g.id_b = k.doc_id AND g.id_a IN (SELECT id FROM {p}nd1_stored))
+    )
+),
+{p}nd2_stored AS (
+  SELECT id FROM {p}nd2_ids WHERE id IN (SELECT id FROM {p}sig)
+)
+"""
+    )
+
+
 def dedup_oracles() -> dict[str, str]:
     from data_integration_and_harmonization_spark.operators.text import TOKEN_RE
 
@@ -2255,61 +2447,49 @@ def dedup_oracles() -> dict[str, str]:
     # incremental_near_dedup twin: estimated-Jaccard pairs over the
     # banded candidates, per-parity in-batch components, history hits
     # of odd keepers against the stored (signature-bearing) even
-    # survivors — the same admit arithmetic the engine runs.
+    # survivors — the same admit arithmetic the engine runs. Two
+    # instances in one WITH block: the full-corpus chain (nd1/nd2
+    # legs, unprefixed) and the 20%-subset chain ('c_' prefix) that
+    # replays the CDF-driven streaming maintenance twin.
+    # the cdfnd replay: ONE joint-batch admit over the 20% subset
+    # (the streamed multi-version drain lands both versions in one
+    # micro-batch) — in-batch components keep the min id, stored =
+    # signature-bearing keepers, fp pins all 32 minima per id
+    sig_render = " || ',' || ".join(f"m{i}::VARCHAR" for i in range(32))
     agree_sum = " + ".join(
         f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(32)
     )
-    nd_cte = (
-        "WITH RECURSIVE "
-        + _md5_minhash_cte(shingles, bare=True)
+    cdf_cte = (
+        _md5_minhash_cte(
+            shingles,
+            bare=True,
+            source="(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+            prefix="c_",
+        )
         + f""",
-nd_agree AS (
+c_agree AS (
   SELECT c.id_a, c.id_b
-  FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+  FROM c_cand c JOIN c_sig a ON a.id = c.id_a JOIN c_sig b ON b.id = c.id_b
   WHERE ({agree_sum}) / 32.0 >= 0.5
 ),
-nd_e_edges AS (
-  SELECT id_a AS src, id_b AS dst FROM nd_agree WHERE id_a % 2 = 0 AND id_b % 2 = 0
+c_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM c_agree
   UNION
-  SELECT id_b, id_a FROM nd_agree WHERE id_a % 2 = 0 AND id_b % 2 = 0
+  SELECT id_b, id_a FROM c_agree
 ),
-nd_e_reach(id, lbl) AS (
-  SELECT src, src FROM nd_e_edges
+c_reach(id, lbl) AS (
+  SELECT src, src FROM c_edges
   UNION
-  SELECT e.dst, r.lbl FROM nd_e_reach r JOIN nd_e_edges e ON e.src = r.id
+  SELECT e.dst, r.lbl FROM c_reach r JOIN c_edges e ON e.src = r.id
 ),
-nd_e_comp AS (SELECT id, min(lbl) AS cid FROM nd_e_reach GROUP BY id),
-nd1_ids AS (
-  SELECT doc_id AS id FROM documents
-  WHERE doc_id % 2 = 0
-    AND doc_id NOT IN (SELECT id FROM nd_e_comp WHERE id <> cid)
-),
-nd1_stored AS (
-  SELECT id FROM nd1_ids WHERE id IN (SELECT id FROM sig)
-),
-nd_o_edges AS (
-  SELECT id_a AS src, id_b AS dst FROM nd_agree WHERE id_a % 2 = 1 AND id_b % 2 = 1
-  UNION
-  SELECT id_b, id_a FROM nd_agree WHERE id_a % 2 = 1 AND id_b % 2 = 1
-),
-nd_o_reach(id, lbl) AS (
-  SELECT src, src FROM nd_o_edges
-  UNION
-  SELECT e.dst, r.lbl FROM nd_o_reach r JOIN nd_o_edges e ON e.src = r.id
-),
-nd_o_comp AS (SELECT id, min(lbl) AS cid FROM nd_o_reach GROUP BY id),
-nd2_ids AS (
-  SELECT doc_id AS id FROM documents k
-  WHERE doc_id % 2 = 1
-    AND doc_id NOT IN (SELECT id FROM nd_o_comp WHERE id <> cid)
-    AND NOT EXISTS (
-      SELECT 1 FROM nd_agree g
-      WHERE (g.id_a = k.doc_id AND g.id_b IN (SELECT id FROM nd1_stored))
-         OR (g.id_b = k.doc_id AND g.id_a IN (SELECT id FROM nd1_stored))
-    )
+c_comp AS (SELECT id, min(lbl) AS cid FROM c_reach GROUP BY id),
+c_stored AS (
+  SELECT id, md5({sig_render}) AS sig_fp FROM c_sig
+  WHERE id NOT IN (SELECT id FROM c_comp WHERE id <> cid)
 )
 """
     )
+    nd_cte = "WITH RECURSIVE " + _nd_admit_cte(shingles) + "," + cdf_cte
     return {
         "dedup_exact_fp": nd_cte
         + """
@@ -2339,6 +2519,12 @@ FROM documents WHERE doc_id IN (SELECT id FROM nd1_ids)
 UNION ALL
 SELECT 'nd2', coalesce(md5(text), '__null_text__'), CAST(NULL AS BIGINT), doc_id
 FROM documents WHERE doc_id IN (SELECT id FROM nd2_ids)
+UNION ALL
+-- cdfnd leg: the CDF-driven streaming maintenance consumer over the
+-- 20% subset — the streamed store's content pinned value-for-value:
+-- one row per stored id, fp = md5 of the full rendered signature
+SELECT 'cdfnd', sig_fp, CAST(NULL AS BIGINT), id
+FROM c_stored
 UNION ALL
 -- snapshot_diff legs: same two synthesized corpus versions, same
 -- full-outer fingerprint compare (sentinel for null text)

@@ -296,6 +296,72 @@ def stream_cdf_profile_maintenance(
     )
 
 
+def stream_cdf_neardedup_maintenance(
+    spark: SparkSession,
+    table_root: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    gram: int = 3,
+    hash_family: str = "murmur3",
+    store_partitions: int = 8,
+) -> None:
+    """The near-dup SIGNATURE store's streaming maintenance consumer —
+    the twin of :func:`stream_cdf_profile_maintenance` (r11 verdict
+    item 4): keep :func:`..operators.dedup.incremental_near_dedup`'s
+    partitioned MinHash store in sync with a versioned document table
+    WITHOUT rescanning it. Each availableNow drain admits only the
+    rows the versions committed since the checkpoint added; the store
+    then answers "is this new document a near-dup of ANYTHING ever
+    ingested" for the next batch, streaming or batch-driven alike.
+
+    Replay-idempotent: the admit is tagged with the checkpointed
+    micro-batch id, so a crash between the store append and the
+    checkpoint commit re-runs the batch against the history MINUS its
+    own prior admit and skips the rewrite (exact contract on
+    ``incremental_near_dedup``'s ``tag``). Removals are NOT
+    subtracted — signatures are admit-only (dropping a doc's
+    signature would re-admit its future near-dups); rebuild or
+    compact the store when removed history matters, the same caveat
+    the profile-store consumer carries.
+    """
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+
+    feed = read_manifest_cdf(spark, table_root, [id_col, text_col])
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        added = batch_df.where(F.col("change") == "added").select(id_col, text_col)
+        incremental_near_dedup(
+            added,
+            store_path,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            gram=gram,
+            hash_family=hash_family,
+            store_partitions=store_partitions,
+            tag=f"cdf{batch_id:06d}",
+        )
+
+    (
+        feed.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def read_manifest_cdf(spark: SparkSession, table_root: str, keys: list[str]) -> DataFrame:
     """Streaming change feed of a manifest table: one 'added'/'removed'
     row per net row change per committed version (bootstrap = first

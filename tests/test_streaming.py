@@ -739,3 +739,96 @@ def test_stream_cdf_profile_maintenance_incremental_and_idempotent(spark, tmp_pa
     assert est3["k"]["n_rows"] == 800
     assert est3["k"]["n_batches"] == n_batches_1 + 1
     assert abs(est3["k"]["est_distinct"] - 800) <= 0.05 * 800
+
+
+def test_stream_cdf_neardedup_maintenance_matches_batch_store(spark, tmp_path):
+    """stream_cdf_neardedup_maintenance: after a multi-version drain
+    the streamed signature store equals the batch-built store
+    key-for-key (same ids, identical signatures), a caught-up
+    re-drain admits nothing twice, and a direct tag replay of the
+    last admit recomputes the same survivors without growing the
+    store."""
+    from data_integration_and_harmonization_spark.functions.stores import (
+        complete_batches,
+    )
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+    from data_integration_and_harmonization_spark.sources.cdf_stream import (
+        stream_cdf_neardedup_maintenance,
+    )
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_files,
+        commit_version,
+        read_manifest,
+    )
+    from data_integration_and_harmonization_spark.sources.writers import (
+        list_data_files,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    texts1 = [
+        (0, base),
+        (1, base),  # exact dup of 0 within the batch
+        (2, base.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, "completely different words about distributed query engines at scale"),
+        (4, "tiny"),  # too short to shingle: always admitted, never stored
+    ]
+    texts2 = [
+        (10, base),  # near-dup of ADMITTED history
+        (11, "completely different words about distributed query engines at scale"),
+        (12, "fresh unrelated second batch sentence with enough tokens to shingle"),
+    ]
+    root = str(tmp_path / "tbl")
+    s_stream = str(tmp_path / "s_stream")
+    s_batch = str(tmp_path / "s_batch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    d1 = str(tmp_path / "d1")
+    docs(texts1).coalesce(1).write.parquet(d1)
+    commit_version(spark, root, d1, note="v1")
+    stream_cdf_neardedup_maintenance(spark, root, s_stream, ckpt)
+    incremental_near_dedup(docs(texts1), s_batch)
+
+    def store_sigs(path):
+        bs = complete_batches(spark, path)
+        return {
+            (r["id"], tuple(r["sig"]))
+            for b in bs
+            for r in spark.read.parquet(f"{b}/sigs").collect()
+        }
+
+    assert store_sigs(s_stream) == store_sigs(s_batch) != set()
+
+    # second committed version -> second drain admits only the delta
+    d2 = str(tmp_path / "d2")
+    docs(texts2).coalesce(1).write.parquet(d2)
+    commit_files(
+        spark,
+        root,
+        read_manifest(spark, root)["files"]
+        + [{"path": p, "bytes": b} for p, b in list_data_files(spark, d2)],
+        note="v2",
+    )
+    stream_cdf_neardedup_maintenance(spark, root, s_stream, ckpt)
+    survivors2 = incremental_near_dedup(docs(texts2), s_batch)
+    assert store_sigs(s_stream) == store_sigs(s_batch)
+    n_dirs = len(complete_batches(spark, s_stream))
+
+    # caught-up re-drain: nothing admitted twice
+    stream_cdf_neardedup_maintenance(spark, root, s_stream, ckpt)
+    assert len(complete_batches(spark, s_stream)) == n_dirs
+    assert store_sigs(s_stream) == store_sigs(s_batch)
+
+    # direct tag replay of the LAST admit: same survivors, no growth
+    replay = incremental_near_dedup(docs(texts2), s_stream, tag="cdf000001")
+    assert {r["doc_id"] for r in replay.collect()} == {
+        r["doc_id"] for r in survivors2.collect()
+    }
+    assert len(complete_batches(spark, s_stream)) == n_dirs
+    # semantics spot-check: 10 near-dups history, 11 exact-dups it,
+    # 12 is fresh, so batch-2 survivors are exactly {12}
+    assert {r["doc_id"] for r in survivors2.collect()} == {12}
