@@ -1912,6 +1912,49 @@ def _temporal_phash64(lum: list[np.ndarray]) -> int | None:
     return phash64(mean)
 
 
+def media_duration_ms(payload: bytes) -> int | None:
+    """Playback duration of a media payload in integer milliseconds
+    (floor), from the cheapest tier each format allows — the temporal
+    axis every transcript/segment alignment joins on:
+
+    - mp4: the video track's mdhd duration/timescale (falling back to
+      the mvhd movie duration) — pure sample-table arithmetic;
+    - mp3: frame-header walk (``parse_mp3_meta``);
+    - wav: data-chunk sample count / rate (header arithmetic);
+    - gif: sum of Graphic Control Extension delays (centiseconds);
+    - y4m: frame count / header rate (requires a stream walk).
+
+    None for unrecognized formats, timing-free payloads (e.g. a GIF
+    with no GCE delays), or malformed internals — alignment passes
+    quarantine on NULL rather than dying."""
+    fmt = sniff_format(payload) if payload is not None else None
+    try:
+        if fmt == "mp4":
+            meta = parse_mp4_meta(payload)
+            vid = next(
+                (t for t in meta["tracks"] if t["handler"] == "vide"), None
+            )
+            if vid is not None and vid["duration"] and vid["timescale"]:
+                return vid["duration"] * 1000 // vid["timescale"]
+            if meta["duration"] and meta["timescale"]:
+                return meta["duration"] * 1000 // meta["timescale"]
+            return None
+        if fmt == "mp3":
+            return int(parse_mp3_meta(payload)["duration_sec"] * 1000)
+        if fmt == "wav":
+            rate, samples = decode_wav(payload)
+            return len(samples) * 1000 // rate if rate else None
+        if fmt == "gif":
+            total_cs = sum(gif_frame_delays(payload))
+            return total_cs * 10 if total_cs > 0 else None
+        if fmt == "y4m":
+            fps, frames = decode_y4m(payload)
+            return int(len(frames) * 1000 / fps) if fps else None
+    except Exception:  # noqa: BLE001 — malformed media
+        return None
+    return None
+
+
 def media_signature(payload: bytes) -> tuple[str | None, int | None]:
     """(kind, sig) perceptual-signature dispatch with AT MOST ONE
     decode per payload — the fused kernel under

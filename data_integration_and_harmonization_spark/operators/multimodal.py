@@ -654,6 +654,108 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_size: int = 16) -> 
 
 # ------------------------------------------------------- query registry
 
+def video_duration_table(
+    videos: DataFrame, id_col: str = "video_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(video_id, duration_ms) over a media corpus: ONE Arrow stage
+    running :func:`..functions.media_codecs.media_duration_ms` —
+    container/header arithmetic only (mp4 stts/mdhd, mp3 frame walk,
+    wav data chunk, gif GCE delays), no frame decode. NULL duration
+    for unrecognized or timing-free payloads."""
+    import pandas as pd
+
+    src = videos.select(
+        F.col(id_col).cast("long").alias("video_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "video_id": pdf["video_id"],
+                    "duration_ms": pd.array(
+                        [MC.media_duration_ms(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return src.mapInPandas(batches, schema="video_id long, duration_ms long")
+
+
+def transcript_video_alignment(
+    cues: DataFrame,
+    videos: DataFrame,
+    n_segments: int = 4,
+    id_col: str = "video_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Align transcript cues to the temporal SEGMENTS of their videos
+    — the multimodal pair-construction step a transcript-grounded
+    curation pipeline needs (which dialogue goes with which sampled
+    span of the video): each video's duration (container metadata,
+    :func:`video_duration_table`) splits into ``n_segments`` equal
+    integer-ms segments — the same ``i*T//n`` index map every frame
+    sampler in the engine uses — and each cue joins every segment it
+    overlaps.
+
+    ``cues``: (video_id, seq, start_ms, end_ms) — ``read_srt`` output
+    joined to its video id (e.g. by ``_src_file``). ``videos``:
+    (video_id, payload). Output one row per (cue, overlapped segment):
+    ``(video_id, seg_idx, seg_start_ms, seg_end_ms, cue_seq,
+    overlap_ms)`` with ``overlap_ms = min(ends) - max(starts) > 0``.
+
+    Scale shape: duration is one Arrow stage returning 12 bytes per
+    video; segments explode to ``n_segments`` rows per video (bounded
+    fan-out); the cue join is a plain EQUI-join on video_id with the
+    overlap predicate as residual — no time bucketization needed
+    because the per-video segment count is a constant, unlike the
+    generic interval join (``relational.range_join``) where interval
+    counts are unbounded. Videos with NULL duration drop out (their
+    cues match nothing — quarantine upstream if that matters)."""
+    durs = video_duration_table(videos, id_col, payload_col).where(
+        F.col("duration_ms").isNotNull()
+    )
+    segs = durs.select(
+        "video_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_segments - 1))).alias("seg_idx"),
+        "duration_ms",
+    ).select(
+        "video_id",
+        "seg_idx",
+        (F.col("seg_idx") * F.col("duration_ms") / n_segments)
+        .cast("long")
+        .alias("seg_start_ms"),
+        ((F.col("seg_idx") + 1) * F.col("duration_ms") / n_segments)
+        .cast("long")
+        .alias("seg_end_ms"),
+    )
+    c = cues.select(
+        F.col("video_id").alias("cv_id"),
+        F.col("seq").alias("cue_seq"),
+        F.col("start_ms").alias("cue_start"),
+        F.col("end_ms").alias("cue_end"),
+    )
+    overlap = F.least(F.col("cue_end"), F.col("seg_end_ms")) - F.greatest(
+        F.col("cue_start"), F.col("seg_start_ms")
+    )
+    return (
+        segs.join(
+            c,
+            (F.col("video_id") == F.col("cv_id")) & (overlap > 0),
+        )
+        .select(
+            "video_id",
+            "seg_idx",
+            "seg_start_ms",
+            "seg_end_ms",
+            "cue_seq",
+            overlap.alias("overlap_ms"),
+        )
+    )
+
+
 def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _media(spark, sf):
         # documents.text encoded as bytes stands in for media payloads:
@@ -867,6 +969,75 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.round("freq", 6).alias("freq"),
             )
         )
+        # 'align' rows (r12): transcript<->video temporal alignment —
+        # SRT cues (driver-written fixtures, parsed back by the
+        # all-JVM read_srt pipeline) joined to the temporal segments
+        # of two engine-encoded MP4 containers by time range
+        # (transcript_video_alignment). Durations are pure stts/mdhd
+        # arithmetic (-8: 48*1001/30000 s -> 1601 ms; -12: 24/25 s ->
+        # 960 ms), segment bounds are the i*D//4 index map, cue times
+        # are closed forms of the cue index — the oracle rebuilds
+        # every (video, segment, cue, overlap) row from that
+        # arithmetic alone.
+        import os as _os
+
+        from data_integration_and_harmonization_spark.functions.caching import (
+            scratch_dir,
+        )
+        from data_integration_and_harmonization_spark.sources.readers import (
+            read_srt,
+        )
+
+        def _tc(ms: int) -> str:
+            return (
+                f"{ms // 3600000:02d}:{ms % 3600000 // 60000:02d}:"
+                f"{ms % 60000 // 1000:02d},{ms % 1000:03d}"
+            )
+
+        ad = scratch_dir("align_srt")
+        for name, cue_spans in (
+            ("v8.srt", [(400 * k + 100, 400 * k + 600) for k in range(5)]),
+            ("v12.srt", [(300 * k + 50, 300 * k + 350) for k in range(3)]),
+        ):
+            with open(_os.path.join(ad, name), "w") as fh:
+                for i, (s, e) in enumerate(cue_spans):
+                    fh.write(f"{i + 1}\n{_tc(s)} --> {_tc(e)}\ncue {i}\n\n")
+        vid_map = spark.createDataFrame(
+            [("v8.srt", -8), ("v12.srt", -12)], "_src_file string, video_id long"
+        )
+        cues_df = (
+            read_srt(spark, ad)
+            .join(F.broadcast(vid_map), "_src_file")
+            .select("video_id", "seq", "start_ms", "end_ms")
+        )
+        align_videos = spark.createDataFrame(
+            [
+                (
+                    -8,
+                    bytearray(
+                        MC.encode_mp4_meta(
+                            640, 360, 48, timescale=30000, frame_delta=1001
+                        )
+                    ),
+                ),
+                (
+                    -12,
+                    bytearray(
+                        MC.encode_mp4_meta(320, 240, 24, timescale=25, frame_delta=1)
+                    ),
+                ),
+            ],
+            "video_id long, payload binary",
+        )
+        align_rows = transcript_video_alignment(cues_df, align_videos).select(
+            F.lit("align").alias("kind"),
+            F.col("video_id").alias("media_id"),
+            F.lit(None).cast("string").alias("media_type"),
+            F.col("cue_seq").cast("long").alias("n_bytes"),
+            F.col("seg_idx").cast("int").alias("bucket"),
+            F.lit(None).cast("string").alias("digest"),
+            F.round(F.col("overlap_ms").cast("double"), 6).alias("freq"),
+        )
         # 'frame' rows: per-frame byte stats through the full
         # media -> resize -> frame-sample -> agg chain (the former
         # mm_frames query, folded in to free a registry slot); pruned
@@ -889,6 +1060,7 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             meta.unionByName(feats)
             .unionByName(av_rows)
+            .unionByName(align_rows)
             .unionByName(frame_rows)
         )
 
@@ -1050,6 +1222,32 @@ SELECT 'image_meta', -11::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(4)) AS pos, unnest([1080.0, 1920.0, 1.0, 1.0]) AS val
 ) u
+UNION ALL
+-- 'align' rows (r12): transcript<->video temporal alignment — video
+-- durations are stts/mdhd closed forms (-8: 48*1001*1000 // 30000 =
+-- 1601 ms; -12: 24*1000 // 25 = 960 ms), segment bounds the i*D//4
+-- index map, cue times closed forms of the cue index (v8: k cues at
+-- [400k+100, 400k+600); v12: [300k+50, 300k+350)); one row per
+-- overlapping (segment, cue) pair with the exact overlap width
+SELECT 'align', av::BIGINT, CAST(NULL AS VARCHAR), seq::BIGINT, seg_idx::INT,
+       CAST(NULL AS VARCHAR), (least(ce, e) - greatest(cs, s))::DOUBLE
+FROM (
+  WITH vids AS (
+    SELECT * FROM (VALUES (-8, 1601), (-12, 960)) t(av, d)
+  ), segs AS (
+    SELECT av, i AS seg_idx, (i * d) // 4 AS s, ((i + 1) * d) // 4 AS e
+    FROM vids, unnest(range(4)) AS t(i)
+  ), cu AS (
+    SELECT -8 AS av, k + 1 AS seq, 400 * k + 100 AS cs, 400 * k + 600 AS ce
+    FROM unnest(range(5)) AS t(k)
+    UNION ALL
+    SELECT -12, k + 1, 300 * k + 50, 300 * k + 350
+    FROM unnest(range(3)) AS t(k)
+  )
+  SELECT segs.av, seg_idx, s, e, seq, cs, ce
+  FROM segs JOIN cu ON segs.av = cu.av
+  WHERE least(ce, e) - greatest(cs, s) > 0
+)
 UNION ALL
 -- 'frame' rows (former mm_frames query): resize_stub picks exactly
 -- least(len, 64) bytes; frame i's window starts at

@@ -140,6 +140,26 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         )
     if ext == "srt":
         return read_srt(spark, path)
+    if ext == "avro":
+        # Avro rides Spark's own (external-module) datasource —
+        # splittable container files, schema in the header, the
+        # standard Kafka-archive/data-interchange format. The module
+        # ships with Spark but is NOT on the default classpath
+        # (org.apache.spark:spark-avro must be deployed with the app);
+        # absent, Spark raises AnalysisException at load — surface
+        # the actionable cause instead of the generic FAILED_TO_FIND
+        # message.
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception as e:  # noqa: BLE001 — classify, then re-raise
+            if "avro" in str(e).lower() and "find" in str(e).lower():
+                raise ValueError(
+                    "fmt='avro' needs the spark-avro package on the "
+                    "session classpath (spark.jars.packages="
+                    "org.apache.spark:spark-avro_2.13:<spark version>); "
+                    f"not present in this deployment ({e})"
+                ) from e
+            raise
     raise ValueError(f"unsupported source format: {ext!r} ({path})")
 
 

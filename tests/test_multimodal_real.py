@@ -551,3 +551,69 @@ def test_mp3_sniff_requires_second_frame_and_id3_footer():
     payload = tag + MC.encode_mp3_meta(3, 128, 44100)
     m = MC.parse_mp3_meta(payload)
     assert m["n_frames"] == 3 and m["sample_rate"] == 44100
+
+
+def test_media_duration_ms_tiers():
+    """media_duration_ms: per-format duration arithmetic — mp4 from
+    stts/mdhd (floor ms), mp3 from the frame walk, wav from the data
+    chunk, gif from GCE delays (None when timing-free), y4m from
+    frame count / header rate; None for junk."""
+    import numpy as np
+
+    p = MC.encode_mp4_meta(640, 360, 48, timescale=30000, frame_delta=1001)
+    assert MC.media_duration_ms(p) == 48 * 1001 * 1000 // 30000  # 1601
+    assert MC.media_duration_ms(
+        MC.encode_mp3_meta(30, 128, 44100)
+    ) == int(30 * 1152 / 44100 * 1000)
+    wav = MC.encode_wav(8000, np.zeros(2000))
+    assert MC.media_duration_ms(wav) == 250
+    frames = [np.full((4, 4, 3), v, np.uint8) for v in (10, 60)]
+    gif = MC.encode_gif(frames)
+    d = MC.media_duration_ms(gif)
+    delays = MC.gif_frame_delays(gif)
+    assert (d is None) == (sum(delays) == 0)
+    y4m = MC.encode_y4m([np.full((4, 4), 7, np.uint8)] * 5, fps=(25, 1))
+    assert MC.media_duration_ms(y4m) == 200
+    assert MC.media_duration_ms(b"junk") is None
+    assert MC.media_duration_ms(None) is None
+
+
+def test_transcript_video_alignment(spark):
+    """transcript_video_alignment: cues join every segment they
+    overlap, overlap widths are exact, non-overlapping cues and
+    NULL-duration videos drop out."""
+    from data_integration_and_harmonization_spark.operators.multimodal import (
+        transcript_video_alignment,
+        video_duration_table,
+    )
+
+    videos = spark.createDataFrame(
+        [
+            (1, bytearray(MC.encode_mp4_meta(320, 240, 24, timescale=25, frame_delta=1))),
+            (2, bytearray(b"not media")),  # NULL duration -> no segments
+        ],
+        "video_id long, payload binary",
+    )
+    durs = {r["video_id"]: r["duration_ms"] for r in video_duration_table(videos).collect()}
+    assert durs == {1: 960, 2: None}
+    # segments of video 1: [0,240) [240,480) [480,720) [720,960)
+    cues = spark.createDataFrame(
+        [
+            (1, 1, 100, 300),    # overlaps seg0 (140) and seg1 (60)
+            (1, 2, 240, 480),    # exactly seg1 (240)
+            (1, 3, 2000, 2500),  # beyond duration: no overlap
+            (2, 1, 0, 100),      # video with NULL duration: dropped
+        ],
+        "video_id long, seq int, start_ms long, end_ms long",
+    )
+    rows = {
+        (r["video_id"], r["seg_idx"], r["cue_seq"]): (
+            r["seg_start_ms"], r["seg_end_ms"], r["overlap_ms"]
+        )
+        for r in transcript_video_alignment(cues, videos).collect()
+    }
+    assert rows == {
+        (1, 0, 1): (0, 240, 140),
+        (1, 1, 1): (240, 480, 60),
+        (1, 1, 2): (240, 480, 240),
+    }

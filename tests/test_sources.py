@@ -1409,3 +1409,25 @@ def test_docx_front_door_and_text_table(spark, tmp_path):
     )
     got = {r["id"]: r["text"] for r in docx_text_table(df).collect()}
     assert got == {1: "alpha", 2: None, 3: None}
+
+
+def test_avro_front_door(spark, tmp_path):
+    """read_any(fmt='avro'): rides Spark's spark-avro datasource when
+    deployed; when the module is absent (this container) the raise
+    names the missing package instead of the generic FAILED_TO_FIND."""
+    import pytest as _pytest
+
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    target = str(tmp_path / "t.avro")
+    try:
+        spark.range(5).selectExpr("id", "id * 2 AS v").write.format("avro").save(target)
+        avro_available = True
+    except Exception:
+        avro_available = False
+    if avro_available:
+        out = read_any(spark, target, fmt="avro")
+        assert out.count() == 5 and set(out.columns) == {"id", "v"}
+    else:
+        with _pytest.raises(ValueError, match="spark-avro"):
+            read_any(spark, target, fmt="avro")
