@@ -1335,6 +1335,20 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # (document_text_table dispatches by magic bytes): a mixed
     # document corpus pays ONE Python worker round-trip. docx ids
     # offset by 100 so both modalities split out of one frame.
+    # '__pdf15' + '__pdfcid' rows (r12): the modern-PDF document tier.
+    # ids 200+k: PDF-1.5 fixtures with every non-stream object in a
+    # compressed /ObjStm and a /Type /XRef cross-reference STREAM
+    # behind the PNG Up predictor (the layout real writers emit) —
+    # ASCII text, so the leg isolates the xref/ObjStm machinery.
+    # ids 300+k: Identity-H CID fixtures whose 2-byte codes only
+    # decode through the /ToUnicode CMap, with non-latin text (é/ö/—)
+    # a simple-font tier cannot even represent. Both ride the same
+    # fused Arrow stage; both get count/length/key rows AND byte-exact
+    # md5 rows, all reconstructed by the oracle from region alone.
+    from data_integration_and_harmonization_spark.functions.pdf import (
+        encode_pdf_cid,
+    )
+
     doc_df = spark.createDataFrame(
         [
             (k, bytearray(encode_pdf([f"Region ({n})", f"key \\ {k}"])))
@@ -1342,6 +1356,21 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         ]
         + [
             (100 + k, bytearray(encode_docx([f"Region ({n})", f"key\t{k}"])))
+            for k, n in region_rows
+        ]
+        + [
+            (
+                200 + k,
+                bytearray(
+                    encode_pdf_cid(
+                        [f"Region ({n})", f"key {k}"], predictor=True
+                    )
+                ),
+            )
+            for k, n in region_rows
+        ]
+        + [
+            (300 + k, bytearray(encode_pdf_cid([f"Régiön ({n}) — clé {k}"])))
             for k, n in region_rows
         ],
         "doc_id long, payload binary",
@@ -1352,9 +1381,50 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # 10-row Arrow stage still costs a full Python worker round-trip
     # (~1 s at sf0.1 — the r4 fixed-overhead lesson); one stage
     doc_texts = track(document_text_table(doc_df).persist())
-    pdf_texts = doc_texts.where(F.col("fmt") == "pdf").select("id", "text")
-    docx_texts = doc_texts.where(F.col("fmt") == "docx").select(
+    pdf_texts = doc_texts.where(F.col("id") < 100).select("id", "text")
+    docx_texts = doc_texts.where(F.col("id").between(100, 199)).select(
         (F.col("id") - 100).alias("id"), "text"
+    )
+    pdf15_texts = doc_texts.where(F.col("id").between(200, 299)).select(
+        (F.col("id") - 200).alias("id"), "text"
+    )
+    pdfcid_texts = doc_texts.where(F.col("id") >= 300).select(
+        (F.col("id") - 300).alias("id"), "text"
+    )
+
+    def _doc_rows(texts, tag: str, key_re: str):
+        count_row = texts.agg(
+            F.lit(f"__{tag}").alias("l_returnflag"),
+            F.count("text").alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.length("text")).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract("text", key_re, 1).cast("long")
+            ).alias("sum_rkey"),
+        )
+        md5_row = texts.agg(
+            F.concat(
+                F.lit(f"__{tag}md5_"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("id", "text"))),
+                            lambda s: s["text"],
+                        ),
+                        "\x1f",
+                    )
+                ),
+            ).alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.lit(None).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
+        )
+        return count_row, md5_row
+
+    pdf15_row, pdf15_md5_row = _doc_rows(pdf15_texts, "pdf15", r"key (\d+)")
+    pdfcid_row, pdfcid_md5_row = _doc_rows(
+        pdfcid_texts, "pdfcid", r"clé (\d+)"
     )
     docx_row = docx_texts.agg(
         F.lit("__docx").alias("l_returnflag"),
@@ -1451,6 +1521,10 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(pdf_md5_row)
         .unionByName(docx_row)
         .unionByName(docx_md5_row)
+        .unionByName(pdf15_row)
+        .unionByName(pdf15_md5_row)
+        .unionByName(pdfcid_row)
+        .unionByName(pdfcid_md5_row)
         .unionByName(srt_row)
     )
 
@@ -2844,6 +2918,40 @@ SELECT '__docxmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
 FROM (SELECT r_regionkey,
              'Region (' || r_name || ')' || chr(10) ||
              'key' || chr(9) || r_regionkey AS txt
+      FROM region)
+UNION ALL
+-- modern-PDF legs (r12): __pdf15 fixtures store all non-stream
+-- objects in a compressed /ObjStm behind a predictor-coded /XRef
+-- stream; __pdfcid fixtures show non-latin text through an
+-- Identity-H Type0 font whose 2-byte codes only decode through the
+-- /ToUnicode CMap. The reconstructions below are the extractor's
+-- CONTRACT; the md5 rows pin every extracted byte.
+SELECT '__pdf15', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length(txt))::BIGINT,
+       sum(CAST(regexp_extract(txt, 'key ([0-9]+)', 1) AS BIGINT))::BIGINT
+FROM (SELECT 'Region (' || r_name || ')' || chr(10) ||
+             'key ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+SELECT '__pdf15md5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
+       count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT r_regionkey,
+             'Region (' || r_name || ')' || chr(10) ||
+             'key ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+SELECT '__pdfcid', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length(txt))::BIGINT,
+       sum(CAST(regexp_extract(txt, 'clé ([0-9]+)', 1) AS BIGINT))::BIGINT
+FROM (SELECT 'Régiön (' || r_name || ') — clé ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+SELECT '__pdfcidmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
+       count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT r_regionkey,
+             'Régiön (' || r_name || ') — clé ' || r_regionkey AS txt
       FROM region)
 UNION ALL
 -- SubRip transcript leg: one cue per region row, start = 60000*k+1500

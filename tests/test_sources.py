@@ -1431,3 +1431,73 @@ def test_avro_front_door(spark, tmp_path):
     else:
         with _pytest.raises(ValueError, match="spark-avro"):
             read_any(spark, target, fmt="avro")
+
+
+def test_pdf_modern_tier_objstm_xrefstream_cid():
+    """The r12 document tier: PDF-1.5 fixtures with objects in a
+    compressed /ObjStm, a /Type /XRef stream (plain and behind the
+    PNG Up predictor), and an Identity-H Type0 font whose 2-byte
+    codes only decode through the /ToUnicode CMap — every variant
+    round-trips; a Type0 show WITHOUT ToUnicode yields NULL (not
+    mojibake); degraded documents fall back to the classic tier."""
+    import re
+    import zlib
+
+    from data_integration_and_harmonization_spark.functions import pdf as P
+
+    pages = ["Région (α) — clé 3", "second page\nwith ünïcode", "tail"]
+    for predictor in (False, True):
+        for objstm in (True, False):
+            raw = P.encode_pdf_cid(pages, predictor=predictor, objstm=objstm)
+            assert P.extract_pdf_text(raw) == "\n".join(pages), (
+                predictor,
+                objstm,
+            )
+    # the codes are NOT the characters: latin-1 of the hex codes would
+    # be '\x00\x01\x00\x02...' garbage — prove the CMap is load-bearing
+    # by blanking the /ToUnicode entry IN PLACE (same length, offsets
+    # intact): the Type0 font then emits nothing and the charted
+    # document quarantines as NULL instead of regressing to mojibake
+    raw = P.encode_pdf_cid(["abc"], objstm=False)
+    stripped = re.sub(
+        rb"/ToUnicode \d+ 0 R", lambda m: b" " * len(m.group(0)), raw
+    )
+    assert P.extract_pdf_text(stripped) is None
+    # an UNchartable document (torn startxref) degrades to the classic
+    # byte scan, which still extracts simple-font text
+    classic = P.encode_pdf(["fallback works"])
+    torn = classic.replace(b"startxref", b"startxrEf")
+    assert P.extract_pdf_text(torn) == "fallback works"
+
+
+def test_pdf_tounicode_cmap_forms():
+    """parse_tounicode_cmap: bfchar rows, scalar bfrange (consecutive
+    UTF-16 destinations, last code unit incremented), array bfrange,
+    and codespacerange-driven code width."""
+    from data_integration_and_harmonization_spark.functions.pdf import (
+        parse_tounicode_cmap,
+    )
+
+    cm = b"""
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+2 beginbfchar
+<0001> <0041>
+<0002> <00E90301>
+endbfchar
+2 beginbfrange
+<0010> <0012> <0061>
+<0020> <0021> [<005A> <0059>]
+endbfrange
+"""
+    code_len, m = parse_tounicode_cmap(cm)
+    assert code_len == 2
+    assert m[1] == "A"
+    assert m[2] == "é́"  # multi-unit destination
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+    assert (m[0x20], m[0x21]) == ("Z", "Y")
+    # 1-byte codespace: simple fonts with ToUnicode
+    code_len1, m1 = parse_tounicode_cmap(
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <0042> endbfchar"
+    )
+    assert code_len1 == 1 and m1[0x41] == "B"
