@@ -1987,4 +1987,205 @@ def media_signature(payload: bytes) -> tuple[str | None, int | None]:
     if fmt == "wav":
         s = audio_simhash64(payload)
         return ("audio", s) if s is not None else (None, None)
+    if fmt == "mp3":
+        # MPEG audio: Layer I mono decodes to the compressed-domain
+        # band-energy fingerprint and joins the SAME audio family as
+        # WAV (identical bit layout — pinned by the aud_mp1 legs);
+        # Layer II/III stay on the metadata tier and quarantine here.
+        s = audio_simhash64_mp1(payload)
+        return ("audio", s) if s is not None else (None, None)
     return None, None
+
+
+# --------------------------------------------- MPEG-1 Audio Layer I
+#
+# CONTENT tier for MPEG audio (r12): a from-spec bitstream decode of
+# MPEG-1 Layer I mono frames (ISO/IEC 11172-3 §2.4.1.5/§2.4.2.4 —
+# 384 samples/frame as 12 rows x 32 subbands; 4-bit allocation per
+# subband, nb = alloc+1 bits; 6-bit scalefactor indices over the
+# 2^(-idx/3) geometric table; the two's-shifted linear requantizer)
+# down to the SUBBAND SAMPLE matrix. Deliberate divergence, documented:
+# the synthesis polyphase filterbank (the 512-tap window of Annex B
+# Table 3-B.3) is NOT reimplemented — the near-dup fingerprint below
+# consumes subband-domain energies directly, which is both cheaper
+# and exactly the information the band-energy recipe wants (subband k
+# covers [k, k+1) x rate/64, the same linear frequency axis the WAV
+# path's FFT bins map onto). Layer II/III stay on the metadata tier
+# (parse_mp3_meta): their rate-dependent allocation tables and Huffman
+# granules are a later rung of the same ladder.
+
+_MP1_SF = [2.0 * 2.0 ** (-i / 3.0) for i in range(63)]
+
+
+class _MP1BitReader:
+    """MSB-first bit reader over whole payload bytes (distinct from
+    the JPEG scan's ``_BitReader``, which handles 0xFF byte
+    stuffing)."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes, bitpos: int = 0) -> None:
+        self.d = d
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+def decode_mp1_subbands(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """(sample_rate, subband sample matrix [n_rows, 32]) of a mono
+    MPEG-1 Layer I stream — 12 rows per frame. Raises ValueError on
+    non-Layer-I, non-mono, or malformed frames (callers quarantine)."""
+    pos = _id3v2_size(payload)
+    rows: list[list[float]] = []
+    rate_out = None
+    while pos + 4 <= len(payload):
+        fr = _mp3_frame(payload, pos)
+        if fr is None:
+            break
+        size, samples, rate, _bitrate, channels = fr
+        h = struct.unpack(">I", payload[pos : pos + 4])[0]
+        if (h >> 17) & 3 != 3:  # layer bits: 3 = Layer I
+            raise ValueError("not an MPEG-1 Layer I stream")
+        if channels != 1:
+            raise ValueError("only mono Layer I is decoded")
+        if rate_out is None:
+            rate_out = rate
+        body_start = pos + 4 + (0 if (h >> 16) & 1 else 2)  # CRC when bit 0
+        if pos + size > len(payload):
+            break  # torn final frame: keep what decoded
+        br = _MP1BitReader(payload, body_start * 8)
+        alloc = []
+        for _sb in range(32):
+            a = br.read(4)
+            if a == 15:
+                raise ValueError("forbidden allocation value 15")
+            alloc.append(a)
+        sf = [0.0] * 32
+        for sb in range(32):
+            if alloc[sb]:
+                idx = br.read(6)
+                if idx > 62:
+                    raise ValueError(f"scalefactor index {idx} out of table")
+                sf[sb] = _MP1_SF[idx]
+        for _s in range(12):
+            row = [0.0] * 32
+            for sb in range(32):
+                if alloc[sb]:
+                    nb = alloc[sb] + 1
+                    code = br.read(nb)
+                    frac = code / float(1 << (nb - 1)) - 1.0
+                    row[sb] = sf[sb] * (
+                        (frac + 2.0 ** (1 - nb)) * (1 << nb) / ((1 << nb) - 1)
+                    )
+            rows.append(row)
+        pos += size
+    if rate_out is None or not rows:
+        raise ValueError("no decodable Layer I frame")
+    return rate_out, np.array(rows, dtype=np.float64)
+
+
+def audio_simhash64_mp1(
+    payload: bytes, n_buckets: int = 8, n_bands: int = 8
+) -> int | None:
+    """64-bit band-energy fingerprint of a mono MPEG-1 Layer I stream
+    — the COMPRESSED-DOMAIN twin of :func:`audio_simhash64`: the
+    codec's own filterbank supplies the time-frequency grid (subband
+    k covers the same linear band the WAV path's FFT bins map onto,
+    band_of(k) = k * n_bands // 32), so a WAV and a Layer I encode of
+    the same content land on the SAME bit layout and join one
+    near-dup family. Same recipe downstream: n_buckets time segments,
+    per-band energy cells rounded to 3 decimals, median threshold.
+    None for payloads that don't decode or are too short."""
+    try:
+        _rate, sb = decode_mp1_subbands(payload)
+    except Exception:  # noqa: BLE001 — malformed audio
+        return None
+    seg = len(sb) // n_buckets
+    if seg < 1:
+        return None
+    band_of = np.arange(32) * n_bands // 32
+    cells = np.zeros((n_buckets, n_bands))
+    for b in range(n_buckets):
+        s = sb[b * seg : (b + 1) * seg]
+        power = s * s
+        for band in range(n_bands):
+            cells[b, band] = power[:, band_of == band].sum()
+    cells = np.round(cells, 3)
+    med = float(np.median(cells))
+    h = 0
+    for i, bit in enumerate((cells > med).flatten()):
+        if bit:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def encode_mp1_tones(
+    bands_seq: list[int],
+    rate: int = 32000,
+    bitrate: int = 32,
+    frames_per_seg: int = 2,
+    n_bands: int = 8,
+) -> bytes:
+    """Spec-shaped mono MPEG-1 Layer I fixture: one SEGMENT per entry
+    of ``bands_seq``, each ``frames_per_seg`` frames whose single
+    active subband is the mid-band subband of that entry's frequency
+    band (subband = band*4 + 1 for the default 8-band split), coded
+    at full 15-bit precision with scalefactor index 3 (= 1.0) and
+    constant amplitude 0.5. Every other subband has allocation 0 and
+    decodes to EXACTLY zero, so the band-energy bit grid is pure
+    arithmetic of ``bands_seq``: bit(bucket*8+band) = 1 iff
+    seq[bucket] = band — the same closed-form contract as the WAV
+    tone fixtures (and the same one, which is the point: a WAV and a
+    Layer I encode of the same sequence hash IDENTICALLY)."""
+    br_idx = _MP3_BITRATES[(1, 1)].index(bitrate)
+    sr_idx = _MP3_RATES[3].index(rate)
+    h = (
+        (0x7FF << 21)
+        | (3 << 19)  # MPEG1
+        | (3 << 17)  # Layer I
+        | (1 << 16)  # no CRC
+        | (br_idx << 12)
+        | (sr_idx << 10)
+        | (0 << 9)  # no padding
+        | (3 << 6)  # single channel
+    )
+    size = (12 * bitrate * 1000 // rate) * 4
+    nb = 15
+    # quantizer code for amplitude 0.5 at sf = 1.0: invert the
+    # requantizer (§2.4.3.2) — frac = s * (2^nb - 1)/2^nb - 2^(1-nb)
+    frac = 0.5 * ((1 << nb) - 1) / (1 << nb) - 2.0 ** (1 - nb)
+    code = round((frac + 1.0) * (1 << (nb - 1)))
+    out = bytearray()
+    for band in bands_seq:
+        sb_active = band * (32 // n_bands) + 1
+        for _f in range(frames_per_seg):
+            bits = bytearray()
+            acc = 0
+            nacc = 0
+
+            def put(val: int, width: int) -> None:
+                nonlocal acc, nacc
+                acc = (acc << width) | (val & ((1 << width) - 1))
+                nacc += width
+                while nacc >= 8:
+                    nacc -= 8
+                    bits.append((acc >> nacc) & 0xFF)
+
+            for sb in range(32):
+                put(14 if sb == sb_active else 0, 4)  # alloc: nb-1 = 14
+            put(3, 6)  # scalefactor index 3 -> 1.0
+            for _s in range(12):
+                put(code, nb)
+            if nacc:
+                bits.append((acc << (8 - nacc)) & 0xFF)
+            frame = struct.pack(">I", h) + bytes(bits)
+            if len(frame) > size:
+                raise ValueError("fixture frame overflows its bit budget")
+            out += frame + b"\x00" * (size - len(frame))
+    return bytes(out)

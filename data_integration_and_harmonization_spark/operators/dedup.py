@@ -1938,6 +1938,19 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (-12, tone_seq([0, 1, 2, 3, 4, 5, 6, 6])),
             (-13, tone_seq([7, 6, 5, 4, 3, 2, 1, 0])),
             (-14, MC.encode_wav(8192, np.zeros(8192))),
+            # 'aud' mp1 fixtures (r12): the SAME band sequences as the
+            # WAV tones, but MPEG-1 Layer I encoded — the from-spec
+            # bitstream decode (media_codecs.decode_mp1_subbands)
+            # feeds the compressed-domain fingerprint, whose bit grid
+            # is the same closed form (bit = 1 iff segment plays
+            # band). -31 therefore hashes IDENTICALLY to WAV -11
+            # (hamming 0 — the cross-FORMAT near-dup pair that is the
+            # point of the content tier); -32 is -31 with one segment
+            # moved (hamming 2, pairs with both -31 and -12); -33
+            # reverses (excluded).
+            (-31, MC.encode_mp1_tones([0, 1, 2, 3, 4, 5, 6, 7])),
+            (-32, MC.encode_mp1_tones([0, 1, 2, 3, 4, 5, 6, 6])),
+            (-33, MC.encode_mp1_tones([7, 6, 5, 4, 3, 2, 1, 0])),
             # 'vid_bits' / 'vid_pair' fixtures: video near-dup via the
             # temporal-average pHash (video_phash64 — sample i*T//4
             # frames, mean luma, DCT pHash). With 2 frames the picks
@@ -2324,10 +2337,15 @@ WITH px AS (
   -- (leakage-free bins, quantization noise rounds to 0.0 — see the
   -- query docstring): bit(bucket*8+band) = 1 iff seq[bucket] = band.
   -- -14 is silence: every cell 0, nothing exceeds the median.
+  -- mids <= -31 are MPEG-1 Layer I encodes of the same sequences
+  -- (compressed-domain fingerprint, identical bit-grid contract)
   VALUES (-11, [0, 1, 2, 3, 4, 5, 6, 7]),
          (-12, [0, 1, 2, 3, 4, 5, 6, 6]),
          (-13, [7, 6, 5, 4, 3, 2, 1, 0]),
-         (-14, CAST(NULL AS INT[]))
+         (-14, CAST(NULL AS INT[])),
+         (-31, [0, 1, 2, 3, 4, 5, 6, 7]),
+         (-32, [0, 1, 2, 3, 4, 5, 6, 6]),
+         (-33, [7, 6, 5, 4, 3, 2, 1, 0])
 ), aud_bits AS (
   SELECT mid, (p.i)::BIGINT AS pos,
          (CASE WHEN seq IS NOT NULL AND seq[p.i // 8 + 1] = p.i % 8

@@ -617,3 +617,47 @@ def test_transcript_video_alignment(spark):
         (1, 1, 1): (240, 480, 60),
         (1, 1, 2): (240, 480, 240),
     }
+
+
+def test_mp1_layer1_content_tier():
+    """MPEG-1 Layer I content tier: the from-spec bitstream decode
+    recovers the fixture's subband layout, the compressed-domain
+    fingerprint equals the WAV fingerprint of the same band sequence
+    (hamming 0 — one near-dup family across formats), Layer III
+    payloads stay on the metadata tier, and media_signature routes
+    each accordingly."""
+    import numpy as np
+
+    seq = [0, 1, 2, 3, 4, 5, 6, 7]
+    p = MC.encode_mp1_tones(seq)
+    assert MC.sniff_format(p) == "mp3"
+    rate, sb = MC.decode_mp1_subbands(p)
+    assert rate == 32000 and sb.shape == (192, 32)
+    # active subband of segment k is 4*seq[k]+1 at amplitude ~0.5
+    seg = sb[:24]
+    assert abs(seg[:, 1] - 0.5).max() < 1e-3
+    assert np.abs(seg[:, [0] + list(range(2, 32))]).max() == 0.0
+    h = MC.audio_simhash64_mp1(p)
+    t = np.arange(1024)
+    wav = MC.encode_wav(
+        8192,
+        np.concatenate(
+            [0.5 * np.sin(2 * np.pi * (8 + 16 * b) * t / 256) for b in seq]
+        ),
+    )
+    assert h == MC.audio_simhash64(wav)
+    # near-dup across formats: one segment moved -> hamming 2
+    h2 = MC.audio_simhash64_mp1(MC.encode_mp1_tones([0, 1, 2, 3, 4, 5, 6, 6]))
+    assert bin((h ^ h2) & (2**64 - 1)).count("1") == 2
+    # dispatch: Layer I -> audio family; Layer III -> metadata tier only
+    assert MC.media_signature(p) == ("audio", h)
+    meta_mp3 = MC.encode_mp3_meta(30, 128, 44100, with_id3=True)
+    assert MC.audio_simhash64_mp1(meta_mp3) is None
+    assert MC.media_signature(meta_mp3) == (None, None)
+    # malformed: truncated frame keeps what decoded; junk raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MC.decode_mp1_subbands(b"\x00" * 64)
+    rate2, sb2 = MC.decode_mp1_subbands(p[: len(p) - 10])
+    assert len(sb2) == 192 - 12  # final torn frame dropped

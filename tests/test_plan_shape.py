@@ -262,17 +262,18 @@ def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
 
 
 def test_mm_query_arrow_stage_budget(spark, sf_dir):
-    """mm_meta_features pays exactly FOUR Python (Arrow) stages:
+    """mm_meta_features pays exactly FIVE Python (Arrow) stages:
     feature extraction, the FUSED audio+video temporal stage, resize,
-    and frame sampling. A fifth means someone split the temporal
-    fusion back into per-modality stages (~1.4 s of fixed Arrow
-    overhead each at sf0.1 — the r4 lesson); the sketch/HLL legs must
-    add ZERO Python stages (they are JVM-side aggregates)."""
+    frame sampling, and (r12) the align leg's video_duration_table.
+    A sixth means someone split a fused stage back into per-modality
+    stages (~1.4 s of fixed Arrow overhead each at sf0.1 — the r4
+    lesson); the sketch/HLL legs must add ZERO Python stages (they
+    are JVM-side aggregates)."""
     import __spark_entry__ as E
 
     mm = E.queries()["mm_meta_features"](spark, sf_dir)
     plan = mm._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 4, plan.count("MapInPandas")
+    assert plan.count("MapInPandas") == 5, plan.count("MapInPandas")
     desc = E.queries()["describe_all"](spark, sf_dir)
     dplan = desc._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in dplan and "BatchEvalPython" not in dplan
