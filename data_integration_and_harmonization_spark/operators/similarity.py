@@ -841,21 +841,45 @@ def build_ann_index(
 
 _ANN_META_SCHEMA = (
     "version int, m int, k int, n_clusters int, trained boolean, "
-    "id_col string, vec_col string, parent int"
+    "id_col string, vec_col string, parent int, tag string"
 )
 
 
 def _write_ann_meta(spark: SparkSession, vdir: str, meta: dict) -> None:
     import os
 
+    # .get: metas written before a field existed (e.g. pre-r12 'tag')
+    # flow through as NULL — per-version meta dirs read independently,
+    # so mixed-schema chains are fine
     spark.createDataFrame(
-        [tuple(meta[f.split(" ")[0]] for f in _ANN_META_SCHEMA.split(", "))],
+        [tuple(meta.get(f.split(" ")[0]) for f in _ANN_META_SCHEMA.split(", "))],
         _ANN_META_SCHEMA,
     ).repartition(1).write.parquet(os.path.join(vdir, "meta"))
 
 
+def _find_ann_tag(spark: SparkSession, path: str, tag: str) -> dict | None:
+    """Meta of the complete chain version already carrying ``tag``,
+    or None — the replay-idempotency scan behind the maintenance
+    writers' ``tag`` parameter (bounded by chain length: one tiny
+    one-row meta read per version, the same cost the chain walk in
+    ``load_ann_index`` already pays)."""
+    import os
+
+    jvm, fs, root = _ann_fs(spark, path)
+    for v in _ann_versions(fs, root, require_success=True):
+        vdir = os.path.join(path, f"v-{v:06d}")
+        row = spark.read.parquet(os.path.join(vdir, "meta")).first()
+        meta = row.asDict()
+        if meta.get("tag") == tag:
+            return meta
+    return None
+
+
 def append_ann_index(
-    new_vectors: DataFrame, path: str, version: int | None = None
+    new_vectors: DataFrame,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> dict:
     """Grow a persisted index INCREMENTALLY — the continuously
     ingesting corpus case, where rebuilding a 10^10-vector index per
@@ -871,10 +895,19 @@ def append_ann_index(
     New ids must be disjoint from the chain's (an id appended twice
     would serve duplicate neighbors) — enforced with one id-column
     semi-join scan, digest-width at any scale. Returns the committed
-    meta (incl. ``version`` and ``parent``)."""
+    meta (incl. ``version`` and ``parent``).
+
+    ``tag`` makes the append IDEMPOTENT per logical batch (the
+    streaming-maintenance contract, same as the signature/profile
+    stores): a tag already carried by a complete chain version
+    returns that version's meta without writing anything."""
     import os
 
     spark = new_vectors.sparkSession
+    if tag is not None:
+        prior = _find_ann_tag(spark, path, tag)
+        if prior is not None:
+            return prior  # replayed batch: already admitted
     idx = load_ann_index(spark, path, version)
     meta = idx["meta"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -903,14 +936,17 @@ def append_ann_index(
     enc.repartition("cell").write.partitionBy("cell").parquet(
         os.path.join(vdir, "codes")
     )
-    new_meta = dict(meta, version=version, parent=meta["version"])
+    new_meta = dict(meta, version=version, parent=meta["version"], tag=tag)
     _write_ann_meta(spark, vdir, new_meta)
     fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
     return new_meta
 
 
 def delete_from_ann_index(
-    ids: DataFrame, path: str, version: int | None = None
+    ids: DataFrame,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> dict:
     """Remove vectors from a persisted index without rewriting any
     codes — the tombstone half of incremental maintenance (dedup and
@@ -923,10 +959,15 @@ def delete_from_ann_index(
     ``ids``: one column, the index's id column. Re-adding a deleted
     id later via :func:`append_ann_index` works — the append
     id-disjointness check runs against the LIVE (post-tombstone)
-    code set."""
+    code set. ``tag``: replay idempotency, as on
+    :func:`append_ann_index`."""
     import os
 
     spark = ids.sparkSession
+    if tag is not None:
+        prior = _find_ann_tag(spark, path, tag)
+        if prior is not None:
+            return prior  # replayed batch: already applied
     # meta-only load: a tombstone write needs the chain head's meta,
     # not the books/centers collects or the codes union
     meta = load_ann_index(spark, path, version, meta_only=True)["meta"]
@@ -936,7 +977,7 @@ def delete_from_ann_index(
     ids.toDF("id").dropDuplicates(["id"]).repartition(1).write.parquet(
         os.path.join(vdir, "tombstones")
     )
-    new_meta = dict(meta, version=new_version, parent=meta["version"])
+    new_meta = dict(meta, version=new_version, parent=meta["version"], tag=tag)
     _write_ann_meta(spark, vdir, new_meta)
     fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
     return new_meta
@@ -1008,7 +1049,9 @@ def compact_ann_index(spark: SparkSession, path: str, sweep: bool = True) -> dic
         [(cell, [float(x) for x in c]) for cell, c in enumerate(idx["centers"])],
         "cell int, center array<double>",
     ).repartition(1).write.parquet(os.path.join(vdir, "centers"))
-    _write_ann_meta(spark, vdir, dict(meta, version=new_version, parent=None))
+    _write_ann_meta(
+        spark, vdir, dict(meta, version=new_version, parent=None, tag=None)
+    )
     fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_SUCCESS"), True).close()
     undeleted: list[int] = []
     for v in all_vs:

@@ -101,18 +101,25 @@ class _VersionStep(InputPartition):
 
 
 class ManifestCDFStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, keys: list[str]) -> None:
+    def __init__(
+        self, root: str, keys: list[str], start_version: int | None = None
+    ) -> None:
         self._root = root
         self._keys = keys
         vs = _versions(root)
         if not vs:
             raise FileNotFoundError(f"no manifests under {root!r}")
         self._first = vs[0]
+        self._start = start_version
 
     def initialOffset(self) -> dict:
-        # one before the first committed version: the first micro-batch
-        # bootstraps with that version's full content as 'added'
-        return {"version": self._first - 1}
+        # default: one before the first committed version, so the
+        # first micro-batch bootstraps with that version's full
+        # content as 'added'. startVersion V anchors the feed AT V
+        # instead (changes strictly after V) — the consumer-was-
+        # initialized-from-a-snapshot case (e.g. an ANN index built
+        # from version V must not re-ingest V's rows).
+        return {"version": self._start if self._start is not None else self._first - 1}
 
     def latestOffset(self) -> dict:
         vs = _versions(self._root)
@@ -240,7 +247,10 @@ class ManifestCDFDataSource(DataSource):
         return T.StructType(fields)
 
     def streamReader(self, schema: T.StructType) -> ManifestCDFStreamReader:
-        return ManifestCDFStreamReader(self._root(), self._keys())
+        sv = self.options.get("startVersion")
+        return ManifestCDFStreamReader(
+            self._root(), self._keys(), None if sv is None else int(sv)
+        )
 
 
 def register_manifest_cdf(spark: SparkSession) -> None:
@@ -362,15 +372,113 @@ def stream_cdf_neardedup_maintenance(
     )
 
 
-def read_manifest_cdf(spark: SparkSession, table_root: str, keys: list[str]) -> DataFrame:
+def stream_cdf_ann_maintenance(
+    spark: SparkSession,
+    table_root: str,
+    index_path: str,
+    checkpoint: str,
+    keys: list[str] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_version: int | None = None,
+) -> None:
+    """Keep a persisted ANN index (:mod:`..operators.similarity`) in
+    sync with a versioned vector table — the third consumer the CDF
+    source exists for (after the profile and near-dup signature
+    stores): each availableNow drain tombstones the ids the versions
+    since the checkpoint REMOVED (``delete_from_ann_index``) and
+    appends the vectors they ADDED (``append_ann_index``, encoded
+    with the chain's frozen codebooks), so served queries track the
+    table at O(increment) cost with zero code bytes rewritten. Run
+    ``compact_ann_index`` when the chain length, not history, is the
+    cost.
+
+    ``keys`` defaults to ``[id_col]``: row additions and removals by
+    id. An IN-PLACE vector update under id-only keys nets NO change
+    (the multiset diff sees the same key in both versions) — tables
+    that mutate vectors must carry a scalar content digest column
+    and pass ``keys=[id_col, digest_col]``, so an update nets a
+    removal of the old (id, digest) and an addition of the new one:
+    the drain then tombstones the id and re-appends the current
+    vector. Added vectors are fetched from the table's LATEST
+    version by key (the feed carries keys, not payloads — arrays
+    are not scalar key material); an id added then removed across
+    the drained span simply finds no current row and is skipped, so
+    the index converges to the table's final state.
+
+    Replay-idempotent: the delete and the append of each micro-batch
+    carry distinct checkpoint-derived tags, so a crash between the
+    two (or before the checkpoint commit) re-applies exactly the
+    missing half and nothing twice. Deletes apply BEFORE appends so
+    a digest-keyed update (remove+add of one id) re-admits cleanly
+    against the post-tombstone live set.
+
+    ``start_version``: the table version the index was BUILT from —
+    anchors the feed there so the bootstrap does not re-ingest the
+    rows the index already holds (append's id-disjointness check
+    would rightly refuse them). Omit only when the index starts
+    empty-equivalent relative to the feed."""
+    from pyspark.sql import functions as F
+
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        append_ann_index,
+        delete_from_ann_index,
+    )
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        read_version,
+    )
+
+    keys = list(keys) if keys is not None else [id_col]
+    feed = read_manifest_cdf(spark, table_root, keys, start_version=start_version)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        removed = (
+            batch_df.where(F.col("change") == "removed")
+            .select(id_col)
+            .dropDuplicates()
+        )
+        added = (
+            batch_df.where(F.col("change") == "added")
+            .select(*keys)
+            .dropDuplicates()
+        )
+        if not removed.isEmpty():
+            delete_from_ann_index(
+                removed, index_path, tag=f"cdf{batch_id:06d}d"
+            )
+        if not added.isEmpty():
+            current = read_version(spark, table_root)
+            vecs = current.join(added, keys, "left_semi").select(id_col, vec_col)
+            if not vecs.isEmpty():
+                append_ann_index(vecs, index_path, tag=f"cdf{batch_id:06d}a")
+
+    (
+        feed.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_manifest_cdf(
+    spark: SparkSession,
+    table_root: str,
+    keys: list[str],
+    start_version: int | None = None,
+) -> DataFrame:
     """Streaming change feed of a manifest table: one 'added'/'removed'
     row per net row change per committed version (bootstrap = first
-    version all 'added'). Drain with availableNow for catch-up
+    version all 'added'; ``start_version=V`` anchors at V instead —
+    changes strictly after V, for consumers initialized from a
+    version-V snapshot). Drain with availableNow for catch-up
     consumers, or leave running against a live table."""
     register_manifest_cdf(spark)
-    return (
+    reader = (
         spark.readStream.format("manifest_cdf")
         .option("path", table_root)
         .option("keys", ",".join(keys))
-        .load()
     )
+    if start_version is not None:
+        reader = reader.option("startVersion", str(start_version))
+    return reader.load()

@@ -515,3 +515,92 @@ def test_ann_compaction_reader_grace_sweep_false(spark, emb, tmp_path):
     # next compaction (default sweep) reaps everything older
     stats2 = compact_ann_index(spark, idx_dir)
     assert sorted(os.listdir(idx_dir)) == [f"v-{stats2['version']:06d}"]
+
+
+def test_stream_cdf_ann_maintenance_tracks_versions(spark, emb, tmp_path):
+    """stream_cdf_ann_maintenance: an ANN index built from table
+    version v1 tracks a v2 commit (rows removed + rows added) through
+    one CDF drain — served results equal a directly-maintained
+    reference chain; a caught-up re-drain and direct tag replays
+    admit nothing twice; startVersion keeps the bootstrap from
+    re-ingesting the build snapshot."""
+    import os
+
+    from data_integration_and_harmonization_spark.operators.similarity import (
+        append_ann_index,
+        build_ann_index,
+        delete_from_ann_index,
+        ivfpq_topk,
+        load_ann_index,
+    )
+    from data_integration_and_harmonization_spark.sources.cdf_stream import (
+        stream_cdf_ann_maintenance,
+    )
+    from data_integration_and_harmonization_spark.sources.manifest import (
+        commit_files,
+        commit_version,
+    )
+    from data_integration_and_harmonization_spark.sources.writers import (
+        list_data_files,
+    )
+
+    root = str(tmp_path / "tbl")
+    idx = str(tmp_path / "idx")
+    idx_ref = str(tmp_path / "idx_ref")
+    ckpt = str(tmp_path / "ckpt")
+    base = emb.where(F.col("vec_id") < 40).select("vec_id", "embedding")
+    d1 = str(tmp_path / "d1")
+    base.coalesce(1).write.parquet(d1)
+    v1 = commit_version(spark, root, d1, note="base")
+    build_ann_index(base, idx, m=4, k=8, n_clusters=8)
+    build_ann_index(base, idx_ref, m=4, k=8, n_clusters=8)
+
+    # v2: drop vec_id < 10, add 40..49
+    d2a, d2b = str(tmp_path / "d2a"), str(tmp_path / "d2b")
+    base.where(F.col("vec_id") >= 10).coalesce(1).write.parquet(d2a)
+    add = emb.where(F.col("vec_id").between(40, 49)).select("vec_id", "embedding")
+    add.coalesce(1).write.parquet(d2b)
+    commit_files(
+        spark,
+        root,
+        [
+            {"path": p, "bytes": b}
+            for d in (d2a, d2b)
+            for p, b in list_data_files(spark, d)
+        ],
+        note="v2",
+    )
+    stream_cdf_ann_maintenance(spark, root, idx, ckpt, start_version=v1)
+    delete_from_ann_index(
+        emb.where(F.col("vec_id") < 10).select("vec_id"), idx_ref
+    )
+    append_ann_index(add, idx_ref)
+
+    def serve(path):
+        i = load_ann_index(spark, path)
+        res = ivfpq_topk(
+            emb, emb.where(F.col("vec_id") < 4), i["books"], k=5,
+            n_clusters=8, n_probe=2, refine=4, codes=i["codes"],
+            centers=i["centers"], prune_codes=True,
+        )
+        return {
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r["d2"], 9))
+            for r in res.collect()
+        }
+
+    assert serve(idx) == serve(idx_ref)
+    live = {r["id"] for r in load_ann_index(spark, idx)["codes"].collect()}
+    assert live == set(range(10, 50))
+
+    # caught-up re-drain: nothing new
+    n_dirs = len(os.listdir(idx))
+    stream_cdf_ann_maintenance(spark, root, idx, ckpt, start_version=v1)
+    assert len(os.listdir(idx)) == n_dirs
+    # direct tag replays (the crash-window halves) are no-ops too
+    m1 = delete_from_ann_index(
+        emb.where(F.col("vec_id") < 10).select("vec_id"), idx, tag="cdf000000d"
+    )
+    m2 = append_ann_index(add, idx, tag="cdf000000a")
+    assert m1["tag"] == "cdf000000d" and m2["tag"] == "cdf000000a"
+    assert len(os.listdir(idx)) == n_dirs
+    assert serve(idx) == serve(idx_ref)
