@@ -140,6 +140,8 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         )
     if ext == "srt":
         return read_srt(spark, path)
+    if ext == "vtt":
+        return read_vtt(spark, path)
     if ext == "avro":
         # Avro rides Spark's own (external-module) datasource —
         # splittable container files, schema in the header, the
@@ -227,6 +229,99 @@ def read_srt(spark: SparkSession, path: str) -> DataFrame:
     )
     return parts.select(
         "seq",
+        _ms("s").alias("start_ms"),
+        _ms("e").alias("end_ms"),
+        "text",
+        "_src_file",
+    )
+
+
+def read_vtt(spark: SparkSession, path: str) -> DataFrame:
+    """WebVTT subtitle ingestion — the web-native sibling of
+    :func:`read_srt` (every browser-facing video pipeline emits VTT):
+    one row per cue with ``(cue_id, start_ms, end_ms, text,
+    _src_file)``.
+
+    Same all-JVM column-expression shape as the SRT reader (wholetext
+    -> blank-line block split -> timecode regexp -> line slicing), so
+    it rides whole-stage codegen and is replayable by any SQL engine.
+    Grammar per the public WebVTT spec: the ``WEBVTT`` header line
+    (with optional trailing text) is dropped, NOTE/STYLE/REGION
+    blocks carry no ``-->`` cue timing line and are dropped, a cue's
+    optional IDENTIFIER line (any text above the timing line)
+    surfaces as ``cue_id`` (NULL when absent), hours are OPTIONAL in
+    timecodes (``MM:SS.mmm`` or ``HH:MM:SS.mmm``, dot separator), and
+    cue settings after the end timecode are ignored. Torn timecodes
+    yield NULL times via ``try_cast`` instead of an ANSI cast error."""
+    from pyspark.sql import functions as F
+
+    pattern = os.path.join(path, "*.vtt") if os.path.isdir(path) else path
+    raw = (
+        spark.read.text(pattern, wholetext=True)
+        .select(
+            F.col("value").alias("content"),
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_src_file"),
+        )
+    )
+    ts = r"(?:(\d+):)?(\d{2}):(\d{2})\.(\d{3})"
+
+    def _ms(prefix: str) -> F.Column:
+        h = F.coalesce(F.col(f"{prefix}1").try_cast("long"), F.lit(0))
+        m, s, ms = (F.col(f"{prefix}{i}").try_cast("long") for i in range(2, 5))
+        return (h * 3600 + m * 60 + s) * 1000 + ms
+
+    blocks = raw.select(
+        "_src_file",
+        F.posexplode(F.split("content", r"\r?\n[ \t]*\r?\n")).alias("pos", "block"),
+    ).where(F.col("block").rlike("-->"))
+    lines = blocks.select(
+        "_src_file",
+        "pos",
+        F.split(F.regexp_replace("block", "\r", ""), "\n").alias("lines"),
+    ).select(
+        "_src_file",
+        "pos",
+        "lines",
+        # 1-based index of the cue timing line (a cue id line may or
+        # may not precede it; the WEBVTT header block never matches
+        # the rlike above)
+        F.array_position(
+            F.transform(F.col("lines"), lambda x: x.rlike("-->")), F.lit(True)
+        ).alias("tci"),
+    )
+    parts = lines.select(
+        "_src_file",
+        "pos",
+        F.when(
+            F.col("tci") > 1, F.trim(F.element_at("lines", (F.col("tci") - 1).cast("int")))
+        ).alias("cue_id"),
+        F.element_at("lines", F.col("tci").cast("int")).alias("tc"),
+        F.array_join(
+            F.slice(
+                F.col("lines"),
+                (F.col("tci") + 1).cast("int"),
+                F.greatest(F.size("lines") - F.col("tci").cast("int"), F.lit(0)),
+            ),
+            "\n",
+        ).alias("text"),
+    ).select(
+        "_src_file",
+        "pos",
+        # an empty identifier line trims to '': surface NULL like a
+        # missing one
+        F.when(F.col("cue_id") != "", F.col("cue_id")).alias("cue_id"),
+        *[
+            F.regexp_extract(F.col("tc"), f"^\\s*{ts}\\s*-->", i).alias(f"s{i}")
+            for i in range(1, 5)
+        ],
+        *[
+            F.regexp_extract(F.col("tc"), f"-->\\s*{ts}", i).alias(f"e{i}")
+            for i in range(1, 5)
+        ],
+        "text",
+    )
+    return parts.select(
+        "cue_id",
         _ms("s").alias("start_ms"),
         _ms("e").alias("end_ms"),
         "text",

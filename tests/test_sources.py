@@ -1501,3 +1501,46 @@ endbfrange
         b"1 beginbfchar <41> <0042> endbfchar"
     )
     assert code_len1 == 1 and m1[0x41] == "B"
+
+
+def test_read_vtt_grammar(spark, tmp_path):
+    """read_vtt: WEBVTT header and NOTE blocks dropped, optional cue
+    identifiers surface as cue_id (NULL when absent), optional-hours
+    timecodes parse exactly, cue settings ignored, multi-line text
+    newline-joined, torn timecodes yield NULL times not errors."""
+    from data_integration_and_harmonization_spark.sources.readers import (
+        read_any,
+        read_vtt,
+    )
+
+    vtt = (
+        "WEBVTT - engine fixture\n"
+        "\n"
+        "NOTE\nthis block has no timing line and is dropped\n"
+        "\n"
+        "intro\n"
+        "00:01.500 --> 00:04.000 align:start\n"
+        "Hello there\nsecond line\n"
+        "\n"
+        "01:02:03.250 --> 01:02:05.000\n"
+        "no identifier on this cue\n"
+        "\n"
+        "torn\n"
+        "00:xx.500 --> 00:09.000\n"
+        "torn start time\n"
+    )
+    f = tmp_path / "a.vtt"
+    f.write_text(vtt)
+    rows = {r["cue_id"]: r for r in read_vtt(spark, str(f)).collect()}
+    assert set(rows) == {"intro", None, "torn"}
+    assert (rows["intro"]["start_ms"], rows["intro"]["end_ms"]) == (1500, 4000)
+    assert rows["intro"]["text"] == "Hello there\nsecond line"
+    assert (rows[None]["start_ms"], rows[None]["end_ms"]) == (3723250, 3725000)
+    assert rows["torn"]["start_ms"] is None and rows["torn"]["end_ms"] == 9000
+    assert all(r["_src_file"] == "a.vtt" for r in rows.values())
+    # front door + directory scan
+    (tmp_path / "b.vtt").write_text(
+        "WEBVTT\n\n00:00.000 --> 00:01.000\nb cue\n"
+    )
+    out = read_any(spark, str(tmp_path), fmt="vtt")
+    assert out.count() == 4
