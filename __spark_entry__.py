@@ -1488,6 +1488,31 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "sum_rkey"
         ),
     )
+    # '__vtt' row (r12): WebVTT ingestion — one cue per region row
+    # with an identifier line and an HOURS-LESS timecode
+    # (MM:SS.mmm), start = 60000*k + 2500 for 3000 ms; sum_rkey
+    # reparses the key from both the cue id AND the text (they must
+    # agree). The oracle rebuilds everything from region arithmetic.
+    from data_integration_and_harmonization_spark.sources.readers import read_vtt
+
+    vtt_file = base + "_region.vtt"
+    with open(vtt_file, "w") as fh:
+        fh.write("WEBVTT - engine fixture\n\n")
+        fh.write("NOTE\nno timing line here, dropped by the reader\n\n")
+        for k, n in region_rows:
+            fh.write(f"c{k}\n")
+            fh.write(f"{k:02d}:02.500 --> {k:02d}:05.500 align:start\n")
+            fh.write(f"Region {n}\nkey {k}\n\n")
+    vtt_row = read_vtt(spark, vtt_file).agg(
+        F.lit("__vtt").alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
+        F.sum(
+            F.regexp_extract("text", r"key (\d+)", 1).cast("long")
+            + F.regexp_extract("cue_id", r"c(\d+)", 1).cast("long")
+        ).alias("sum_rkey"),
+    )
     pdf_md5_row = pdf_texts.agg(
         F.concat(
             F.lit("__pdfmd5_"),
@@ -1526,6 +1551,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(pdfcid_row)
         .unionByName(pdfcid_md5_row)
         .unionByName(srt_row)
+        .unionByName(vtt_row)
     )
 
 
@@ -2960,6 +2986,14 @@ UNION ALL
 SELECT '__srt', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        sum((60000 * r_regionkey + 1500) + (60000 * r_regionkey + 4000))::BIGINT,
        sum(r_regionkey)::BIGINT
+FROM region
+UNION ALL
+-- WebVTT leg (r12): one identified cue per region row, hours-less
+-- MM:SS.mmm timecodes, start = 60000*k+2500 for 3000 ms; the key is
+-- reparsed from the text AND the cue id (both must agree)
+SELECT '__vtt', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum((60000 * r_regionkey + 2500) + (60000 * r_regionkey + 5500))::BIGINT,
+       sum(2 * r_regionkey)::BIGINT
 FROM region
 """,
         "ml_exact_split": """

@@ -718,6 +718,11 @@ def extract_pdf_text(payload: bytes) -> str | None:
     charted = False  # document model resolved AND pages were found
     try:
         doc = _PDFDoc(data)
+        if "Encrypt" in doc.trailer:
+            # encrypted document (out of scope): every stream is
+            # RC4/AES ciphertext — quarantine as NULL rather than
+            # letting either tier extract deterministic garbage
+            return None
         doc_pages = doc.pages()
         charted = bool(doc_pages)
         for page, resources in doc_pages:

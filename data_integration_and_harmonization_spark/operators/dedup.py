@@ -210,6 +210,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     hash_family: str = "murmur3",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: split each signature into ``bands``
     contiguous bit-bands; candidates share at least one exact band
@@ -221,11 +222,19 @@ def simhash_pairs(
     frame shuffles once on (band, bucket); the self-join only ever
     touches bucket-mates, so cost tracks true near-dup density —
     never all-pairs, and nothing corpus-sized is broadcast.
+    ``max_bucket``: the hot-bucket guard, passed through to
+    :func:`hamming_pairs` (see there for the recall trade).
 
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
     sig = simhash_signatures(df, text_col, id_col, hash_family)
-    return hamming_pairs(sig, bits=simhash_bits(hash_family), bands=bands, max_hamming=max_hamming)
+    return hamming_pairs(
+        sig,
+        bits=simhash_bits(hash_family),
+        bands=bands,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
 
 
 def _banded_signatures(sig: DataFrame, bits: int, bands: int) -> DataFrame:
@@ -451,15 +460,20 @@ def phash_pairs(
     payload_col: str = "payload",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: :func:`image_phash_table` then the
     shared banded-Hamming self-join (:func:`hamming_pairs`). With the
     default 4 bands over 64 bits, recall is EXACT for
     ``max_hamming <= 3`` (pigeonhole), so the output is the true
     near-dup pair set, not an approximation — feed it to
-    :func:`duplicate_clusters` for keep-one-per-cluster decisions."""
+    :func:`duplicate_clusters` for keep-one-per-cluster decisions.
+    ``max_bucket``: the hot-bucket guard, passed through to
+    :func:`hamming_pairs` (see there for the recall trade)."""
     sig = image_phash_table(media, id_col, payload_col)
-    return hamming_pairs(sig, bits=64, bands=bands, max_hamming=max_hamming)
+    return hamming_pairs(
+        sig, bits=64, bands=bands, max_hamming=max_hamming, max_bucket=max_bucket
+    )
 
 
 def _unionfind_clusters(rows, id_a: str, id_b: str) -> list[tuple]:

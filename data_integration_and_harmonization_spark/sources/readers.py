@@ -138,6 +138,55 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return bins.mapInPandas(
             _extract_docx_batches, "text string, _src_file string"
         )
+    if ext in ("docs", "documents"):
+        # a MIXED document corpus (a real crawl bucket holds pdf and
+        # docx interleaved): one distributed binaryFile scan over the
+        # directory, ONE fused Arrow stage dispatching per payload by
+        # magic bytes (the same kernel as operators.text.
+        # document_text_table). Output (fmt, text, _src_file);
+        # unrecognized or text-free payloads ride with fmt/text NULL
+        # for quarantine. Explicit fmt= only — 'docs' is not a file
+        # extension.
+        pattern = os.path.join(path, "*") if os.path.isdir(path) else path
+        bins = spark.read.format("binaryFile").load(pattern).select("content", "path")
+
+        def _extract_mixed_batches(it):
+            import pandas as pd
+
+            from data_integration_and_harmonization_spark.functions.pdf import (
+                extract_pdf_text,
+                is_pdf,
+            )
+            from data_integration_and_harmonization_spark.sources.docx import (
+                extract_docx_text,
+                is_docx,
+            )
+
+            for pdf in it:
+                fmts, texts = [], []
+                for p in pdf["content"]:
+                    if p is not None and is_pdf(p):
+                        fmts.append("pdf")
+                        texts.append(extract_pdf_text(p))
+                    elif p is not None and is_docx(p):
+                        fmts.append("docx")
+                        texts.append(extract_docx_text(p))
+                    else:
+                        fmts.append(None)
+                        texts.append(None)
+                yield pd.DataFrame(
+                    {
+                        "fmt": fmts,
+                        "text": texts,
+                        "_src_file": [
+                            p.rsplit("/", 1)[-1] for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        return bins.mapInPandas(
+            _extract_mixed_batches, "fmt string, text string, _src_file string"
+        )
     if ext == "srt":
         return read_srt(spark, path)
     if ext == "vtt":

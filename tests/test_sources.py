@@ -1544,3 +1544,38 @@ def test_read_vtt_grammar(spark, tmp_path):
     )
     out = read_any(spark, str(tmp_path), fmt="vtt")
     assert out.count() == 4
+
+
+def test_mixed_documents_front_door_and_encrypted_quarantine(spark, tmp_path):
+    """read_any(fmt='docs') over a directory of interleaved pdf/docx
+    payloads: one fused Arrow stage, per-payload magic-byte dispatch,
+    alien payloads quarantine as NULL; an /Encrypt-bearing PDF
+    quarantines as NULL text instead of extracting ciphertext."""
+    import re
+
+    from data_integration_and_harmonization_spark.functions import pdf as P
+    from data_integration_and_harmonization_spark.sources import docx as D
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    d = tmp_path / "bucket"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(P.encode_pdf(["pdf text a"]))
+    (d / "b.docx").write_bytes(D.encode_docx(["docx text b"]))
+    (d / "c.pdf").write_bytes(P.encode_pdf_cid(["cid text ç"]))
+    (d / "junk.bin").write_bytes(b"\x00\x01\x02 not a document")
+    out = {r["_src_file"]: (r["fmt"], r["text"]) for r in read_any(
+        spark, str(d), fmt="docs"
+    ).collect()}
+    assert out == {
+        "a.pdf": ("pdf", "pdf text a"),
+        "b.docx": ("docx", "docx text b"),
+        "c.pdf": ("pdf", "cid text ç"),
+        "junk.bin": (None, None),
+    }
+    # encrypted documents quarantine: inject /Encrypt into the trailer
+    enc = P.encode_pdf(["secret"]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    assert P.extract_pdf_text(enc) is None
+    # the unencrypted original still extracts (the replace was real)
+    assert P.extract_pdf_text(P.encode_pdf(["secret"])) == "secret"
