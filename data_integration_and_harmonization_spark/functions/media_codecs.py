@@ -63,6 +63,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "mp4"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:3] == b"ID3":
         return "mp3"
     if len(payload) >= 4:
@@ -1941,6 +1943,9 @@ def media_duration_ms(payload: bytes) -> int | None:
             return None
         if fmt == "mp3":
             return int(parse_mp3_meta(payload)["duration_sec"] * 1000)
+        if fmt == "flac":
+            d = parse_flac_meta(payload)["duration_sec"]
+            return int(d * 1000) if d is not None else None
         if fmt == "wav":
             rate, samples = decode_wav(payload)
             return len(samples) * 1000 // rate if rate else None
@@ -2189,3 +2194,64 @@ def encode_mp1_tones(
                 raise ValueError("fixture frame overflows its bit budget")
             out += frame + b"\x00" * (size - len(frame))
     return bytes(out)
+
+
+# ------------------------------------------------------------- FLAC
+#
+# Metadata tier from the public FLAC format spec (also RFC 9639): a
+# stream is 'fLaC' + metadata blocks, the first of which MUST be
+# STREAMINFO — a fixed 34-byte layout carrying sample rate (20 bits),
+# channels-1 (3), bits-per-sample-1 (5), total samples (36) and the
+# unencoded-audio MD5. Duration/rate/layout without touching a frame
+# — the lossless-audio sibling of the MP3/MP4 metadata tiers.
+
+
+def parse_flac_meta(payload: bytes) -> dict:
+    """``{'sample_rate', 'channels', 'bits_per_sample',
+    'total_samples', 'duration_sec', 'md5'}`` from the STREAMINFO
+    block. total_samples = 0 means 'unknown' per spec -> duration
+    None. Raises ValueError on non-FLAC or torn headers."""
+    if payload[:4] != b"fLaC" or len(payload) < 4 + 4 + 34:
+        raise ValueError("not a FLAC stream (or truncated header)")
+    btype = payload[4] & 0x7F
+    if btype != 0:
+        raise ValueError("first metadata block is not STREAMINFO")
+    si = payload[8 : 8 + 34]
+    packed = int.from_bytes(si[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bps,
+        "total_samples": total,
+        "duration_sec": round(total / rate, 9) if rate and total else None,
+        "md5": si[18:34].hex(),
+    }
+
+
+def encode_flac_meta(
+    total_samples: int,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    bits_per_sample: int = 16,
+) -> bytes:
+    """Minimal spec-shaped FLAC fixture: magic + a last-block
+    STREAMINFO (zero frame data — metadata tier only). Every derived
+    quantity is a closed form: duration = total_samples / rate."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    si = (
+        struct.pack(">HH", 4096, 4096)
+        + (0).to_bytes(3, "big")
+        + (0).to_bytes(3, "big")
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16
+    )
+    return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si

@@ -505,6 +505,12 @@ def extract_temporal_features(
       granule decode) as ``vals = [duration_sec, bitrate_kbps,
       sample_rate, n_frames, channels]`` — the compressed-audio
       sibling of the MP4 metadata tier.
+    - kind 'audio_meta' (FLAC): the STREAMINFO block
+      (``media_codecs.parse_flac_meta``) as ``vals = [duration_sec,
+      bits_per_sample, sample_rate, total_samples, channels]`` —
+      same five-slot layout, slot 1/3 semantics per format (the
+      format is recoverable from the payload; triage bins don't mix
+      them).
     - kind 'image_meta' (WebP): the RIFF/VP8-header walk
       (``media_codecs.parse_webp_meta`` — geometry + layout flags, no
       entropy decode) as ``vals = [height, width, has_alpha,
@@ -541,6 +547,23 @@ def extract_temporal_features(
                                 float(w["width"]),
                                 float(w["has_alpha"]),
                                 float(w["has_anim"]),
+                            ]
+                        )
+                elif fmt == "flac":
+                    try:
+                        fm = MC.parse_flac_meta(p)
+                    except ValueError:
+                        kinds.append(None)
+                        vals.append(None)
+                    else:
+                        kinds.append("audio_meta")
+                        vals.append(
+                            [
+                                fm["duration_sec"],
+                                float(fm["bits_per_sample"]),
+                                float(fm["sample_rate"]),
+                                float(fm["total_samples"]),
+                                float(fm["channels"]),
                             ]
                         )
                 elif fmt == "mp3":
@@ -936,6 +959,13 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         MC.encode_mp3_meta(30, 128, 44100, with_id3=True)
                     ),
                 ),
+                # audio_meta -15 (r12): a FLAC STREAMINFO fixture —
+                # 110250 samples at 44100 Hz stereo 16-bit, every
+                # value closed-form block arithmetic (duration 2.5 s).
+                (
+                    -15,
+                    bytearray(MC.encode_flac_meta(110250, 44100, 2, 16)),
+                ),
                 # image_meta -10/-11 (r11): WebP fixtures — a lossy
                 # VP8 key-frame header (320x180) and an extended VP8X
                 # canvas (1920x1080, alpha + animation flags) — every
@@ -1205,6 +1235,16 @@ SELECT 'audio_meta', -9::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(5)) AS pos,
          unnest([30 * 1152 / 44100.0, 128.0, 44100.0, 30.0, 2.0]) AS val
+) u
+UNION ALL
+-- 'audio_meta' FLAC row (r12): STREAMINFO block arithmetic — vals =
+-- [duration, bits_per_sample, rate, total_samples, channels],
+-- duration = 110250/44100 = 2.5 exactly.
+SELECT 'audio_meta', -15::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(5)) AS pos,
+         unnest([2.5, 16.0, 44100.0, 110250.0, 2.0]) AS val
 ) u
 UNION ALL
 -- 'image_meta' WebP rows (r11): RIFF/VP8-header geometry + flags —

@@ -490,11 +490,12 @@ def document_text_table(
     """(id, fmt, text) extraction over a MIXED document corpus in ONE
     Arrow stage, dispatched by magic bytes — the document sibling of
     ``dedup.media_signature_table``: PDF payloads run the from-spec
-    ISO 32000-1 extractor, DOCX the stdlib ECMA-376 run walk. A real
-    crawl's document bucket holds both shapes interleaved, and one
-    fused stage costs one Python worker round-trip instead of one per
-    format (the r4 fixed-overhead lesson). Unrecognized or text-free
-    payloads ride with fmt/text NULL for quarantine."""
+    ISO 32000-1 extractor, DOCX the stdlib ECMA-376 run walk, PPTX
+    the DrawingML slide-text walk. A real crawl's document bucket
+    holds these shapes interleaved, and one fused stage costs one
+    Python worker round-trip instead of one per format (the r4
+    fixed-overhead lesson). Unrecognized or text-free payloads ride
+    with fmt/text NULL for quarantine."""
     import pandas as pd
 
     from data_integration_and_harmonization_spark.functions.pdf import (
@@ -503,7 +504,9 @@ def document_text_table(
     )
     from data_integration_and_harmonization_spark.sources.docx import (
         extract_docx_text,
+        extract_pptx_text,
         is_docx,
+        is_pptx,
     )
 
     src = df.select(
@@ -520,6 +523,9 @@ def document_text_table(
                 elif p is not None and is_docx(p):
                     fmts.append("docx")
                     texts.append(extract_docx_text(p))
+                elif p is not None and is_pptx(p):
+                    fmts.append("pptx")
+                    texts.append(extract_pptx_text(p))
                 else:
                     fmts.append(None)
                     texts.append(None)

@@ -24,6 +24,7 @@ and anything richer belongs to a dedicated document-AI stage.
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 from collections.abc import Sequence
 from xml.etree import ElementTree as ET
@@ -122,4 +123,140 @@ def encode_docx(paragraphs: Sequence[str]) -> bytes:
         z.writestr("[Content_Types].xml", _CONTENT_TYPES)
         z.writestr("_rels/.rels", _ROOT_RELS)
         z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------- pptx
+#
+# PresentationML is the third ECMA-376 sibling (xlsx: SpreadsheetML,
+# docx: WordprocessingML): slides live at ppt/slides/slideN.xml and
+# their visible text is DrawingML ``a:t`` runs inside ``a:p``
+# paragraphs (ECMA-376 Part 1 §19/§21). Slide decks are a real
+# corpus shape (talks, lectures, reports), and the extraction
+# contract matches the other documents: visible text only, one
+# string, NULL quarantine.
+
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+_PPTX_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>
+{overrides}
+</Types>"""
+
+_PPTX_ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>
+</Relationships>"""
+
+
+def is_pptx(payload: bytes) -> bool:
+    """True when the payload is a zip carrying ``ppt/presentation.xml``
+    (the OPC part every PresentationML document must have)."""
+    if payload is None or payload[:4] != b"PK\x03\x04":
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            return "ppt/presentation.xml" in z.namelist()
+    except (zipfile.BadZipFile, OSError):
+        return False
+
+
+def extract_pptx_text(payload: bytes) -> str | None:
+    """Visible text of a pptx payload: slides in numeric order,
+    within a slide each ``a:p`` paragraph's ``a:t`` runs concatenated
+    (``a:br`` -> newline), paragraphs newline-joined, slides joined
+    with a blank line. None for non-pptx, torn, or text-free
+    payloads — the shared document quarantine contract."""
+    if not is_pptx(payload):
+        return None
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            names = sorted(
+                (n for n in z.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+                key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+            )
+            slides: list[str] = []
+            for name in names:
+                root = ET.fromstring(z.read(name))
+                paras: list[str] = []
+                for p in root.iter(f"{_A}p"):
+                    parts: list[str] = []
+                    for el in p.iter():
+                        if el.tag == f"{_A}t":
+                            parts.append(el.text or "")
+                        elif el.tag == f"{_A}br":
+                            parts.append("\n")
+                    paras.append("".join(parts))
+                slides.append("\n".join(paras).strip("\n"))
+    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError):
+        return None
+    txt = "\n\n".join(s for s in slides if s).strip("\n")
+    return txt or None
+
+
+def encode_pptx(slides: Sequence[str]) -> bytes:
+    """Minimal spec-shaped pptx fixture writer: one slide per entry,
+    each ``\\n``-separated line its own ``a:p`` paragraph of one
+    ``a:t`` run. Round-trips through :func:`extract_pptx_text` as
+    ``'\\n\\n'.join(slides)`` (blank slides dropped) — the fixture
+    contract the tests rely on."""
+    sld_ids = "".join(
+        f'<p:sldId id="{256 + i}" r:id="rId{i + 2}"/>' for i in range(len(slides))
+    )
+    presentation = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/'
+        'presentationml/2006/main" xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships">'
+        f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>"
+    )
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 2}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/slide\" "
+            f'Target="slides/slide{i + 1}.xml"/>'
+            for i in range(len(slides))
+        )
+        + "</Relationships>"
+    )
+    overrides = "\n".join(
+        f'<Override PartName="/ppt/slides/slide{i + 1}.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+        for i in range(len(slides))
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml", _PPTX_CONTENT_TYPES.format(overrides=overrides)
+        )
+        z.writestr("_rels/.rels", _PPTX_ROOT_RELS)
+        z.writestr("ppt/presentation.xml", presentation)
+        z.writestr("ppt/_rels/presentation.xml.rels", pres_rels)
+        for i, slide in enumerate(slides):
+            paras = "".join(
+                "<a:p>"
+                + (
+                    f'<a:r><a:t xml:space="preserve">{escape(line)}</a:t></a:r>'
+                    if line
+                    else ""
+                )
+                + "</a:p>"
+                for line in str(slide).split("\n")
+            )
+            sld = (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+                'presentationml/2006/main" xmlns:a="http://schemas.'
+                'openxmlformats.org/drawingml/2006/main">'
+                "<p:cSld><p:spTree><p:sp><p:txBody>"
+                f"{paras}"
+                "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+            )
+            z.writestr(f"ppt/slides/slide{i + 1}.xml", sld)
     return buf.getvalue()

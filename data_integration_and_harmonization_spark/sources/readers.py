@@ -138,6 +138,33 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return bins.mapInPandas(
             _extract_docx_batches, "text string, _src_file string"
         )
+    if ext == "pptx":
+        # a slide-deck corpus: same document front door shape
+        # (binaryFile scan + one Arrow stage -> (text, _src_file));
+        # visible DrawingML text per slide, NULL quarantine
+        pattern = os.path.join(path, "*.pptx") if os.path.isdir(path) else path
+        bins = spark.read.format("binaryFile").load(pattern).select("content", "path")
+
+        def _extract_pptx_batches(it):
+            import pandas as pd
+
+            from data_integration_and_harmonization_spark.sources.docx import (
+                extract_pptx_text,
+            )
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "text": [extract_pptx_text(p) for p in pdf["content"]],
+                        "_src_file": [
+                            p.rsplit("/", 1)[-1] for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        return bins.mapInPandas(
+            _extract_pptx_batches, "text string, _src_file string"
+        )
     if ext in ("docs", "documents"):
         # a MIXED document corpus (a real crawl bucket holds pdf and
         # docx interleaved): one distributed binaryFile scan over the
@@ -159,7 +186,9 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
             )
             from data_integration_and_harmonization_spark.sources.docx import (
                 extract_docx_text,
+                extract_pptx_text,
                 is_docx,
+                is_pptx,
             )
 
             for pdf in it:
@@ -171,6 +200,9 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
                     elif p is not None and is_docx(p):
                         fmts.append("docx")
                         texts.append(extract_docx_text(p))
+                    elif p is not None and is_pptx(p):
+                        fmts.append("pptx")
+                        texts.append(extract_pptx_text(p))
                     else:
                         fmts.append(None)
                         texts.append(None)

@@ -661,3 +661,24 @@ def test_mp1_layer1_content_tier():
         MC.decode_mp1_subbands(b"\x00" * 64)
     rate2, sb2 = MC.decode_mp1_subbands(p[: len(p) - 10])
     assert len(sb2) == 192 - 12  # final torn frame dropped
+
+
+def test_flac_streaminfo_metadata_tier():
+    """FLAC STREAMINFO tier: sniff, block-arithmetic fields, unknown
+    total_samples -> NULL duration, media_duration_ms integration,
+    and the fused temporal stage routes it as audio_meta."""
+    p = MC.encode_flac_meta(110250, 44100, 2, 16)
+    assert MC.sniff_format(p) == "flac"
+    m = MC.parse_flac_meta(p)
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == (44100, 2, 16)
+    assert m["total_samples"] == 110250 and m["duration_sec"] == 2.5
+    assert MC.media_duration_ms(p) == 2500
+    unknown = MC.encode_flac_meta(0)
+    assert MC.parse_flac_meta(unknown)["duration_sec"] is None
+    assert MC.media_duration_ms(unknown) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MC.parse_flac_meta(b"fLaC" + b"\x00")
+    with _pytest.raises(ValueError):
+        MC.parse_flac_meta(b"not flac at all, much too short? no -" + b"\x00" * 20)

@@ -1579,3 +1579,49 @@ def test_mixed_documents_front_door_and_encrypted_quarantine(spark, tmp_path):
     assert P.extract_pdf_text(enc) is None
     # the unencrypted original still extracts (the replace was real)
     assert P.extract_pdf_text(P.encode_pdf(["secret"])) == "secret"
+
+
+def test_pptx_codec_and_front_doors(spark, tmp_path):
+    """sources/docx.py pptx half: slide text round-trips in numeric
+    slide order; fmt='pptx' front door and the fused fmt='docs' door
+    both route decks; document_text_table dispatches all three
+    document formats in one stage."""
+    from data_integration_and_harmonization_spark.functions import pdf as P
+    from data_integration_and_harmonization_spark.operators.text import (
+        document_text_table,
+    )
+    from data_integration_and_harmonization_spark.sources import docx as D
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    slides = ["Title slide\nsubtitle", "Second slide & <more>"]
+    payload = D.encode_pptx(slides)
+    assert D.is_pptx(payload) and not D.is_docx(payload)
+    assert D.extract_pptx_text(payload) == "\n\n".join(slides)
+    # slide10 sorts after slide2 numerically, not lexically
+    many = D.encode_pptx([f"s{i}" for i in range(1, 12)])
+    assert D.extract_pptx_text(many).split("\n\n")[9] == "s10"
+    assert D.extract_pptx_text(b"junk") is None
+    assert D.extract_pptx_text(D.encode_pptx([""])) is None
+
+    d = tmp_path / "decks"
+    d.mkdir()
+    (d / "t.pptx").write_bytes(payload)
+    out = {r["_src_file"]: r["text"] for r in read_any(spark, str(d), fmt="pptx").collect()}
+    assert out == {"t.pptx": "\n\n".join(slides)}
+
+    mixed = spark.createDataFrame(
+        [
+            (1, bytearray(P.encode_pdf(["pdf text"]))),
+            (2, bytearray(D.encode_docx(["docx text"]))),
+            (3, bytearray(payload)),
+            (4, bytearray(b"alien")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["id"]: (r["fmt"], r["text"]) for r in document_text_table(mixed).collect()}
+    assert got == {
+        1: ("pdf", "pdf text"),
+        2: ("docx", "docx text"),
+        3: ("pptx", "\n\n".join(slides)),
+        4: (None, None),
+    }
