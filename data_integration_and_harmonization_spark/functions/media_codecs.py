@@ -65,6 +65,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "webp"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"  # EBML magic (WebM / Matroska)
     if payload[:3] == b"ID3":
         return "mp3"
     if len(payload) >= 4:
@@ -1946,6 +1948,9 @@ def media_duration_ms(payload: bytes) -> int | None:
         if fmt == "flac":
             d = parse_flac_meta(payload)["duration_sec"]
             return int(d * 1000) if d is not None else None
+        if fmt == "webm":
+            d = parse_webm_meta(payload)["duration_sec"]
+            return int(d * 1000) if d is not None else None
         if fmt == "wav":
             rate, samples = decode_wav(payload)
             return len(samples) * 1000 // rate if rate else None
@@ -2255,3 +2260,201 @@ def encode_flac_meta(
         + b"\x00" * 16
     )
     return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
+
+
+# ----------------------------------------------------- WebM / Matroska
+#
+# Metadata tier from the public EBML/Matroska specs (RFC 8794 EBML
+# framing; the Matroska element registry): a file is a tree of
+# [id varint][size varint][payload] elements. Duration/timescale come
+# from Segment > Info, geometry and audio layout from Segment >
+# Tracks > TrackEntry — no cluster/frame decode (VP8/VP9/Opus payloads
+# are out of scope; triage wants the envelope). The WebM sibling of
+# the MP4 box walk.
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+# Matroska element ids (stored with their marker bits, as-is)
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESCALE = 0x2AD7B1  # nanoseconds per timestamp tick
+_MKV_DURATION = 0x4489  # float, in timescale ticks
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKTYPE = 0x83  # 1 = video, 2 = audio
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXELW = 0xB0
+_MKV_PIXELH = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLERATE = 0xB5  # float
+_MKV_CHANNELS = 0x9F
+
+
+def _ebml_id(d: bytes, i: int) -> tuple[int, int]:
+    """(element id, next pos) — ids keep their length-marker bits."""
+    b0 = d[i]
+    for ln in range(1, 5):
+        if b0 & (0x80 >> (ln - 1)):
+            return int.from_bytes(d[i : i + ln], "big"), i + ln
+    raise ValueError("invalid EBML id")
+
+
+def _ebml_size(d: bytes, i: int) -> tuple[int, int]:
+    """(payload size, next pos) — marker bit stripped; all-ones means
+    'unknown size' (streamed files), surfaced as -1."""
+    b0 = d[i]
+    for ln in range(1, 9):
+        if b0 & (0x80 >> (ln - 1)):
+            raw = int.from_bytes(d[i : i + ln], "big")
+            val = raw - ((0x80 >> (ln - 1)) << (8 * (ln - 1)))
+            if val == (1 << (7 * ln)) - 1:
+                return -1, i + ln  # unknown size
+            return val, i + ln
+    raise ValueError("invalid EBML size")
+
+
+def _ebml_walk(d: bytes, start: int, end: int):
+    """Yield (id, payload_start, payload_end) for each element."""
+    i = start
+    while i < end:
+        eid, i = _ebml_id(d, i)
+        size, i = _ebml_size(d, i)
+        stop = end if size < 0 else min(i + size, end)
+        yield eid, i, stop
+        if size < 0:
+            return  # unknown-size element runs to the end
+        i = stop
+
+
+def _ebml_uint(d: bytes, a: int, b: int) -> int:
+    return int.from_bytes(d[a:b], "big")
+
+
+def _ebml_float(d: bytes, a: int, b: int) -> float:
+    n = b - a
+    if n == 4:
+        return struct.unpack(">f", d[a:b])[0]
+    if n == 8:
+        return struct.unpack(">d", d[a:b])[0]
+    raise ValueError(f"EBML float must be 4 or 8 bytes, got {n}")
+
+
+def parse_webm_meta(payload: bytes) -> dict:
+    """``{'timescale_ns', 'duration_sec', 'tracks': [{'type',
+    'codec', 'width', 'height', 'sample_rate', 'channels'}]}`` of a
+    WebM/Matroska payload by walking the EBML tree — duration =
+    Duration ticks x TimecodeScale (default 1 ms/tick). Raises
+    ValueError on non-EBML payloads; absent elements surface None."""
+    if payload[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML (WebM/Matroska) payload")
+    d = bytes(payload)
+    timescale = 1_000_000  # spec default: 1 ms ticks
+    duration_ticks = None
+    tracks: list[dict] = []
+    for eid, a, b in _ebml_walk(d, 0, len(d)):
+        if eid != _MKV_SEGMENT:
+            continue
+        for sid, sa, sb in _ebml_walk(d, a, b):
+            if sid == _MKV_INFO:
+                for iid, ia, ib in _ebml_walk(d, sa, sb):
+                    if iid == _MKV_TIMESCALE:
+                        timescale = _ebml_uint(d, ia, ib)
+                    elif iid == _MKV_DURATION:
+                        duration_ticks = _ebml_float(d, ia, ib)
+            elif sid == _MKV_TRACKS:
+                for tid, ta, tb in _ebml_walk(d, sa, sb):
+                    if tid != _MKV_TRACKENTRY:
+                        continue
+                    t = {
+                        "type": None,
+                        "codec": None,
+                        "width": None,
+                        "height": None,
+                        "sample_rate": None,
+                        "channels": None,
+                    }
+                    for fid, fa, fb in _ebml_walk(d, ta, tb):
+                        if fid == _MKV_TRACKTYPE:
+                            v = _ebml_uint(d, fa, fb)
+                            t["type"] = {1: "video", 2: "audio"}.get(v, str(v))
+                        elif fid == _MKV_CODECID:
+                            t["codec"] = d[fa:fb].decode("latin-1")
+                        elif fid == _MKV_VIDEO:
+                            for vid_, va, vb in _ebml_walk(d, fa, fb):
+                                if vid_ == _MKV_PIXELW:
+                                    t["width"] = _ebml_uint(d, va, vb)
+                                elif vid_ == _MKV_PIXELH:
+                                    t["height"] = _ebml_uint(d, va, vb)
+                        elif fid == _MKV_AUDIO:
+                            for aid, aa, ab in _ebml_walk(d, fa, fb):
+                                if aid == _MKV_SAMPLERATE:
+                                    t["sample_rate"] = _ebml_float(d, aa, ab)
+                                elif aid == _MKV_CHANNELS:
+                                    t["channels"] = _ebml_uint(d, aa, ab)
+                    tracks.append(t)
+    return {
+        "timescale_ns": timescale,
+        "duration_sec": (
+            round(duration_ticks * timescale / 1e9, 9)
+            if duration_ticks is not None
+            else None
+        ),
+        "tracks": tracks,
+    }
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            size = (n | ((0x80 >> (ln - 1)) << (8 * (ln - 1)))).to_bytes(ln, "big")
+            return idb + size + payload
+    raise ValueError("element too large")
+
+
+def encode_webm_meta(
+    duration_ms: float,
+    width: int = 640,
+    height: int = 360,
+    sample_rate: float = 48000.0,
+    channels: int = 2,
+    with_audio: bool = True,
+) -> bytes:
+    """Minimal spec-shaped WebM fixture: EBML header + Segment with
+    Info (default 1 ms timescale, float Duration) and Tracks (a VP8
+    video entry; optionally an Opus audio entry). Every derived value
+    is element arithmetic — no clusters, metadata tier only."""
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(0x4282, b"webm"))  # DocType
+    info = _ebml_elem(
+        _MKV_INFO,
+        _ebml_elem(_MKV_TIMESCALE, (1_000_000).to_bytes(3, "big"))
+        + _ebml_elem(_MKV_DURATION, struct.pack(">d", float(duration_ms))),
+    )
+    v_entry = _ebml_elem(
+        _MKV_TRACKENTRY,
+        _ebml_elem(_MKV_TRACKTYPE, b"\x01")
+        + _ebml_elem(_MKV_CODECID, b"V_VP8")
+        + _ebml_elem(
+            _MKV_VIDEO,
+            _ebml_elem(_MKV_PIXELW, width.to_bytes(2, "big"))
+            + _ebml_elem(_MKV_PIXELH, height.to_bytes(2, "big")),
+        ),
+    )
+    entries = v_entry
+    if with_audio:
+        entries += _ebml_elem(
+            _MKV_TRACKENTRY,
+            _ebml_elem(_MKV_TRACKTYPE, b"\x02")
+            + _ebml_elem(_MKV_CODECID, b"A_OPUS")
+            + _ebml_elem(
+                _MKV_AUDIO,
+                _ebml_elem(_MKV_SAMPLERATE, struct.pack(">f", sample_rate))
+                + _ebml_elem(_MKV_CHANNELS, channels.to_bytes(1, "big")),
+            ),
+        )
+    segment = _ebml_elem(
+        _MKV_SEGMENT, info + _ebml_elem(_MKV_TRACKS, entries)
+    )
+    return header + segment

@@ -516,6 +516,11 @@ def extract_temporal_features(
       entropy decode) as ``vals = [height, width, has_alpha,
       has_anim]`` — the compressed-image sibling of the same tier
       (full VP8 decode is out of scope; triage bins on the envelope).
+    - kind 'video_meta' (WebM/Matroska): the EBML element walk
+      (``media_codecs.parse_webm_meta`` — Info duration x timescale,
+      Tracks geometry/audio layout, no cluster decode) as ``vals =
+      [duration_sec, height, width, audio_rate, audio_channels]``
+      (0.0 for absent track fields).
     - kind NULL otherwise — undecodable rows stay visible.
     """
     import pandas as pd
@@ -547,6 +552,29 @@ def extract_temporal_features(
                                 float(w["width"]),
                                 float(w["has_alpha"]),
                                 float(w["has_anim"]),
+                            ]
+                        )
+                elif fmt == "webm":
+                    try:
+                        wm = MC.parse_webm_meta(p)
+                    except ValueError:
+                        kinds.append(None)
+                        vals.append(None)
+                    else:
+                        vt = next(
+                            (t for t in wm["tracks"] if t["type"] == "video"), {}
+                        )
+                        at = next(
+                            (t for t in wm["tracks"] if t["type"] == "audio"), {}
+                        )
+                        kinds.append("video_meta")
+                        vals.append(
+                            [
+                                wm["duration_sec"],
+                                float(vt.get("height") or 0),
+                                float(vt.get("width") or 0),
+                                float(at.get("sample_rate") or 0),
+                                float(at.get("channels") or 0),
                             ]
                         )
                 elif fmt == "flac":
@@ -959,6 +987,16 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         MC.encode_mp3_meta(30, 128, 44100, with_id3=True)
                     ),
                 ),
+                # video_meta -16 (r12): a WebM/EBML fixture — 854x480
+                # VP8 + 48 kHz stereo Opus, duration 2.5 s at the
+                # default 1 ms timescale; every value is element
+                # arithmetic, no cluster decode.
+                (
+                    -16,
+                    bytearray(
+                        MC.encode_webm_meta(2500.0, 854, 480, 48000.0, 2)
+                    ),
+                ),
                 # audio_meta -15 (r12): a FLAC STREAMINFO fixture —
                 # 110250 samples at 44100 Hz stereo 16-bit, every
                 # value closed-form block arithmetic (duration 2.5 s).
@@ -1235,6 +1273,16 @@ SELECT 'audio_meta', -9::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(5)) AS pos,
          unnest([30 * 1152 / 44100.0, 128.0, 44100.0, 30.0, 2.0]) AS val
+) u
+UNION ALL
+-- 'video_meta' WebM row (r12): EBML element arithmetic — vals =
+-- [duration, height, width, audio_rate, audio_channels], duration =
+-- 2500 ticks x 1 ms = 2.5 exactly.
+SELECT 'video_meta', -16::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(5)) AS pos,
+         unnest([2.5, 480.0, 854.0, 48000.0, 2.0]) AS val
 ) u
 UNION ALL
 -- 'audio_meta' FLAC row (r12): STREAMINFO block arithmetic — vals =

@@ -682,3 +682,32 @@ def test_flac_streaminfo_metadata_tier():
         MC.parse_flac_meta(b"fLaC" + b"\x00")
     with _pytest.raises(ValueError):
         MC.parse_flac_meta(b"not flac at all, much too short? no -" + b"\x00" * 20)
+
+
+def test_webm_ebml_metadata_tier():
+    """WebM/Matroska metadata tier: EBML varint framing, Info
+    duration x timescale, Tracks geometry + audio layout, sniff and
+    media_duration_ms integration, video-only variant, junk raises."""
+    p = MC.encode_webm_meta(2500.0, 854, 480, 48000.0, 2)
+    assert MC.sniff_format(p) == "webm"
+    m = MC.parse_webm_meta(p)
+    assert m["duration_sec"] == 2.5 and m["timescale_ns"] == 1_000_000
+    v = next(t for t in m["tracks"] if t["type"] == "video")
+    a = next(t for t in m["tracks"] if t["type"] == "audio")
+    assert (v["codec"], v["width"], v["height"]) == ("V_VP8", 854, 480)
+    assert (a["codec"], a["sample_rate"], a["channels"]) == ("A_OPUS", 48000.0, 2)
+    assert MC.media_duration_ms(p) == 2500
+    solo = MC.parse_webm_meta(MC.encode_webm_meta(100.0, with_audio=False))
+    assert [t["type"] for t in solo["tracks"]] == ["video"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MC.parse_webm_meta(b"not ebml")
+    # a multi-byte size varint (2-byte form) walks correctly
+    from data_integration_and_harmonization_spark.functions.media_codecs import (
+        _ebml_size,
+    )
+
+    assert _ebml_size(b"\x40\x01", 0) == (1, 2)
+    assert _ebml_size(b"\x81", 0) == (1, 1)
+    assert _ebml_size(b"\xff", 0) == (-1, 1)  # unknown size
