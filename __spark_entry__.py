@@ -1513,6 +1513,52 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             + F.regexp_extract("cue_id", r"c(\d+)", 1).cast("long")
         ).alias("sum_rkey"),
     )
+    # '__warc' row (r12): web-crawl ingestion — an engine-written
+    # .warc.gz (one gzip member per record, the Common Crawl layout)
+    # holding one HTML response per region row, parsed by the
+    # distributed read_warc stage and text-extracted by the all-JVM
+    # html_to_text pipeline. The expected plain text is the html
+    # pipeline's CONTRACT (title/p closers -> newlines, script blocks
+    # dropped, &amp; decoded): 'Region (<name>)\\nkey & <k>'.
+    from data_integration_and_harmonization_spark.operators.text import (
+        html_to_text,
+    )
+    from data_integration_and_harmonization_spark.sources.warc import (
+        encode_warc,
+        read_warc,
+    )
+
+    warc_file = base + "_region.warc.gz"
+    with open(warc_file, "wb") as fh:
+        fh.write(
+            encode_warc(
+                [
+                    (
+                        f"http://crawl.example/r/{k}",
+                        f"2026-01-01T00:00:{k:02d}Z",
+                        f"<html><head><title>Region ({n})</title></head>"
+                        f"<body><p>key &amp; {k}</p>"
+                        f"<script>var x = 1 < 2;</script></body></html>",
+                    )
+                    for k, n in region_rows
+                ],
+                gzip_members=True,
+            )
+        )
+    warc_txt = html_to_text(F.decode(F.col("body"), "UTF-8"))
+    warc_row = (
+        read_warc(spark, warc_file)
+        .where(F.col("warc_type") == "response")
+        .agg(
+            F.lit("__warc").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.length(warc_txt)).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract(warc_txt, r"key & (\d+)", 1).cast("long")
+            ).alias("sum_rkey"),
+        )
+    )
     pdf_md5_row = pdf_texts.agg(
         F.concat(
             F.lit("__pdfmd5_"),
@@ -1552,6 +1598,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(pdfcid_md5_row)
         .unionByName(srt_row)
         .unionByName(vtt_row)
+        .unionByName(warc_row)
     )
 
 
@@ -2995,6 +3042,17 @@ SELECT '__vtt', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        sum((60000 * r_regionkey + 2500) + (60000 * r_regionkey + 5500))::BIGINT,
        sum(2 * r_regionkey)::BIGINT
 FROM region
+UNION ALL
+-- WARC leg (r12): one HTML response record per region row in a
+-- member-gzipped archive; the reconstruction below is the
+-- html_to_text contract over the fixture markup (title/p closers ->
+-- newlines, the script block dropped whole, &amp; decoded)
+SELECT '__warc', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length(txt))::BIGINT,
+       sum(CAST(regexp_extract(txt, 'key & ([0-9]+)', 1) AS BIGINT))::BIGINT
+FROM (SELECT 'Region (' || r_name || ')' || chr(10) ||
+             'key & ' || r_regionkey AS txt
+      FROM region)
 """,
         "ml_exact_split": """
 WITH ranked AS (

@@ -219,6 +219,15 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return bins.mapInPandas(
             _extract_mixed_batches, "fmt string, text string, _src_file string"
         )
+    if ext in ("warc", "gz") and (ext == "warc" or path.endswith(".warc.gz")):
+        # web-crawl archives (ISO 28500 / the Common Crawl container):
+        # one binaryFile task per archive + one Arrow record-parse
+        # stage -> (warc_type, url, date, http_content_type, body,
+        # _src_file); pipe response bodies through html_to_text for
+        # the text pipeline
+        from data_integration_and_harmonization_spark.sources.warc import read_warc
+
+        return read_warc(spark, path)
     if ext == "srt":
         return read_srt(spark, path)
     if ext == "vtt":

@@ -1625,3 +1625,38 @@ def test_pptx_codec_and_front_doors(spark, tmp_path):
         3: ("pptx", "\n\n".join(slides)),
         4: (None, None),
     }
+
+
+def test_warc_reader_distributed(spark, tmp_path):
+    """read_warc: record parse over plain and member-gzipped archives
+    (warcinfo + responses, HTTP envelope stripped, provenance
+    carried), torn tails degrade, alien files yield nothing, and the
+    front door routes .warc/.warc.gz."""
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+    from data_integration_and_harmonization_spark.sources.warc import encode_warc
+
+    pages = [
+        ("http://ex.com/a", "2026-01-02T03:04:05Z",
+         "<html><body><p>hello &amp; world</p></body></html>"),
+        ("http://ex.com/b", "2026-01-02T03:04:06Z",
+         "<html><body>second page</body></html>"),
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(encode_warc(pages))
+    (d / "b.warc.gz").write_bytes(encode_warc(pages[:1], gzip_members=True))
+    (d / "alien.warc").write_bytes(b"this is not a warc at all")
+    out = read_any(spark, str(d), fmt="warc")
+    rows = out.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["_src_file"], []).append(r)
+    assert len(by_file["a.warc"]) == 3 and len(by_file["b.warc.gz"]) == 2
+    assert "alien.warc" not in by_file
+    resp = [r for r in by_file["a.warc"] if r["warc_type"] == "response"]
+    assert {r["url"] for r in resp} == {"http://ex.com/a", "http://ex.com/b"}
+    assert all(r["http_content_type"].startswith("text/html") for r in resp)
+    body = next(bytes(r["body"]) for r in resp if r["url"].endswith("/a"))
+    assert body == pages[0][2].encode()
+    # single-file path form too
+    assert read_any(spark, str(d / "b.warc.gz")).count() == 2
