@@ -228,6 +228,15 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         from data_integration_and_harmonization_spark.sources.warc import read_warc
 
         return read_warc(spark, path)
+    if ext == "tar" or path.endswith((".tar.gz", ".tgz")):
+        # a tarball corpus: one row per regular member ->
+        # (member, payload, _src_file); route payloads through the
+        # document/media dispatchers downstream
+        from data_integration_and_harmonization_spark.sources.warc import (
+            read_tar_corpus,
+        )
+
+        return read_tar_corpus(spark, path)
     if ext == "srt":
         return read_srt(spark, path)
     if ext == "vtt":

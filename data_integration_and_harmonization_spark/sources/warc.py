@@ -170,6 +170,54 @@ def encode_warc(
     return out.getvalue()
 
 
+def read_tar_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed TAR-archive corpus scan — document dumps commonly
+    ship as (optionally gzipped) tarballs of per-document files: one
+    ``binaryFile`` task per archive, one Arrow stage walking members
+    with the stdlib ``tarfile`` (ustar/pax/gnu formats all handled).
+    One row per regular-file member: ``(member, payload, _src_file)``
+    — feed payloads to ``operators.text.document_text_table`` (pdf/
+    docx/pptx dispatch) or the media codecs. Directories, links and
+    torn archives degrade to the members that did read."""
+    import os
+
+    pattern = os.path.join(path, "*.tar*") if os.path.isdir(path) else path
+    bins = (
+        spark.read.format("binaryFile").load(pattern).select("content", "path")
+    )
+
+    def batches(it):
+        import io as _io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in it:
+            members, payloads, srcs = [], [], []
+            for payload, p in zip(pdf["content"], pdf["path"]):
+                src = p.rsplit("/", 1)[-1]
+                try:
+                    with tarfile.open(fileobj=_io.BytesIO(payload), mode="r:*") as tf:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            fh = tf.extractfile(m)
+                            if fh is None:
+                                continue
+                            members.append(m.name)
+                            payloads.append(fh.read())
+                            srcs.append(src)
+                except (tarfile.TarError, OSError, EOFError):
+                    continue  # alien or torn archive
+            yield pd.DataFrame(
+                {"member": members, "payload": payloads, "_src_file": srcs}
+            )
+
+    return bins.mapInPandas(
+        batches, "member string, payload binary, _src_file string"
+    )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC corpus scan: ``binaryFile`` over
     ``*.warc``/``*.warc.gz`` (one task per archive — the crawl's file

@@ -1660,3 +1660,47 @@ def test_warc_reader_distributed(spark, tmp_path):
     assert body == pages[0][2].encode()
     # single-file path form too
     assert read_any(spark, str(d / "b.warc.gz")).count() == 2
+
+
+def test_tar_corpus_reader(spark, tmp_path):
+    """read_tar_corpus: members of plain and gzipped tarballs surface
+    as (member, payload, _src_file); directories skipped; alien
+    archives yield nothing; payloads feed the document dispatcher."""
+    import io
+    import tarfile
+
+    from data_integration_and_harmonization_spark.operators.text import (
+        document_text_table,
+    )
+    from data_integration_and_harmonization_spark.sources import docx as D
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    def make_tar(path, mode, files):
+        with tarfile.open(path, mode) as tf:
+            dti = tarfile.TarInfo("adir/")
+            dti.type = tarfile.DIRTYPE
+            tf.addfile(dti, None)
+            for name, data in files:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    docx_payload = D.encode_docx(["from the tarball"])
+    make_tar(d / "a.tar", "w", [("x.txt", b"plain text"), ("y.docx", docx_payload)])
+    make_tar(d / "b.tar.gz", "w:gz", [("z.txt", b"gzipped member")])
+    (d / "alien.tar").write_bytes(b"not a tar")
+    out = read_any(spark, str(d), fmt="tar")
+    rows = {(r["_src_file"], r["member"]): bytes(r["payload"]) for r in out.collect()}
+    assert rows == {
+        ("a.tar", "x.txt"): b"plain text",
+        ("a.tar", "y.docx"): bytes(docx_payload),
+        ("b.tar.gz", "z.txt"): b"gzipped member",
+    }
+    # members pipe into the fused document dispatcher
+    docs = out.where(out.member.endswith(".docx")).selectExpr(
+        "1 AS doc_id", "payload"
+    )
+    got = document_text_table(docs).collect()
+    assert [(r["fmt"], r["text"]) for r in got] == [("docx", "from the tarball")]
