@@ -1704,3 +1704,41 @@ def test_tar_corpus_reader(spark, tmp_path):
     )
     got = document_text_table(docs).collect()
     assert [(r["fmt"], r["text"]) for r in got] == [("docx", "from the tarball")]
+
+
+def test_pdf_incremental_update_prev_chain():
+    """An incrementally-updated PDF (the append-only save format:
+    original body + a replacement object + a second xref section
+    whose trailer carries /Prev): the document tier must resolve the
+    NEWEST xref first, so the updated content wins while untouched
+    objects still come from the original section."""
+    import zlib
+
+    from data_integration_and_harmonization_spark.functions import pdf as P
+
+    base = P.encode_pdf(["original text", "second page"])
+    assert P.extract_pdf_text(base) == "original text\nsecond page"
+    # locate the original xref offset (the startxref value)
+    import re
+
+    old_xref_at = int(re.search(rb"startxref\n(\d+)", base).group(1))
+    # object 6 is page 1's content stream (1 catalog, 2 pages, 3-4
+    # page objs, 5-6 content, 7 font in encode_pdf's layout for two
+    # pages) — re-check: 3+n_pages+i with n=2 -> contents are 5 and 6
+    new_content = zlib.compress(
+        b"BT /F1 12 Tf 72 720 Td (updated text) Tj ET"
+    )
+    upd = bytearray(base)
+    obj_at = len(upd)
+    upd += (
+        b"5 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n%s"
+        b"\nendstream\nendobj\n" % (len(new_content), new_content)
+    )
+    xref_at = len(upd)
+    upd += b"xref\n0 1\n0000000000 65535 f \n5 1\n%010d 00000 n \n" % obj_at
+    upd += (
+        b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (old_xref_at, xref_at)
+    )
+    got = P.extract_pdf_text(bytes(upd))
+    assert got == "updated text\nsecond page", repr(got)
