@@ -1998,11 +1998,12 @@ def media_signature(payload: bytes) -> tuple[str | None, int | None]:
         s = audio_simhash64(payload)
         return ("audio", s) if s is not None else (None, None)
     if fmt == "mp3":
-        # MPEG audio: Layer I mono decodes to the compressed-domain
-        # band-energy fingerprint and joins the SAME audio family as
-        # WAV (identical bit layout — pinned by the aud_mp1 legs);
-        # Layer II/III stay on the metadata tier and quarantine here.
-        s = audio_simhash64_mp1(payload)
+        # MPEG audio: Layer I and Layer II mono decode to the
+        # compressed-domain band-energy fingerprint and join the SAME
+        # audio family as WAV (identical bit layout — pinned by the
+        # aud_mp1/aud_mp2 legs); Layer III stays on the metadata tier
+        # and quarantines here.
+        s = audio_simhash64_mpeg(payload)
         return ("audio", s) if s is not None else (None, None)
     return None, None
 
@@ -2116,23 +2117,7 @@ def audio_simhash64_mp1(
         _rate, sb = decode_mp1_subbands(payload)
     except Exception:  # noqa: BLE001 — malformed audio
         return None
-    seg = len(sb) // n_buckets
-    if seg < 1:
-        return None
-    band_of = np.arange(32) * n_bands // 32
-    cells = np.zeros((n_buckets, n_bands))
-    for b in range(n_buckets):
-        s = sb[b * seg : (b + 1) * seg]
-        power = s * s
-        for band in range(n_bands):
-            cells[b, band] = power[:, band_of == band].sum()
-    cells = np.round(cells, 3)
-    med = float(np.median(cells))
-    h = 0
-    for i, bit in enumerate((cells > med).flatten()):
-        if bit:
-            h |= 1 << i
-    return h - (1 << 64) if h >= (1 << 63) else h
+    return _subband_simhash64(sb, n_buckets, n_bands)
 
 
 def encode_mp1_tones(
@@ -2192,6 +2177,271 @@ def encode_mp1_tones(
             put(3, 6)  # scalefactor index 3 -> 1.0
             for _s in range(12):
                 put(code, nb)
+            if nacc:
+                bits.append((acc << (8 - nacc)) & 0xFF)
+            frame = struct.pack(">I", h) + bytes(bits)
+            if len(frame) > size:
+                raise ValueError("fixture frame overflows its bit budget")
+            out += frame + b"\x00" * (size - len(frame))
+    return bytes(out)
+
+
+# -------------------------------------------- MPEG-1 Audio Layer II
+#
+# CONTENT tier for the dominant broadcast layer (r13, the r12 ladder's
+# next rung): a from-spec bitstream decode of MPEG-1 Layer II mono
+# frames (ISO/IEC 11172-3 §2.4.1.6/§2.4.2.5 — 1152 samples/frame as
+# 36 rows x 32 subbands; per-subband allocation indices of
+# table-dependent width mapping through Tables 3-B.2a/b/c/d to a
+# quantization class; 2-bit scalefactor-selection (scfsi) choosing how
+# the three 12-row parts share their 6-bit scalefactor indices; the
+# grouped 3/5/9-step classes packing three samples into one 5/7/10-bit
+# codeword; requantization per Table 3-B.4,
+# s = sf * C * (code / 2^(nb-1) - 1 + D)) down to the SUBBAND SAMPLE
+# matrix. Same deliberate divergence as Layer I: the synthesis
+# filterbank is NOT reimplemented — the fingerprint consumes
+# subband-domain energies on the codec's own linear frequency grid,
+# which is exactly what the band-energy recipe wants. Layer III
+# (Huffman granules + IMDCT over 576 spectral lines) stays on the
+# metadata tier; it is the ladder's last rung.
+
+# Table 3-B.4 constants are closed forms of the class: C = 2^nb/steps,
+# D = 1/2 for the grouped classes (3/5/9 steps), 2^(1-nb) otherwise.
+# _MP2_CLASS: steps -> (sample bits nb, grouped codeword bits or 0).
+_MP2_CLASS = {3: (2, 5), 5: (3, 7), 9: (4, 10)}
+for _nb in range(3, 17):
+    _MP2_CLASS.setdefault((1 << _nb) - 1, (_nb, 0))
+
+# Tables 3-B.2a/b/c/d: per-subband (allocation field width nbal,
+# steps for allocation index 1..2^nbal-1). a/b share four row shapes;
+# c/d share two (their step ladder skips 7 and tops at 32767).
+_B2_R0 = (4, (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767, 65535))
+_B2_R1 = (4, (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535))
+_B2_R2 = (3, (3, 5, 7, 9, 15, 31, 65535))
+_B2_R3 = (2, (3, 5, 65535))
+_B2_RC4 = (4, (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383, 32767))
+_B2_RC3 = (3, (3, 5, 9, 15, 31, 63, 127))
+_MP2_B2A = (_B2_R0,) * 3 + (_B2_R1,) * 8 + (_B2_R2,) * 12 + (_B2_R3,) * 4
+_MP2_B2B = (_B2_R0,) * 3 + (_B2_R1,) * 8 + (_B2_R2,) * 12 + (_B2_R3,) * 7
+_MP2_B2C = (_B2_RC4,) * 2 + (_B2_RC3,) * 6
+_MP2_B2D = (_B2_RC4,) * 2 + (_B2_RC3,) * 10
+
+
+def _mp2_table(rate: int, kbps_per_ch: int):
+    """Bit-allocation table for an MPEG-1 Layer II frame (Table 3-B.2
+    selection rules): 32/48 kbps/ch -> the low-rate tables (d at
+    32 kHz, c at 44.1/48); 56-80 -> a everywhere; 96-192 -> a at
+    48 kHz, b at 44.1/32 kHz."""
+    if kbps_per_ch <= 48:
+        return _MP2_B2D if rate == 32000 else _MP2_B2C
+    if rate == 48000 or kbps_per_ch <= 80:
+        return _MP2_B2A
+    return _MP2_B2B
+
+
+def decode_mp2_subbands(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """(sample_rate, subband sample matrix [n_rows, 32]) of a mono
+    MPEG-1 Layer II stream — 36 rows per frame. Raises ValueError on
+    non-Layer-II, non-mono, or malformed frames (callers quarantine)."""
+    pos = _id3v2_size(payload)
+    rows: list[list[float]] = []
+    rate_out = None
+    while pos + 4 <= len(payload):
+        fr = _mp3_frame(payload, pos)
+        if fr is None:
+            break
+        size, _samples, rate, bitrate, channels = fr
+        h = struct.unpack(">I", payload[pos : pos + 4])[0]
+        if (h >> 17) & 3 != 2:  # layer bits: 2 = Layer II
+            raise ValueError("not an MPEG-1 Layer II stream")
+        if channels != 1:
+            raise ValueError("only mono Layer II is decoded")
+        if rate_out is None:
+            rate_out = rate
+        if pos + size > len(payload):
+            break  # torn final frame: keep what decoded
+        body_start = pos + 4 + (0 if (h >> 16) & 1 else 2)  # CRC when bit 0
+        table = _mp2_table(rate, bitrate)  # mono: per-channel == frame rate
+        sblimit = len(table)
+        br = _MP1BitReader(payload, body_start * 8)
+        steps_of = [0] * 32
+        for sb in range(sblimit):
+            nbal, classes = table[sb]
+            a = br.read(nbal)
+            if a:
+                steps_of[sb] = classes[a - 1]
+        scfsi = [br.read(2) if steps_of[sb] else 0 for sb in range(sblimit)]
+        sf = [[0.0] * 3 for _ in range(32)]
+        for sb in range(sblimit):
+            if not steps_of[sb]:
+                continue
+            # scfsi (§2.4.2.5): 0 -> three transmitted; 2 -> one for
+            # all parts; 1/3 -> two, shared by parts (0,1)/(1,2)
+            n_tx = {0: 3, 1: 2, 2: 1, 3: 2}[scfsi[sb]]
+            idx = [br.read(6) for _ in range(n_tx)]
+            if any(i > 62 for i in idx):
+                raise ValueError("scalefactor index out of table")
+            if scfsi[sb] == 0:
+                parts = idx
+            elif scfsi[sb] == 1:
+                parts = [idx[0], idx[0], idx[1]]
+            elif scfsi[sb] == 2:
+                parts = [idx[0], idx[0], idx[0]]
+            else:
+                parts = [idx[0], idx[1], idx[1]]
+            sf[sb] = [_MP1_SF[i] for i in parts]
+        frame_rows = [[0.0] * 32 for _ in range(36)]
+        for gr in range(12):
+            part = gr // 4
+            for sb in range(sblimit):
+                st = steps_of[sb]
+                if not st:
+                    continue
+                nb, gbits = _MP2_CLASS[st]
+                if gbits:
+                    c = br.read(gbits)
+                    codes = (c % st, (c // st) % st, (c // (st * st)) % st)
+                else:
+                    codes = (br.read(nb), br.read(nb), br.read(nb))
+                cc = (1 << nb) / st
+                dd = 0.5 if gbits else 2.0 ** (1 - nb)
+                s = sf[sb][part]
+                for k in range(3):
+                    frame_rows[gr * 3 + k][sb] = s * cc * (
+                        codes[k] / (1 << (nb - 1)) - 1.0 + dd
+                    )
+        rows.extend(frame_rows)
+        pos += size
+    if rate_out is None or not rows:
+        raise ValueError("no decodable Layer II frame")
+    return rate_out, np.array(rows, dtype=np.float64)
+
+
+def _subband_simhash64(
+    sb: "np.ndarray", n_buckets: int = 8, n_bands: int = 8
+) -> int | None:
+    """Shared band-energy fingerprint over a subband sample matrix
+    [n_rows, 32] — the compressed-domain recipe both MPEG layers feed:
+    n_buckets time segments, per-band energy cells (band_of(k) =
+    k * n_bands // 32) rounded to 3 decimals, median threshold. Same
+    bit layout as the WAV path's FFT grid (:func:`audio_simhash64`)."""
+    seg = len(sb) // n_buckets
+    if seg < 1:
+        return None
+    band_of = np.arange(32) * n_bands // 32
+    cells = np.zeros((n_buckets, n_bands))
+    for b in range(n_buckets):
+        power = sb[b * seg : (b + 1) * seg] ** 2
+        for band in range(n_bands):
+            cells[b, band] = power[:, band_of == band].sum()
+    cells = np.round(cells, 3)
+    med = float(np.median(cells))
+    h = 0
+    for i, bit in enumerate((cells > med).flatten()):
+        if bit:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_simhash64_mp2(
+    payload: bytes, n_buckets: int = 8, n_bands: int = 8
+) -> int | None:
+    """64-bit band-energy fingerprint of a mono MPEG-1 Layer II stream
+    — same contract as :func:`audio_simhash64_mp1`: the codec's own
+    32-subband filterbank supplies the time-frequency grid, so a WAV,
+    a Layer I, and a Layer II encode of the same content land on the
+    SAME bit layout and join one near-dup family. None for payloads
+    that don't decode or are too short."""
+    try:
+        _rate, sb = decode_mp2_subbands(payload)
+    except Exception:  # noqa: BLE001 — malformed audio
+        return None
+    return _subband_simhash64(sb, n_buckets, n_bands)
+
+
+def audio_simhash64_mpeg(payload: bytes) -> int | None:
+    """Layer dispatch for MPEG audio fingerprints: Layer I ->
+    :func:`audio_simhash64_mp1`, Layer II -> :func:`audio_simhash64_mp2`,
+    Layer III (metadata tier — no granule decode yet) -> None. The
+    single front door :func:`media_signature` routes 'mp3'-sniffed
+    payloads through."""
+    try:
+        pos = _id3v2_size(payload)
+        h = struct.unpack(">I", payload[pos : pos + 4])[0]
+    except Exception:  # noqa: BLE001 — malformed/short payload
+        return None
+    layer_bits = (h >> 17) & 3
+    if layer_bits == 3:
+        return audio_simhash64_mp1(payload)
+    if layer_bits == 2:
+        return audio_simhash64_mp2(payload)
+    return None
+
+
+def encode_mp2_tones(
+    bands_seq: list[int],
+    rate: int = 44100,
+    bitrate: int = 96,
+    frames_per_seg: int = 1,
+    n_bands: int = 8,
+) -> bytes:
+    """Spec-shaped mono MPEG-1 Layer II fixture: one SEGMENT per entry
+    of ``bands_seq``, each ``frames_per_seg`` frames whose single
+    active subband is the mid-band subband of that entry's frequency
+    band (subband = band*4 + 1), coded in the 65535-step class (the
+    last allocation index of every Table 3-B.2a/b row) with
+    scalefactor index 3 (= 1.0), scfsi mode 2 (one scalefactor for all
+    three parts), and constant amplitude 0.5. Every other subband has
+    allocation 0 and decodes to EXACTLY zero, so the band-energy bit
+    grid is the same closed form as the WAV/Layer-I tone fixtures:
+    bit(bucket*8+band) = 1 iff seq[bucket] = band — a WAV, Layer I,
+    and Layer II encode of one sequence hash IDENTICALLY."""
+    br_idx = _MP3_BITRATES[(1, 2)].index(bitrate)
+    sr_idx = _MP3_RATES[3].index(rate)
+    h = (
+        (0x7FF << 21)
+        | (3 << 19)  # MPEG1
+        | (2 << 17)  # Layer II
+        | (1 << 16)  # no CRC
+        | (br_idx << 12)
+        | (sr_idx << 10)
+        | (0 << 9)  # no padding
+        | (3 << 6)  # single channel
+    )
+    size = 1152 // 8 * bitrate * 1000 // rate
+    table = _mp2_table(rate, bitrate)
+    sblimit = len(table)
+    nb = 16  # 65535-step class
+    cc = (1 << nb) / 65535.0
+    dd = 2.0 ** (1 - nb)
+    # invert the requantizer for amplitude 0.5 at sf = 1.0
+    code = round((0.5 / cc + 1.0 - dd) * (1 << (nb - 1)))
+    out = bytearray()
+    for band in bands_seq:
+        sb_active = band * (32 // n_bands) + 1
+        if sb_active >= sblimit or table[sb_active][1][-1] != 65535:
+            raise ValueError("active subband not codable at 65535 steps")
+        for _f in range(frames_per_seg):
+            bits = bytearray()
+            acc = 0
+            nacc = 0
+
+            def put(val: int, width: int) -> None:
+                nonlocal acc, nacc
+                acc = (acc << width) | (val & ((1 << width) - 1))
+                nacc += width
+                while nacc >= 8:
+                    nacc -= 8
+                    bits.append((acc >> nacc) & 0xFF)
+
+            for sb in range(sblimit):
+                nbal = table[sb][0]
+                put((1 << nbal) - 1 if sb == sb_active else 0, nbal)
+            put(2, 2)  # scfsi mode 2: one scalefactor, all parts
+            put(3, 6)  # scalefactor index 3 -> 1.0
+            for _gr in range(12):
+                for _s in range(3):
+                    put(code, nb)
             if nacc:
                 bits.append((acc << (8 - nacc)) & 0xFF)
             frame = struct.pack(">I", h) + bytes(bits)

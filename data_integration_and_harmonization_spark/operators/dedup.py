@@ -1965,6 +1965,18 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (-31, MC.encode_mp1_tones([0, 1, 2, 3, 4, 5, 6, 7])),
             (-32, MC.encode_mp1_tones([0, 1, 2, 3, 4, 5, 6, 6])),
             (-33, MC.encode_mp1_tones([7, 6, 5, 4, 3, 2, 1, 0])),
+            # 'aud' mp2 fixtures (r13): the SAME band sequences once
+            # more, MPEG-1 Layer II encoded — the broadcast layer's
+            # from-spec decode (media_codecs.decode_mp2_subbands:
+            # Table 3-B.2 allocation, scfsi-shared scalefactors,
+            # grouped-class degrouping, Table 3-B.4 requantization)
+            # feeds the same closed-form bit grid, so -41 hashes
+            # IDENTICALLY to WAV -11 AND Layer I -31 (the three-way
+            # cross-format near-dup family); -42 moves one segment
+            # (hamming 2); -43 reverses (excluded).
+            (-41, MC.encode_mp2_tones([0, 1, 2, 3, 4, 5, 6, 7])),
+            (-42, MC.encode_mp2_tones([0, 1, 2, 3, 4, 5, 6, 6])),
+            (-43, MC.encode_mp2_tones([7, 6, 5, 4, 3, 2, 1, 0])),
             # 'vid_bits' / 'vid_pair' fixtures: video near-dup via the
             # temporal-average pHash (video_phash64 — sample i*T//4
             # frames, mean luma, DCT pHash). With 2 frames the picks
@@ -2000,7 +2012,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id long, payload binary",
         )
         # persisted: the signature table feeds FOUR legs, so the Arrow
-        # decode stage runs once (12 rows — the persist is
+        # decode stage runs once (a few dozen rows — the persist is
         # bookkeeping, not a size concern)
         sig = track(media_signature_table(media).persist())
 
@@ -2351,15 +2363,19 @@ WITH px AS (
   -- (leakage-free bins, quantization noise rounds to 0.0 — see the
   -- query docstring): bit(bucket*8+band) = 1 iff seq[bucket] = band.
   -- -14 is silence: every cell 0, nothing exceeds the median.
-  -- mids <= -31 are MPEG-1 Layer I encodes of the same sequences
-  -- (compressed-domain fingerprint, identical bit-grid contract)
+  -- mids in (-31..-33) are MPEG-1 Layer I encodes and (-41..-43)
+  -- Layer II encodes of the same sequences (compressed-domain
+  -- fingerprints, identical bit-grid contract)
   VALUES (-11, [0, 1, 2, 3, 4, 5, 6, 7]),
          (-12, [0, 1, 2, 3, 4, 5, 6, 6]),
          (-13, [7, 6, 5, 4, 3, 2, 1, 0]),
          (-14, CAST(NULL AS INT[])),
          (-31, [0, 1, 2, 3, 4, 5, 6, 7]),
          (-32, [0, 1, 2, 3, 4, 5, 6, 6]),
-         (-33, [7, 6, 5, 4, 3, 2, 1, 0])
+         (-33, [7, 6, 5, 4, 3, 2, 1, 0]),
+         (-41, [0, 1, 2, 3, 4, 5, 6, 7]),
+         (-42, [0, 1, 2, 3, 4, 5, 6, 6]),
+         (-43, [7, 6, 5, 4, 3, 2, 1, 0])
 ), aud_bits AS (
   SELECT mid, (p.i)::BIGINT AS pos,
          (CASE WHEN seq IS NOT NULL AND seq[p.i // 8 + 1] = p.i % 8

@@ -663,6 +663,82 @@ def test_mp1_layer1_content_tier():
     assert len(sb2) == 192 - 12  # final torn frame dropped
 
 
+def test_mp2_layer2_content_tier():
+    """MPEG-1 Layer II content tier (the broadcast layer): the
+    from-spec decode (Table 3-B.2 allocation, scfsi scalefactor
+    sharing, grouped-class degrouping, Table 3-B.4 requantization)
+    recovers the fixture's subband layout; the fingerprint equals the
+    WAV AND Layer I fingerprints of the same band sequence (one
+    near-dup family across three formats); the layer dispatch routes
+    I/II to content and III to the metadata tier."""
+    import numpy as np
+
+    seq = [0, 1, 2, 3, 4, 5, 6, 7]
+    p = MC.encode_mp2_tones(seq)
+    assert MC.sniff_format(p) == "mp3"
+    rate, sb = MC.decode_mp2_subbands(p)
+    assert rate == 44100 and sb.shape == (288, 32)
+    # active subband of segment k is 4*seq[k]+1 at amplitude ~0.5;
+    # zero-allocation subbands decode to EXACTLY zero
+    seg = sb[:36]
+    assert abs(seg[:, 1] - 0.5).max() < 1e-3
+    assert np.abs(seg[:, [0] + list(range(2, 32))]).max() == 0.0
+    h = MC.audio_simhash64_mp2(p)
+    t = np.arange(1024)
+    wav = MC.encode_wav(
+        8192,
+        np.concatenate(
+            [0.5 * np.sin(2 * np.pi * (8 + 16 * b) * t / 256) for b in seq]
+        ),
+    )
+    assert h == MC.audio_simhash64(wav)
+    assert h == MC.audio_simhash64_mp1(MC.encode_mp1_tones(seq))
+    # near-dup across formats: one segment moved -> hamming 2
+    h2 = MC.audio_simhash64_mp2(MC.encode_mp2_tones([0, 1, 2, 3, 4, 5, 6, 6]))
+    assert bin((h ^ h2) & (2**64 - 1)).count("1") == 2
+    # layer dispatch: I and II -> content tier, III -> metadata only
+    assert MC.audio_simhash64_mpeg(p) == h
+    assert MC.audio_simhash64_mpeg(MC.encode_mp1_tones(seq)) == h
+    assert MC.audio_simhash64_mpeg(MC.encode_mp3_meta(30, 128, 44100)) is None
+    assert MC.media_signature(p) == ("audio", h)
+    # the grouped 3-step class degroups (5-bit codeword -> 3 samples):
+    # hand-build one 48 kHz/32 kbps frame (Table B.2c, sblimit 8,
+    # sb2 nbal=3 alloc index 1 -> 3 steps) whose single group code 13
+    # = 1 + 1*3 + 1*9 decodes all three samples to code 1 -> exactly 0
+    hh = (
+        (0x7FF << 21) | (3 << 19) | (2 << 17) | (1 << 16)
+        | (1 << 12) | (1 << 10) | (3 << 6)  # 32 kbps, 48 kHz, mono
+    )
+    bits = []
+    bits += [(0, 4), (0, 4), (1, 3)] + [(0, 3)] * 5  # alloc: sb2 -> 3 steps
+    bits += [(2, 2), (3, 6)]  # scfsi one-sf, sf index 3 (= 1.0)
+    bits += [(13, 5)] * 12  # 12 granules, grouped code 13 -> (1,1,1)
+    acc = bytearray()
+    cur, n = 0, 0
+    for val, w in bits:
+        cur = (cur << w) | val
+        n += w
+        while n >= 8:
+            n -= 8
+            acc.append((cur >> n) & 0xFF)
+    if n:
+        acc.append((cur << (8 - n)) & 0xFF)
+    size = 1152 // 8 * 32 * 1000 // 48000
+    frame = __import__("struct").pack(">I", hh) + bytes(acc)
+    frame += b"\x00" * (size - len(frame))
+    rate_g, sb_g = MC.decode_mp2_subbands(frame)
+    assert rate_g == 48000 and sb_g.shape == (36, 32)
+    # code 1 of the 3-step class: 4/3 * (1/2 - 1 + 1/2) = 0.0
+    assert np.abs(sb_g).max() == 0.0
+    # malformed: junk raises; truncated final frame keeps what decoded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MC.decode_mp2_subbands(b"\x00" * 64)
+    rate3, sb3 = MC.decode_mp2_subbands(p[: len(p) - 10])
+    assert len(sb3) == 288 - 36  # final torn frame dropped
+
+
 def test_flac_streaminfo_metadata_tier():
     """FLAC STREAMINFO tier: sniff, block-arithmetic fields, unknown
     total_samples -> NULL duration, media_duration_ms integration,
