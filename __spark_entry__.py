@@ -1513,13 +1513,20 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             + F.regexp_extract("cue_id", r"c(\d+)", 1).cast("long")
         ).alias("sum_rkey"),
     )
-    # '__warc' row (r12): web-crawl ingestion — an engine-written
-    # .warc.gz (one gzip member per record, the Common Crawl layout)
-    # holding one HTML response per region row, parsed by the
-    # distributed read_warc stage and text-extracted by the all-JVM
-    # html_to_text pipeline. The expected plain text is the html
-    # pipeline's CONTRACT (title/p closers -> newlines, script blocks
-    # dropped, &amp; decoded): 'Region (<name>)\\nkey & <k>'.
+    # '__warc' + '__warcmd5_*' rows (r12, hardened r13): web-crawl
+    # ingestion — an engine-written .warc.gz (one gzip member per
+    # record, the Common Crawl layout) holding one HTML response per
+    # region row, parsed by the distributed read_warc stage and
+    # text-extracted by the all-JVM html_to_text pipeline. Odd-key
+    # responses are captured the way real wire responses look:
+    # Transfer-Encoding chunked framing (read_warc must reassemble
+    # the entity or hex chunk sizes leak into the text) and a
+    # windows-1252 charset with non-ASCII typography (the reader's
+    # charset-aware `text` column must honor the DECLARED charset —
+    # a latin-1 fallback would decode U+201C as the C1 control
+    # U+0093; same length, so the md5 row is what catches it). The
+    # expected plain text is the html pipeline's CONTRACT (title/p
+    # closers -> newlines, script blocks dropped, &amp; decoded).
     from data_integration_and_harmonization_spark.operators.text import (
         html_to_text,
     )
@@ -1536,6 +1543,17 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                     (
                         f"http://crawl.example/r/{k}",
                         f"2026-01-01T00:00:{k:02d}Z",
+                        (
+                            f"<html><head><title>Región ({n})</title>"
+                            f"</head><body><p>key &amp; {k} “q”</p>"
+                            f"<script>var x = 1 < 2;</script></body></html>"
+                        ),
+                        {"chunked": True, "charset": "windows-1252"},
+                    )
+                    if k % 2 == 1
+                    else (
+                        f"http://crawl.example/r/{k}",
+                        f"2026-01-01T00:00:{k:02d}Z",
                         f"<html><head><title>Region ({n})</title></head>"
                         f"<body><p>key &amp; {k}</p>"
                         f"<script>var x = 1 < 2;</script></body></html>",
@@ -1545,19 +1563,37 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 gzip_members=True,
             )
         )
-    warc_txt = html_to_text(F.decode(F.col("body"), "UTF-8"))
-    warc_row = (
+    warc_texts = (
         read_warc(spark, warc_file)
         .where(F.col("warc_type") == "response")
-        .agg(
-            F.lit("__warc").alias("l_returnflag"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.lit(None).cast("double").alias("sum_qty"),
-            F.sum(F.length(warc_txt)).alias("sum_nkey"),
-            F.sum(
-                F.regexp_extract(warc_txt, r"key & (\d+)", 1).cast("long")
-            ).alias("sum_rkey"),
-        )
+        .select("url", html_to_text(F.col("text")).alias("text"))
+    )
+    warc_row = warc_texts.agg(
+        F.lit("__warc").alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.sum(F.length("text")).alias("sum_nkey"),
+        F.sum(
+            F.regexp_extract("text", r"key & (\d+)", 1).cast("long")
+        ).alias("sum_rkey"),
+    )
+    warc_md5_row = warc_texts.agg(
+        F.concat(
+            F.lit("__warcmd5_"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("url", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\x1f",
+                )
+            ),
+        ).alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("long").alias("sum_nkey"),
+        F.lit(None).cast("long").alias("sum_rkey"),
     )
     pdf_md5_row = pdf_texts.agg(
         F.concat(
@@ -1599,6 +1635,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(srt_row)
         .unionByName(vtt_row)
         .unionByName(warc_row)
+        .unionByName(warc_md5_row)
     )
 
 
@@ -3043,15 +3080,32 @@ SELECT '__vtt', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        sum(2 * r_regionkey)::BIGINT
 FROM region
 UNION ALL
--- WARC leg (r12): one HTML response record per region row in a
--- member-gzipped archive; the reconstruction below is the
--- html_to_text contract over the fixture markup (title/p closers ->
--- newlines, the script block dropped whole, &amp; decoded)
+-- WARC legs (r12, hardened r13): one HTML response record per region
+-- row in a member-gzipped archive; odd keys arrive chunked +
+-- windows-1252 (the reader dechunks and honors the declared charset).
+-- The reconstruction below is the html_to_text contract over the
+-- fixture markup (title/p closers -> newlines, the script block
+-- dropped whole, &amp; decoded); the md5 row pins every decoded byte
+-- (a wrong-charset decode keeps lengths but moves the md5)
 SELECT '__warc', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        sum(length(txt))::BIGINT,
        sum(CAST(regexp_extract(txt, 'key & ([0-9]+)', 1) AS BIGINT))::BIGINT
-FROM (SELECT 'Region (' || r_name || ')' || chr(10) ||
-             'key & ' || r_regionkey AS txt
+FROM (SELECT CASE WHEN r_regionkey % 2 = 1
+             THEN 'Región (' || r_name || ')' || chr(10) ||
+                  'key & ' || r_regionkey || ' “q”'
+             ELSE 'Region (' || r_name || ')' || chr(10) ||
+                  'key & ' || r_regionkey END AS txt
+      FROM region)
+UNION ALL
+SELECT '__warcmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
+       count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT r_regionkey,
+             CASE WHEN r_regionkey % 2 = 1
+             THEN 'Región (' || r_name || ')' || chr(10) ||
+                  'key & ' || r_regionkey || ' “q”'
+             ELSE 'Region (' || r_name || ')' || chr(10) ||
+                  'key & ' || r_regionkey END AS txt
       FROM region)
 """,
         "ml_exact_split": """

@@ -20,12 +20,76 @@ record-level random access possible for index-driven readers.
 from __future__ import annotations
 
 import io
+import re
 import zlib
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CRLF2 = b"\r\n\r\n"
+
+# content types whose bodies are decoded to the `text` column
+_TEXTUAL_CT = re.compile(
+    r"^(text/|application/(xhtml\+xml|xml|json|javascript|rss\+xml))", re.I
+)
+_CT_CHARSET = re.compile(r"charset=[\"']?([\w.\-]+)", re.I)
+_META_CHARSET = re.compile(rb"<meta[^>]{0,200}?charset=[\"']?([\w.\-]+)", re.I)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a ``Transfer-Encoding: chunked`` HTTP entity (RFC
+    9112 §7.1): hex-size line (chunk extensions after ';' ignored),
+    CRLF, chunk bytes, CRLF, ...; a 0-size chunk ends the body
+    (trailer fields dropped). Torn/malformed framing degrades to the
+    chunks already assembled — crawls truncate mid-entity all the
+    time and the prefix is still useful text."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk = body[eol + 2 : eol + 2 + size]
+        out += chunk
+        if len(chunk) < size:
+            break  # torn mid-chunk
+        pos = eol + 2 + size + 2  # skip the chunk's trailing CRLF
+    return bytes(out)
+
+
+def decode_http_text(body: bytes, content_type: str | None) -> str:
+    """Charset-aware text of an HTTP entity: the Content-Type
+    ``charset=`` parameter wins, else an HTML ``<meta charset=...>``
+    sniff over the first 2 KiB, else a BOM, else UTF-8 — with latin-1
+    (a total decode: every byte maps) as the last resort, so crawl
+    text NEVER raises or silently mangles into replacement chars."""
+    tried: list[str] = []
+    if content_type:
+        m = _CT_CHARSET.search(content_type)
+        if m:
+            tried.append(m.group(1))
+    m = _META_CHARSET.search(body[:2048])
+    if m:
+        tried.append(m.group(1).decode("latin-1"))
+    if body[:3] == b"\xef\xbb\xbf":
+        tried.append("utf-8-sig")
+    elif body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        tried.append("utf-16")
+    tried.append("utf-8")
+    for enc in tried:
+        try:
+            return body.decode(enc)
+        except (LookupError, UnicodeDecodeError, ValueError):
+            continue
+    return body.decode("latin-1")
 
 
 def _gunzip_members(data: bytes) -> bytes:
@@ -45,13 +109,18 @@ def _gunzip_members(data: bytes) -> bytes:
 
 def parse_warc_records(payload: bytes) -> list[dict]:
     """Records of one WARC payload (gzip handled):
-    ``{'warc_type', 'url', 'date', 'http_content_type', 'body'}`` —
-    for response records carrying ``application/http`` the HTTP
-    envelope is stripped (status line + headers) and ``body`` is the
-    entity bytes with the declared Content-Type; other record types
+    ``{'warc_type', 'url', 'date', 'http_content_type', 'body',
+    'text'}`` — for response records carrying ``application/http``
+    the HTTP envelope is stripped (status line + headers), a
+    ``Transfer-Encoding: chunked`` entity is reassembled (real crawls
+    capture the wire bytes, framing included), and ``body`` is the
+    entity bytes with the declared Content-Type; textual entities
+    (text/*, xhtml/xml/json) additionally surface a charset-aware
+    ``text`` (:func:`decode_http_text` — Content-Type param, HTML
+    meta sniff, BOM, UTF-8, latin-1 fallback). Other record types
     (warcinfo, request, metadata, resource) surface their raw block
-    as ``body`` with ``http_content_type`` None. Torn trailing
-    records degrade to the records already parsed."""
+    as ``body`` with ``http_content_type``/``text`` None. Torn
+    trailing records degrade to the records already parsed."""
     data = _gunzip_members(bytes(payload))
     out: list[dict] = []
     pos = 0
@@ -89,30 +158,45 @@ def parse_warc_records(payload: bytes) -> list[dict]:
             "date": headers.get("warc-date"),
             "http_content_type": None,
             "body": block,
+            "text": None,
         }
         if rec["warc_type"] == "response" and headers.get(
             "content-type", ""
         ).startswith("application/http"):
             split = block.find(_CRLF2)
             if split >= 0:
+                http_headers: dict[str, str] = {}
                 for line in block[:split].split(b"\r\n")[1:]:
                     k, _, v = line.partition(b":")
-                    if _ and k.decode("latin-1").strip().lower() == "content-type":
-                        rec["http_content_type"] = v.decode("latin-1").strip()
-                rec["body"] = block[split + 4 :]
+                    if _:
+                        http_headers[k.decode("latin-1").strip().lower()] = (
+                            v.decode("latin-1").strip()
+                        )
+                rec["http_content_type"] = http_headers.get("content-type")
+                entity = block[split + 4 :]
+                if "chunked" in http_headers.get("transfer-encoding", "").lower():
+                    entity = _dechunk(entity)
+                rec["body"] = entity
+                ct = rec["http_content_type"]
+                if ct and _TEXTUAL_CT.match(ct):
+                    rec["text"] = decode_http_text(entity, ct)
         out.append(rec)
         pos = block_start + clen
     return out
 
 
 def encode_warc(
-    pages: Sequence[tuple[str, str, str]], gzip_members: bool = False
+    pages: Sequence[tuple], gzip_members: bool = False
 ) -> bytes:
     """Spec-shaped WARC fixture writer: a leading warcinfo record,
-    then one HTTP-response record per ``(url, date, html)`` entry.
-    ``gzip_members=True`` wraps EACH record in its own gzip member —
-    the Common Crawl layout. Round-trips through
-    :func:`parse_warc_records`."""
+    then one HTTP-response record per ``(url, date, html)`` entry —
+    or ``(url, date, html, opts)`` with ``opts`` a dict of
+    ``charset`` (entity encoding + Content-Type param, default
+    utf-8) and ``chunked`` (wrap the entity in RFC 9112 chunked
+    framing with a chunk extension and a trailing 0-chunk, the way
+    captured wire responses actually look). ``gzip_members=True``
+    wraps EACH record in its own gzip member — the Common Crawl
+    layout. Round-trips through :func:`parse_warc_records`."""
 
     def record(headers: list[tuple[str, str]], block: bytes) -> bytes:
         head = b"WARC/1.0\r\n" + b"".join(
@@ -137,12 +221,30 @@ def encode_warc(
             info_block,
         )
     ]
-    for url, date, html in pages:
-        body = html.encode("utf-8")
+    for page in pages:
+        url, date, html = page[:3]
+        opts = page[3] if len(page) > 3 else {}
+        charset = opts.get("charset", "utf-8")
+        body = html.encode(charset)
+        if opts.get("chunked"):
+            # split into two chunks (first with an extension token)
+            # plus the terminating 0-chunk — realistic wire framing
+            cut = max(1, len(body) // 2)
+            body = (
+                f"{cut:x};x=fixture\r\n".encode()
+                + body[:cut]
+                + b"\r\n"
+                + f"{len(body) - cut:x}\r\n".encode()
+                + body[cut:]
+                + b"\r\n0\r\n\r\n"
+            )
+            framing = b"Transfer-Encoding: chunked\r\n"
+        else:
+            framing = f"Content-Length: {len(body)}\r\n".encode()
         http = (
             b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
-            + f"Content-Length: {len(body)}\r\n".encode()
+            + f"Content-Type: text/html; charset={charset}\r\n".encode()
+            + framing
             + b"\r\n"
             + body
         )
@@ -222,10 +324,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC corpus scan: ``binaryFile`` over
     ``*.warc``/``*.warc.gz`` (one task per archive — the crawl's file
     grain), ONE Arrow stage parsing records. Output one row per
-    record: ``(warc_type, url, date, http_content_type, body,
-    _src_file)`` with ``body`` binary (decode + ``html_to_text``
-    downstream for the text pipeline). Unparseable archives yield the
-    records that did parse; a wholly-alien file yields none."""
+    record: ``(warc_type, url, date, http_content_type, body, text,
+    _src_file)`` — ``body`` is the entity bytes (chunked framing
+    reassembled), ``text`` the charset-aware decode for textual
+    entities (feed it to ``html_to_text``), None otherwise.
+    Unparseable archives yield the records that did parse; a
+    wholly-alien file yields none."""
     import os
 
     pattern = (
@@ -245,6 +349,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 "date": [],
                 "http_content_type": [],
                 "body": [],
+                "text": [],
                 "_src_file": [],
             }
             for payload, p in zip(pdf["content"], pdf["path"]):
@@ -259,11 +364,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     rows["date"].append(r["date"])
                     rows["http_content_type"].append(r["http_content_type"])
                     rows["body"].append(r["body"])
+                    rows["text"].append(r["text"])
                     rows["_src_file"].append(src)
             yield pd.DataFrame(rows)
 
     return bins.mapInPandas(
         batches,
         "warc_type string, url string, date string, "
-        "http_content_type string, body binary, _src_file string",
+        "http_content_type string, body binary, text string, "
+        "_src_file string",
     )

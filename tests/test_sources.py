@@ -1630,8 +1630,9 @@ def test_pptx_codec_and_front_doors(spark, tmp_path):
 def test_warc_reader_distributed(spark, tmp_path):
     """read_warc: record parse over plain and member-gzipped archives
     (warcinfo + responses, HTTP envelope stripped, provenance
-    carried), torn tails degrade, alien files yield nothing, and the
-    front door routes .warc/.warc.gz."""
+    carried), chunked transfer-encoding reassembled, the declared
+    charset honored in the text column, torn tails degrade, alien
+    files yield nothing, and the front door routes .warc/.warc.gz."""
     from data_integration_and_harmonization_spark.sources.readers import read_any
     from data_integration_and_harmonization_spark.sources.warc import encode_warc
 
@@ -1640,6 +1641,11 @@ def test_warc_reader_distributed(spark, tmp_path):
          "<html><body><p>hello &amp; world</p></body></html>"),
         ("http://ex.com/b", "2026-01-02T03:04:06Z",
          "<html><body>second page</body></html>"),
+        # real-crawl shape: chunked wire framing + non-UTF-8 charset
+        # with typography whose latin-1/utf-8 fallback decode differs
+        ("http://ex.com/c", "2026-01-02T03:04:07Z",
+         "<html><body><p>curly “quotes” — dash</p></body></html>",
+         {"chunked": True, "charset": "windows-1252"}),
     ]
     d = tmp_path / "crawl"
     d.mkdir()
@@ -1651,13 +1657,24 @@ def test_warc_reader_distributed(spark, tmp_path):
     by_file = {}
     for r in rows:
         by_file.setdefault(r["_src_file"], []).append(r)
-    assert len(by_file["a.warc"]) == 3 and len(by_file["b.warc.gz"]) == 2
+    assert len(by_file["a.warc"]) == 4 and len(by_file["b.warc.gz"]) == 2
     assert "alien.warc" not in by_file
     resp = [r for r in by_file["a.warc"] if r["warc_type"] == "response"]
-    assert {r["url"] for r in resp} == {"http://ex.com/a", "http://ex.com/b"}
+    assert {r["url"] for r in resp} == {
+        "http://ex.com/a", "http://ex.com/b", "http://ex.com/c"
+    }
     assert all(r["http_content_type"].startswith("text/html") for r in resp)
     body = next(bytes(r["body"]) for r in resp if r["url"].endswith("/a"))
     assert body == pages[0][2].encode()
+    # chunked entity reassembled (no hex framing in body or text) and
+    # the declared windows-1252 charset honored in the text column
+    c = next(r for r in resp if r["url"].endswith("/c"))
+    assert bytes(c["body"]) == pages[2][2].encode("windows-1252")
+    assert c["text"] == pages[2][2]
+    assert "“quotes”" in c["text"] and "\x93" not in c["text"]
+    # warcinfo records carry no http text
+    info = next(r for r in by_file["a.warc"] if r["warc_type"] == "warcinfo")
+    assert info["text"] is None and info["http_content_type"] is None
     # single-file path form too
     assert read_any(spark, str(d / "b.warc.gz")).count() == 2
 
