@@ -1577,6 +1577,60 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_extract("text", r"key & (\d+)", 1).cast("long")
         ).alias("sum_rkey"),
     )
+    # '__zip' row (r13): zip-archive corpus ingestion — an
+    # engine-written zip of mixed pdf/docx/pptx members (one per
+    # region row, format by key mod 3) plus a non-document member,
+    # read by the distributed read_zip_corpus stage (one binaryFile
+    # task per archive, one Arrow member walk) and extracted by the
+    # SAME fused document_text_table dispatch as the loose-file docs
+    # leg. n_rows counts members whose magic-byte fmt matches the
+    # format implied by their id (pins the dispatch, not just the
+    # text); the readme member quarantines with a NULL id and is
+    # filtered. Text totals and the key checksum are reconstructed by
+    # the oracle from region alone.
+    import zipfile as _zipfile
+
+    from data_integration_and_harmonization_spark.sources.docx import encode_pptx
+    from data_integration_and_harmonization_spark.sources.warc import (
+        read_zip_corpus,
+    )
+
+    zip_file = base + "_region.zip"
+    _zip_enc = {
+        0: ("pdf", lambda t: encode_pdf([t])),
+        1: ("docx", lambda t: encode_docx([t])),
+        2: ("pptx", lambda t: encode_pptx([t])),
+    }
+    with _zipfile.ZipFile(zip_file, "w") as zf:
+        for k, n in region_rows:
+            m_ext, enc = _zip_enc[k % 3]
+            zf.writestr(f"docs/r{k}.{m_ext}", enc(f"zip {n} doc zkey {k}"))
+        zf.writestr("docs/readme.txt", b"not a document")
+    zip_texts = document_text_table(
+        read_zip_corpus(spark, zip_file).select(
+            F.regexp_extract("member", r"r(\d+)\.", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "payload",
+        )
+    ).where(F.col("id").isNotNull())
+    zip_row = zip_texts.agg(
+        F.lit("__zip").alias("l_returnflag"),
+        F.sum(
+            (
+                F.col("fmt")
+                == F.element_at(
+                    F.array(F.lit("pdf"), F.lit("docx"), F.lit("pptx")),
+                    (F.col("id") % 3 + 1).cast("int"),
+                )
+            ).cast("long")
+        ).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.sum(F.length("text")).alias("sum_nkey"),
+        F.sum(
+            F.regexp_extract("text", r"zkey (\d+)", 1).cast("long")
+        ).alias("sum_rkey"),
+    )
     warc_md5_row = warc_texts.agg(
         F.concat(
             F.lit("__warcmd5_"),
@@ -1636,6 +1690,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(vtt_row)
         .unionByName(warc_row)
         .unionByName(warc_md5_row)
+        .unionByName(zip_row)
     )
 
 
@@ -3096,6 +3151,15 @@ FROM (SELECT CASE WHEN r_regionkey % 2 = 1
              ELSE 'Region (' || r_name || ')' || chr(10) ||
                   'key & ' || r_regionkey END AS txt
       FROM region)
+UNION ALL
+-- ZIP corpus leg (r13): one mixed-format document member per region
+-- row (pdf/docx/pptx by key mod 3), uniform text contract; n_rows
+-- counts fmt-dispatch matches (all 5 when the magic-byte routing is
+-- right), the readme member quarantines outside the count
+SELECT '__zip', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length('zip ' || r_name || ' doc zkey ' || r_regionkey))::BIGINT,
+       sum(r_regionkey)::BIGINT
+FROM region
 UNION ALL
 SELECT '__warcmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
        count(*)::BIGINT, CAST(NULL AS DOUBLE),

@@ -237,6 +237,15 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         )
 
         return read_tar_corpus(spark, path)
+    if ext == "zip":
+        # a zip corpus (document dumps' other common shape): one row
+        # per regular member -> (member, payload, _src_file); route
+        # payloads through the document/media dispatchers downstream
+        from data_integration_and_harmonization_spark.sources.warc import (
+            read_zip_corpus,
+        )
+
+        return read_zip_corpus(spark, path)
     if ext == "srt":
         return read_srt(spark, path)
     if ext == "vtt":

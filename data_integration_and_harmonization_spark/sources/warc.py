@@ -320,6 +320,62 @@ def read_tar_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_zip_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed ZIP-archive corpus scan — the zipfile sibling of
+    :func:`read_tar_corpus` (document dumps ship as zips at least as
+    often as tarballs; the engine already walks zip internally for
+    xlsx/docx/pptx, this is the archive-of-arbitrary-members front
+    door): one ``binaryFile`` task per archive (zip's central
+    directory lives at EOF, so the format is not block-splittable —
+    the many-archives layout is the partition grain), one Arrow stage
+    walking members with the stdlib ``zipfile``. One row per
+    regular-file member: ``(member, payload, _src_file)`` — feed
+    payloads to ``operators.text.document_text_table`` (pdf/docx/pptx
+    dispatch) or the media codecs. Directory entries, encrypted
+    members, and torn/alien archives degrade to the members that did
+    read."""
+    import os
+
+    pattern = os.path.join(path, "*.zip") if os.path.isdir(path) else path
+    bins = (
+        spark.read.format("binaryFile").load(pattern).select("content", "path")
+    )
+
+    def batches(it):
+        import io as _io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in it:
+            members, payloads, srcs = [], [], []
+            for payload, p in zip(pdf["content"], pdf["path"]):
+                src = p.rsplit("/", 1)[-1]
+                try:
+                    with zipfile.ZipFile(_io.BytesIO(payload)) as zf:
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            try:
+                                data = zf.read(info)
+                            except (RuntimeError, OSError, EOFError,
+                                    zipfile.BadZipFile, NotImplementedError,
+                                    zlib.error):
+                                continue  # encrypted or torn member
+                            members.append(info.filename)
+                            payloads.append(data)
+                            srcs.append(src)
+                except (zipfile.BadZipFile, OSError, EOFError):
+                    continue  # alien or torn archive
+            yield pd.DataFrame(
+                {"member": members, "payload": payloads, "_src_file": srcs}
+            )
+
+    return bins.mapInPandas(
+        batches, "member string, payload binary, _src_file string"
+    )
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC corpus scan: ``binaryFile`` over
     ``*.warc``/``*.warc.gz`` (one task per archive — the crawl's file

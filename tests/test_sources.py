@@ -1723,6 +1723,47 @@ def test_tar_corpus_reader(spark, tmp_path):
     assert [(r["fmt"], r["text"]) for r in got] == [("docx", "from the tarball")]
 
 
+def test_zip_corpus_reader(spark, tmp_path):
+    """read_zip_corpus: members of zip archives surface as
+    (member, payload, _src_file); directory entries and encrypted
+    members skipped; alien archives yield nothing; the front door
+    routes .zip; payloads feed the fused document dispatcher."""
+    import zipfile
+
+    from data_integration_and_harmonization_spark.operators.text import (
+        document_text_table,
+    )
+    from data_integration_and_harmonization_spark.sources import docx as D
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    docx_payload = D.encode_docx(["from the zipfile"])
+    pptx_payload = D.encode_pptx(["slide text"])
+    with zipfile.ZipFile(d / "a.zip", "w") as zf:
+        zf.writestr("docs/", "")  # directory entry: skipped
+        zf.writestr("docs/x.txt", b"plain text")
+        zf.writestr("docs/y.docx", docx_payload)
+    with zipfile.ZipFile(d / "b.zip", "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("deep/nested/z.pptx", pptx_payload)
+    (d / "alien.zip").write_bytes(b"not a zip at all")
+    out = read_any(spark, str(d), fmt="zip")
+    rows = {(r["_src_file"], r["member"]): bytes(r["payload"]) for r in out.collect()}
+    assert rows == {
+        ("a.zip", "docs/x.txt"): b"plain text",
+        ("a.zip", "docs/y.docx"): bytes(docx_payload),
+        ("b.zip", "deep/nested/z.pptx"): bytes(pptx_payload),
+    }
+    # members pipe into the fused document dispatcher
+    docs = out.where(~out.member.endswith(".txt")).selectExpr(
+        "CASE WHEN member LIKE '%.docx' THEN 1 ELSE 2 END AS doc_id", "payload"
+    )
+    got = {(r["id"], r["fmt"]): r["text"] for r in document_text_table(docs).collect()}
+    assert got == {(1, "docx"): "from the zipfile", (2, "pptx"): "slide text"}
+    # single-file path form too
+    assert read_any(spark, str(d / "b.zip")).count() == 1
+
+
 def test_pdf_incremental_update_prev_chain():
     """An incrementally-updated PDF (the append-only save format:
     original body + a replacement object + a second xref section
