@@ -63,6 +63,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "mp4"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:4] == b"fLaC":
         return "flac"
     if payload[:4] == b"\x1a\x45\xdf\xa3":
@@ -1991,6 +1993,23 @@ def media_signature(payload: bytes) -> tuple[str | None, int | None]:
     if fmt == "y4m":
         s = video_phash64(payload)
         return ("video", s) if s is not None else (None, None)
+    if fmt == "avi":
+        # MJPEG-in-AVI: per-frame T.81 decode feeding the SAME
+        # temporal-average pHash as Y4M/animated-GIF, so a real
+        # container format joins the video near-dup family
+        try:
+            _fps, frames = decode_avi_mjpeg(payload)
+        except Exception:  # noqa: BLE001 — malformed/non-MJPEG AVI
+            return None, None
+        s = _temporal_phash64(
+            [
+                f[:, :, 0].astype(np.float64)
+                if f.ndim == 3 and f.shape[2] == 1
+                else _bt601_luma(f)
+                for f in frames
+            ]
+        )
+        return ("video", s) if s is not None else (None, None)
     if fmt in ("png", "jpeg"):
         s = phash64_of_payload(payload)
         return ("image", s) if s is not None else (None, None)
@@ -2184,6 +2203,95 @@ def encode_mp1_tones(
                 raise ValueError("fixture frame overflows its bit budget")
             out += frame + b"\x00" * (size - len(frame))
     return bytes(out)
+
+
+# ----------------------------------------------------- AVI (MJPEG)
+#
+# CONTENT tier for a real video container (r13): MJPEG-in-AVI — every
+# frame is a T.81 baseline JPEG the engine already decodes, wrapped in
+# the RIFF grammar it already walks for WebP (AVI RIFF form per the
+# public OpenDML / Video-for-Windows spec: LIST hdrl with an 'avih'
+# main header carrying the microseconds-per-frame clock, LIST strl
+# per stream, LIST movi holding '##dc' compressed-video chunks).
+# This gives real containers a route into video_phash64's
+# temporal-average family the same way Layer I/II did for audio —
+# no entropy-coded inter-frame codec (H.264/VP9) is reimplemented.
+
+
+def encode_avi_mjpeg(frames: list["np.ndarray"], fps: float = 25.0) -> bytes:
+    """Spec-shaped MJPEG AVI fixture: RIFF('AVI ') with an hdrl
+    (avih + one 'vids'/'MJPG' strl) and a movi LIST of '00dc' chunks,
+    each a baseline JPEG (quality 90) of one frame. Block-constant
+    frames with values in 128+3Z round-trip the JPEG tier
+    byte-exactly (DC quant step 3 at q90, every AC analytically 0),
+    which is what makes the AVI near-dup legs closed-form."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality=90) for f in frames]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    us_per_frame = int(round(1_000_000 / fps))
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, int(round(fps)), 0,
+                      len(frames), 0, 10000, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[float, list["np.ndarray"]]:
+    """(fps, frames) of an MJPEG AVI: RIFF walk to the avih clock and
+    the movi LIST, decoding every '##dc' chunk with the baseline JPEG
+    decoder ('rec ' grouping LISTs descended, index/audio chunks
+    skipped). Raises ValueError on non-AVI or frameless payloads;
+    undecodable individual frames raise (callers quarantine)."""
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps = 25.0
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            body = pos + 8
+            if fourcc == b"LIST":
+                kind = data[body : body + 4]
+                if kind in (b"hdrl", b"movi", b"rec ", b"strl"):
+                    walk(body + 4, body + size)
+            elif fourcc == b"avih" and size >= 4:
+                us = struct.unpack("<I", data[body : body + 4])[0]
+                if us:
+                    fps = 1_000_000 / us
+            elif fourcc[2:4] == b"dc":
+                frames.append(decode_jpeg(data[body : body + size]))
+            pos = body + size + (size & 1)  # RIFF chunks pad to even
+
+    walk(12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0]))
+    if not frames:
+        raise ValueError("no MJPEG video frames found")
+    return fps, frames
 
 
 # -------------------------------------------- MPEG-1 Audio Layer II

@@ -1939,6 +1939,15 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             )
 
+        def _mjpeg_block_frame(cx, cy, cxy, cxx=0, bump_col=None, bump=0):
+            by, bx = np.mgrid[0:32, 0:32]
+            bx, by = bx // 8, by // 8
+            v = 128 + 3 * ((bx * cx + by * cy + bx * by * cxy
+                            + bx * bx * cxx) % 30) - 45
+            if bump_col is not None:
+                v = v + np.where(bx == bump_col, bump, 0)
+            return v.astype(np.uint8)
+
         payloads = [
             (-1, MC.encode_png(quad.astype(np.uint8))),
             (-2, MC.encode_png(((quad + (xx == 5) * 8) % 256).astype(np.uint8))),
@@ -2004,6 +2013,39 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         np.full((8, 8, 3), 30, dtype=np.uint8),
                         np.full((8, 8, 3), 90, dtype=np.uint8),
                     ]
+                ),
+            ),
+            # 'vid' MJPEG-AVI fixtures (r13): a REAL container format
+            # reaching the same temporal-average pHash. Frames are
+            # 32x32 BLOCK-constant grids (8x8 blocks) whose values
+            # stay in 128+3Z, so the q90 JPEG tier round-trips them
+            # BYTE-EXACTLY (DC quant step 3, every AC analytically
+            # zero) and the oracle replays the decoded pixels as pure
+            # integer formulas of the block index. -52 bumps one
+            # block-column of frame 0 by 36 (mean moves 18 -> hamming
+            # 2, a true pair with -51); -53 is different footage
+            # (hamming 24, excluded).
+            (
+                -51,
+                MC.encode_avi_mjpeg(
+                    [_mjpeg_block_frame(7, 3, 1), _mjpeg_block_frame(13, 5, 0)],
+                    fps=10,
+                ),
+            ),
+            (
+                -52,
+                MC.encode_avi_mjpeg(
+                    [
+                        _mjpeg_block_frame(7, 3, 1, bump_col=2, bump=36),
+                        _mjpeg_block_frame(13, 5, 0),
+                    ],
+                    fps=10,
+                ),
+            ),
+            (
+                -53,
+                MC.encode_avi_mjpeg(
+                    [_mjpeg_block_frame(11, 7, 0, 1)] * 2, fps=10
                 ),
             ),
         ]
@@ -2327,6 +2369,26 @@ def _simhash_phash_sql() -> str:
         ),
         ("-23", "((x.i*31 + y.i*17 + x.i*x.i*5) % 256)::DOUBLE"),
         ("-24", "60.0"),
+        # MJPEG-AVI fixtures: block-constant frames (block index =
+        # pixel//8) in 128+3Z decode byte-exactly through the q90
+        # JPEG tier, so the decoded pixels ARE these formulas; the
+        # 2-frame temporal mean is (f0+f1)/2 like the Y4M legs
+        (
+            "-51",
+            "((128 + 3*(((x.i//8)*7 + (y.i//8)*3 + (x.i//8)*(y.i//8)) % 30)"
+            " - 45) + (128 + 3*(((x.i//8)*13 + (y.i//8)*5) % 30) - 45)) / 2.0",
+        ),
+        (
+            "-52",
+            "((128 + 3*(((x.i//8)*7 + (y.i//8)*3 + (x.i//8)*(y.i//8)) % 30)"
+            " - 45 + CASE WHEN x.i//8 = 2 THEN 36 ELSE 0 END)"
+            " + (128 + 3*(((x.i//8)*13 + (y.i//8)*5) % 30) - 45)) / 2.0",
+        ),
+        (
+            "-53",
+            "(128 + 3*(((x.i//8)*11 + (y.i//8)*7 + (x.i//8)*(x.i//8)) % 30)"
+            " - 45)::DOUBLE",
+        ),
     ]
     px_union = "\n  UNION ALL\n".join(
         f"  SELECT {mid}::BIGINT AS mid, y.i AS y, x.i AS x, {v} AS v\n"

@@ -663,6 +663,39 @@ def test_mp1_layer1_content_tier():
     assert len(sb2) == 192 - 12  # final torn frame dropped
 
 
+def test_avi_mjpeg_content_tier():
+    """MJPEG-in-AVI content tier: the RIFF walk finds the avih clock
+    and the movi '00dc' chunks, each frame decodes through the T.81
+    tier (byte-exact for block-constant values in 128+3Z at q90),
+    and the temporal-average pHash matches the plain phash of the
+    frame mean — a real container joins the video near-dup family."""
+    import numpy as np
+
+    y, x = np.mgrid[0:32, 0:32]
+    A = (128 + 3 * (((x // 8) * 7 + (y // 8) * 3 + (x // 8) * (y // 8)) % 30) - 45).astype(np.uint8)
+    B = (128 + 3 * (((x // 8) * 13 + (y // 8) * 5) % 30) - 45).astype(np.uint8)
+    avi = MC.encode_avi_mjpeg([A, B], fps=10)
+    assert MC.sniff_format(avi) == "avi"
+    fps, frames = MC.decode_avi_mjpeg(avi)
+    assert fps == 10.0 and len(frames) == 2
+    got = [f[:, :, 0] if f.ndim == 3 else f for f in frames]
+    assert np.array_equal(got[0], A) and np.array_equal(got[1], B)
+    kind, sig = MC.media_signature(avi)
+    assert kind == "video"
+    assert sig == MC.phash64((A.astype(float) + B.astype(float)) / 2)
+    # a one-block-column bump of frame 0 lands at hamming 2
+    A2 = (A.astype(int) + np.where(x // 8 == 2, 36, 0)).astype(np.uint8)
+    _, sig2 = MC.media_signature(MC.encode_avi_mjpeg([A2, B], fps=10))
+    assert bin((sig ^ sig2) & (2**64 - 1)).count("1") == 2
+    # malformed payloads quarantine, WebP (also RIFF) still routes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MC.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    assert MC.media_signature(b"RIFF\x0c\x00\x00\x00AVI \x00\x00\x00\x00") == (None, None)
+    assert MC.sniff_format(MC.encode_webp_meta(4, 4)) == "webp"
+
+
 def test_mp2_layer2_content_tier():
     """MPEG-1 Layer II content tier (the broadcast layer): the
     from-spec decode (Table 3-B.2 allocation, scfsi scalefactor
