@@ -1,7 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "full": path}.
+"queries": {name: sec}, "split": {name: [build_sec, serve_sec]},
+"sf": ..., "cpu_probe": {...}, "full": path}.
 
 The stdout line is kept SMALL (r9: the round artifact is parsed from
 a bounded stdout capture, and the r9 line with embedded per-run
@@ -96,6 +97,38 @@ def _cpu_probe_sec() -> float:
     return round(time.time() - t0, 4)
 
 
+def _cpu_probe_mt_sec() -> tuple[float, int]:
+    """(seconds, n_threads) of the MULTI-thread probe: the same md5
+    kernel on one thread per CPU (hashlib releases the GIL for >2 KiB
+    updates, so the threads genuinely saturate the cores). The r12
+    verdict's gap: untouched 32-way stages drifted +0.5-2 s uniformly
+    while the 1-thread probe stayed flat — single-thread latency
+    cannot see core-contention noise (a noisy co-tenant stealing 4 of
+    32 CPUs leaves 1-thread time unchanged but stretches every
+    parallel stage). Both probes bracket the run: 1-thread moving =
+    host/placement noise; 1-thread flat but MT moving = core
+    contention; both flat with totals moving = a real plan change."""
+    import hashlib
+    import threading
+
+    nthreads = min(32, os.cpu_count() or 1)
+    buf = b"\xa5" * (1 << 20)
+
+    def work() -> None:
+        h = hashlib.md5()
+        for _ in range(200):
+            h.update(buf)
+        h.hexdigest()
+
+    threads = [threading.Thread(target=work) for _ in range(nthreads)]
+    t0 = time.time()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    return round(time.time() - t0, 4), nthreads
+
+
 _JVM_PID: list[int | None] = []
 
 
@@ -125,7 +158,8 @@ def _jvm_cpu_ns(spark) -> int | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    cpu_probe = {"start": _cpu_probe_sec()}
+    mt0, mt_threads = _cpu_probe_mt_sec()
+    cpu_probe = {"start": _cpu_probe_sec(), "start_mt": mt0, "mt_threads": mt_threads}
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sorted(qs) if n not in HEADLINE
@@ -197,12 +231,21 @@ def main() -> None:
     # /placement noise, wall and CPU moving together is real work
     query_cpu: dict[str, float] = {}
     runs_cpu: dict[str, list[float]] = {}
+    # build/serve split (r12 verdict item 5): "build" is the
+    # query-construction time — artifact lifecycle work the callable
+    # runs before returning its frame (versioned-table writes, index
+    # chains, model fits); "serve" is the returned frame's action.
+    # Recorded from the run that set the min total, so the pair is
+    # internally consistent and build+serve == the headline timing.
+    split: dict[str, list[float]] = {}
     for _ in range(max(1, timed_runs)):
         for name in names:
             c0 = _jvm_cpu_ns(spark)
             t0 = time.time()
             try:
-                rows[name] = qs[name](spark, sf_dir).count()
+                df = qs[name](spark, sf_dir)
+                t_build = time.time() - t0
+                rows[name] = df.count()
             except Exception:  # noqa: BLE001 — filtered just below
                 # One retry, ONLY for the known-transient signatures
                 # (concurrent-fit py4j race / py4j transport hiccup) —
@@ -226,14 +269,18 @@ def main() -> None:
                 print(f"# timed {name} failed once; retrying. First traceback:\n{tb}", file=sys.stderr)
                 c0 = _jvm_cpu_ns(spark)
                 t0 = time.time()
-                rows[name] = qs[name](spark, sf_dir).count()
+                df = qs[name](spark, sf_dir)
+                t_build = time.time() - t0
+                rows[name] = df.count()
             t = time.time() - t0
             c1 = _jvm_cpu_ns(spark)
             if c0 is not None and c1 is not None:
                 c = round((c1 - c0) / 1e9, 3)
                 runs_cpu.setdefault(name, []).append(c)
-                if t < timings.get(name, float("inf")):
-                    query_cpu[name] = c  # CPU of the run that set the min
+            if t < timings.get(name, float("inf")):
+                if c0 is not None and c1 is not None:
+                    query_cpu[name] = round((c1 - c0) / 1e9, 3)
+                split[name] = [round(t_build, 3), round(t - t_build, 3)]
             timings[name] = round(min(timings.get(name, float("inf")), t), 3)
             runs.setdefault(name, []).append(round(t, 3))
     for name in names:
@@ -273,8 +320,11 @@ def main() -> None:
         )
 
     cpu_probe["end"] = _cpu_probe_sec()
+    cpu_probe["end_mt"], _ = _cpu_probe_mt_sec()
     print(
-        f"# cpu probe: start {cpu_probe['start']:.3f}s end {cpu_probe['end']:.3f}s",
+        f"# cpu probe: start {cpu_probe['start']:.3f}s end {cpu_probe['end']:.3f}s"
+        f" | mt({cpu_probe['mt_threads']}): start {cpu_probe['start_mt']:.3f}s"
+        f" end {cpu_probe['end_mt']:.3f}s",
         file=sys.stderr,
     )
 
@@ -311,6 +361,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # build/serve split of each query's min-total run:
+        # {query: [construction sec, action sec]} — separates artifact
+        # lifecycle cost (index builds, versioned-table writes, fits)
+        # from query latency without BENCH_FULL leg spelunking
+        "split": split,
         # per-run times (the min of each list is "queries"): the
         # spread attributes drift — a wide spread on an unchanged
         # query is JIT/host noise, a tight spread at a new level is a
@@ -350,6 +405,7 @@ def main() -> None:
                 "value": full["value"],
                 "unit": "sec",
                 "queries": timings,
+                "split": split,
                 "sf": sf_val,
                 "cpu_probe": cpu_probe,
                 "full": full_path,
