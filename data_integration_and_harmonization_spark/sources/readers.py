@@ -34,15 +34,60 @@ TPCH_TABLES = (
 )
 
 
-def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    encoding: str | None = None,
+) -> DataFrame:
     """Read one source, dispatching on extension like ref:170-183.
 
     CSV gets header + schema inference (ref:179's ``pd.read_csv``
     inference analog); JSON defaults to whole-document ``multiLine``
     (pandas ``read_json`` orientation, ref:174) — pass ``fmt='ndjson'``
     for newline-delimited; parquet is native (ref:176).
+
+    ``encoding`` applies to the ``txt``/``wholetext`` corpora only
+    (Spark's text source is UTF-8-with-replacement, which silently
+    mangles the sizeable non-UTF-8 fraction of any real text dump):
+    an explicit charset decodes with it, ``'auto'`` byte-sniffs per
+    file (BOM, NUL-parity UTF-16 heuristic, strict UTF-8, latin-1
+    last resort — the same ladder the WARC reader uses). The decode
+    rides a distributed binaryFile scan + one Arrow stage; the
+    default (None) keeps the JVM-native UTF-8 path unchanged.
     """
     ext = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    if ext in ("txt", "wholetext") and encoding is not None:
+        from data_integration_and_harmonization_spark.sources.warc import (
+            decode_http_text,
+        )
+
+        pattern = os.path.join(path, "*.txt") if os.path.isdir(path) else path
+        bins = (
+            spark.read.format("binaryFile").load(pattern).select("content")
+        )
+        whole = ext == "wholetext"
+        enc = encoding
+
+        def _decode_text_batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                texts: list[str] = []
+                for payload in pdf["content"]:
+                    b = bytes(payload)
+                    t = (
+                        decode_http_text(b, None)
+                        if enc == "auto"
+                        else b.decode(enc, errors="replace")
+                    )
+                    if whole:
+                        texts.append(t)
+                    else:
+                        texts.extend(t.splitlines())
+                yield pd.DataFrame({"text": texts})
+
+        return bins.mapInPandas(_decode_text_batches, "text string")
     if ext == "parquet":
         return spark.read.parquet(path)
     if ext == "orc":

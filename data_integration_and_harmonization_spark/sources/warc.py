@@ -83,6 +83,18 @@ def decode_http_text(body: bytes, content_type: str | None) -> str:
         tried.append("utf-8-sig")
     elif body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         tried.append("utf-16")
+    else:
+        # BOM-less UTF-16 heuristic: ASCII-heavy UTF-16 text is full
+        # of NUL bytes at one alternating parity (LE: odd positions,
+        # BE: even) while valid UTF-8/latin-1 text has none
+        sample = body[:2048]
+        if sample:
+            nul_even = sample[0::2].count(0)
+            nul_odd = sample[1::2].count(0)
+            if nul_odd > len(sample) // 4 and nul_even == 0:
+                tried.append("utf-16-le")
+            elif nul_even > len(sample) // 4 and nul_odd == 0:
+                tried.append("utf-16-be")
     tried.append("utf-8")
     for enc in tried:
         try:

@@ -1723,6 +1723,43 @@ def test_tar_corpus_reader(spark, tmp_path):
     assert [(r["fmt"], r["text"]) for r in got] == [("docx", "from the tarball")]
 
 
+def test_txt_front_door_charset(spark, tmp_path):
+    """fmt='txt'/'wholetext' with encoding: explicit charsets decode
+    with them, 'auto' byte-sniffs per file (latin-1 high bytes,
+    UTF-16-LE with and without BOM, plain UTF-8), and the default
+    path (no encoding) stays the JVM-native UTF-8 reader."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_bytes("café crème\nline two".encode("latin-1"))
+    (d / "b.txt").write_bytes("utf16 “text”\nsecond".encode("utf-16"))  # BOM
+    (d / "c.txt").write_bytes("bomless utf16\nalso".encode("utf-16-le"))
+    (d / "d.txt").write_bytes("plain utf-8 é\n".encode())
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    rows = {r["text"] for r in read_any(spark, str(d), fmt="txt", encoding="auto").collect()}
+    assert rows == {
+        "café crème", "line two",
+        "utf16 “text”", "second",
+        "bomless utf16", "also",
+        "plain utf-8 é",
+    }
+    # wholetext keeps one row per file
+    whole = {
+        r["text"]
+        for r in read_any(
+            spark, str(d / "a.txt"), fmt="wholetext", encoding="auto"
+        ).collect()
+    }
+    assert whole == {"café crème\nline two"}
+    # explicit charset wins over sniffing
+    only_a = read_any(spark, str(d / "a.txt"), fmt="txt", encoding="latin-1")
+    assert {r["text"] for r in only_a.collect()} == {"café crème", "line two"}
+    # default path unchanged: utf-8 file reads as before, single col
+    dflt = read_any(spark, str(d / "d.txt"), fmt="txt")
+    assert dflt.columns == ["text"]
+    assert [r["text"] for r in dflt.collect()] == ["plain utf-8 é"]
+
+
 def test_zip_corpus_reader(spark, tmp_path):
     """read_zip_corpus: members of zip archives surface as
     (member, payload, _src_file); directory entries and encrypted
@@ -1762,6 +1799,45 @@ def test_zip_corpus_reader(spark, tmp_path):
     assert got == {(1, "docx"): "from the zipfile", (2, "pptx"): "slide text"}
     # single-file path form too
     assert read_any(spark, str(d / "b.zip")).count() == 1
+
+
+def test_pdf_reading_order():
+    """The y-then-x reading-order pass: absolutely-positioned text
+    emitted in scrambled stream order reassembles top row first /
+    left first; already-ordered streams (every linear document) keep
+    byte-identical stream-order output; ties keep stream order."""
+    from data_integration_and_harmonization_spark.functions import pdf as P
+
+    scrambled = P.encode_pdf_positioned(
+        [
+            (306, 706, "d"),
+            (72, 706, "c"),
+            (306, 720, "b"),
+            (72, 720, "a"),
+        ]
+    )
+    assert P.extract_pdf_text(scrambled) == "a\nb\nc\nd"
+    # monotone streams stay in stream order (same-y ties included)
+    ordered = P.encode_pdf_positioned(
+        [(72, 720, "a"), (306, 720, "b"), (72, 706, "c")]
+    )
+    assert P.extract_pdf_text(ordered) == "a\nb\nc"
+    # the classic Td-walk fixtures are unchanged by the pass
+    assert P.extract_pdf_text(P.encode_pdf(["one\ntwo", "three"])) == (
+        "one\ntwo\nthree"
+    )
+    # a Td that moves UP mid-stream is out of order and sorts
+    out: list[str] = []
+    P._extract_from_content(
+        b"BT /F1 12 Tf 72 100 Td (low) Tj 0 200 Td (high) Tj ET", out
+    )
+    assert "".join(out).strip("\n") == "high\nlow"
+    # T* advances by the TD-set leading (downward = monotone)
+    out2: list[str] = []
+    P._extract_from_content(
+        b"BT /F1 12 Tf 72 720 TD (p) Tj 0 -14 TD (q) Tj T* (r) Tj ET", out2
+    )
+    assert "".join(out2).strip("\n") == "p\nq\nr"
 
 
 def test_pdf_incremental_update_prev_chain():
