@@ -1347,6 +1347,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     # md5 rows, all reconstructed by the oracle from region alone.
     from data_integration_and_harmonization_spark.functions.pdf import (
         encode_pdf_cid,
+        encode_pdf_positioned,
     )
 
     doc_df = spark.createDataFrame(
@@ -1372,6 +1373,28 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         + [
             (300 + k, bytearray(encode_pdf_cid([f"Régiön ({n}) — clé {k}"])))
             for k, n in region_rows
+        ]
+        # ids 400+k ('__pdf2col', r13): absolutely-positioned pages
+        # whose STREAM order is scrambled (right column first,
+        # bottom row first) — the extractor's y-then-x reading-order
+        # pass must reassemble top row first / left first, which the
+        # oracle pins byte-exactly. Linear documents keep stream
+        # order (the md5 legs above stay byte-identical).
+        + [
+            (
+                400 + k,
+                bytearray(
+                    encode_pdf_positioned(
+                        [
+                            (306, 706, f"tail {k}"),
+                            (72, 706, f"key2 {k}"),
+                            (306, 720, f"R col2 {n}"),
+                            (72, 720, f"Region ({n})"),
+                        ]
+                    )
+                ),
+            )
+            for k, n in region_rows
         ],
         "doc_id long, payload binary",
     )
@@ -1388,8 +1411,11 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     pdf15_texts = doc_texts.where(F.col("id").between(200, 299)).select(
         (F.col("id") - 200).alias("id"), "text"
     )
-    pdfcid_texts = doc_texts.where(F.col("id") >= 300).select(
+    pdfcid_texts = doc_texts.where(F.col("id").between(300, 399)).select(
         (F.col("id") - 300).alias("id"), "text"
+    )
+    pdf2col_texts = doc_texts.where(F.col("id") >= 400).select(
+        (F.col("id") - 400).alias("id"), "text"
     )
 
     def _doc_rows(texts, tag: str, key_re: str):
@@ -1425,6 +1451,9 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     pdf15_row, pdf15_md5_row = _doc_rows(pdf15_texts, "pdf15", r"key (\d+)")
     pdfcid_row, pdfcid_md5_row = _doc_rows(
         pdfcid_texts, "pdfcid", r"clé (\d+)"
+    )
+    pdf2col_row, pdf2col_md5_row = _doc_rows(
+        pdf2col_texts, "pdf2col", r"key2 (\d+)"
     )
     docx_row = docx_texts.agg(
         F.lit("__docx").alias("l_returnflag"),
@@ -1686,6 +1715,8 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(pdf15_md5_row)
         .unionByName(pdfcid_row)
         .unionByName(pdfcid_md5_row)
+        .unionByName(pdf2col_row)
+        .unionByName(pdf2col_md5_row)
         .unionByName(srt_row)
         .unionByName(vtt_row)
         .unionByName(warc_row)
@@ -3117,6 +3148,29 @@ SELECT '__pdfcidmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (SELECT r_regionkey,
              'Régiön (' || r_name || ') — clé ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+-- reading-order legs (r13): absolutely-positioned pages whose stream
+-- order is scrambled (right column / bottom row first); the
+-- reconstruction below is the y-then-x reading order (top row first,
+-- left first) the extractor must reassemble
+SELECT '__pdf2col', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length(txt))::BIGINT,
+       sum(CAST(regexp_extract(txt, 'key2 ([0-9]+)', 1) AS BIGINT))::BIGINT
+FROM (SELECT 'Region (' || r_name || ')' || chr(10) ||
+             'R col2 ' || r_name || chr(10) ||
+             'key2 ' || r_regionkey || chr(10) ||
+             'tail ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+SELECT '__pdf2colmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
+       count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT r_regionkey,
+             'Region (' || r_name || ')' || chr(10) ||
+             'R col2 ' || r_name || chr(10) ||
+             'key2 ' || r_regionkey || chr(10) ||
+             'tail ' || r_regionkey AS txt
       FROM region)
 UNION ALL
 -- SubRip transcript leg: one cue per region row, start = 60000*k+1500

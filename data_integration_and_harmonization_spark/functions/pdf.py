@@ -114,7 +114,19 @@ def _extract_from_content(
     content: bytes, out: list[str], fonts: dict | None = None
 ) -> None:
     """Walk one content stream's token sequence, appending shown text
-    (Tj/TJ/'/\") and newlines at the line-advance operators.
+    (Tj/TJ/'/\") with newlines between text LINES.
+
+    Reading order (r13): the walker tracks the text-line origin
+    through ``Td``/``TD``/``T*``/``TL``/``Tm`` (translation only — a
+    rotated or scaled text matrix keeps its e/f origin, the minimal
+    model), collecting one chunk per line. When the stream already
+    shows lines top-to-bottom (non-increasing y — every linear
+    document, and this encoder's own fixtures), chunks emit in STREAM
+    order, byte-identical to the classic behavior. When it does not
+    (absolutely-positioned spans, out-of-order columns — common in
+    real two-column layouts), chunks emit in y-then-x order (top
+    row first, left first), the minimal positional reading-order
+    pass. Ties keep stream order.
 
     ``fonts`` maps resource names (e.g. 'F1') to string DECODERS
     (bytes -> str): when present, the walker tracks ``Tf`` font
@@ -123,21 +135,35 @@ def _extract_from_content(
     no map (or no active font) strings decode latin-1, the simple-font
     behavior the classic tier always had."""
     pending: list[bytes] = []
+    nums: list[float] = []
     i = 0
     n = len(content)
     last_name = ""
     decoder = None  # active font's decoder; None -> latin-1
+    tx = ty = 0.0  # text-line origin (set by BT/Td/TD/T*/Tm)
+    leading = 0.0
+    # one chunk per text line: [y, x, stream_idx, [parts]]
+    chunks: list[list] = []
+    cur: list | None = None
 
-    def newline() -> None:
-        if out and not out[-1].endswith("\n"):
-            out.append("\n")
+    def line_break() -> None:
+        nonlocal cur
+        cur = None
 
     def show() -> None:
-        if decoder is None:
-            out.extend(s.decode("latin-1") for s in pending)
-        else:
-            out.extend(decoder(s) for s in pending)
+        nonlocal cur
+        parts = (
+            [s.decode("latin-1") for s in pending]
+            if decoder is None
+            else [decoder(s) for s in pending]
+        )
         pending.clear()
+        if not parts:
+            return
+        if cur is None:
+            cur = [ty, tx, len(chunks), []]
+            chunks.append(cur)
+        cur[3].extend(parts)
 
     while i < n:
         c = content[i]
@@ -175,24 +201,67 @@ def _extract_from_content(
             j += 1
         tok = content[i:j]
         i = j
+        if re.fullmatch(rb"[-+.0-9]+", tok or b"x"):
+            try:
+                nums.append(float(tok))
+            except ValueError:
+                nums.clear()
+            continue
         if tok in (b"Tj", b"TJ"):
             show()
         elif tok in (b"'", b'"'):
             # §9.4.3: both move to the next line THEN show
-            newline()
+            ty -= leading
+            line_break()
             show()
         elif tok == b"Tf":
             decoder = fonts.get(last_name) if fonts else None
             pending.clear()
-        elif tok in (b"Td", b"TD", b"T*"):
-            newline()
+        elif tok in (b"Td", b"TD"):
+            if len(nums) >= 2:
+                tx += nums[-2]
+                ty += nums[-1]
+                if tok == b"TD":
+                    leading = -nums[-1]
+            line_break()
+            pending.clear()
+        elif tok == b"T*":
+            ty -= leading
+            line_break()
+            pending.clear()
+        elif tok == b"Tm":
+            if len(nums) >= 6:
+                tx, ty = nums[-2], nums[-1]
+            line_break()
+            pending.clear()
+        elif tok == b"TL":
+            if nums:
+                leading = nums[-1]
             pending.clear()
         elif tok in (b"ET", b"BT"):
-            newline()
+            if tok == b"BT":
+                tx = ty = 0.0
+                leading = 0.0
+            line_break()
             pending.clear()
-        elif not re.fullmatch(rb"[-+.0-9]+", tok or b"x"):
+        else:
             # any other OPERATOR consumes its operands; numbers stack
             pending.clear()
+        nums.clear()
+
+    ys = [round(ch[0], 3) for ch in chunks]
+    if any(ys[k] < ys[k + 1] for k in range(len(ys) - 1)):
+        # out-of-order stream: top row first, left first; ties stay
+        # in stream order (the idx key)
+        chunks.sort(key=lambda ch: (-round(ch[0], 3), round(ch[1], 3), ch[2]))
+    for ch in chunks:
+        if out and not out[-1].endswith("\n"):
+            out.append("\n")
+        out.extend(ch[3])
+    if chunks and out and not out[-1].endswith("\n"):
+        # the classic walker emitted a newline at the closing ET;
+        # keep the cross-stream separator identical
+        out.append("\n")
 
 
 # --------------------------------------------------------------------
@@ -831,6 +900,61 @@ def encode_pdf(pages: list[str], compress: bool = True) -> bytes:
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objects) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    return bytes(buf)
+
+
+def encode_pdf_positioned(
+    items: list[tuple[float, float, str]], compress: bool = True
+) -> bytes:
+    """Spec-shaped single-page fixture whose text is ABSOLUTELY
+    positioned: one ``Tm`` + ``Tj`` per ``(x, y, text)`` item, shown
+    in LIST order — which is the stream order, deliberately allowed
+    to differ from reading order. Round-trips through
+    :func:`extract_pdf_text` as the items sorted top row first / left
+    first (y desc, x asc), joined by newlines — the reading-order
+    contract the __pdf2col legs pin (a multi-column or
+    absolutely-positioned writer emits in layout-build order, not
+    reading order)."""
+
+    def esc(s: str) -> bytes:
+        b = s.encode("latin-1")
+        return (
+            b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+        )
+
+    ops = [b"BT /F1 12 Tf"]
+    for x, y, text in items:
+        ops.append(b"1 0 0 1 %g %g Tm (%s) Tj" % (x, y, esc(text)))
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    if compress:
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    else:
+        filt = b""
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< %s/Length %d >>\nstream\n%s\nendstream"
+        % (filt, len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
