@@ -1350,6 +1350,43 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         encode_pdf_positioned,
     )
 
+    # '__zip' row (r13): zip-archive corpus ingestion — an
+    # engine-written zip of mixed pdf/docx/pptx members (one per
+    # region row, format by key mod 3) plus a non-document member,
+    # read by the distributed read_zip_corpus stage (one binaryFile
+    # task per archive, one Arrow member walk). The members UNION
+    # into doc_df below (ids 500+k), so the whole mixed corpus —
+    # loose docs and zip members — extracts in ONE fused Arrow
+    # stage. n_rows counts members whose magic-byte fmt matches the
+    # format implied by their id (pins the dispatch, not just the
+    # text); the readme member's id parses NULL and quarantines out
+    # of every range filter. Totals are reconstructed by the oracle
+    # from region alone.
+    import zipfile as _zipfile
+
+    from data_integration_and_harmonization_spark.sources.docx import encode_pptx
+    from data_integration_and_harmonization_spark.sources.warc import (
+        read_zip_corpus,
+    )
+
+    zip_file = base + "_region.zip"
+    _zip_enc = {
+        0: ("pdf", lambda t: encode_pdf([t])),
+        1: ("docx", lambda t: encode_docx([t])),
+        2: ("pptx", lambda t: encode_pptx([t])),
+    }
+    with _zipfile.ZipFile(zip_file, "w") as zf:
+        for k, n in region_rows:
+            m_ext, enc = _zip_enc[k % 3]
+            zf.writestr(f"docs/r{k}.{m_ext}", enc(f"zip {n} doc zkey {k}"))
+        zf.writestr("docs/readme.txt", b"not a document")
+    zip_docs = read_zip_corpus(spark, zip_file).select(
+        (
+            F.lit(500)
+            + F.regexp_extract("member", r"r(\d+)\.", 1).cast("long")
+        ).alias("doc_id"),
+        "payload",
+    )
     doc_df = spark.createDataFrame(
         [
             (k, bytearray(encode_pdf([f"Region ({n})", f"key \\ {k}"])))
@@ -1397,7 +1434,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             for k, n in region_rows
         ],
         "doc_id long, payload binary",
-    )
+    ).unionByName(zip_docs)
     from data_integration_and_harmonization_spark.functions.caching import track
 
     # persisted: all four leg rows consume the extraction, and a
@@ -1414,8 +1451,11 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     pdfcid_texts = doc_texts.where(F.col("id").between(300, 399)).select(
         (F.col("id") - 300).alias("id"), "text"
     )
-    pdf2col_texts = doc_texts.where(F.col("id") >= 400).select(
+    pdf2col_texts = doc_texts.where(F.col("id").between(400, 499)).select(
         (F.col("id") - 400).alias("id"), "text"
+    )
+    zip_texts = doc_texts.where(F.col("id") >= 500).select(
+        (F.col("id") - 500).alias("id"), "fmt", "text"
     )
 
     def _doc_rows(texts, tag: str, key_re: str):
@@ -1606,43 +1646,6 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_extract("text", r"key & (\d+)", 1).cast("long")
         ).alias("sum_rkey"),
     )
-    # '__zip' row (r13): zip-archive corpus ingestion — an
-    # engine-written zip of mixed pdf/docx/pptx members (one per
-    # region row, format by key mod 3) plus a non-document member,
-    # read by the distributed read_zip_corpus stage (one binaryFile
-    # task per archive, one Arrow member walk) and extracted by the
-    # SAME fused document_text_table dispatch as the loose-file docs
-    # leg. n_rows counts members whose magic-byte fmt matches the
-    # format implied by their id (pins the dispatch, not just the
-    # text); the readme member quarantines with a NULL id and is
-    # filtered. Text totals and the key checksum are reconstructed by
-    # the oracle from region alone.
-    import zipfile as _zipfile
-
-    from data_integration_and_harmonization_spark.sources.docx import encode_pptx
-    from data_integration_and_harmonization_spark.sources.warc import (
-        read_zip_corpus,
-    )
-
-    zip_file = base + "_region.zip"
-    _zip_enc = {
-        0: ("pdf", lambda t: encode_pdf([t])),
-        1: ("docx", lambda t: encode_docx([t])),
-        2: ("pptx", lambda t: encode_pptx([t])),
-    }
-    with _zipfile.ZipFile(zip_file, "w") as zf:
-        for k, n in region_rows:
-            m_ext, enc = _zip_enc[k % 3]
-            zf.writestr(f"docs/r{k}.{m_ext}", enc(f"zip {n} doc zkey {k}"))
-        zf.writestr("docs/readme.txt", b"not a document")
-    zip_texts = document_text_table(
-        read_zip_corpus(spark, zip_file).select(
-            F.regexp_extract("member", r"r(\d+)\.", 1)
-            .cast("long")
-            .alias("doc_id"),
-            "payload",
-        )
-    ).where(F.col("id").isNotNull())
     zip_row = zip_texts.agg(
         F.lit("__zip").alias("l_returnflag"),
         F.sum(

@@ -1926,6 +1926,7 @@ def media_duration_ms(payload: bytes) -> int | None:
     - mp4: the video track's mdhd duration/timescale (falling back to
       the mvhd movie duration) — pure sample-table arithmetic;
     - mp3: frame-header walk (``parse_mp3_meta``);
+    - avi: avih total_frames x us_per_frame (header arithmetic);
     - wav: data-chunk sample count / rate (header arithmetic);
     - gif: sum of Graphic Control Extension delays (centiseconds);
     - y4m: frame count / header rate (requires a stream walk).
@@ -1953,6 +1954,11 @@ def media_duration_ms(payload: bytes) -> int | None:
         if fmt == "webm":
             d = parse_webm_meta(payload)["duration_sec"]
             return int(d * 1000) if d is not None else None
+        if fmt == "avi":
+            m = parse_avi_meta(payload)
+            if m["us_per_frame"] and m["total_frames"]:
+                return m["total_frames"] * m["us_per_frame"] // 1000
+            return None
         if fmt == "wav":
             rate, samples = decode_wav(payload)
             return len(samples) * 1000 // rate if rate else None
@@ -2256,6 +2262,46 @@ def encode_avi_mjpeg(frames: list["np.ndarray"], fps: float = 25.0) -> bytes:
     movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_meta(payload: bytes) -> dict:
+    """``{'us_per_frame', 'total_frames', 'width', 'height', 'fps',
+    'duration_sec'}`` from the avih main header alone — the
+    metadata-tier walk (no frame decode), the duration source
+    :func:`media_duration_ms` and the alignment family use. Raises
+    ValueError on non-AVI or headerless payloads."""
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos = 12
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    stack = [(pos, end)]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            body = pos + 8
+            if fourcc == b"LIST" and data[body : body + 4] == b"hdrl":
+                stack.append((body + 4, body + size))
+            elif fourcc == b"avih" and size >= 40:
+                us, _mbps, _pad, _flags, total = struct.unpack(
+                    "<5I", data[body : body + 20]
+                )
+                w, h = struct.unpack("<2I", data[body + 32 : body + 40])
+                fps = 1_000_000 / us if us else None
+                return {
+                    "us_per_frame": us,
+                    "total_frames": total,
+                    "width": w,
+                    "height": h,
+                    "fps": round(fps, 9) if fps else None,
+                    "duration_sec": (
+                        round(total * us / 1e6, 9) if us and total else None
+                    ),
+                }
+            pos = body + size + (size & 1)
+    raise ValueError("no avih header found")
 
 
 def decode_avi_mjpeg(payload: bytes) -> tuple[float, list["np.ndarray"]]:

@@ -456,6 +456,18 @@ def video_temporal_features(
                 f.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
                 for f in frames
             ]
+        elif fmt == "avi":
+            # MJPEG-in-AVI (r13): a real container with a CONTENT
+            # tier — every frame is a T.81 JPEG the engine decodes,
+            # so luma/motion are real here, unlike the MP4 envelope
+            fps, frames = MC.decode_avi_mjpeg(payload)
+            fps = round(fps, 9)
+            lum = [
+                f[:, :, 0].astype(np.float64)
+                if f.ndim == 3 and f.shape[2] == 1
+                else f.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                for f in frames
+            ]
         else:
             return None
         if not lum:
@@ -495,11 +507,12 @@ def extract_temporal_features(
 
     - kind 'audio' (WAV): ``vals = band_share[n_bands] + [n_frames,
       rms]`` — exactly :func:`audio_band_features`'s layout.
-    - kind 'video' (Y4M / animated GIF / MP4 container): ``vals =
-      luma[n_sample] + motion[n_sample-1] + [n_frames, fps, height,
-      width]`` — see :func:`video_temporal_features` (fps NULL for
-      timing-less GIF; luma/motion NULL for compressed containers,
-      whose metadata tier never decodes a frame).
+    - kind 'video' (Y4M / animated GIF / MP4 container / MJPEG AVI):
+      ``vals = luma[n_sample] + motion[n_sample-1] + [n_frames, fps,
+      height, width]`` — see :func:`video_temporal_features` (fps
+      NULL for timing-less GIF; luma/motion NULL for the MP4
+      metadata tier, REAL for MJPEG AVI, whose frames the T.81
+      decoder reads).
     - kind 'audio_meta' (MP3): the frame-header walk
       (``media_codecs.parse_mp3_meta`` — ISO/IEC 11172-3 framing, no
       granule decode) as ``vals = [duration_sec, bitrate_kbps,
@@ -611,7 +624,7 @@ def extract_temporal_features(
                                 float(m["channels"]),
                             ]
                         )
-                elif fmt in ("y4m", "gif", "mp4"):
+                elif fmt in ("y4m", "gif", "mp4", "avi"):
                     r = video_temporal_features(p, n_sample)
                     if r is None:
                         kinds.append(None)
@@ -1004,6 +1017,24 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     -15,
                     bytearray(MC.encode_flac_meta(110250, 44100, 2, 16)),
                 ),
+                # video -17 (r13): an MJPEG AVI — a real container
+                # whose frames DECODE (T.81 tier), so luma/motion are
+                # real closed forms: 4 constant 16x16 frames of luma
+                # 131+6k (values in 128+3Z round-trip the q90 JPEG
+                # byte-exactly) at 10 fps -> luma k = (131+6k)/255,
+                # motion = 6/255, n_frames 4, fps 10, geometry 16x16.
+                (
+                    -17,
+                    bytearray(
+                        MC.encode_avi_mjpeg(
+                            [
+                                np.full((16, 16), 131 + 6 * k, dtype=np.uint8)
+                                for k in range(4)
+                            ],
+                            fps=10,
+                        )
+                    ),
+                ),
                 # image_meta -10/-11 (r11): WebP fixtures — a lossy
                 # VP8 key-frame header (320x180) and an extended VP8X
                 # canvas (1920x1080, alpha + animation flags) — every
@@ -1262,6 +1293,20 @@ FROM (
   SELECT unnest(range(11)) AS pos,
          unnest([CAST(NULL AS DOUBLE), NULL, NULL, NULL, NULL, NULL, NULL,
                  48.0, 30000 / 1001.0, 360.0, 640.0]) AS val
+) u
+UNION ALL
+-- 'video' MJPEG-AVI rows (r13): a real container whose frames DECODE
+-- through the T.81 tier — luma/motion are REAL closed forms (4
+-- constant 16x16 frames of luma 131+6k, values in 128+3Z round-trip
+-- the q90 JPEG byte-exactly): picks i*4//4 = 0..3, luma (131+6k)/255,
+-- |delta| 6/255, 4 frames at 10 fps (avih microsecond clock).
+SELECT 'video', -17::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(11)) AS pos,
+         unnest([131 / 255.0, 137 / 255.0, 143 / 255.0, 149 / 255.0,
+                 6 / 255.0, 6 / 255.0, 6 / 255.0,
+                 4.0, 10.0, 16.0, 16.0]) AS val
 ) u
 UNION ALL
 -- 'audio_meta' MP3 rows (r11): the frame-header walk over an

@@ -694,6 +694,24 @@ def test_avi_mjpeg_content_tier():
         MC.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
     assert MC.media_signature(b"RIFF\x0c\x00\x00\x00AVI \x00\x00\x00\x00") == (None, None)
     assert MC.sniff_format(MC.encode_webp_meta(4, 4)) == "webp"
+    # metadata tier: avih arithmetic without frame decode, feeding
+    # media_duration_ms (the alignment family's duration source)
+    m = MC.parse_avi_meta(avi)
+    assert (m["total_frames"], m["fps"], m["width"], m["height"]) == (2, 10.0, 32, 32)
+    assert MC.media_duration_ms(avi) == 200
+    # temporal features: a real container with REAL luma/motion
+    from data_integration_and_harmonization_spark.operators.multimodal import (
+        video_temporal_features,
+    )
+
+    const_avi = MC.encode_avi_mjpeg(
+        [np.full((16, 16), 131 + 6 * k, dtype=np.uint8) for k in range(4)],
+        fps=10,
+    )
+    nf, fps2, h, w, luma, motion = video_temporal_features(const_avi, 4)
+    assert (nf, fps2, h, w) == (4, 10.0, 16, 16)
+    assert luma == [round((131 + 6 * k) / 255.0, 9) for k in range(4)]
+    assert motion == [round(6 / 255.0, 9)] * 3
 
 
 def test_mp2_layer2_content_tier():
