@@ -69,6 +69,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "flac"
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return "webm"  # EBML magic (WebM / Matroska)
+    if payload[:4] == b"OggS":
+        return "ogg"
     if payload[:3] == b"ID3":
         return "mp3"
     if len(payload) >= 4:
@@ -1927,6 +1929,8 @@ def media_duration_ms(payload: bytes) -> int | None:
       the mvhd movie duration) — pure sample-table arithmetic;
     - mp3: frame-header walk (``parse_mp3_meta``);
     - avi: avih total_frames x us_per_frame (header arithmetic);
+    - ogg: Opus/Vorbis page walk, last granule on the codec clock
+      minus the Opus pre-skip (``parse_ogg_meta``);
     - wav: data-chunk sample count / rate (header arithmetic);
     - gif: sum of Graphic Control Extension delays (centiseconds);
     - y4m: frame count / header rate (requires a stream walk).
@@ -1959,6 +1963,9 @@ def media_duration_ms(payload: bytes) -> int | None:
             if m["us_per_frame"] and m["total_frames"]:
                 return m["total_frames"] * m["us_per_frame"] // 1000
             return None
+        if fmt == "ogg":
+            d = parse_ogg_meta(payload)["duration_sec"]
+            return int(d * 1000) if d is not None else None
         if fmt == "wav":
             rate, samples = decode_wav(payload)
             return len(samples) * 1000 // rate if rate else None
@@ -2209,6 +2216,117 @@ def encode_mp1_tones(
                 raise ValueError("fixture frame overflows its bit budget")
             out += frame + b"\x00" * (size - len(frame))
     return bytes(out)
+
+
+# ------------------------------------------------------ OGG (Opus)
+#
+# Metadata tier from the public Ogg (RFC 3533) and Opus-in-Ogg
+# (RFC 7845) specs: a stream is a sequence of 'OggS' pages, each with
+# a 64-bit granule position; the first packet of an Opus stream is
+# the 'OpusHead' identification header (channel count, pre-skip,
+# input sample rate). Duration = (last granule - pre-skip) / 48000 —
+# Opus granules are ALWAYS 48 kHz samples regardless of input rate
+# (RFC 7845 §4). Vorbis ('\\x01vorbis') surfaces its own rate and
+# granules count in it. Page CRCs are not verified (header walk, no
+# packet decode) — the audio sibling of the WebM/MP4 envelope tiers.
+
+
+def parse_ogg_meta(payload: bytes) -> dict:
+    """``{'codec', 'channels', 'sample_rate', 'preskip',
+    'last_granule', 'duration_sec'}`` of an Ogg stream by page walk.
+    ``sample_rate`` is the DECODE clock (48000 for Opus, the declared
+    rate for Vorbis); ``duration_sec`` subtracts the Opus pre-skip.
+    Raises ValueError on non-Ogg or headerless payloads."""
+    data = bytes(payload)
+    if data[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    pos = 0
+    n = len(data)
+    codec = None
+    channels = None
+    rate = None
+    preskip = 0
+    last_granule = None
+    while pos + 27 <= n and data[pos : pos + 4] == b"OggS":
+        granule = struct.unpack("<q", data[pos + 6 : pos + 14])[0]
+        nseg = data[pos + 26]
+        seg_table = data[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            break  # torn page header
+        body = pos + 27 + nseg
+        size = sum(seg_table)
+        if body + size > n:
+            break  # torn final page: keep what parsed
+        if granule >= 0:
+            last_granule = granule
+        if codec is None:
+            pkt = data[body : body + size]
+            if pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+                codec = "opus"
+                channels = pkt[9]
+                preskip = struct.unpack("<H", pkt[10:12])[0]
+                rate = 48000  # granule clock, not the input rate
+            elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                codec = "vorbis"
+                channels = pkt[11]
+                rate = struct.unpack("<I", pkt[12:16])[0]
+        pos = body + size
+    if codec is None:
+        raise ValueError("no OpusHead/Vorbis identification header")
+    dur = None
+    if last_granule is not None and rate:
+        samples = max(0, last_granule - (preskip if codec == "opus" else 0))
+        dur = round(samples / rate, 9)
+    return {
+        "codec": codec,
+        "channels": channels,
+        "sample_rate": rate,
+        "preskip": preskip,
+        "last_granule": last_granule,
+        "duration_sec": dur,
+    }
+
+
+def encode_ogg_opus_meta(
+    n_samples: int, channels: int = 2, preskip: int = 312
+) -> bytes:
+    """Minimal spec-shaped Opus-in-Ogg fixture: a BOS page carrying
+    OpusHead, then an EOS page whose granule position is
+    ``preskip + n_samples`` over a zero-filled packet (metadata tier
+    only — no Opus frames are encoded). Duration is the closed form
+    ``n_samples / 48000``. Page CRCs are zero (the header walk does
+    not verify them)."""
+
+    def page(seq: int, granule: int, body: bytes, flags: int) -> bytes:
+        segs = []
+        rem = len(body)
+        while rem >= 255:
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        head = (
+            b"OggS\x00"
+            + bytes([flags])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", 0x5157)  # serial
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"  # crc unverified by the walk
+            + bytes([len(segs)])
+            + bytes(segs)
+        )
+        return head + body
+
+    opus_head = (
+        b"OpusHead"
+        + bytes([1, channels])
+        + struct.pack("<H", preskip)
+        + struct.pack("<I", 48000)
+        + struct.pack("<h", 0)
+        + b"\x00"
+    )
+    return page(0, 0, opus_head, 0x02) + page(
+        1, preskip + n_samples, b"\x00" * 8, 0x04
+    )
 
 
 # ----------------------------------------------------- AVI (MJPEG)

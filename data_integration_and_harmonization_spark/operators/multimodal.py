@@ -518,6 +518,11 @@ def extract_temporal_features(
       granule decode) as ``vals = [duration_sec, bitrate_kbps,
       sample_rate, n_frames, channels]`` — the compressed-audio
       sibling of the MP4 metadata tier.
+    - kind 'audio_meta' (Ogg Opus/Vorbis): the page walk
+      (``media_codecs.parse_ogg_meta`` — RFC 3533 pages + RFC 7845
+      OpusHead, no packet decode) as ``vals = [duration_sec,
+      preskip, sample_rate, last_granule, channels]`` — the
+      container-audio sibling on the same five-slot layout.
     - kind 'audio_meta' (FLAC): the STREAMINFO block
       (``media_codecs.parse_flac_meta``) as ``vals = [duration_sec,
       bits_per_sample, sample_rate, total_samples, channels]`` —
@@ -588,6 +593,23 @@ def extract_temporal_features(
                                 float(vt.get("width") or 0),
                                 float(at.get("sample_rate") or 0),
                                 float(at.get("channels") or 0),
+                            ]
+                        )
+                elif fmt == "ogg":
+                    try:
+                        og = MC.parse_ogg_meta(p)
+                    except ValueError:
+                        kinds.append(None)
+                        vals.append(None)
+                    else:
+                        kinds.append("audio_meta")
+                        vals.append(
+                            [
+                                og["duration_sec"],
+                                float(og["preskip"]),
+                                float(og["sample_rate"] or 0),
+                                float(og["last_granule"] or 0),
+                                float(og["channels"] or 0),
                             ]
                         )
                 elif fmt == "flac":
@@ -1035,6 +1057,17 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         )
                     ),
                 ),
+                # audio_meta -18 (r13): an Opus-in-Ogg fixture — a
+                # BOS OpusHead page + an EOS page whose granule is
+                # preskip + 120000; every value is page-header
+                # arithmetic (RFC 7845: granules tick at 48 kHz, so
+                # duration = 120000/48000 = 2.5 s exactly).
+                (
+                    -18,
+                    bytearray(
+                        MC.encode_ogg_opus_meta(120000, channels=1, preskip=312)
+                    ),
+                ),
                 # image_meta -10/-11 (r11): WebP fixtures — a lossy
                 # VP8 key-frame header (320x180) and an extended VP8X
                 # canvas (1920x1080, alpha + animation flags) — every
@@ -1328,6 +1361,17 @@ SELECT 'video_meta', -16::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(5)) AS pos,
          unnest([2.5, 480.0, 854.0, 48000.0, 2.0]) AS val
+) u
+UNION ALL
+-- 'audio_meta' Ogg-Opus row (r13): page-header arithmetic — vals =
+-- [duration, preskip, rate, last_granule, channels]; granules tick
+-- at 48 kHz (RFC 7845), duration = 120000/48000 = 2.5 exactly after
+-- the pre-skip subtraction (last granule = 312 + 120000).
+SELECT 'audio_meta', -18::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(5)) AS pos,
+         unnest([2.5, 312.0, 48000.0, 120312.0, 1.0]) AS val
 ) u
 UNION ALL
 -- 'audio_meta' FLAC row (r12): STREAMINFO block arithmetic — vals =

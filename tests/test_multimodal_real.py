@@ -790,6 +790,50 @@ def test_mp2_layer2_content_tier():
     assert len(sb3) == 288 - 36  # final torn frame dropped
 
 
+def test_ogg_opus_metadata_tier():
+    """Ogg/Opus metadata tier: page walk + OpusHead arithmetic
+    (granules tick at 48 kHz, duration subtracts the pre-skip),
+    Vorbis identification headers carry their own clock, torn pages
+    degrade, and media_duration_ms integrates the container."""
+    import struct
+
+    p = MC.encode_ogg_opus_meta(120000, channels=1, preskip=312)
+    assert MC.sniff_format(p) == "ogg"
+    m = MC.parse_ogg_meta(p)
+    assert m == {
+        "codec": "opus",
+        "channels": 1,
+        "sample_rate": 48000,
+        "preskip": 312,
+        "last_granule": 120312,
+        "duration_sec": 2.5,
+    }
+    assert MC.media_duration_ms(p) == 2500
+    # Vorbis: own clock from the identification header
+    pkt = (
+        b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+        + (44100).to_bytes(4, "little") + b"\x00" * 12
+    )
+    vorb = (
+        b"OggS\x00\x02" + struct.pack("<q", 0) + b"\x00" * 12
+        + bytes([1, len(pkt)]) + pkt
+        + b"OggS\x00\x04" + struct.pack("<q", 88200) + b"\x00" * 12
+        + bytes([1, 4]) + b"\x00" * 4
+    )
+    mv = MC.parse_ogg_meta(vorb)
+    assert (mv["codec"], mv["channels"], mv["sample_rate"], mv["duration_sec"]) == (
+        "vorbis", 2, 44100, 2.0
+    )
+    # torn final page keeps the parsed prefix; headerless raises
+    assert MC.parse_ogg_meta(p[:-3])["last_granule"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MC.parse_ogg_meta(b"OggS" + b"\x00" * 30)
+    with _pytest.raises(ValueError):
+        MC.parse_ogg_meta(b"not ogg")
+
+
 def test_flac_streaminfo_metadata_tier():
     """FLAC STREAMINFO tier: sniff, block-arithmetic fields, unknown
     total_samples -> NULL duration, media_duration_ms integration,
