@@ -1349,6 +1349,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         encode_pdf_cid,
         encode_pdf_positioned,
     )
+    from data_integration_and_harmonization_spark.sources.epub import encode_epub
 
     # '__zip' row (r13): zip-archive corpus ingestion — an
     # engine-written zip of mixed pdf/docx/pptx members (one per
@@ -1432,6 +1433,16 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             )
             for k, n in region_rows
+        ]
+        # ids 600+k ('__epub', r13): EPUB books — OCF mimetype +
+        # container.xml -> OPF spine -> XHTML chapters, extracted in
+        # spine order by the same fused stage (sources/epub.py).
+        + [
+            (
+                600 + k,
+                bytearray(encode_epub([f"EPUB ({n})", f"chap key3 {k}"])),
+            )
+            for k, n in region_rows
         ],
         "doc_id long, payload binary",
     ).unionByName(zip_docs)
@@ -1454,8 +1465,11 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     pdf2col_texts = doc_texts.where(F.col("id").between(400, 499)).select(
         (F.col("id") - 400).alias("id"), "text"
     )
-    zip_texts = doc_texts.where(F.col("id") >= 500).select(
+    zip_texts = doc_texts.where(F.col("id").between(500, 599)).select(
         (F.col("id") - 500).alias("id"), "fmt", "text"
+    )
+    epub_texts = doc_texts.where(F.col("id") >= 600).select(
+        (F.col("id") - 600).alias("id"), "text"
     )
 
     def _doc_rows(texts, tag: str, key_re: str):
@@ -1495,6 +1509,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     pdf2col_row, pdf2col_md5_row = _doc_rows(
         pdf2col_texts, "pdf2col", r"key2 (\d+)"
     )
+    epub_row, epub_md5_row = _doc_rows(epub_texts, "epub", r"key3 (\d+)")
     docx_row = docx_texts.agg(
         F.lit("__docx").alias("l_returnflag"),
         F.count("text").alias("n_rows"),
@@ -1720,6 +1735,8 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(pdfcid_md5_row)
         .unionByName(pdf2col_row)
         .unionByName(pdf2col_md5_row)
+        .unionByName(epub_row)
+        .unionByName(epub_md5_row)
         .unionByName(srt_row)
         .unionByName(vtt_row)
         .unionByName(warc_row)
@@ -3151,6 +3168,23 @@ SELECT '__pdfcidmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (SELECT r_regionkey,
              'Régiön (' || r_name || ') — clé ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+-- EPUB legs (r13): one two-chapter book per region row, chapters
+-- joined by newline in spine order (OCF -> OPF -> XHTML walk)
+SELECT '__epub', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length(txt))::BIGINT,
+       sum(CAST(regexp_extract(txt, 'key3 ([0-9]+)', 1) AS BIGINT))::BIGINT
+FROM (SELECT 'EPUB (' || r_name || ')' || chr(10) ||
+             'chap key3 ' || r_regionkey AS txt
+      FROM region)
+UNION ALL
+SELECT '__epubmd5_' || md5(string_agg(txt, chr(31) ORDER BY r_regionkey)),
+       count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT r_regionkey,
+             'EPUB (' || r_name || ')' || chr(10) ||
+             'chap key3 ' || r_regionkey AS txt
       FROM region)
 UNION ALL
 -- reading-order legs (r13): absolutely-positioned pages whose stream

@@ -491,7 +491,8 @@ def document_text_table(
     Arrow stage, dispatched by magic bytes — the document sibling of
     ``dedup.media_signature_table``: PDF payloads run the from-spec
     ISO 32000-1 extractor, DOCX the stdlib ECMA-376 run walk, PPTX
-    the DrawingML slide-text walk. A real crawl's document bucket
+    the DrawingML slide-text walk, EPUB the OCF/OPF spine-order
+    chapter walk. A real crawl's document bucket
     holds these shapes interleaved, and one fused stage costs one
     Python worker round-trip instead of one per format (the r4
     fixed-overhead lesson). Unrecognized or text-free payloads ride
@@ -508,6 +509,10 @@ def document_text_table(
         is_docx,
         is_pptx,
     )
+    from data_integration_and_harmonization_spark.sources.epub import (
+        extract_epub_text,
+        is_epub,
+    )
 
     src = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("payload")
@@ -523,6 +528,9 @@ def document_text_table(
                 elif p is not None and is_docx(p):
                     fmts.append("docx")
                     texts.append(extract_docx_text(p))
+                elif p is not None and is_epub(p):
+                    fmts.append("epub")
+                    texts.append(extract_epub_text(p))
                 elif p is not None and is_pptx(p):
                     fmts.append("pptx")
                     texts.append(extract_pptx_text(p))

@@ -210,6 +210,33 @@ def read_any(
         return bins.mapInPandas(
             _extract_pptx_batches, "text string, _src_file string"
         )
+    if ext == "epub":
+        # a books corpus: same document front door shape (binaryFile
+        # scan + one Arrow stage -> (text, _src_file)); spine-order
+        # chapter text per the OCF/OPF chain, NULL quarantine
+        pattern = os.path.join(path, "*.epub") if os.path.isdir(path) else path
+        bins = spark.read.format("binaryFile").load(pattern).select("content", "path")
+
+        def _extract_epub_batches(it):
+            import pandas as pd
+
+            from data_integration_and_harmonization_spark.sources.epub import (
+                extract_epub_text,
+            )
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "text": [extract_epub_text(p) for p in pdf["content"]],
+                        "_src_file": [
+                            p.rsplit("/", 1)[-1] for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        return bins.mapInPandas(
+            _extract_epub_batches, "text string, _src_file string"
+        )
     if ext in ("docs", "documents"):
         # a MIXED document corpus (a real crawl bucket holds pdf and
         # docx interleaved): one distributed binaryFile scan over the
@@ -235,6 +262,10 @@ def read_any(
                 is_docx,
                 is_pptx,
             )
+            from data_integration_and_harmonization_spark.sources.epub import (
+                extract_epub_text,
+                is_epub,
+            )
 
             for pdf in it:
                 fmts, texts = [], []
@@ -248,6 +279,9 @@ def read_any(
                     elif p is not None and is_pptx(p):
                         fmts.append("pptx")
                         texts.append(extract_pptx_text(p))
+                    elif p is not None and is_epub(p):
+                        fmts.append("epub")
+                        texts.append(extract_epub_text(p))
                     else:
                         fmts.append(None)
                         texts.append(None)

@@ -1801,6 +1801,68 @@ def test_zip_corpus_reader(spark, tmp_path):
     assert read_any(spark, str(d / "b.zip")).count() == 1
 
 
+def test_epub_extraction(spark, tmp_path):
+    """EPUB text extraction: OCF mimetype detection, OPF spine order,
+    XHTML paragraph walk (nested spans flatten, entities decode),
+    torn chapters degrade, non-EPUB zips quarantine, the fused
+    document dispatcher routes by magic bytes, and the .epub front
+    door reads a corpus."""
+    from data_integration_and_harmonization_spark.operators.text import (
+        document_text_table,
+    )
+    from data_integration_and_harmonization_spark.sources.epub import (
+        encode_epub,
+        extract_epub_text,
+        is_epub,
+    )
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    p = encode_epub(["Title page\nIntro & more", "Chapter <2>"])
+    assert is_epub(p)
+    assert extract_epub_text(p) == "Title page\nIntro & more\nChapter <2>"
+    # spine order is authoritative, not member order: rebuild the
+    # archive with the OPF itemrefs swapped
+    import io
+    import zipfile
+
+    src = zipfile.ZipFile(io.BytesIO(p))
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as z:
+        for info in src.infolist():
+            data = src.read(info)
+            if info.filename.endswith("content.opf"):
+                data = data.replace(
+                    b'<itemref idref="ch0"/><itemref idref="ch1"/>',
+                    b'<itemref idref="ch1"/><itemref idref="ch0"/>',
+                )
+            z.writestr(info.filename, data)
+    assert extract_epub_text(out.getvalue()) == (
+        "Chapter <2>\nTitle page\nIntro & more"
+    )
+    # non-epub zip and junk quarantine
+    nb = io.BytesIO()
+    with zipfile.ZipFile(nb, "w") as z:
+        z.writestr("x.txt", "hi")
+    assert extract_epub_text(nb.getvalue()) is None
+    assert extract_epub_text(b"junk") is None
+    # fused dispatcher routes it
+    docs = spark.createDataFrame(
+        [(1, bytearray(p))], "doc_id long, payload binary"
+    )
+    got = document_text_table(docs).collect()
+    assert [(r["fmt"], r["text"]) for r in got] == [
+        ("epub", "Title page\nIntro & more\nChapter <2>")
+    ]
+    # .epub front door
+    d = tmp_path / "books"
+    d.mkdir()
+    (d / "a.epub").write_bytes(p)
+    rows = read_any(spark, str(d), fmt="epub").collect()
+    assert [(r["text"], r["_src_file"]) for r in rows] == [
+        ("Title page\nIntro & more\nChapter <2>", "a.epub")
+    ]
+
+
 def test_pdf_reading_order():
     """The y-then-x reading-order pass: absolutely-positioned text
     emitted in scrambled stream order reassembles top row first /
