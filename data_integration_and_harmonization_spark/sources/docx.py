@@ -26,6 +26,7 @@ from __future__ import annotations
 import io
 import re
 import zipfile
+import zlib
 from collections.abc import Sequence
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
@@ -54,7 +55,8 @@ def is_docx(payload: bytes) -> bool:
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as z:
             return "word/document.xml" in z.namelist()
-    except (zipfile.BadZipFile, OSError):
+    except (zipfile.BadZipFile, OSError, EOFError,
+            NotImplementedError, RuntimeError, zlib.error):
         return False
 
 
@@ -72,7 +74,8 @@ def extract_docx_text(payload: bytes) -> str | None:
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as z:
             root = ET.fromstring(z.read("word/document.xml"))
-    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError):
+    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError,
+            EOFError, NotImplementedError, RuntimeError, zlib.error):
         return None
     paras: list[str] = []
     for p in root.iter(f"{_W}p"):
@@ -160,7 +163,8 @@ def is_pptx(payload: bytes) -> bool:
     try:
         with zipfile.ZipFile(io.BytesIO(payload)) as z:
             return "ppt/presentation.xml" in z.namelist()
-    except (zipfile.BadZipFile, OSError):
+    except (zipfile.BadZipFile, OSError, EOFError,
+            NotImplementedError, RuntimeError, zlib.error):
         return False
 
 
@@ -191,7 +195,8 @@ def extract_pptx_text(payload: bytes) -> str | None:
                             parts.append("\n")
                     paras.append("".join(parts))
                 slides.append("\n".join(paras).strip("\n"))
-    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError):
+    except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError,
+            EOFError, NotImplementedError, RuntimeError, zlib.error):
         return None
     txt = "\n\n".join(s for s in slides if s).strip("\n")
     return txt or None

@@ -29,6 +29,7 @@ import io
 import posixpath
 import re
 import zipfile
+import zlib
 from collections.abc import Sequence
 from xml.etree import ElementTree as ET
 from xml.sax.saxutils import escape
@@ -52,10 +53,12 @@ def is_epub(payload: bytes) -> bool:
             if "mimetype" in names:
                 try:
                     return z.read("mimetype").strip() == b"application/epub+zip"
-                except (zipfile.BadZipFile, OSError):
+                except (zipfile.BadZipFile, OSError, EOFError,
+                    NotImplementedError, RuntimeError, zlib.error):
                     return False
             return "META-INF/container.xml" in names
-    except (zipfile.BadZipFile, OSError):
+    except (zipfile.BadZipFile, OSError, EOFError,
+                    NotImplementedError, RuntimeError, zlib.error):
         return False
 
 
@@ -98,7 +101,9 @@ def extract_epub_text(payload: bytes) -> str | None:
                     continue
                 try:
                     doc = ET.fromstring(z.read(path))
-                except (ET.ParseError, zipfile.BadZipFile, OSError):
+                except (ET.ParseError, zipfile.BadZipFile, OSError,
+                        EOFError, NotImplementedError, RuntimeError,
+                        zlib.error):
                     continue  # torn chapter: keep the others
                 paras = [
                     "".join(el.itertext())
@@ -118,7 +123,8 @@ def extract_epub_text(payload: bytes) -> str | None:
                 txt = "\n".join(p for p in paras if p)
                 if txt:
                     chapters.append(txt)
-    except (zipfile.BadZipFile, ET.ParseError, KeyError, OSError):
+    except (zipfile.BadZipFile, ET.ParseError, KeyError, OSError,
+            EOFError, NotImplementedError, RuntimeError, zlib.error):
         return None
     out = "\n".join(chapters).strip("\n")
     return out or None

@@ -106,15 +106,20 @@ def decode_http_text(body: bytes, content_type: str | None) -> str:
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream; non-gzip
-    payloads pass through unchanged."""
+    payloads pass through unchanged. A corrupt member ends the walk
+    with the members already decompressed (real crawls tear mid-file;
+    the parsed prefix is still useful records)."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = bytearray()
     rest = bytes(data)
     while rest[:2] == b"\x1f\x8b":
         o = zlib.decompressobj(47)  # gzip wrapper
-        out += o.decompress(rest)
-        out += o.flush()
+        try:
+            out += o.decompress(rest)
+            out += o.flush()
+        except zlib.error:
+            break  # torn/corrupt member: keep what decompressed
         rest = o.unused_data
     return bytes(out)
 
