@@ -13,7 +13,6 @@ import random
 import zlib
 
 import numpy as np
-import pytest
 
 from data_integration_and_harmonization_spark.functions import media_codecs as MC
 from data_integration_and_harmonization_spark.functions.pdf import extract_pdf_text
@@ -85,6 +84,8 @@ def test_media_signature_never_raises():
 
 
 def test_metadata_walks_raise_only_valueerror():
+    import struct
+
     rng = random.Random(4242)
     walks = [
         MC.parse_mp3_meta,
@@ -103,7 +104,7 @@ def test_metadata_walks_raise_only_valueerror():
             for walk in walks:
                 try:
                     walk(m)
-                except (ValueError, IndexError, KeyError, struct_error_types()):
+                except (ValueError, IndexError, KeyError, struct.error):
                     pass  # the documented quarantine surface
     # media_duration_ms and parse_id3_tags are total functions
     for payload in _valid_media():
@@ -111,12 +112,6 @@ def test_metadata_walks_raise_only_valueerror():
             d = MC.media_duration_ms(m)
             assert d is None or d >= 0
             assert isinstance(MC.parse_id3_tags(m), dict)
-
-
-def struct_error_types():
-    import struct
-
-    return struct.error
 
 
 def test_document_extractors_quarantine():
