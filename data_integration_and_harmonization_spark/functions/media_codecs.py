@@ -71,6 +71,16 @@ def sniff_format(payload: bytes) -> str | None:
         return "webm"  # EBML magic (WebM / Matroska)
     if payload[:4] == b"OggS":
         return "ogg"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 14
+        and struct.unpack("<I", payload[2:6])[0] == len(payload)
+    ):
+        # 'BM' alone is too loose (arbitrary text can start with it);
+        # require the header's declared file size to match
+        return "bmp"
     if payload[:3] == b"ID3":
         return "mp3"
     if len(payload) >= 4:
@@ -416,21 +426,138 @@ def encode_gif(
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """WAV -> (sample_rate, (n_samples, n_channels) float64 in [-1, 1])."""
+    """WAV -> (sample_rate, (n_samples, n_channels) float64 in [-1, 1]).
+
+    8/16-bit integer PCM rides the stdlib ``wave`` module; everything
+    the stdlib rejects falls back to a direct RIFF chunk walk
+    (:func:`_decode_wav_riff`) covering 24/32-bit integer PCM, 32/64
+    -bit IEEE float (format tag 3), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE, real tag from the SubFormat GUID) — the widths ML audio
+    corpora actually contain (r13: a float32 WAV previously
+    quarantined out of the content tier)."""
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        rate = wf.getframerate()
-        ch = wf.getnchannels()
-        width = wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
-    if width == 2:
-        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 1:  # 8-bit WAV is unsigned
-        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate = wf.getframerate()
+            ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        if width == 2:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:  # 8-bit WAV is unsigned
+            arr = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        else:
+            return _decode_wav_riff(payload)
+        return rate, arr.reshape(-1, ch)
+    except (wave.Error, EOFError):
+        # the stdlib raises bare EOFError on truncated chunk headers
+        # (fuzz find, r13); the RIFF walk re-raises torn payloads as
+        # the documented ValueError quarantine type
+        return _decode_wav_riff(payload)
+
+
+def _decode_wav_riff(payload: bytes) -> tuple[int, np.ndarray]:
+    """Direct RIFF/WAVE walk for the formats the stdlib rejects:
+    PCM 24/32-bit, IEEE float 32/64-bit, and the EXTENSIBLE wrapper.
+    Raises ValueError on non-WAV or unsupported format tags."""
+    data = bytes(payload)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    n = len(data)
+    fmt = raw = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or raw is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    tag, ch, rate, _bps, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: real tag in GUID
+        tag = struct.unpack("<H", fmt[24:26])[0]
+    if ch < 1:
+        raise ValueError("zero-channel WAV")
+    if tag == 3 and bits == 32:
+        arr = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<f4").astype(
+            np.float64
+        )
+    elif tag == 3 and bits == 64:
+        arr = np.frombuffer(raw[: len(raw) // 8 * 8], dtype="<f8").astype(
+            np.float64
+        )
+    elif tag == 1 and bits == 24:
+        b = np.frombuffer(raw[: len(raw) // 3 * 3], dtype=np.uint8).reshape(
+            -1, 3
+        )
+        x = (
+            b[:, 0].astype(np.int64)
+            | (b[:, 1].astype(np.int64) << 8)
+            | (b[:, 2].astype(np.int64) << 16)
+        )
+        arr = (((x ^ 0x800000) - 0x800000).astype(np.float64)) / float(1 << 23)
+    elif tag == 1 and bits == 32:
+        arr = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<i4").astype(
+            np.float64
+        ) / float(1 << 31)
+    elif tag == 1 and bits in (8, 16):
+        # torn header made the stdlib bail but the layout is plain PCM
+        if bits == 16:
+            arr = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(
+                np.float64
+            ) / 32768.0
+        else:
+            arr = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
     else:
-        raise ValueError(f"unsupported WAV sample width {width}")
-    return rate, arr.reshape(-1, ch)
+        raise ValueError(f"unsupported WAV format tag {tag} / {bits} bits")
+    usable = len(arr) // ch * ch
+    return rate, arr[:usable].reshape(-1, ch)
+
+
+def encode_wav_ext(
+    rate: int, samples: np.ndarray, kind: str = "float32"
+) -> bytes:
+    """Fixture writer for the extended-width WAV family
+    (:func:`_decode_wav_riff`): ``kind`` in float32 | float64 |
+    pcm24 | pcm32."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    ch = arr.shape[1]
+    if kind == "float32":
+        tag, bits, raw = 3, 32, arr.astype("<f4").tobytes()
+    elif kind == "float64":
+        tag, bits, raw = 3, 64, arr.astype("<f8").tobytes()
+    elif kind == "pcm24":
+        x = np.clip(np.round(arr * (1 << 23)), -(1 << 23), (1 << 23) - 1)
+        x = x.astype(np.int64).flatten() & 0xFFFFFF
+        b = np.empty((len(x), 3), dtype=np.uint8)
+        b[:, 0] = x & 0xFF
+        b[:, 1] = (x >> 8) & 0xFF
+        b[:, 2] = (x >> 16) & 0xFF
+        tag, bits, raw = 1, 24, b.tobytes()
+    elif kind == "pcm32":
+        x = np.clip(np.round(arr * (1 << 31)), -(1 << 31), (1 << 31) - 1)
+        tag, bits, raw = 1, 32, x.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    align = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * align, align, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(rate: int, samples: np.ndarray) -> bytes:
@@ -1596,6 +1723,7 @@ def parse_id3_tags(payload: bytes) -> dict:
     if size == 0:
         return out
     data = bytes(payload[:size])
+    size = len(data)  # a truncated payload undercuts the declared size
     ver = data[3]
     syncsafe_frames = ver >= 4  # v2.4 frame sizes are syncsafe
     pos = 10
@@ -2106,6 +2234,14 @@ def media_signature(payload: bytes) -> tuple[str | None, int | None]:
     if fmt in ("png", "jpeg"):
         s = phash64_of_payload(payload)
         return ("image", s) if s is not None else (None, None)
+    if fmt == "bmp":
+        # BMP decodes fully (uncompressed BGR) — same pHash family;
+        # a BMP and PNG of one image hash IDENTICALLY (lossless both)
+        try:
+            s = phash64(decode_bmp(payload))
+        except Exception:  # noqa: BLE001 — malformed BMP
+            return None, None
+        return "image", s
     if fmt == "wav":
         s = audio_simhash64(payload)
         return ("audio", s) if s is not None else (None, None)
@@ -2296,6 +2432,192 @@ def encode_mp1_tones(
                 raise ValueError("fixture frame overflows its bit budget")
             out += frame + b"\x00" * (size - len(frame))
     return bytes(out)
+
+
+# --------------------------------------------------------------- BMP
+#
+# CONTENT tier (r13): uncompressed Windows bitmaps from the public
+# BITMAPFILEHEADER/BITMAPINFOHEADER layout — 8-bit paletted and
+# 24/32-bit BGR(A), BI_RGB only, bottom-up (positive height) or
+# top-down rows, rows padded to 4 bytes. Scanned-document and
+# screenshot corpora still carry BMPs; a full decode is ~40 lines, so
+# it joins the image pHash family outright (no metadata-tier excuse).
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP -> (H, W, 3) uint8 RGB (alpha dropped, palette applied).
+    Raises ValueError on non-BMP, compressed (non-BI_RGB), or torn
+    payloads (callers quarantine)."""
+    data = bytes(payload)
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP payload")
+    px_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bits = struct.unpack("<HH", data[26:30])
+    comp = struct.unpack("<I", data[30:34])[0]
+    if comp != 0:
+        raise ValueError(f"unsupported BMP compression {comp}")
+    if bits not in (8, 24, 32) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP layout ({bits} bpp, {w}x{h})")
+    top_down = h < 0
+    H = abs(h)
+    row = (w * bits // 8 + 3) & ~3
+    if px_off + row * H > len(data):
+        raise ValueError("torn BMP pixel array")
+    if bits == 8:
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        pal_at = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_at : pal_at + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        if len(pal) < n_colors:
+            raise ValueError("torn BMP palette")
+    px = np.frombuffer(
+        data[px_off : px_off + row * H], dtype=np.uint8
+    ).reshape(H, row)
+    if bits == 8:
+        idx = px[:, :w]
+        out = pal[idx]
+    else:
+        step = bits // 8
+        bgr = px[:, : w * step].reshape(H, w, step)
+        out = bgr[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+    if not top_down:
+        out = out[::-1]
+    return np.ascontiguousarray(out)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W[, 3]) uint8 -> 24-bit BI_RGB bottom-up BMP bytes (the
+    plain shape real writers emit). Grayscale input replicates to
+    RGB. Round-trips losslessly through :func:`decode_bmp`."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    H, w = arr.shape[:2]
+    row = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(H - 1, -1, -1):  # bottom-up
+        line = arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (row - len(line))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, H, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    )
+    return head + info + bytes(body)
+
+
+# ------------------------------------------------------------- TIFF
+#
+# Metadata tier (r13): baseline TIFF IFD walk (the public TIFF 6.0
+# spec) — endianness, geometry, bit depth, compression tag, samples
+# per pixel. Scanned-document corpora ship TIFF; triage bins on the
+# envelope without an LZW/CCITT decoder.
+
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression", 277: "samples"}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def parse_tiff_meta(payload: bytes) -> dict:
+    """``{'byte_order', 'width', 'height', 'bits_per_sample',
+    'compression', 'samples_per_pixel', 'n_ifds'}`` from the IFD
+    chain (values from the FIRST image; n_ifds counts the chain —
+    multi-page scans are common). Raises ValueError on non-TIFF or
+    torn structures."""
+    data = bytes(payload)
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    out = {
+        "byte_order": "little" if bo == "<" else "big",
+        "width": None,
+        "height": None,
+        "bits_per_sample": None,
+        "compression": None,
+        "samples_per_pixel": None,
+        "n_ifds": 0,
+    }
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    first = True
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        if off + 2 > len(data):
+            raise ValueError("torn IFD offset")
+        n = struct.unpack(bo + "H", data[off : off + 2])[0]
+        end = off + 2 + n * 12
+        if end + 4 > len(data):
+            raise ValueError("torn IFD table")
+        out["n_ifds"] += 1
+        if first:
+            for i in range(n):
+                e = off + 2 + i * 12
+                tag, typ, cnt = struct.unpack(bo + "HHI", data[e : e + 8])
+                name = _TIFF_TAGS.get(tag)
+                if name is None or typ not in _TIFF_TYPE_SIZE or cnt < 1:
+                    continue
+                size = _TIFF_TYPE_SIZE[typ] * cnt
+                if size <= 4:
+                    vraw = data[e + 8 : e + 8 + size]
+                else:
+                    voff = struct.unpack(bo + "I", data[e + 8 : e + 12])[0]
+                    vraw = data[voff : voff + size]
+                    if len(vraw) < size:
+                        continue  # torn value: skip the field
+                code = {1: "B", 3: "H", 4: "I"}[typ]
+                val = struct.unpack(bo + code, vraw[: _TIFF_TYPE_SIZE[typ]])[0]
+                key = {
+                    "width": "width",
+                    "height": "height",
+                    "bits": "bits_per_sample",
+                    "compression": "compression",
+                    "samples": "samples_per_pixel",
+                }[name]
+                out[key] = int(val)
+            first = False
+        off = struct.unpack(bo + "I", data[end : end + 4])[0]
+    if out["n_ifds"] == 0:
+        raise ValueError("no IFD found")
+    return out
+
+
+def encode_tiff_meta(
+    width: int,
+    height: int,
+    bits: int = 8,
+    compression: int = 1,
+    samples: int = 1,
+    n_pages: int = 1,
+    big_endian: bool = False,
+) -> bytes:
+    """Minimal spec-shaped TIFF fixture: ``n_pages`` chained IFDs
+    carrying the five triage tags (no strip data — metadata tier).
+    Every field is closed-form header arithmetic."""
+    bo = ">" if big_endian else "<"
+    buf = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
+    buf += struct.pack(bo + "I", 8)
+    tags = [
+        (256, 4, width), (257, 4, height), (258, 3, bits),
+        (259, 3, compression), (277, 3, samples),
+    ]
+    for page in range(n_pages):
+        here = len(buf)
+        buf += struct.pack(bo + "H", len(tags))
+        for tag, typ, val in tags:
+            code = {3: "H", 4: "I"}[typ]
+            vraw = struct.pack(bo + code, val)
+            buf += struct.pack(bo + "HHI", tag, typ, 1) + vraw.ljust(4, b"\x00")
+        nxt = len(buf) + 4 if page + 1 < n_pages else 0
+        buf += struct.pack(bo + "I", nxt)
+    return bytes(buf)
 
 
 # ------------------------------------------------------ OGG (Opus)

@@ -1950,6 +1950,12 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         payloads = [
             (-1, MC.encode_png(quad.astype(np.uint8))),
+            # -9 (r13): the SAME quad pattern as PNG -1, BMP-encoded
+            # (24-bit BI_RGB bottom-up) — both formats are lossless,
+            # so the pair lands at hamming 0: the image family's
+            # cross-FORMAT twin of the WAV/Layer-I/Layer-II audio
+            # triple and the oracle reuses -1's pixel formula.
+            (-9, MC.encode_bmp(quad.astype(np.uint8))),
             (-2, MC.encode_png(((quad + (xx == 5) * 8) % 256).astype(np.uint8))),
             (-3, MC.encode_png(((xx * 13 + yy * 29 + xx * yy * 5) % 256).astype(np.uint8))),
             (-4, MC.encode_png(((x16 * x16 * 11 + y16 * y16 * 5) % 256).astype(np.uint8))),
@@ -2340,6 +2346,10 @@ def _simhash_phash_sql() -> str:
     hash mismatch."""
     px_formulas = [
         ("-1", "((x.i*x.i*7 + y.i*y.i*3 + x.i*y.i) % 256)::DOUBLE"),
+        # -9: BMP encode of the SAME pattern as -1 (lossless) —
+        # identical formula, so the oracle derives the hamming-0 pair
+        # (mid > -10 keeps it in the image modality partition)
+        ("-9", "((x.i*x.i*7 + y.i*y.i*3 + x.i*y.i) % 256)::DOUBLE"),
         (
             "-2",
             "((x.i*x.i*7 + y.i*y.i*3 + x.i*y.i"

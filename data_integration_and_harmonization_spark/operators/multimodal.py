@@ -529,6 +529,11 @@ def extract_temporal_features(
       same five-slot layout, slot 1/3 semantics per format (the
       format is recoverable from the payload; triage bins don't mix
       them).
+    - kind 'image_meta' (TIFF): the IFD walk
+      (``media_codecs.parse_tiff_meta`` — TIFF 6.0 entry grammar, no
+      strip decode) as ``vals = [height, width, bits_per_sample,
+      compression, n_ifds]`` — the scanned-document envelope
+      (n_ifds counts multi-page scans).
     - kind 'image_meta' (WebP): the RIFF/VP8-header walk
       (``media_codecs.parse_webp_meta`` — geometry + layout flags, no
       entropy decode) as ``vals = [height, width, has_alpha,
@@ -556,6 +561,23 @@ def extract_temporal_features(
                     else:
                         kinds.append("audio")
                         vals.append(r[2] + [float(r[0]), r[1]])
+                elif fmt == "tiff":
+                    try:
+                        tm = MC.parse_tiff_meta(p)
+                    except ValueError:
+                        kinds.append(None)
+                        vals.append(None)
+                    else:
+                        kinds.append("image_meta")
+                        vals.append(
+                            [
+                                float(tm["height"] or 0),
+                                float(tm["width"] or 0),
+                                float(tm["bits_per_sample"] or 0),
+                                float(tm["compression"] or 0),
+                                float(tm["n_ifds"]),
+                            ]
+                        )
                 elif fmt == "webp":
                     try:
                         w = MC.parse_webp_meta(p)
@@ -1068,6 +1090,24 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         MC.encode_ogg_opus_meta(120000, channels=1, preskip=312)
                     ),
                 ),
+                # audio -20 (r13): the SAME sine as -5 but a FLOAT32
+                # WAV (format tag 3 — the extended-width family the
+                # stdlib wave module rejects): every band share / rms
+                # closed form is identical to -5, pinning the RIFF
+                # fallback decode end-to-end.
+                (-20, bytearray(MC.encode_wav_ext(8192, sine, "float32"))),
+                # image_meta -19 (r13): a multi-page TIFF scan
+                # envelope — A4-at-300dpi geometry, 1-bit CCITT G4
+                # (compression 4), 3 chained IFDs; every value is IFD
+                # entry arithmetic.
+                (
+                    -19,
+                    bytearray(
+                        MC.encode_tiff_meta(
+                            2480, 3508, 1, 4, 1, n_pages=3, big_endian=True
+                        )
+                    ),
+                ),
                 # image_meta -10/-11 (r11): WebP fixtures — a lossy
                 # VP8 key-frame header (320x180) and an extended VP8X
                 # canvas (1920x1080, alpha + animation flags) — every
@@ -1286,6 +1326,25 @@ SELECT 'audio', -5::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
 FROM (
   SELECT unnest(range(10)) AS pos,
          unnest([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 8.0, sqrt(0.125)]) AS val
+) u
+UNION ALL
+-- 'audio' float32-WAV row (r13): the same sine as -5 through the
+-- RIFF fallback decode (format tag 3) — identical closed forms
+SELECT 'audio', -20::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(10)) AS pos,
+         unnest([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 8.0, sqrt(0.125)]) AS val
+) u
+UNION ALL
+-- 'image_meta' TIFF row (r13): IFD entry arithmetic — vals =
+-- [height, width, bits, compression, n_ifds] of a 3-page 1-bit
+-- CCITT-G4 A4 scan envelope
+SELECT 'image_meta', -19::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
+FROM (
+  SELECT unnest(range(5)) AS pos,
+         unnest([3508.0, 2480.0, 1.0, 4.0, 3.0]) AS val
 ) u
 UNION ALL
 -- 'video' rows (r10): two Y4M streams with constant-luma frames, so

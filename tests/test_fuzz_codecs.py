@@ -70,6 +70,10 @@ def _valid_media():
         MC.encode_webm_meta(1000.0, 640, 360, 48000.0, 2),
         MC.encode_mp4_meta(320, 240, 24),
         MC.encode_id3_tags({"TIT2": "t"}) + MC.encode_mp3_meta(2),
+        MC.encode_bmp(img),
+        MC.encode_tiff_meta(64, 48, 8, 1, 3, n_pages=2),
+        MC.encode_wav_ext(8000, np.sin(np.arange(512) / 5.0), "float32"),
+        MC.encode_wav_ext(8000, np.sin(np.arange(512) / 5.0), "pcm24"),
     ]
 
 
@@ -98,6 +102,9 @@ def test_metadata_walks_raise_only_valueerror():
         MC.decode_mp1_subbands,
         MC.decode_mp2_subbands,
         MC.decode_avi_mjpeg,
+        MC.parse_tiff_meta,
+        MC.decode_bmp,
+        MC.decode_wav,
     ]
     for payload in _valid_media():
         for m in _mutations(payload, rng, n=12):

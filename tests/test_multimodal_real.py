@@ -790,6 +790,127 @@ def test_mp2_layer2_content_tier():
     assert len(sb3) == 288 - 36  # final torn frame dropped
 
 
+def test_wav_extended_widths():
+    """The RIFF fallback decode: float32/float64/pcm24/pcm32 WAVs
+    (which the stdlib wave module rejects) decode to the same signal
+    as the 16-bit path and hash into the SAME audio near-dup family;
+    EXTENSIBLE wrappers resolve their real tag; unsupported tags
+    raise for quarantine."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(1024)
+    sig = np.concatenate(
+        [0.5 * np.sin(2 * np.pi * (8 + 16 * b) * t / 256) for b in range(8)]
+    )
+    base = MC.audio_simhash64(MC.encode_wav(8192, sig))
+    for kind in ("float32", "float64", "pcm24", "pcm32"):
+        p = MC.encode_wav_ext(8192, sig, kind)
+        assert MC.sniff_format(p) == "wav"
+        rate, arr = MC.decode_wav(p)
+        assert rate == 8192 and arr.shape == (8192, 1)
+        assert np.abs(arr[:, 0] - sig).max() < 1e-6
+        assert MC.audio_simhash64(p) == base
+        assert MC.media_signature(p) == ("audio", base)
+    # stereo keeps its channel layout
+    st = MC.encode_wav_ext(44100, np.stack([sig[:64], -sig[:64]], axis=1))
+    assert MC.decode_wav(st)[1].shape == (64, 2)
+    # EXTENSIBLE wrapper: tag 0xFFFE, real tag (3 = float) leading
+    # the SubFormat GUID at fmt[24:26]
+    raw = sig[:256].astype("<f4").tobytes()
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8192, 8192 * 4, 4, 32)
+        + struct.pack("<HHI", 22, 32, 0)  # cbSize, valid bits, mask
+        + struct.pack("<H", 3) + b"\x00" * 14  # GUID: real tag first
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(ext)) + ext
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    wrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    r2, a2 = MC.decode_wav(wrapped)
+    assert r2 == 8192 and np.abs(a2[:, 0] - sig[:256]).max() < 1e-6
+    # unsupported tag quarantines
+    import pytest as _pytest
+
+    bad = MC.encode_wav_ext(8192, sig[:64], "float32").replace(
+        struct.pack("<HH", 3, 1), struct.pack("<HH", 85, 1), 1
+    )
+    with _pytest.raises(ValueError):
+        MC._decode_wav_riff(bad)
+
+
+def test_bmp_content_tier():
+    """BMP content tier: 24-bit round-trip, grayscale replication,
+    8-bit palette, top-down rows, BMP==PNG cross-format hamming-0,
+    and quarantine for compressed/torn payloads."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    quad = ((xx * xx * 7 + yy * yy * 3 + xx * yy) % 256).astype(np.uint8)
+    bmp = MC.encode_bmp(quad)
+    assert MC.sniff_format(bmp) == "bmp"
+    assert np.array_equal(MC.decode_bmp(bmp), np.stack([quad] * 3, axis=2))
+    rgb = np.random.RandomState(3).randint(0, 256, (11, 7, 3)).astype(np.uint8)
+    assert np.array_equal(MC.decode_bmp(MC.encode_bmp(rgb)), rgb)
+    # same image, two lossless formats -> identical pHash
+    assert MC.media_signature(bmp) == MC.media_signature(MC.encode_png(quad))
+    # 8-bit paletted: identity-gray palette decodes like grayscale
+    import struct
+
+    pal = b"".join(bytes([v, v, v, 0]) for v in range(256))
+    w = h = 8
+    idx = ((np.arange(64) * 37) % 256).astype(np.uint8).reshape(8, 8)
+    rows = b"".join(idx[y].tobytes() for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 0, 0, 256, 0)
+    p8 = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + 1024 + len(rows), 0, 0, 14 + 40 + 1024)
+        + info + pal + rows
+    )
+    assert np.array_equal(MC.decode_bmp(p8)[:, :, 0], idx)
+    # top-down (negative height)
+    info_td = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 0, 0, 256, 0)
+    rows_td = b"".join(idx[y].tobytes() for y in range(h))
+    p_td = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + 1024 + len(rows_td), 0, 0, 14 + 40 + 1024)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, len(rows_td), 0, 0, 256, 0)
+        + pal + rows_td
+    )
+    assert np.array_equal(MC.decode_bmp(p_td)[:, :, 0], idx)
+    # compressed (BI_RLE8) and torn quarantine
+    import pytest as _pytest
+
+    bad = bytearray(bmp)
+    bad[30] = 1  # compression = BI_RLE8
+    with _pytest.raises(ValueError):
+        MC.decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError):
+        MC.decode_bmp(bmp[:40])
+
+
+def test_tiff_metadata_tier():
+    """TIFF metadata tier: both byte orders, multi-page IFD chains,
+    out-of-line values skipped gracefully, torn structures raise."""
+    t = MC.encode_tiff_meta(2480, 3508, 1, 4, 1, n_pages=3, big_endian=True)
+    assert MC.sniff_format(t) == "tiff"
+    m = MC.parse_tiff_meta(t)
+    assert m == {
+        "byte_order": "big", "width": 2480, "height": 3508,
+        "bits_per_sample": 1, "compression": 4,
+        "samples_per_pixel": 1, "n_ifds": 3,
+    }
+    m2 = MC.parse_tiff_meta(MC.encode_tiff_meta(640, 480))
+    assert (m2["byte_order"], m2["width"], m2["n_ifds"]) == ("little", 640, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MC.parse_tiff_meta(b"II*\x00\x40\x00\x00\x00")
+    with _pytest.raises(ValueError):
+        MC.parse_tiff_meta(b"not tiff")
+
+
 def test_id3v2_text_frames():
     """ID3v2 text-frame extraction: v2.4 syncsafe and v2.3 plain
     frame sizes, all four text encodings, multi-value NUL joins,
