@@ -1661,6 +1661,45 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_extract("text", r"key & (\d+)", 1).cast("long")
         ).alias("sum_rkey"),
     )
+    # '__wiki' row (r13): MediaWiki dump ingestion — an engine-written
+    # bz2 export (the dump wire format) holding one ns-0 article per
+    # region row PLUS a redirect and a Category page that the article
+    # filter (ns = 0 AND redirect IS NULL) must exclude; parsed by
+    # the streaming iterparse stage of read_mediawiki. Totals are
+    # reconstructed by the oracle from region alone.
+    from data_integration_and_harmonization_spark.sources.wiki import (
+        encode_mediawiki,
+        read_mediawiki,
+    )
+
+    wiki_file = base + "_region.xml.bz2"
+    with open(wiki_file, "wb") as fh:
+        fh.write(
+            encode_mediawiki(
+                [
+                    (k + 1, 0, f"Region ({n})", f"wiki {n} key4 {k}")
+                    for k, n in region_rows
+                ]
+                + [
+                    (900, 0, "Old name", "#REDIRECT [[Region]]", "Region"),
+                    (901, 14, "Category:Regions", "not an article"),
+                ],
+                compress="bz2",
+            )
+        )
+    wiki_row = (
+        read_mediawiki(spark, wiki_file)
+        .where((F.col("ns") == 0) & F.col("redirect").isNull())
+        .agg(
+            F.lit("__wiki").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.length("text")).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract("text", r"key4 (\d+)", 1).cast("long")
+            ).alias("sum_rkey"),
+        )
+    )
     zip_row = zip_texts.agg(
         F.lit("__zip").alias("l_returnflag"),
         F.sum(
@@ -1742,6 +1781,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(warc_row)
         .unionByName(warc_md5_row)
         .unionByName(zip_row)
+        .unionByName(wiki_row)
     )
 
 
@@ -3249,6 +3289,14 @@ UNION ALL
 -- right), the readme member quarantines outside the count
 SELECT '__zip', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        sum(length('zip ' || r_name || ' doc zkey ' || r_regionkey))::BIGINT,
+       sum(r_regionkey)::BIGINT
+FROM region
+UNION ALL
+-- MediaWiki dump leg (r13): one ns-0 article per region row in a bz2
+-- export part; the redirect and Category pages fall to the article
+-- filter, so the totals are region arithmetic alone
+SELECT '__wiki', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length('wiki ' || r_name || ' key4 ' || r_regionkey))::BIGINT,
        sum(r_regionkey)::BIGINT
 FROM region
 UNION ALL

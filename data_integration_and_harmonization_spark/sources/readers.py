@@ -62,7 +62,9 @@ def read_any(
             decode_http_text,
         )
 
-        pattern = os.path.join(path, "*.txt") if os.path.isdir(path) else path
+        pattern = (
+            os.path.join(path, "*.txt*") if os.path.isdir(path) else path
+        )  # *.txt* also picks up .txt.gz members of a mixed dump
         bins = (
             spark.read.format("binaryFile").load(pattern).select("content")
         )
@@ -70,12 +72,23 @@ def read_any(
         enc = encoding
 
         def _decode_text_batches(it):
+            import gzip as _gzip
+
             import pandas as pd
 
             for pdf in it:
                 texts: list[str] = []
                 for payload in pdf["content"]:
                     b = bytes(payload)
+                    if b[:2] == b"\x1f\x8b":
+                        # .txt.gz corpora: the JVM path decompresses
+                        # via the Hadoop codec; the Arrow path must
+                        # do its own (torn members keep nothing —
+                        # a gz text file is one stream, not members)
+                        try:
+                            b = _gzip.decompress(b)
+                        except (OSError, EOFError):
+                            continue  # torn archive: quarantine file
                     t = (
                         decode_http_text(b, None)
                         if enc == "auto"
@@ -325,6 +338,17 @@ def read_any(
         )
 
         return read_zip_corpus(spark, path)
+    if ext in ("mediawiki", "wiki"):
+        # a MediaWiki XML dump corpus (explicit fmt — .xml alone is
+        # too generic to claim): one task per part file, one Arrow
+        # stage streaming pages -> (page_id, ns, title, redirect,
+        # text, _src_file); filter ns=0 AND redirect IS NULL for
+        # article text
+        from data_integration_and_harmonization_spark.sources.wiki import (
+            read_mediawiki,
+        )
+
+        return read_mediawiki(spark, path)
     if ext == "srt":
         return read_srt(spark, path)
     if ext == "vtt":

@@ -1734,6 +1734,11 @@ def test_txt_front_door_charset(spark, tmp_path):
     (d / "b.txt").write_bytes("utf16 “text”\nsecond".encode("utf-16"))  # BOM
     (d / "c.txt").write_bytes("bomless utf16\nalso".encode("utf-16-le"))
     (d / "d.txt").write_bytes("plain utf-8 é\n".encode())
+    import gzip as _gzip
+
+    (d / "e.txt.gz").write_bytes(
+        _gzip.compress("gzipped läin".encode("latin-1"))
+    )
     from data_integration_and_harmonization_spark.sources.readers import read_any
 
     rows = {r["text"] for r in read_any(spark, str(d), fmt="txt", encoding="auto").collect()}
@@ -1742,6 +1747,7 @@ def test_txt_front_door_charset(spark, tmp_path):
         "utf16 “text”", "second",
         "bomless utf16", "also",
         "plain utf-8 é",
+        "gzipped läin",
     }
     # wholetext keeps one row per file
     whole = {
@@ -1799,6 +1805,46 @@ def test_zip_corpus_reader(spark, tmp_path):
     assert got == {(1, "docx"): "from the zipfile", (2, "pptx"): "slide text"}
     # single-file path form too
     assert read_any(spark, str(d / "b.zip")).count() == 1
+
+
+def test_mediawiki_dump_reader(spark, tmp_path):
+    """read_mediawiki: page stream over plain/bz2/gzip dump parts,
+    page-vs-revision id disambiguation, redirect surfacing, torn
+    parts degrade, alien files yield nothing, and the explicit
+    fmt='mediawiki' front door routes a corpus."""
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+    from data_integration_and_harmonization_spark.sources.wiki import (
+        encode_mediawiki,
+        parse_mediawiki_pages,
+    )
+
+    pages = [
+        (1, 0, "Alpha", "article one"),
+        (2, 0, "Old", "#REDIRECT [[Alpha]]", "Alpha"),
+        (3, 14, "Category:X", "cat page"),
+    ]
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "part1.xml").write_bytes(encode_mediawiki(pages[:1]))
+    (d / "part2.xml.bz2").write_bytes(encode_mediawiki(pages[1:], compress="bz2"))
+    (d / "part3.xml.gz").write_bytes(
+        encode_mediawiki([(9, 0, "Gz", "gzipped")], compress="gzip")
+    )
+    (d / "alien.xml").write_bytes(b"this is not xml <<<")
+    out = read_any(spark, str(d), fmt="mediawiki")
+    rows = {r["page_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[1]["title"] == "Alpha" and rows[1]["text"] == "article one"
+    assert rows[2]["redirect"] == "Alpha" and rows[2]["ns"] == 0
+    assert rows[3]["ns"] == 14 and rows[3]["redirect"] is None
+    assert rows[9]["_src_file"] == "part3.xml.gz"
+    # the article filter a curation pass uses
+    arts = out.where("ns = 0 AND redirect IS NULL").collect()
+    assert {r["page_id"] for r in arts} == {1, 9}
+    # page id wins over revision/contributor ids; torn parts degrade
+    raw = encode_mediawiki([(7, 0, "T", "t" * 50), (8, 0, "U", "u")])
+    assert [p["page_id"] for p in parse_mediawiki_pages(raw)] == [7, 8]
+    assert [p["page_id"] for p in parse_mediawiki_pages(raw[: len(raw) - 40])] == [7]
 
 
 def test_epub_extraction(spark, tmp_path):
