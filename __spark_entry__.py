@@ -1700,6 +1700,40 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sum_rkey"),
         )
     )
+    # '__wikitxt' row (r13): the wikitext -> plain-text cleaner (the
+    # stage between read_mediawiki and quality/dedup) over per-region
+    # markup exercising templates, piped links, refs and bold runs —
+    # all-JVM column expressions; the oracle reconstructs the CLEANED
+    # strings from region alone (fixture in, expected out — no
+    # cross-engine regex replay needed).
+    from data_integration_and_harmonization_spark.operators.text import (
+        wikitext_to_text,
+    )
+
+    wikitxt_row = (
+        spark.createDataFrame(region_rows, "k long, n string")
+        .select(
+            "k",
+            wikitext_to_text(
+                F.format_string(
+                    "'''wiki''' [[X|%s place]] {{infobox|k=%d}} "
+                    "<ref>cite</ref>clean key5 %d",
+                    F.col("n"),
+                    F.col("k"),
+                    F.col("k"),
+                )
+            ).alias("text"),
+        )
+        .agg(
+            F.lit("__wikitxt").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.length("text")).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract("text", r"key5 (\d+)", 1).cast("long")
+            ).alias("sum_rkey"),
+        )
+    )
     zip_row = zip_texts.agg(
         F.lit("__zip").alias("l_returnflag"),
         F.sum(
@@ -1782,6 +1816,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(warc_md5_row)
         .unionByName(zip_row)
         .unionByName(wiki_row)
+        .unionByName(wikitxt_row)
     )
 
 
@@ -3297,6 +3332,13 @@ UNION ALL
 -- filter, so the totals are region arithmetic alone
 SELECT '__wiki', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        sum(length('wiki ' || r_name || ' key4 ' || r_regionkey))::BIGINT,
+       sum(r_regionkey)::BIGINT
+FROM region
+UNION ALL
+-- wikitext cleaner leg (r13): markup in -> expected cleaned string
+-- out, reconstructed from region (templates/links/refs/quotes gone)
+SELECT '__wikitxt', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum(length('wiki ' || r_name || ' place clean key5 ' || r_regionkey))::BIGINT,
        sum(r_regionkey)::BIGINT
 FROM region
 UNION ALL

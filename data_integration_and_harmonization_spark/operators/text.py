@@ -245,6 +245,48 @@ def html_to_text(col: Column | str) -> Column:
     return F.array_join(F.filter(cleaned, lambda ln: ln != ""), "\n")
 
 
+def wikitext_to_text(col: Column | str) -> Column:
+    """Wikitext → plain text, the MediaWiki sibling of
+    :func:`html_to_text` (the cleaner every encyclopedic corpus pass
+    runs between ``read_mediawiki`` and quality/dedup):
+
+    1. ``{{templates}}`` drop whole (two passes, so one level of
+       nesting resolves — infoboxes inside infoboxes beyond that
+       leave their inner braces, which the quality filters catch);
+    2. ``[[File:...]]``/``[[Image:...]]``/``[[Category:...]]`` drop
+       whole (their payloads are captions/sort keys, not prose);
+    3. ``[[target|label]]`` keeps the label, ``[[target]]`` the
+       target; ``[http://url label]`` keeps the label, bare bracketed
+       URLs drop;
+    4. ``<ref.../>`` and ``<ref>...</ref>`` drop whole (citations),
+       remaining HTML-ish tags strip;
+    5. bold/italic quote runs (``''``+) strip; ``== heading ==``
+       lines keep their text;
+    6. same line normalization as the HTML pipeline.
+
+    Pure column expressions, RE2-safe (no backreferences), so a SQL
+    oracle replays it — the ``__wikitxt`` leg pins fixture->cleaned
+    pairs byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _ in range(2):
+        c = F.regexp_replace(c, r"\{\{[^{}]*\}\}", " ")
+    c = F.regexp_replace(c, r"(?i)\[\[(file|image|category):[^\[\]]*\]\]", " ")
+    c = F.regexp_replace(c, r"\[\[[^\[\]|]*\|([^\[\]]*)\]\]", "$1")
+    c = F.regexp_replace(c, r"\[\[([^\[\]]*)\]\]", "$1")
+    c = F.regexp_replace(c, r"\[https?://[^\s\]]+\s+([^\]]*)\]", "$1")
+    c = F.regexp_replace(c, r"\[https?://[^\]]*\]", " ")
+    c = F.regexp_replace(c, r"(?is)<ref[^>]*/>", " ")
+    c = F.regexp_replace(c, r"(?is)<ref[^>]*>.*?</ref>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = F.regexp_replace(c, r"''+", "")
+    c = F.regexp_replace(c, r"(?m)^[ \t]*=+ *([^=\n]*?) *=+[ \t]*$", "$1")
+    lines = F.split(c, "\n")
+    cleaned = F.transform(
+        lines, lambda ln: F.trim(F.regexp_replace(ln, r"[ \t]+", " "))
+    )
+    return F.array_join(F.filter(cleaned, lambda ln: ln != ""), "\n")
+
+
 def _sql_html_extract(expr: str) -> str:
     """DuckDB twin of :func:`html_to_text` over the SQL string
     expression ``expr`` — same regexes (RE2-safe: no backreferences),

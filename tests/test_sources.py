@@ -1847,6 +1847,36 @@ def test_mediawiki_dump_reader(spark, tmp_path):
     assert [p["page_id"] for p in parse_mediawiki_pages(raw[: len(raw) - 40])] == [7]
 
 
+def test_wikitext_to_text(spark):
+    """wikitext_to_text: templates (one nesting level), piped and
+    plain links, File/Category drops, external links, refs, quote
+    runs, headings — all as pure column expressions."""
+    from data_integration_and_harmonization_spark.operators.text import (
+        wikitext_to_text,
+    )
+
+    cases = [
+        ("'''Bold''' [[X|label]] {{tmpl|a=1}} <ref>c</ref>tail",
+         "Bold label tail"),
+        ("{{outer {{inner}} t}} [[plain]] [http://e.com lbl] [http://bare]",
+         "plain lbl"),
+        ("[[File:p.jpg|thumb|cap]] == Head == \nbody ''i'' <ref name=a/>",
+         "Head\nbody i"),
+        ("[[Category:C]] text ===Sub=== more", "text ===Sub=== more"),
+        ("", None),  # empty stays empty -> filtered to '' then None? no: ''
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "id long, t string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", wikitext_to_text("t").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases[:4]):
+        assert got[i] == want, (i, got[i])
+    assert got[4] == ""  # empty input -> empty output
+
+
 def test_epub_extraction(spark, tmp_path):
     """EPUB text extraction: OCF mimetype detection, OPF spine order,
     XHTML paragraph walk (nested spans flatten, entities decode),
