@@ -3125,6 +3125,114 @@ def encode_mp2_tones(
     return bytes(out)
 
 
+# ----------------------------------------- MPEG-1 Layer III side info
+#
+# r14 groundwork + triage tier (r13): Layer III's SIDE INFORMATION is
+# a fixed bit layout (ISO/IEC 11172-3 §2.4.1.7 — 17 bytes mono / 32
+# stereo) that parses WITHOUT the Huffman stage: main_data_begin (the
+# bit-reservoir back-pointer), and per granule/channel the
+# part2_3_length, big_values, global_gain, scalefactor compression,
+# window switching (block_type / mixed_block / subblock gains) and
+# region/table selections. Two uses today: (1) triage — a stream
+# whose side info is all zeros is a header SHELL (every frame's
+# payload zero-filled, like synthetic fixtures and some loop files),
+# distinguishable from a real encode without decoding audio; (2) the
+# r14 Layer III content tier starts exactly here (side info -> main
+# data assembly -> scalefactors -> Huffman).
+
+
+def parse_mp3_sideinfo(payload: bytes) -> list[dict]:
+    """Per-frame side info of an MPEG-1 Layer III stream: a list of
+    ``{'main_data_begin', 'scfsi', 'granules': [per granule x channel
+    {'part2_3_length', 'big_values', 'global_gain',
+    'scalefac_compress', 'window_switching', 'block_type',
+    'mixed_block', 'table_select', 'subblock_gain', 'region0_count',
+    'region1_count', 'preflag', 'scalefac_scale',
+    'count1table_select'}]}``. Raises ValueError on non-Layer-III or
+    non-MPEG-1 frames; a torn final frame keeps the frames parsed."""
+    pos = _id3v2_size(payload)
+    out: list[dict] = []
+    while pos + 4 <= len(payload):
+        fr = _mp3_frame(payload, pos)
+        if fr is None:
+            break
+        size, _samples, _rate, _bitrate, channels = fr
+        h = struct.unpack(">I", payload[pos : pos + 4])[0]
+        if (h >> 17) & 3 != 1:
+            raise ValueError("not an MPEG-1 Layer III stream")
+        if (h >> 19) & 3 != 3:
+            raise ValueError("only MPEG-1 side info is parsed")
+        if pos + size > len(payload):
+            break  # torn final frame
+        si_len = 17 if channels == 1 else 32
+        body_start = pos + 4 + (0 if (h >> 16) & 1 else 2)
+        if body_start + si_len > len(payload):
+            break
+        br = _MP1BitReader(payload, body_start * 8)
+        frame = {
+            "main_data_begin": br.read(9),
+            "scfsi": None,
+            "granules": [],
+        }
+        br.read(5 if channels == 1 else 3)  # private bits
+        frame["scfsi"] = [br.read(4) for _ in range(channels)]
+        for _gr in range(2):
+            for _ch in range(channels):
+                g = {
+                    "part2_3_length": br.read(12),
+                    "big_values": br.read(9),
+                    "global_gain": br.read(8),
+                    "scalefac_compress": br.read(4),
+                    "window_switching": br.read(1),
+                }
+                if g["window_switching"]:
+                    g["block_type"] = br.read(2)
+                    g["mixed_block"] = br.read(1)
+                    g["table_select"] = [br.read(5), br.read(5)]
+                    g["subblock_gain"] = [br.read(3) for _ in range(3)]
+                    g["region0_count"] = None
+                    g["region1_count"] = None
+                else:
+                    g["block_type"] = 0
+                    g["mixed_block"] = 0
+                    g["table_select"] = [br.read(5) for _ in range(3)]
+                    g["subblock_gain"] = [0, 0, 0]
+                    g["region0_count"] = br.read(4)
+                    g["region1_count"] = br.read(3)
+                g["preflag"] = br.read(1)
+                g["scalefac_scale"] = br.read(1)
+                g["count1table_select"] = br.read(1)
+                frame["granules"].append(g)
+        out.append(frame)
+        pos += size
+    if not out:
+        raise ValueError("no decodable Layer III frame")
+    return out
+
+
+def mp3_shell_fraction(payload: bytes) -> float | None:
+    """Fraction of frames whose ENTIRE side info is zero — 1.0 for
+    header shells (zero-filled payloads: synthetic fixtures, some
+    stream-rip artifacts), ~0.0 for any real encode (a genuine
+    granule needs nonzero part2_3_length/global_gain). None when the
+    stream isn't parseable MPEG-1 Layer III — triage quarantines."""
+    try:
+        frames = parse_mp3_sideinfo(payload)
+    except Exception:  # noqa: BLE001 — malformed audio
+        return None
+    zero = 0
+    for f in frames:
+        gz = all(
+            g["part2_3_length"] == 0
+            and g["big_values"] == 0
+            and g["global_gain"] == 0
+            for g in f["granules"]
+        )
+        if f["main_data_begin"] == 0 and gz:
+            zero += 1
+    return round(zero / len(frames), 9)
+
+
 # ------------------------------------------------------------- FLAC
 #
 # Metadata tier from the public FLAC format spec (also RFC 9639): a

@@ -516,8 +516,10 @@ def extract_temporal_features(
     - kind 'audio_meta' (MP3): the frame-header walk
       (``media_codecs.parse_mp3_meta`` — ISO/IEC 11172-3 framing, no
       granule decode) as ``vals = [duration_sec, bitrate_kbps,
-      sample_rate, n_frames, channels]`` — the compressed-audio
-      sibling of the MP4 metadata tier.
+      sample_rate, n_frames, channels, shell_fraction]`` — the
+      compressed-audio sibling of the MP4 metadata tier; slot 5 is
+      the Layer III side-info shell fraction (1.0 = zero-filled
+      header shell, ~0 = real encode, NULL for Layer I/II).
     - kind 'audio_meta' (Ogg Opus/Vorbis): the page walk
       (``media_codecs.parse_ogg_meta`` — RFC 3533 pages + RFC 7845
       OpusHead, no packet decode) as ``vals = [duration_sec,
@@ -659,6 +661,10 @@ def extract_temporal_features(
                         vals.append(None)
                     else:
                         kinds.append("audio_meta")
+                        # slot 5 (r13): Layer III shell fraction from
+                        # the side-info walk — 1.0 = zero-filled
+                        # header shell, ~0 = real encode, NULL for
+                        # Layer I/II (they have no L3 side info)
                         vals.append(
                             [
                                 m["duration_sec"],
@@ -666,6 +672,7 @@ def extract_temporal_features(
                                 float(m["sample_rate"] or 0),
                                 float(m["n_frames"]),
                                 float(m["channels"]),
+                                MC.mp3_shell_fraction(p),
                             ]
                         )
                 elif fmt in ("y4m", "gif", "mp4", "avi"):
@@ -1408,8 +1415,10 @@ UNION ALL
 SELECT 'audio_meta', -9::BIGINT, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        u.pos::INT, CAST(NULL AS VARCHAR), round(round(u.val, 9), 6)
 FROM (
-  SELECT unnest(range(5)) AS pos,
-         unnest([30 * 1152 / 44100.0, 128.0, 44100.0, 30.0, 2.0]) AS val
+  -- slot 5: Layer III shell fraction — the fixture's zero-filled
+  -- payloads make every frame's side info zero, so exactly 1.0
+  SELECT unnest(range(6)) AS pos,
+         unnest([30 * 1152 / 44100.0, 128.0, 44100.0, 30.0, 2.0, 1.0]) AS val
 ) u
 UNION ALL
 -- 'video_meta' WebM row (r12): EBML element arithmetic — vals =

@@ -474,7 +474,7 @@ def test_extract_temporal_features_audio_meta_tier(spark):
     rows = {r["media_id"]: r for r in MM.extract_temporal_features(media).collect()}
     assert rows[1]["kind"] == "audio_meta"
     assert rows[1]["vals"] == pytest.approx(
-        [30 * 1152 / 44100, 128.0, 44100.0, 30.0, 2.0], abs=1e-6
+        [30 * 1152 / 44100, 128.0, 44100.0, 30.0, 2.0, 1.0], abs=1e-6
     )
     assert rows[2]["kind"] == "audio" and len(rows[2]["vals"]) == 10
     assert rows[3]["kind"] is None and rows[3]["vals"] is None
@@ -788,6 +788,72 @@ def test_mp2_layer2_content_tier():
         MC.decode_mp2_subbands(b"\x00" * 64)
     rate3, sb3 = MC.decode_mp2_subbands(p[: len(p) - 10])
     assert len(sb3) == 288 - 36  # final torn frame dropped
+
+
+def test_mp3_sideinfo_and_shell_fraction():
+    """Layer III side-info parse (the r14 content tier's first
+    stage): field-for-field recovery of a hand-built 17-byte mono
+    side info (normal and window-switching branches), shell detection
+    (zero-filled fixtures -> 1.0, nonzero side info -> 0.0), and
+    layer guards."""
+    import struct
+
+    shell = MC.encode_mp3_meta(6, 128, 44100, with_id3=True)
+    frames = MC.parse_mp3_sideinfo(shell)
+    assert len(frames) == 6 and len(frames[0]["granules"]) == 4  # stereo
+    assert MC.mp3_shell_fraction(shell) == 1.0
+    # hand-built mono frame: known values through both branches
+    hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12) | (3 << 6)
+    size = 1152 // 8 * 128000 // 44100
+    bits = [(123, 9), (0, 5), (0b1010, 4)]
+    for gr in range(2):
+        bits += [(1500 + gr, 12), (200, 9), (180, 8), (7, 4), (0, 1),
+                 (10, 5), (11, 5), (12, 5), (5, 4), (2, 3),
+                 (1, 1), (0, 1), (1, 1)]
+    acc, nb, by = 0, 0, bytearray()
+    for v, w in bits:
+        acc = (acc << w) | v
+        nb += w
+        while nb >= 8:
+            nb -= 8
+            by.append((acc >> nb) & 0xFF)
+    if nb:
+        by.append((acc << (8 - nb)) & 0xFF)
+    assert len(by) == 17
+    frame = struct.pack(">I", hdr) + bytes(by)
+    frame += b"\x00" * (size - len(frame))
+    f = MC.parse_mp3_sideinfo(frame)[0]
+    g0, g1 = f["granules"]
+    assert f["main_data_begin"] == 123 and f["scfsi"] == [0b1010]
+    assert (g0["part2_3_length"], g1["part2_3_length"]) == (1500, 1501)
+    assert g0["table_select"] == [10, 11, 12]
+    assert (g0["region0_count"], g0["region1_count"]) == (5, 2)
+    assert (g0["preflag"], g0["scalefac_scale"], g0["count1table_select"]) == (1, 0, 1)
+    assert MC.mp3_shell_fraction(frame) == 0.0
+    # window-switching branch
+    bits2 = [(0, 9), (0, 5), (0, 4)]
+    for _gr in range(2):
+        bits2 += [(100, 12), (50, 9), (90, 8), (3, 4), (1, 1), (2, 2),
+                  (1, 1), (10, 5), (20, 5), (1, 3), (2, 3), (3, 3),
+                  (0, 1), (1, 1), (0, 1)]
+    acc, nb, by2 = 0, 0, bytearray()
+    for v, w in bits2:
+        acc = (acc << w) | v
+        nb += w
+        while nb >= 8:
+            nb -= 8
+            by2.append((acc >> nb) & 0xFF)
+    assert len(by2) == 17
+    frame2 = struct.pack(">I", hdr) + bytes(by2) + b"\x00" * (size - 4 - 17)
+    g = MC.parse_mp3_sideinfo(frame2)[0]["granules"][0]
+    assert (g["window_switching"], g["block_type"], g["mixed_block"]) == (1, 2, 1)
+    assert g["table_select"] == [10, 20] and g["subblock_gain"] == [1, 2, 3]
+    # Layer I/II reject; shell fraction quarantines to None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MC.parse_mp3_sideinfo(MC.encode_mp2_tones([0]))
+    assert MC.mp3_shell_fraction(MC.encode_mp1_tones([0])) is None
 
 
 def test_wav_extended_widths():
