@@ -1597,6 +1597,40 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             + F.regexp_extract("cue_id", r"c(\d+)", 1).cast("long")
         ).alias("sum_rkey"),
     )
+    # '__ass' row (r13): ASS/SSA subtitle ingestion — one Dialogue
+    # event per region row (layer k%2, centisecond timecodes: start =
+    # 60000*k + 3500 for 2800 ms, override tags stripped, a \\N
+    # midline) plus a Comment event and section headers the reader
+    # must drop. sum_rkey reparses the key from the CLEANED text and
+    # adds the layer; the oracle rebuilds everything from region.
+    from data_integration_and_harmonization_spark.sources.readers import read_ass
+
+    ass_file = base + "_region.ass"
+    with open(ass_file, "w") as fh:
+        fh.write("[Script Info]\nTitle: engine fixture\n\n[Events]\n")
+        fh.write(
+            "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+            "MarginV, Effect, Text\n"
+        )
+        fh.write(
+            "Comment: 0,0:00:00.10,0:00:00.20,Default,,0,0,0,,not a cue\n"
+        )
+        for k, n in region_rows:
+            fh.write(
+                f"Dialogue: {k % 2},0:{k:02d}:03.50,0:{k:02d}:06.30,"
+                f"Default,,0,0,0,,"
+                f"Region {n}\\N{{\\i1}}key6 {k}{{\\i0}}, tail\n"
+            )
+    ass_row = read_ass(spark, ass_file).agg(
+        F.lit("__ass").alias("l_returnflag"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
+        F.sum(
+            F.regexp_extract("text", r"key6 (\d+)", 1).cast("long")
+            + F.col("layer")
+        ).alias("sum_rkey"),
+    )
     # '__warc' + '__warcmd5_*' rows (r12, hardened r13): web-crawl
     # ingestion — an engine-written .warc.gz (one gzip member per
     # record, the Common Crawl layout) holding one HTML response per
@@ -1817,6 +1851,7 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(zip_row)
         .unionByName(wiki_row)
         .unionByName(wikitxt_row)
+        .unionByName(ass_row)
     )
 
 
@@ -3325,6 +3360,15 @@ UNION ALL
 SELECT '__zip', count(*)::BIGINT, CAST(NULL AS DOUBLE),
        sum(length('zip ' || r_name || ' doc zkey ' || r_regionkey))::BIGINT,
        sum(r_regionkey)::BIGINT
+FROM region
+UNION ALL
+-- ASS subtitle leg (r13): one Dialogue per region row, centisecond
+-- timecodes (start = 60000*k+3500 for 2800 ms), key reparsed from
+-- the override-stripped text plus the layer (k mod 2); the Comment
+-- event and section lines drop
+SELECT '__ass', count(*)::BIGINT, CAST(NULL AS DOUBLE),
+       sum((60000 * r_regionkey + 3500) + (60000 * r_regionkey + 6300))::BIGINT,
+       sum(r_regionkey + r_regionkey % 2)::BIGINT
 FROM region
 UNION ALL
 -- MediaWiki dump leg (r13): one ns-0 article per region row in a bz2

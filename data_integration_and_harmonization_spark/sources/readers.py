@@ -353,6 +353,8 @@ def read_any(
         return read_srt(spark, path)
     if ext == "vtt":
         return read_vtt(spark, path)
+    if ext == "ass":
+        return read_ass(spark, path)
     if ext == "avro":
         # Avro rides Spark's own (external-module) datasource —
         # splittable container files, schema in the header, the
@@ -536,6 +538,84 @@ def read_vtt(spark: SparkSession, path: str) -> DataFrame:
         _ms("s").alias("start_ms"),
         _ms("e").alias("end_ms"),
         "text",
+        "_src_file",
+    )
+
+
+def read_ass(spark: SparkSession, path: str) -> DataFrame:
+    """ASS/SSA subtitle ingestion — the third major transcript format
+    (fansub/karaoke tooling; the Advanced SubStation Alpha format is
+    publicly documented): one row per ``Dialogue:`` event with
+    ``(layer, start_ms, end_ms, style, text, _src_file)``.
+
+    Like :func:`read_srt`, ENTIRELY JVM-side column expressions: a
+    wholetext scan, line explode, ``Dialogue:`` filter (``Comment:``
+    events and every ``[section]``/``Format:`` line drop), the
+    ``H:MM:SS.cc`` centisecond timecodes from fields 2/3, the style
+    from field 4, and the text as everything after the ninth comma
+    (commas inside dialogue survive). Override blocks ``{\\...}``
+    strip; ``\\N``/``\\n`` become newlines and ``\\h`` a space — the
+    text reaches the curation pipeline as plain dialogue. try_cast
+    keeps torn timecodes NULL instead of failing an ANSI session."""
+    from pyspark.sql import functions as F
+
+    pattern = os.path.join(path, "*.ass") if os.path.isdir(path) else path
+    raw = (
+        spark.read.text(pattern, wholetext=True)
+        .select(
+            F.col("value").alias("content"),
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_src_file"),
+        )
+    )
+    lines = raw.select(
+        "_src_file",
+        F.posexplode(F.split(F.regexp_replace("content", "\r", ""), "\n")).alias(
+            "pos", "line"
+        ),
+    ).where(F.col("line").rlike(r"^\s*Dialogue\s*:"))
+    ts = r"(\d+):(\d{2}):(\d{2})[.:](\d{2})"
+
+    def _ms(prefix: str) -> F.Column:
+        h, m, s, cs = (
+            F.col(f"{prefix}{i}").try_cast("long") for i in range(1, 5)
+        )
+        return (h * 3600 + m * 60 + s) * 1000 + cs * 10
+
+    parts = lines.select(
+        "_src_file",
+        "pos",
+        F.regexp_extract("line", r"^\s*Dialogue\s*:\s*(\d+)", 1)
+        .try_cast("int")
+        .alias("layer"),
+        *[
+            F.regexp_extract("line", rf"^\s*Dialogue\s*:[^,]*,\s*{ts}\s*,", i).alias(
+                f"s{i}"
+            )
+            for i in range(1, 5)
+        ],
+        *[
+            F.regexp_extract(
+                "line", rf"^\s*Dialogue\s*:[^,]*,[^,]*,\s*{ts}\s*,", i
+            ).alias(f"e{i}")
+            for i in range(1, 5)
+        ],
+        F.regexp_extract(
+            "line", r"^\s*Dialogue\s*:(?:[^,]*,){3}([^,]*),", 1
+        ).alias("style"),
+        F.regexp_extract(
+            "line", r"^\s*Dialogue\s*:(?:[^,]*,){9}(.*)$", 1
+        ).alias("raw_text"),
+    )
+    text = F.regexp_replace(F.col("raw_text"), r"\{[^}]*\}", "")
+    text = F.replace(text, F.lit("\\N"), F.lit("\n"))
+    text = F.replace(text, F.lit("\\n"), F.lit("\n"))
+    text = F.replace(text, F.lit("\\h"), F.lit(" "))
+    return parts.select(
+        "layer",
+        _ms("s").alias("start_ms"),
+        _ms("e").alias("end_ms"),
+        "style",
+        F.trim(text).alias("text"),
         "_src_file",
     )
 

@@ -1807,6 +1807,43 @@ def test_zip_corpus_reader(spark, tmp_path):
     assert read_any(spark, str(d / "b.zip")).count() == 1
 
 
+def test_ass_subtitle_reader(spark, tmp_path):
+    """read_ass: Dialogue events parse (centisecond timecodes, layer,
+    style, text after the ninth comma with embedded commas), override
+    tags strip, \\N becomes a newline, Comment events and section
+    headers drop, torn timecodes yield NULL fields, and the front
+    door routes .ass."""
+    from data_integration_and_harmonization_spark.sources.readers import read_any
+
+    d = tmp_path / "subs"
+    d.mkdir()
+    (d / "a.ass").write_text(
+        "[Script Info]\nTitle: t\n\n[V4+ Styles]\n"
+        "Style: Default,Arial\n\n[Events]\n"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+        "MarginV, Effect, Text\n"
+        "Dialogue: 0,0:00:01.50,0:00:03.20,Default,,0,0,0,,"
+        "Hello {\\i1}world{\\i0}, again\\Nsecond\n"
+        "Comment: 0,0:00:05.00,0:00:06.00,Default,,0,0,0,,nope\n"
+        "Dialogue: 1,0:01:00.00,0:01:02.75,Alt,,0,0,0,,plain\\htext\n"
+        "Dialogue: 0,badtime,0:00:09.00,Default,,0,0,0,,torn\n"
+    )
+    rows = sorted(
+        read_any(spark, str(d), fmt="ass").collect(),
+        key=lambda r: (r["start_ms"] is None, r["start_ms"]),
+    )
+    assert len(rows) == 3
+    a, b, torn = rows
+    assert (a["layer"], a["start_ms"], a["end_ms"], a["style"]) == (
+        0, 1500, 3200, "Default"
+    )
+    assert a["text"] == "Hello world, again\nsecond"
+    assert (b["layer"], b["start_ms"], b["end_ms"], b["text"]) == (
+        1, 60000, 62750, "plain text"
+    )
+    assert torn["start_ms"] is None and torn["text"] == "torn"
+
+
 def test_mediawiki_dump_reader(spark, tmp_path):
     """read_mediawiki: page stream over plain/bz2/gzip dump parts,
     page-vs-revision id disambiguation, redirect surfacing, torn
