@@ -749,44 +749,65 @@ def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(2)
         .alias("target"),
     )
-    res = ML.train_models(labeled, "target", is_classification=True)
+    # r13 optimization (guide §2.6): the model-zoo fits, the S8
+    # persistence roundtrip, and the corpus quality classifier are
+    # three independent fit chains — each is internally seeded and
+    # deterministic, and none of their individual jobs saturates the
+    # cluster (tree fits have serial per-iteration barriers), so they
+    # ran back-to-back leaving most cores idle. Concurrent driver
+    # threads overlap them; result VALUES are unchanged and the result
+    # dict is assembled in the original key order below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _zoo_chain():
+        return ML.train_models(labeled, "target", is_classification=True)
 
     # S8: persistence roundtrip on a further-thinned slice (~0.25%)
-    from pyspark.ml import Pipeline
-    from pyspark.ml.classification import DecisionTreeClassifier
-    from pyspark.ml.feature import VectorAssembler
+    def _s8_chain():
+        from pyspark.ml import Pipeline
+        from pyspark.ml.classification import DecisionTreeClassifier
+        from pyspark.ml.feature import VectorAssembler
 
-    # persisted: the fit plus both agreement-check transforms read it
-    # (3 executions of the filter chain otherwise)
-    small = (
-        labeled.where(F.col("l_quantity") <= 10)
-        .withColumn("label", F.col("target").cast("double"))
-        .persist()
-    )
-    try:
-        pipe = Pipeline(
-            stages=[
-                VectorAssembler(
-                    inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
-                ),
-                DecisionTreeClassifier(seed=42),
-            ]
-        ).fit(small)
-        path = os.path.join(tempfile.mkdtemp(prefix="dih_model_"), "dt")
-        ML.save_model(pipe, path)
-        loaded = ML.load_model(path)
-        disagree = (
-            pipe.transform(small)
-            .select("l_quantity", "l_discount", "l_tax", "prediction")
-            .exceptAll(
-                loaded.transform(small).select(
-                    "l_quantity", "l_discount", "l_tax", "prediction"
-                )
-            )
-            .count()
+        # persisted: the fit plus both agreement-check transforms read
+        # it (3 executions of the filter chain otherwise)
+        small = (
+            labeled.where(F.col("l_quantity") <= 10)
+            .withColumn("label", F.col("target").cast("double"))
+            .persist()
         )
-    finally:
-        small.unpersist(False)
+        try:
+            pipe = Pipeline(
+                stages=[
+                    VectorAssembler(
+                        inputCols=["l_quantity", "l_discount", "l_tax"], outputCol="features"
+                    ),
+                    DecisionTreeClassifier(seed=42),
+                ]
+            ).fit(small)
+            path = os.path.join(tempfile.mkdtemp(prefix="dih_model_"), "dt")
+            ML.save_model(pipe, path)
+            loaded = ML.load_model(path)
+            return (
+                pipe.transform(small)
+                .select("l_quantity", "l_discount", "l_tax", "prediction")
+                .exceptAll(
+                    loaded.transform(small).select(
+                        "l_quantity", "l_discount", "l_tax", "prediction"
+                    )
+                )
+                .count()
+            )
+        finally:
+            small.unpersist(False)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_zoo = _pool.submit(_zoo_chain)
+        _f_s8 = _pool.submit(_s8_chain)
+        _f_qc = _pool.submit(ML.quality_classifier, docs)
+        res = _f_zoo.result()
+        disagree = _f_s8.result()
+        qc_res = _f_qc.result()
     res["Persistence"] = {"SaveLoadPredictAgree": 1.0 if disagree == 0 else 0.0}
 
     # P8: the missing-target guard must trip (ref:56-57)
@@ -801,9 +822,9 @@ def q_ml_classification(spark: SparkSession, sf: str) -> DataFrame:
     # hashed-TF-IDF logistic classifier trained on weak heuristic
     # labels over the documents table; the BeatsMajority verdict pins
     # the tokenize->HashingTF->IDF->LR wiring end-to-end (rows-only:
-    # an iterative LBFGS fit is not SQL-expressible)
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
-    res["QualityClassifier"] = ML.quality_classifier(docs)
+    # an iterative LBFGS fit is not SQL-expressible). Fit ran in the
+    # thread pool above; recorded here to keep the row order.
+    res["QualityClassifier"] = qc_res
     return ML.train_models_df(spark, res)
 
 

@@ -1724,28 +1724,51 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        _pool = ThreadPoolExecutor(max_workers=1)
-        _f_cdfnd = _pool.submit(_cdfnd_chain)
-
+        # r13 optimization (guide §2.6): the THREE store chains —
+        # exact (b1→b2), near (n1→n2), and the CDF maintenance drain —
+        # are mutually independent (separate store dirs, separate
+        # lineages); only the admits WITHIN a chain are ordered.
+        # Sequentially, each chain's many short jobs leave most of the
+        # cluster idle; submitted from concurrent driver threads the
+        # scheduler back-fills one chain's stragglers with another's
+        # tasks. Results are unchanged: each chain computes exactly
+        # what it computed before, against exactly the history it saw
+        # before. scratch paths are minted on the MAIN thread
+        # (scratch_dir's root init isn't thread-safe).
         store = scratch_dir("fp_store") + "/store"
-        b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
-        b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
+        nd_store = scratch_dir("nd_store") + "/store"
+
+        def _exact_chain():
+            b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
+            b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
+            return b1, b2
+
         # 'nd1'/'nd2' legs: the NEAR-dup admit sequence
         # (incremental_near_dedup) over the same even/odd batches —
         # signature-store matching (banded LSH + estimated Jaccard at
         # 0.5), md5 family so the oracle replays signatures, in-batch
         # components, and history hits bit-for-bit.
-        nd_store = scratch_dir("nd_store") + "/store"
-        n1 = incremental_near_dedup(
-            docs.where(F.col("doc_id") % 2 == 0), nd_store,
-            threshold=0.5, hash_family="md5",
-        )
-        n2 = incremental_near_dedup(
-            docs.where(F.col("doc_id") % 2 == 1), nd_store,
-            threshold=0.5, hash_family="md5",
-        )
-        cdfnd = _f_cdfnd.result()
-        _pool.shutdown()
+        def _near_chain():
+            n1 = incremental_near_dedup(
+                docs.where(F.col("doc_id") % 2 == 0), nd_store,
+                threshold=0.5, hash_family="md5",
+            )
+            n2 = incremental_near_dedup(
+                docs.where(F.col("doc_id") % 2 == 1), nd_store,
+                threshold=0.5, hash_family="md5",
+            )
+            return n1, n2
+
+        _pool = ThreadPoolExecutor(max_workers=3)
+        try:
+            _f_cdfnd = _pool.submit(_cdfnd_chain)
+            _f_exact = _pool.submit(_exact_chain)
+            _f_near = _pool.submit(_near_chain)
+            b1, b2 = _f_exact.result()
+            n1, n2 = _f_near.result()
+            cdfnd = _f_cdfnd.result()
+        finally:
+            _pool.shutdown()
 
         def inc_rows(b: DataFrame, kind: str) -> DataFrame:
             # same null-text sentinel the store uses, so a null-text
@@ -1837,20 +1860,54 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             resolve_entities,
         )
 
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
-        pairs = lsh_verified_pairs(docs, threshold=0.5, hash_family="md5")
-        doc_cl = duplicate_clusters(pairs).select(
-            F.lit("doc").alias("kind"), "id", "cluster_id"
+        from concurrent.futures import ThreadPoolExecutor
+
+        from data_integration_and_harmonization_spark.functions.caching import (
+            track,
         )
-        cust = spark.read.parquet(f"{sf}/customer.parquet")
-        er_cl = resolve_entities(
-            cust,
-            id_col="c_custkey",
-            name_col="c_name",
-            block_cols=["c_nationkey", "c_mktsegment"],
-            max_edit=1,
-        ).select(F.lit("er").alias("kind"), "id", "cluster_id")
-        pr_leg = pagerank_ppb_leg(spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        # persisted ONCE for its two consumers (the components chain
+        # materializes it; the triangle leg's serve action then reads
+        # the cache instead of re-running the whole LSH propose+verify
+        # pipeline — r13: the tri leg was the query's slowest served
+        # leg, 1.0 s of pure recompute)
+        pairs = track(
+            lsh_verified_pairs(docs, threshold=0.5, hash_family="md5").persist()
+        )
+
+        # r13 optimization (guide §2.6): the three build-side chains —
+        # doc components (persist/count/collect), ER blocking +
+        # components, and the 5-round PageRank loop (3 counts + 5
+        # eager checkpoints) — are independent lineages; sequentially
+        # each runs many short, low-parallelism jobs. Concurrent
+        # driver threads let the scheduler back-fill; per-chain
+        # results are unchanged (each is deterministic in isolation).
+        def _doc_chain():
+            return duplicate_clusters(pairs).select(
+                F.lit("doc").alias("kind"), "id", "cluster_id"
+            )
+
+        def _er_chain():
+            cust = spark.read.parquet(f"{sf}/customer.parquet")
+            return resolve_entities(
+                cust,
+                id_col="c_custkey",
+                name_col="c_name",
+                block_cols=["c_nationkey", "c_mktsegment"],
+                max_edit=1,
+            ).select(F.lit("er").alias("kind"), "id", "cluster_id")
+
+        def _pr_chain():
+            return pagerank_ppb_leg(spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            _f_doc = _pool.submit(_doc_chain)
+            _f_er = _pool.submit(_er_chain)
+            _f_pr = _pool.submit(_pr_chain)
+            doc_cl = _f_doc.result()
+            er_cl = _f_er.result()
+            pr_leg = _f_pr.result()
         # kind='tri': per-node triangle counts over the NEAR-DUP doc
         # graph (the LSH-verified pairs already computed above) —
         # triangle density measures duplicate-cluster cohesion
@@ -2142,29 +2199,44 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_b",
             F.col("cosine_sim").alias("val"),
         )
-        k = max(32, int(math.ceil(math.sqrt(emb.count()))))
-        sd = semantic_dedup(emb, n_clusters=k, threshold=0.3, centroids="seed")
-        cell_rows = sd.select(
-            F.lit("sem_cell").alias("kind"),
-            F.col("id").alias("id_a"),
-            F.col("cell").cast("long").alias("id_b"),
-            F.lit(None).cast("double").alias("val"),
-        )
-        sem_rows = sd.select(
-            F.lit("sem").alias("kind"),
-            F.col("id").alias("id_a"),
-            F.col("cluster_id").alias("id_b"),
-            F.col("keep").cast("double").alias("val"),
-        )
+        n = emb.count()  # one job: sizes k AND the sem_km gauge below
+        k = max(32, int(math.ceil(math.sqrt(n))))
 
-        # ---- sem_km leg: the Lloyd-trained path end to end. Cell
-        # labels aren't oracle-derivable (Spark ML kmeans), so the leg
-        # ships a GAUGE row: structural invariants + the distortion
-        # ordering Lloyd guarantees, all computed distributed with
-        # bounded (1-row / k-row) driver traffic.
-        sd_km = semantic_dedup(
-            emb, n_clusters=k, threshold=0.3, centroids="kmeans"
-        )
+        # r13 optimization (guide §2.6): the seed chain (argmin assign
+        # + in-cell components — a collect-path CC) and the Lloyd
+        # chain (KMeans fit + CC + three gauge aggregations) are
+        # independent lineages run back-to-back before; concurrent
+        # driver threads overlap their many short jobs. Values are
+        # unchanged — both chains are deterministic in isolation.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _seed_chain():
+            sd = semantic_dedup(
+                emb, n_clusters=k, threshold=0.3, centroids="seed"
+            )
+            return sd, _distortion(sd.select("id", "cell"))
+
+        def _km_chain():
+            sd_km = semantic_dedup(
+                emb, n_clusters=k, threshold=0.3, centroids="kmeans"
+            )
+            d_km = _distortion(sd_km.select("id", "cell"))
+            km_stats = sd_km.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("id").alias("nd"),
+            ).first()
+            bad_keep = (
+                sd_km.groupBy("cluster_id")
+                .agg(
+                    F.sum(F.col("keep").cast("int")).alias("nk"),
+                    F.min("id").alias("mn"),
+                    F.min(F.when(F.col("keep"), F.col("id"))).alias("kept"),
+                )
+                .where((F.col("nk") != 1) | (F.col("kept") != F.col("mn")))
+                .count()
+            )
+            return d_km, km_stats, bad_keep
+
         ev = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
 
         def _distortion(cells: DataFrame) -> float:
@@ -2182,23 +2254,31 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .first()["d"]
             )
 
-        n = emb.count()
-        d_km = _distortion(sd_km.select("id", "cell"))
-        d_seed = _distortion(sd.select("id", "cell"))
-        km_stats = sd_km.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("id").alias("nd"),
-        ).first()
-        bad_keep = (
-            sd_km.groupBy("cluster_id")
-            .agg(
-                F.sum(F.col("keep").cast("int")).alias("nk"),
-                F.min("id").alias("mn"),
-                F.min(F.when(F.col("keep"), F.col("id"))).alias("kept"),
-            )
-            .where((F.col("nk") != 1) | (F.col("kept") != F.col("mn")))
-            .count()
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_seed = _pool.submit(_seed_chain)
+            _f_km = _pool.submit(_km_chain)
+            sd, d_seed = _f_seed.result()
+            d_km, km_stats, bad_keep = _f_km.result()
+
+        cell_rows = sd.select(
+            F.lit("sem_cell").alias("kind"),
+            F.col("id").alias("id_a"),
+            F.col("cell").cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("val"),
         )
+        sem_rows = sd.select(
+            F.lit("sem").alias("kind"),
+            F.col("id").alias("id_a"),
+            F.col("cluster_id").alias("id_b"),
+            F.col("keep").cast("double").alias("val"),
+        )
+
+        # ---- sem_km leg: the Lloyd-trained path end to end. Cell
+        # labels aren't oracle-derivable (Spark ML kmeans), so the leg
+        # ships a GAUGE row: structural invariants + the distortion
+        # ordering Lloyd guarantees, all computed distributed with
+        # bounded (1-row / k-row) driver traffic. The chain itself ran
+        # in the thread pool above (_km_chain).
         km_ok = int(
             km_stats["n"] == n
             and km_stats["nd"] == n

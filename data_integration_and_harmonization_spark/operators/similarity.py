@@ -1296,38 +1296,47 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scratch_dir,
         )
 
+        # scratch path minted on the MAIN thread (scratch_dir's root
+        # init isn't thread-safe); the build itself runs in the pool.
         cache_key = _os.path.abspath(sf)
-        idx_dir = _SERVED_IDX_CACHE.get(cache_key)
-        if idx_dir is None:
-            idx_dir = scratch_dir("ann_index") + "/idx"
-            build_ann_index(corpus, idx_dir, m=4, k=8, n_clusters=8)
-            # r11: the served artifact exercises the FULL maintenance
-            # lifecycle before first use — tombstone a slice,
-            # re-append the same vectors (legal: the disjointness
-            # check runs against the LIVE set), compact the 3-link
-            # chain to one parent-less version. Encoding is
-            # deterministic under the frozen quantizers, so the live
-            # set is bit-identical to the fresh build — the
-            # hash-matched served rows below therefore double as the
-            # delete->append->compact equivalence pin, against the
-            # UNCHANGED DuckDB twin.
-            slice_back = corpus.where(F.col("vec_id") % 5 == 2)
-            delete_from_ann_index(slice_back.select("vec_id"), idx_dir)
-            append_ann_index(slice_back, idx_dir)
-            compact_ann_index(spark, idx_dir)
-            _SERVED_IDX_CACHE[cache_key] = idx_dir
-        idx = load_ann_index(spark, idx_dir)
-        served_rows = ivfpq_topk(
-            corpus, queries, idx["books"], k=5, n_clusters=8, n_probe=2,
-            refine=4, codes=idx["codes"], centers=idx["centers"],
-            prune_codes=True,
-        ).select(
-            F.lit("ivfpq_served").alias("kind"),
-            "query_id",
-            "rank",
-            "neighbor_id",
-            F.col("d2").alias("val"),
+        _new_idx_dir = (
+            scratch_dir("ann_index") + "/idx"
+            if _SERVED_IDX_CACHE.get(cache_key) is None
+            else None
         )
+
+        def _served_chain():
+            idx_dir = _SERVED_IDX_CACHE.get(cache_key)
+            if idx_dir is None:
+                idx_dir = _new_idx_dir
+                build_ann_index(corpus, idx_dir, m=4, k=8, n_clusters=8)
+                # r11: the served artifact exercises the FULL
+                # maintenance lifecycle before first use — tombstone a
+                # slice, re-append the same vectors (legal: the
+                # disjointness check runs against the LIVE set),
+                # compact the 3-link chain to one parent-less version.
+                # Encoding is deterministic under the frozen
+                # quantizers, so the live set is bit-identical to the
+                # fresh build — the hash-matched served rows below
+                # therefore double as the delete->append->compact
+                # equivalence pin, against the UNCHANGED DuckDB twin.
+                slice_back = corpus.where(F.col("vec_id") % 5 == 2)
+                delete_from_ann_index(slice_back.select("vec_id"), idx_dir)
+                append_ann_index(slice_back, idx_dir)
+                compact_ann_index(spark, idx_dir)
+                _SERVED_IDX_CACHE[cache_key] = idx_dir
+            idx = load_ann_index(spark, idx_dir)
+            return ivfpq_topk(
+                corpus, queries, idx["books"], k=5, n_clusters=8, n_probe=2,
+                refine=4, codes=idx["codes"], centers=idx["centers"],
+                prune_codes=True,
+            ).select(
+                F.lit("ivfpq_served").alias("kind"),
+                "query_id",
+                "rank",
+                "neighbor_id",
+                F.col("d2").alias("val"),
+            )
         # Lloyd-trained leg: same ladder, production codebooks — and
         # the same build-once-query-many split as the seed leg: ONE
         # persisted trained encode (different books can't reuse `enc`)
@@ -1341,15 +1350,37 @@ def similarity_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # encodes — two tiny aggs, no extra corpus scans. Measured:
         # trained ~0.84 vs seed ~1.22 at every sf, a 3x margin over
         # the tolerance.
-        t_books = train_pq_codebooks(corpus, m=4, k=8, sample=2048, iters=5)
-        t_enc = track(pq_encode(corpus, t_books, err_col="__err").persist())
-        t_luts = track(_query_luts(q, t_books).persist())
-        t_n = pq_topk(
-            corpus, queries, t_books, k=5, refine=4, codes=t_enc, luts=t_luts
-        ).count()
-        n_q = queries.count()
-        d_trained = t_enc.agg(F.avg("__err")).collect()[0][0]
-        d_seed = enc.agg(F.avg("__err")).collect()[0][0]
+        def _trained_chain():
+            t_books = train_pq_codebooks(corpus, m=4, k=8, sample=2048, iters=5)
+            t_enc = track(pq_encode(corpus, t_books, err_col="__err").persist())
+            t_luts = track(_query_luts(q, t_books).persist())
+            t_n = pq_topk(
+                corpus, queries, t_books, k=5, refine=4, codes=t_enc, luts=t_luts
+            ).count()
+            n_q = queries.count()
+            d_trained = t_enc.agg(F.avg("__err")).collect()[0][0]
+            return t_n, n_q, d_trained
+
+        # r13 optimization (guide §2.6): the served-artifact chain
+        # (build/maintain/load on first invocation), the Lloyd-trained
+        # chain (5 training iterations + three gauge actions), and the
+        # seed-encode distortion agg (which also pre-materializes the
+        # enc/luts caches the pq/ivfpq serve legs read) are
+        # independent; before they ran back-to-back, each a string of
+        # short jobs. Concurrent driver threads overlap them; every
+        # chain is deterministic in isolation, so values are
+        # unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as _tpool:
+            _f_served = _tpool.submit(_served_chain)
+            _f_trained = _tpool.submit(_trained_chain)
+            _f_dseed = _tpool.submit(
+                lambda: enc.agg(F.avg("__err")).collect()[0][0]
+            )
+            served_rows = _f_served.result()
+            t_n, n_q, d_trained = _f_trained.result()
+            d_seed = _f_dseed.result()
         ok = d_trained <= d_seed + 1e-9 and t_n == 5 * n_q
         trained_row = spark.range(1).select(
             F.lit("pq_trained").alias("kind"),
