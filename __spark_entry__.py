@@ -883,10 +883,6 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     csv_dir = base + "_li.csv"
     nd_dir = base + "_li.ndjson"
-    li.where(F.col("l_orderkey") % 10 == 0).select(*cols).write.mode("overwrite").option(
-        "header", True
-    ).csv(csv_dir)
-    li.where(F.col("l_orderkey") % 10 == 5).select(*cols).write.mode("overwrite").json(nd_dir)
     # whole-document JSON (array of records), written driver-side —
     # nation is a 25-row dim, the one shape multiLine JSON is for
     nation = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey", "n_name")
@@ -899,12 +895,52 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     xlsx_file = base + "_region.xlsx"
     region_rows = [[r["r_regionkey"], r["r_name"]] for r in region.collect()]
     write_xlsx(xlsx_file, ["r_regionkey", "r_name"], region_rows)
-    srcs = read_sources(
-        spark,
-        [csv_dir, nd_dir, json_file, xlsx_file],
-        reject_empty=True,
-        skip_errors=False,
-    )
+
+    # r13 optimization (guide §2.6): this query's build was ~16 s of
+    # back-to-back driver actions — fixture writes, the lakehouse
+    # version chains, schema-inferring re-ingestion, a preview
+    # collect — each a short, low-parallelism job leaving the rest of
+    # the cluster idle. The build decomposes into independent chains
+    # (separate directories, separate lineages, no shared mutable
+    # state): (A) csv/ndjson write -> re-ingest -> preview; (B) the
+    # partitioned sink; (C) the z-order -> versions -> delete ->
+    # merge -> evolve chain; (D) the shatter -> compact -> vacuum
+    # chain; (E) the driver-side document/transcript fixture encodes
+    # (pure Python — overlaps the JVM-bound chains). Submitted from
+    # driver threads, the scheduler back-fills one chain's tail with
+    # another's tasks; within each chain the original order (and so
+    # every computed value) is unchanged.
+    def _ingest_chain():
+        li.where(F.col("l_orderkey") % 10 == 0).select(*cols).write.mode(
+            "overwrite"
+        ).option("header", True).csv(csv_dir)
+        li.where(F.col("l_orderkey") % 10 == 5).select(*cols).write.mode(
+            "overwrite"
+        ).json(nd_dir)
+        srcs = read_sources(
+            spark,
+            [csv_dir, nd_dir, json_file, xlsx_file],
+            reject_empty=True,
+            skip_errors=False,
+        )
+        u = H.harmonize(srcs)
+        agg = u.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.sum(F.col("n_nationkey").cast("long")).alias("sum_nkey"),
+            F.sum(F.col("r_regionkey").cast("long")).alias("sum_rkey"),
+        )
+        n_prev = len(preview(u))  # S7: bounded limit-5 collect
+        prev_row = spark.createDataFrame(
+            [("__preview", n_prev)], "l_returnflag string, n_rows long"
+        ).select(
+            "l_returnflag",
+            "n_rows",
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.lit(None).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
+        )
+        return agg, prev_row
     # '__xlsx_ds' row: the DISTRIBUTED xlsx path (sources/pyds.py, a
     # Spark-4 Python DataSource: one executor partition per workbook,
     # stdlib ECMA-376 decode on the executors) — the corpus-scale
@@ -969,45 +1005,30 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ).crossJoin(
         F.broadcast(bad_csv.agg(F.count(F.lit(1)).alias("sum_nkey")))
     ).select("l_returnflag", "n_rows", "sum_qty", "sum_nkey", "sum_rkey")
-    u = H.harmonize(srcs)
-    agg = u.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        F.sum(F.col("n_nationkey").cast("long")).alias("sum_nkey"),
-        F.sum(F.col("r_regionkey").cast("long")).alias("sum_rkey"),
-    )
-    n_prev = len(preview(u))  # S7: bounded limit-5 collect
-    prev_row = spark.createDataFrame(
-        [("__preview", n_prev)], "l_returnflag string, n_rows long"
-    ).select(
-        "l_returnflag",
-        "n_rows",
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.lit(None).cast("long").alias("sum_nkey"),
-        F.lit(None).cast("long").alias("sum_rkey"),
-    )
     # partitioned sink + pruned read-back (see docstring)
     from data_integration_and_harmonization_spark.sources.readers import (
         write_parquet,
     )
 
     part_dir = base + "_li_part.parquet"
-    write_parquet(
-        li.where(F.col("l_orderkey") % 10 == 3).select(*cols),
-        part_dir,
-        partition_by=["l_returnflag"],
-    )
-    part_row = (
-        spark.read.parquet(part_dir)
-        .where(F.col("l_returnflag") == "R")
-        .agg(
-            F.lit("__part_R").alias("l_returnflag"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.lit(None).cast("long").alias("sum_nkey"),
-            F.lit(None).cast("long").alias("sum_rkey"),
+
+    def _part_chain():
+        write_parquet(
+            li.where(F.col("l_orderkey") % 10 == 3).select(*cols),
+            part_dir,
+            partition_by=["l_returnflag"],
         )
-    )
+        return (
+            spark.read.parquet(part_dir)
+            .where(F.col("l_returnflag") == "R")
+            .agg(
+                F.lit("__part_R").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.lit(None).cast("long").alias("sum_nkey"),
+                F.lit(None).cast("long").alias("sum_rkey"),
+            )
+        )
     # '__zorder' row: Z-order-clustered parquet sink + range-predicate
     # read-back (write_zordered): a fourth lineitem slice is laid out
     # by the Morton key of (l_orderkey, l_quantity), read back with a
@@ -1023,19 +1044,23 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     z_dir = base + "_li_zorder.parquet"
     z_slice = li.where(F.col("l_orderkey") % 10 == 7).select(*cols)
-    write_zordered(z_slice, z_dir, ["l_orderkey", "l_quantity"], num_files=8)
     lo, hi = 1000, 2000
-    z_row = (
-        spark.read.parquet(z_dir)
-        .where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
-        .agg(
-            F.lit("__zorder").alias("l_returnflag"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.lit(None).cast("long").alias("sum_nkey"),
-            F.lit(None).cast("long").alias("sum_rkey"),
+
+    def _z_row():
+        # head of the z-order -> versions -> delete -> merge -> evolve
+        # chain (_zver_chain below); split out only for readability
+        write_zordered(z_slice, z_dir, ["l_orderkey", "l_quantity"], num_files=8)
+        return (
+            spark.read.parquet(z_dir)
+            .where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+            .agg(
+                F.lit("__zorder").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.lit(None).cast("long").alias("sum_nkey"),
+                F.lit(None).cast("long").alias("sum_rkey"),
+            )
         )
-    )
     # '__compact' row: small-file compaction (writers.compact_files,
     # the lakehouse OPTIMIZE primitive): a fifth lineitem slice is
     # deliberately shattered into 48 tiny files, compacted into
@@ -1051,48 +1076,50 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     small_dir = base + "_li_small.parquet"
     comp_dir = base + "_li_compact.parquet"
-    li.where(F.col("l_orderkey") % 10 == 9).select(*cols).repartition(48).write.mode(
-        "overwrite"
-    ).parquet(small_dir)
-    stats = compact_files(spark, small_dir, comp_dir, target_bytes=64 << 20)
-    # VACUUM retention rides the compaction chain: v1 pins the 48
-    # shattered files, v2 the compacted ones; vacuum keeping only v2
-    # must physically delete exactly v1's unshared files and drop its
-    # manifest — all driver-side FS metadata, no data scan. (The
-    # DELETE chain can't host this: its v1 files back the lazily-read
-    # '__zorder' leg.)
-    from data_integration_and_harmonization_spark.sources.manifest import (
-        commit_version as _commit,
-        list_versions as _versions,
-        read_manifest as _manifest,
-        vacuum as _vacuum,
-    )
 
-    tbl2 = base + "_li_compact_versions"
-    c1 = _commit(spark, tbl2, small_dir, note="48 small files")
-    c2 = _commit(spark, tbl2, comp_dir, note="compacted")
-    m_small = {f["path"] for f in _manifest(spark, tbl2, c1)["files"]}
-    m_comp = {f["path"] for f in _manifest(spark, tbl2, c2)["files"]}
-    vac = _vacuum(spark, tbl2, keep_versions=[c2])
-    vac_ok = (
-        set(vac["deleted"]) == m_small - m_comp
-        and _versions(spark, tbl2) == [c2]
-    )
-    comp_ok = int(
-        stats["files_after"] < stats["files_before"]
-        and stats["files_after"] <= stats["planned_files"]
-        and vac_ok
-    )
-    comp_row = (
-        spark.read.parquet(comp_dir)
-        .agg(
-            F.lit("__compact").alias("l_returnflag"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.lit(comp_ok).cast("long").alias("sum_nkey"),
-            F.lit(None).cast("long").alias("sum_rkey"),
+    def _compact_chain():
+        li.where(F.col("l_orderkey") % 10 == 9).select(*cols).repartition(
+            48
+        ).write.mode("overwrite").parquet(small_dir)
+        stats = compact_files(spark, small_dir, comp_dir, target_bytes=64 << 20)
+        # VACUUM retention rides the compaction chain: v1 pins the 48
+        # shattered files, v2 the compacted ones; vacuum keeping only v2
+        # must physically delete exactly v1's unshared files and drop its
+        # manifest — all driver-side FS metadata, no data scan. (The
+        # DELETE chain can't host this: its v1 files back the lazily-read
+        # '__zorder' leg.)
+        from data_integration_and_harmonization_spark.sources.manifest import (
+            commit_version as _commit,
+            list_versions as _versions,
+            read_manifest as _manifest,
+            vacuum as _vacuum,
         )
-    )
+
+        tbl2 = base + "_li_compact_versions"
+        c1 = _commit(spark, tbl2, small_dir, note="48 small files")
+        c2 = _commit(spark, tbl2, comp_dir, note="compacted")
+        m_small = {f["path"] for f in _manifest(spark, tbl2, c1)["files"]}
+        m_comp = {f["path"] for f in _manifest(spark, tbl2, c2)["files"]}
+        vac = _vacuum(spark, tbl2, keep_versions=[c2])
+        vac_ok = (
+            set(vac["deleted"]) == m_small - m_comp
+            and _versions(spark, tbl2) == [c2]
+        )
+        comp_ok = int(
+            stats["files_after"] < stats["files_before"]
+            and stats["files_after"] <= stats["planned_files"]
+            and vac_ok
+        )
+        return (
+            spark.read.parquet(comp_dir)
+            .agg(
+                F.lit("__compact").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.lit(comp_ok).cast("long").alias("sum_nkey"),
+                F.lit(None).cast("long").alias("sum_rkey"),
+            )
+        )
     # '__delete' row: targeted row deletion (writers.delete_rows, the
     # GDPR rewrite): DELETE the same l_orderkey range from the
     # z-ordered copy — the clustered layout confines matches to a
@@ -1125,211 +1152,239 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
     del_dir = base + "_li_deleted.parquet"
     tbl_root = base + "_li_versions"
-    # v1 carries per-file min/max stats for l_orderkey — the
-    # data-skipping statistics a Delta/Iceberg manifest records, and
-    # the z-ordered layout is exactly what makes them tight.
-    from data_integration_and_harmonization_spark.sources.manifest import (
-        commit_version_with_stats,
-        prune_files,
-    )
 
-    v1 = commit_version_with_stats(
-        spark, tbl_root, z_dir, ["l_orderkey"], note="zordered slice"
-    )
-    # '__skip' row: manifest-stats file pruning (read_version(prune=))
-    # — the reader opens ONLY the files whose recorded [min,max] can
-    # intersect the range; at 100 TB that is the difference between a
-    # key range's few files and the whole table. sum_nkey carries the
-    # structural verdict (1 iff the prune skipped at least one file
-    # while keeping at least one); the value columns are the filtered
-    # aggregate the oracle replays off the raw table — a hash match
-    # proves pruning lost no row the residual filter would keep.
-    skip_lo, skip_hi = 2500, 2999
-    n_skip_kept = len(
-        prune_files(
-            read_manifest(spark, tbl_root, v1),
-            {"l_orderkey": (skip_lo, skip_hi)},
+    def _zver_chain():
+        z_row = _z_row()
+        # v1 carries per-file min/max stats for l_orderkey — the
+        # data-skipping statistics a Delta/Iceberg manifest records, and
+        # the z-ordered layout is exactly what makes them tight.
+        from data_integration_and_harmonization_spark.sources.manifest import (
+            commit_version_with_stats,
+            prune_files,
         )
-    )
-    n_skip_total = len(read_manifest(spark, tbl_root, v1)["files"])
-    # at sf0.001 the slice's keys end below skip_lo, so pruning
-    # rightly keeps ZERO files — that is data skipping working
-    # perfectly, not a structural failure; require a kept file only
-    # when the data actually reaches the probed range.
-    z_max_key = z_slice.agg(F.max("l_orderkey")).first()[0] or 0
-    skip_ok = int(
-        n_skip_kept < n_skip_total
-        and (n_skip_kept > 0 or z_max_key < skip_lo)
-    )
-    skip_row = (
-        read_version(
-            spark, tbl_root, v1, prune={"l_orderkey": (skip_lo, skip_hi)}
-        )
-        .agg(
-            F.lit("__skip").alias("l_returnflag"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.lit(skip_ok).cast("long").alias("sum_nkey"),
-            F.lit(None).cast("long").alias("sum_rkey"),
-        )
-    )
-    dstats = delete_rows_versioned(
-        spark,
-        tbl_root,
-        del_dir,
-        (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi),
-    )
-    v2 = dstats["version"]
-    n_v1 = read_version(spark, tbl_root, v1).count()
-    n_v2 = read_version(spark, tbl_root, v2).count()
-    m1 = {f["path"] for f in read_manifest(spark, tbl_root, v1)["files"]}
-    m2 = {f["path"] for f in read_manifest(spark, tbl_root, v2)["files"]}
-    cdf = {
-        r["change"]: r["n"]
-        for r in version_diff(
-            spark, tbl_root, v1, v2, ["l_orderkey", "l_linenumber"]
-        )
-        .groupBy("change")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    del_ok = int(
-        dstats["files_affected"] < dstats["files_total"]
-        and v2 == v1 + 1
-        and n_v1 == n_v2 + dstats["rows_deleted"]
-        and len(m1 & m2) == dstats["files_total"] - dstats["files_affected"]
-        and cdf.get("removed", 0) == dstats["rows_deleted"]
-        and cdf.get("added", 0) == 0
-    )
-    del_row = (
-        read_version(spark, tbl_root, v2)
-        .agg(
-            F.lit("__delete").alias("l_returnflag"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.lit(del_ok).cast("long").alias("sum_nkey"),
-            F.lit(None).cast("long").alias("sum_rkey"),
-        )
-    )
-    # '__merge' row: three-arm MERGE (manifest.merge_upsert_versioned)
-    # on top of the post-delete version — Delta's WHEN MATCHED UPDATE /
-    # WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE in ONE commit:
-    # keys in [500,1000) are MATCHED (whole row replaced, quantity
-    # +100), the earlier-deleted [1000,1100) keys come back as INSERTS
-    # (quantity +100), and keys in [2000,2500) are merge-DELETED. The
-    # change batch is deduped per key (max over dup (okey,lineno) keys
-    # — the synthetic lineitem has them; merge enforces unique change
-    # keys). Only files holding matched keys are rewritten; untouched
-    # files referenced in place. The oracle replays all three arms off
-    # the raw table, so the hash match proves MERGE semantics end to
-    # end; sum_nkey carries the structural verdict (targeted subset +
-    # matched/inserted/deleted counts exactly as composed).
-    from data_integration_and_harmonization_spark.sources.manifest import (
-        merge_upsert_versioned,
-    )
 
-    z_all = li.where(F.col("l_orderkey") % 10 == 7).select(*cols)
-
-    def _dedup_arm(df, op):
-        return (
-            df.groupBy("l_orderkey", "l_linenumber")
-            .agg(
-                F.max("l_quantity").alias("l_quantity"),
-                F.max("l_returnflag").alias("l_returnflag"),
+        v1 = commit_version_with_stats(
+            spark, tbl_root, z_dir, ["l_orderkey"], note="zordered slice"
+        )
+        # '__skip' row: manifest-stats file pruning (read_version(prune=))
+        # — the reader opens ONLY the files whose recorded [min,max] can
+        # intersect the range; at 100 TB that is the difference between a
+        # key range's few files and the whole table. sum_nkey carries the
+        # structural verdict (1 iff the prune skipped at least one file
+        # while keeping at least one); the value columns are the filtered
+        # aggregate the oracle replays off the raw table — a hash match
+        # proves pruning lost no row the residual filter would keep.
+        skip_lo, skip_hi = 2500, 2999
+        n_skip_kept = len(
+            prune_files(
+                read_manifest(spark, tbl_root, v1),
+                {"l_orderkey": (skip_lo, skip_hi)},
             )
-            .select(*cols)
-            .withColumn("op", F.lit(op))
+        )
+        n_skip_total = len(read_manifest(spark, tbl_root, v1)["files"])
+        # at sf0.001 the slice's keys end below skip_lo, so pruning
+        # rightly keeps ZERO files — that is data skipping working
+        # perfectly, not a structural failure; require a kept file only
+        # when the data actually reaches the probed range.
+        z_max_key = z_slice.agg(F.max("l_orderkey")).first()[0] or 0
+        skip_ok = int(
+            n_skip_kept < n_skip_total
+            and (n_skip_kept > 0 or z_max_key < skip_lo)
+        )
+        skip_row = (
+            read_version(
+                spark, tbl_root, v1, prune={"l_orderkey": (skip_lo, skip_hi)}
+            )
+            .agg(
+                F.lit("__skip").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.lit(skip_ok).cast("long").alias("sum_nkey"),
+                F.lit(None).cast("long").alias("sum_rkey"),
+            )
+        )
+        dstats = delete_rows_versioned(
+            spark,
+            tbl_root,
+            del_dir,
+            (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi),
+        )
+        v2 = dstats["version"]
+        n_v1 = read_version(spark, tbl_root, v1).count()
+        n_v2 = read_version(spark, tbl_root, v2).count()
+        m1 = {f["path"] for f in read_manifest(spark, tbl_root, v1)["files"]}
+        m2 = {f["path"] for f in read_manifest(spark, tbl_root, v2)["files"]}
+        cdf = {
+            r["change"]: r["n"]
+            for r in version_diff(
+                spark, tbl_root, v1, v2, ["l_orderkey", "l_linenumber"]
+            )
+            .groupBy("change")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        del_ok = int(
+            dstats["files_affected"] < dstats["files_total"]
+            and v2 == v1 + 1
+            and n_v1 == n_v2 + dstats["rows_deleted"]
+            and len(m1 & m2) == dstats["files_total"] - dstats["files_affected"]
+            and cdf.get("removed", 0) == dstats["rows_deleted"]
+            and cdf.get("added", 0) == 0
+        )
+        del_row = (
+            read_version(spark, tbl_root, v2)
+            .agg(
+                F.lit("__delete").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.lit(del_ok).cast("long").alias("sum_nkey"),
+                F.lit(None).cast("long").alias("sum_rkey"),
+            )
+        )
+        # '__merge' row: three-arm MERGE (manifest.merge_upsert_versioned)
+        # on top of the post-delete version — Delta's WHEN MATCHED UPDATE /
+        # WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE in ONE commit:
+        # keys in [500,1000) are MATCHED (whole row replaced, quantity
+        # +100), the earlier-deleted [1000,1100) keys come back as INSERTS
+        # (quantity +100), and keys in [2000,2500) are merge-DELETED. The
+        # change batch is deduped per key (max over dup (okey,lineno) keys
+        # — the synthetic lineitem has them; merge enforces unique change
+        # keys). Only files holding matched keys are rewritten; untouched
+        # files referenced in place. The oracle replays all three arms off
+        # the raw table, so the hash match proves MERGE semantics end to
+        # end; sum_nkey carries the structural verdict (targeted subset +
+        # matched/inserted/deleted counts exactly as composed).
+        from data_integration_and_harmonization_spark.sources.manifest import (
+            merge_upsert_versioned,
         )
 
-    rng = lambda a, b: (F.col("l_orderkey") >= a) & (F.col("l_orderkey") < b)
-    upd_match = _dedup_arm(z_all.where(rng(500, 1000)), "U").withColumn(
-        "l_quantity", F.col("l_quantity") + 100
-    )
-    upd_ins = _dedup_arm(z_all.where(rng(lo, 1100)), "I").withColumn(
-        "l_quantity", F.col("l_quantity") + 100
-    )
-    upd_del = _dedup_arm(z_all.where(rng(2000, 2500)), "D")
-    upd = upd_match.unionByName(upd_ins).unionByName(upd_del)
-    n_match = z_all.where(rng(500, 1000) | rng(2000, 2500)).count()
-    n_ins = upd_ins.count()
-    n_del = z_all.where(rng(2000, 2500)).count()
-    merge_dir = base + "_li_merged.parquet"
-    mstats = merge_upsert_versioned(
-        spark, tbl_root, merge_dir, upd, ["l_orderkey", "l_linenumber"],
-        op_col="op",
-    )
-    # locality clause only above a row floor: below ~1000 slice rows
-    # the 8-file z-layout has so few rows per file that every file
-    # legitimately spans the whole key range and the merge rightly
-    # rewrites all of them (observed at sf0.001); the semantics checks
-    # below stay unconditional.
-    n_slice = z_all.count()
-    merge_ok = int(
-        (mstats["files_affected"] < mstats["files_total"] or n_slice < 1000)
-        and mstats["version"] == v2 + 1
-        and mstats["rows_matched"] == n_match
-        and mstats["rows_inserted"] == n_ins
-        and mstats["rows_deleted"] == n_del
-    )
-    merge_row = (
-        read_version(spark, tbl_root, mstats["version"])
-        .agg(
-            F.lit("__merge").alias("l_returnflag"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.lit(merge_ok).cast("long").alias("sum_nkey"),
-            F.lit(None).cast("long").alias("sum_rkey"),
-        )
-    )
-    # '__evolve' row: MERGE schema evolution — a second merge whose
-    # change batch carries a NEW column (priority). Default must
-    # REFUSE (never silently drop a CDC feed's column); with
-    # evolve_schema=True the column is adopted: rewritten files carry
-    # it, untouched files stay old-schema referenced in place, and
-    # read_version(merge_schema=True) unions the schemas. The change
-    # rows replace [500,600) with their own current values + priority,
-    # so row count and quantity sum are UNCHANGED from the __merge
-    # version (the oracle replays that equality for free) and
-    # sum_rkey carries the non-null priority count = the deduped key
-    # count of the replaced slice.
-    from data_integration_and_harmonization_spark.sources.manifest import (
-        read_manifest,
-    )
+        z_all = li.where(F.col("l_orderkey") % 10 == 7).select(*cols)
 
-    ev_upd = (
-        _dedup_arm(z_all.where(rng(500, 600)), "U")
-        .drop("op")
-        .withColumn("l_quantity", F.col("l_quantity") + 100)
-        .withColumn("priority", F.lit(1.0))
-    )
-    try:
-        merge_upsert_versioned(
-            spark, tbl_root, base + "_li_evolve_refused.parquet", ev_upd,
-            ["l_orderkey", "l_linenumber"],
+        def _dedup_arm(df, op):
+            return (
+                df.groupBy("l_orderkey", "l_linenumber")
+                .agg(
+                    F.max("l_quantity").alias("l_quantity"),
+                    F.max("l_returnflag").alias("l_returnflag"),
+                )
+                .select(*cols)
+                .withColumn("op", F.lit(op))
+            )
+
+        rng = lambda a, b: (F.col("l_orderkey") >= a) & (F.col("l_orderkey") < b)
+        upd_match = _dedup_arm(z_all.where(rng(500, 1000)), "U").withColumn(
+            "l_quantity", F.col("l_quantity") + 100
         )
-        refused = 0
-    except ValueError:
-        refused = 1
-    estats = merge_upsert_versioned(
-        spark, tbl_root, base + "_li_evolved.parquet", ev_upd,
-        ["l_orderkey", "l_linenumber"], evolve_schema=True,
-    )
-    evolve_ok = int(
-        refused == 1
-        and estats["rows_inserted"] == 0
-        and "schema evolved +priority"
-        in read_manifest(spark, tbl_root, estats["version"])["note"]
-    )
-    evolve_row = (
-        read_version(spark, tbl_root, estats["version"], merge_schema=True)
-        .agg(
-            F.lit("__evolve").alias("l_returnflag"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.lit(evolve_ok).cast("long").alias("sum_nkey"),
-            F.sum(F.col("priority").isNotNull().cast("long")).alias("sum_rkey"),
+        upd_ins = _dedup_arm(z_all.where(rng(lo, 1100)), "I").withColumn(
+            "l_quantity", F.col("l_quantity") + 100
         )
-    )
+        upd_del = _dedup_arm(z_all.where(rng(2000, 2500)), "D")
+        upd = upd_match.unionByName(upd_ins).unionByName(upd_del)
+        # r13: the four merge-gate probes (matched rows, deduped insert
+        # keys, deleted rows, slice size) were four separate jobs over the
+        # same slice; ONE aggregate computes all four (countDistinct over
+        # a when()-guarded struct == the dedup arm's distinct key count;
+        # count/sum semantics unchanged value for value).
+        _gate = z_all.agg(
+            F.count(F.lit(1)).alias("n_slice"),
+            F.sum((rng(500, 1000) | rng(2000, 2500)).cast("long")).alias("n_match"),
+            F.sum(rng(2000, 2500).cast("long")).alias("n_del"),
+            F.countDistinct(
+                F.when(rng(lo, 1100), F.struct("l_orderkey", "l_linenumber"))
+            ).alias("n_ins"),
+        ).first()
+        n_match = _gate["n_match"] or 0
+        n_ins = _gate["n_ins"]
+        n_del = _gate["n_del"] or 0
+        # locality clause only above a row floor: below ~1000 slice rows
+        # the 8-file z-layout has so few rows per file that every file
+        # legitimately spans the whole key range and the merge rightly
+        # rewrites all of them (observed at sf0.001); the semantics checks
+        # below stay unconditional.
+        n_slice = _gate["n_slice"]
+        merge_dir = base + "_li_merged.parquet"
+        mstats = merge_upsert_versioned(
+            spark, tbl_root, merge_dir, upd, ["l_orderkey", "l_linenumber"],
+            op_col="op",
+        )
+        merge_ok = int(
+            (mstats["files_affected"] < mstats["files_total"] or n_slice < 1000)
+            and mstats["version"] == v2 + 1
+            and mstats["rows_matched"] == n_match
+            and mstats["rows_inserted"] == n_ins
+            and mstats["rows_deleted"] == n_del
+        )
+        merge_row = (
+            read_version(spark, tbl_root, mstats["version"])
+            .agg(
+                F.lit("__merge").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.lit(merge_ok).cast("long").alias("sum_nkey"),
+                F.lit(None).cast("long").alias("sum_rkey"),
+            )
+        )
+        # '__evolve' row: MERGE schema evolution — a second merge whose
+        # change batch carries a NEW column (priority). Default must
+        # REFUSE (never silently drop a CDC feed's column); with
+        # evolve_schema=True the column is adopted: rewritten files carry
+        # it, untouched files stay old-schema referenced in place, and
+        # read_version(merge_schema=True) unions the schemas. The change
+        # rows replace [500,600) with their own current values + priority,
+        # so row count and quantity sum are UNCHANGED from the __merge
+        # version (the oracle replays that equality for free) and
+        # sum_rkey carries the non-null priority count = the deduped key
+        # count of the replaced slice. (read_manifest comes from the
+        # enclosing function's import — re-importing it here would
+        # shadow it as a chain-local for the WHOLE chain body.)
+        ev_upd = (
+            _dedup_arm(z_all.where(rng(500, 600)), "U")
+            .drop("op")
+            .withColumn("l_quantity", F.col("l_quantity") + 100)
+            .withColumn("priority", F.lit(1.0))
+        )
+        try:
+            merge_upsert_versioned(
+                spark, tbl_root, base + "_li_evolve_refused.parquet", ev_upd,
+                ["l_orderkey", "l_linenumber"],
+            )
+            refused = 0
+        except ValueError:
+            refused = 1
+        estats = merge_upsert_versioned(
+            spark, tbl_root, base + "_li_evolved.parquet", ev_upd,
+            ["l_orderkey", "l_linenumber"], evolve_schema=True,
+        )
+        evolve_ok = int(
+            refused == 1
+            and estats["rows_inserted"] == 0
+            and "schema evolved +priority"
+            in read_manifest(spark, tbl_root, estats["version"])["note"]
+        )
+        evolve_row = (
+            read_version(spark, tbl_root, estats["version"], merge_schema=True)
+            .agg(
+                F.lit("__evolve").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                F.lit(evolve_ok).cast("long").alias("sum_nkey"),
+                F.sum(F.col("priority").isNotNull().cast("long")).alias("sum_rkey"),
+            )
+        )
+        return z_row, skip_row, del_row, merge_row, evolve_row
+
+    # Launch the four Spark-bound chains now; the driver-side fixture
+    # ENCODES below (pdf/docx/pptx/epub/zip/warc/wiki byte builders —
+    # pure Python) run on the main thread, overlapping the chains'
+    # JVM work instead of serializing after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pool = ThreadPoolExecutor(max_workers=4)
+    _f_ingest = _pool.submit(_ingest_chain)
+    _f_part = _pool.submit(_part_chain)
+    _f_zver = _pool.submit(_zver_chain)
+    _f_compact = _pool.submit(_compact_chain)
+
     # '__pdf' + '__pdfmd5_*' rows (r11): baseline PDF text extraction
     # (functions/pdf.py — Flate content streams + Tj/TJ show
     # operators, ISO 32000-1). One two-page PDF per region row is
@@ -1842,6 +1897,13 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("long").alias("sum_nkey"),
         F.lit(None).cast("long").alias("sum_rkey"),
     )
+    try:
+        agg, prev_row = _f_ingest.result()
+        part_row = _f_part.result()
+        z_row, skip_row, del_row, merge_row, evolve_row = _f_zver.result()
+        comp_row = _f_compact.result()
+    finally:
+        _pool.shutdown()
     return (
         agg.unionByName(prev_row)
         .unionByName(part_row)
