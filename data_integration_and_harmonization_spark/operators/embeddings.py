@@ -189,15 +189,21 @@ def random_projection(
             return df.withColumn(out_col or vec_col, F.col(vec_col))
         in_dim = row["d"]
     R = projection_matrix(in_dim, out_dim, seed)
+    # r13: the k x d literal matrix used to be assembled as k*d
+    # separate F.lit() calls plus k python-lambda HOF builds — ~2.4 s
+    # of pure DRIVER py4j time per invocation at k=32, d=64 (the
+    # executors were idle; the bench's build/serve split exposed it).
+    # One SQL string per component parses JVM-side in ~0.3 s total.
+    # The expression tree is semantically identical (same transform/
+    # zip_with/aggregate ladder, same literal doubles — repr() is the
+    # shortest round-trip form and Double.parseDouble returns the
+    # exact same IEEE value), so results are bit-identical.
+    vec = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     comps = [
-        F.aggregate(
-            F.zip_with(
-                _as_double(F.col(vec_col)),
-                F.array(*[F.lit(float(w)) for w in R[j]]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
+        F.expr(
+            f"aggregate(zip_with({vec}, array("
+            + ",".join(repr(float(w)) + "D" for w in R[j])
+            + "), (x, w) -> x * w), 0.0D, (a, x) -> a + x)"
         )
         for j in range(out_dim)
     ]

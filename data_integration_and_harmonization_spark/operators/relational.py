@@ -763,48 +763,76 @@ def relational_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         only the fixed-size summary reaches the driver — the property
         that makes them the 100-TB profiling path."""
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
-        hot_rows = (
-            li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
-        )
-        total = sum(r["n"] for r in hot_rows)
+
+        # r13 optimization (guide §2.6): the five sketch-build probes
+        # (exact flag counts + count-min, freqItems, the 64-key
+        # sample, max/distinct keys + bloom) were five back-to-back
+        # driver actions; the four independent chains now run on
+        # concurrent driver threads. Verdict arithmetic (and values)
+        # unchanged.
+        def _cms_chain():
+            hot_rows = (
+                li.groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            total = sum(r["n"] for r in hot_rows)
+            # count-min: (eps, conf) guarantee per flag against the
+            # exact counts already collected for the heavy-hitter
+            # verdict. Spark 4 dropped the PYTHON stat wrappers for
+            # these two sketches; the JVM DataFrameStatFunctions build
+            # (executor-side tree-merged, fixed-size summary to the
+            # driver) is intact, so we call it through the bridge.
+            cms = li._jdf.stat().countMinSketch("l_returnflag", 0.01, 0.95, 42)
+            cms_ok = 1.0
+            for r in hot_rows:
+                est = cms.estimateCount(r["l_returnflag"])
+                if not (r["n"] <= est <= r["n"] + 0.01 * total):
+                    cms_ok = 0.0
+            return hot_rows, total, cms_ok
+
+        def _bloom_chain():
+            # bloom over orderkeys: probe 64 present keys (must ALL
+            # hit — no false negatives) and 64 absent ones (max key +
+            # 1..64; fpp=0.01 makes even 12/64 false hits
+            # astronomically unlikely)
+            present = [
+                r["l_orderkey"]
+                for r in li.select("l_orderkey").distinct().limit(64).collect()
+            ]
+            mk = li.agg(
+                F.max("l_orderkey").alias("mx"),
+                F.countDistinct("l_orderkey").alias("nk"),
+            ).first()
+            max_key, n_keys = mk["mx"], mk["nk"]
+            bloom = li._jdf.stat().bloomFilter("l_orderkey", n_keys, 0.01)
+            absent_hits = sum(
+                1
+                for k in range(max_key + 1, max_key + 65)
+                if bloom.mightContain(k)
+            )
+            return (
+                1.0
+                if all(bloom.mightContain(k) for k in present)
+                and absent_hits <= 12
+                else 0.0
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            _f_cms = _pool.submit(_cms_chain)
+            _f_hh = _pool.submit(
+                lambda: set(
+                    li.stat.freqItems(["l_returnflag"], support=0.1).collect()[0][0]
+                )
+            )
+            _f_bloom = _pool.submit(_bloom_chain)
+            hot_rows, total, cms_ok = _f_cms.result()
+            approx_hot = _f_hh.result()
+            bloom_ok = _f_bloom.result()
         exact_hot = {r["l_returnflag"] for r in hot_rows if r["n"] > 0.1 * total}
-        approx_hot = set(
-            li.stat.freqItems(["l_returnflag"], support=0.1).collect()[0][0]
-        )
         hh_ok = 1.0 if exact_hot <= approx_hot else 0.0
-        # count-min: (eps, conf) guarantee per flag against the exact
-        # counts already collected for the heavy-hitter verdict. Spark
-        # 4 dropped the PYTHON stat wrappers for these two sketches;
-        # the JVM DataFrameStatFunctions build (executor-side
-        # tree-merged, fixed-size summary to the driver) is intact, so
-        # we call it through the bridge.
-        cms = li._jdf.stat().countMinSketch("l_returnflag", 0.01, 0.95, 42)
-        cms_ok = 1.0
-        for r in hot_rows:
-            est = cms.estimateCount(r["l_returnflag"])
-            if not (r["n"] <= est <= r["n"] + 0.01 * total):
-                cms_ok = 0.0
-        # bloom over orderkeys: probe 64 present keys (must ALL hit —
-        # no false negatives) and 64 absent ones (max key + 1..64;
-        # fpp=0.01 makes even 12/64 false hits astronomically unlikely)
-        present = [
-            r["l_orderkey"]
-            for r in li.select("l_orderkey").distinct().limit(64).collect()
-        ]
-        mk = li.agg(
-            F.max("l_orderkey").alias("mx"),
-            F.countDistinct("l_orderkey").alias("nk"),
-        ).first()
-        max_key, n_keys = mk["mx"], mk["nk"]
-        bloom = li._jdf.stat().bloomFilter("l_orderkey", n_keys, 0.01)
-        absent_hits = sum(
-            1 for k in range(max_key + 1, max_key + 65) if bloom.mightContain(k)
-        )
-        bloom_ok = (
-            1.0
-            if all(bloom.mightContain(k) for k in present) and absent_hits <= 12
-            else 0.0
-        )
         g = li.groupBy("l_returnflag").agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supps"),

@@ -45,6 +45,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _lit_vec(vals) -> Column:
+    """array<double> literal built as ONE SQL string (r13): spelling a
+    center as d separate F.lit() py4j calls dominated the DRIVER time
+    of every quantizer-construction path (~1 ms per call x k*d*m
+    literals); one expr() per center parses JVM-side. repr() is the
+    shortest round-trip float form and Double.parseDouble returns the
+    exact same IEEE value, so expressions are value-identical."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
 def squared_distance(a: Column, b: Column) -> Column:
     """Sequential-order squared euclidean distance of two
     array<numeric> columns — the one expression used for BOTH corpus
@@ -345,7 +355,7 @@ def pq_distortion(
             d2s = F.array_min(
                 F.array(
                     *[
-                        squared_distance(sub, F.array(*[F.lit(v) for v in c]))
+                        squared_distance(sub, _lit_vec(c))
                         for c in centers
                     ]
                 )
@@ -368,7 +378,7 @@ def _nearest_index(vec: Column, centers: list[list[float]]) -> Column:
         F.array(
             *[
                 F.struct(
-                    squared_distance(vec, F.array(*[F.lit(v) for v in c])).alias("d2"),
+                    squared_distance(vec, _lit_vec(c)).alias("d2"),
                     F.lit(i).cast("int").alias("idx"),
                 )
                 for i, c in enumerate(centers)
@@ -696,7 +706,7 @@ def ivfpq_topk(
     cell_d2 = F.array(
         *[
             F.struct(
-                squared_distance(F.col("q_vec"), F.array(*[F.lit(v) for v in c])).alias("d2"),
+                squared_distance(F.col("q_vec"), _lit_vec(c)).alias("d2"),
                 F.lit(i).cast("int").alias("cell"),
             )
             for i, c in enumerate(centers)

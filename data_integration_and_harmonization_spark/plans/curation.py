@@ -41,7 +41,7 @@ from data_integration_and_harmonization_spark.operators.scrub import decontamina
 from data_integration_and_harmonization_spark.operators.text import (
     fingerprint,
     language_id_column,
-    token_count,
+
 )
 
 # the funnel, in order; each flag implies the previous one
@@ -98,22 +98,37 @@ def curate_annotate(
     - sample:        deterministic md5 hash filter at ``sample_rate``.
     """
     t = F.col(text_col)
+    # Tokenize ONCE in a staged projection (r13): token count + the
+    # 4-language ID previously re-ran regexp_extract_all 5x per row —
+    # Catalyst doesn't CSE regexp trees, and CollapseProject keeps a
+    # non-cheap multiply-referenced alias staged. Same tokens, same
+    # values.
+    from data_integration_and_harmonization_spark.operators.text import tokens
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("text"),
+        tokens(t).alias("__toks"),
+        sample_hash([id_col], seed).alias("__hu"),
+    )
+    tk = F.col("__toks")
+    t = F.col("text")
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
     alpha_ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(
         F.lit(0.0)
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        t.alias("text"),
+    base = staged.select(
+        "doc_id",
+        "text",
         # null text = 0 tokens on BOTH sides (size() of a null array is
         # engine/config-dependent — NULL, or -1 under legacy sizeOfNull,
         # and the oracle's len(toks) is NULL; pin the semantics with an
         # explicit null guard instead)
-        F.when(t.isNull(), F.lit(0)).otherwise(token_count(t)).alias("n_tokens"),
-        language_id_column(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("__fp"),
-        sample_hash([id_col], seed).alias("__hu"),
+        F.when(t.isNull(), F.lit(0)).otherwise(F.size(tk)).alias("n_tokens"),
+        language_id_column("text", toks=tk).alias("lang_pred"),
+        fingerprint("text").alias("__fp"),
+        "__hu",
         alpha_ratio.alias("__alpha"),
     )
     ann = base.withColumn(
