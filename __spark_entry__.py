@@ -2104,7 +2104,10 @@ def q_stream_batch_twin(spark: SparkSession, sf: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     dd_keys = ["user_id", "event_type"]
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    # 10 workers for the 9 submitted drains (r13: was 8 — the ninth
+    # queued behind a full pool; the drains are latency-bound
+    # streaming fixed costs, exactly the overlap-friendly shape)
+    with ThreadPoolExecutor(max_workers=10) as pool:
         f_tumble = pool.submit(
             SP.run_availablenow,
             SP.tumbling_stream(stream_ev),

@@ -556,11 +556,19 @@ def duplicate_clusters(
     # whole LSH propose+verify pipeline — it must not re-execute for
     # the size probe, the symmetrize, and every loop round).
     base = pairs.select(id_a, id_b).persist()
-    n_pairs = base.count()
-    if n_pairs <= driver_max_edges:
+    # r13: size probe and collect fused into ONE bounded action — the
+    # old count()-then-collect() shape ran two jobs over the pair
+    # pipeline per call, and this operator sits on ~8 query paths
+    # (doc/ER components, both incremental near-dup admits, SemDeDup
+    # x2, the curation funnel). limit(max+1) caps driver traffic the
+    # same way the count gate did: the common small graph arrives in
+    # one job; an over-threshold graph costs one extra (still bounded)
+    # probe before the distributed path takes over.
+    probe = base.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
         try:
             id_type = base.schema[id_a].dataType
-            rows = _unionfind_clusters(base.collect(), id_a, id_b)
+            rows = _unionfind_clusters(probe, id_a, id_b)
         finally:
             # without the finally a failed collect/union-find leaks the
             # persisted frame for the session lifetime
@@ -569,6 +577,8 @@ def duplicate_clusters(
             [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
         )
         return spark.createDataFrame(rows, schema)
+    del probe
+    n_pairs = base.count()
     # symmetrize via explode, NOT union(fwd, reversed): a union holds
     # the upstream plan twice; explode emits both directions in one
     # pass over one branch (here: over the persisted pair table).
@@ -1724,51 +1734,38 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        # r13 optimization (guide §2.6): the THREE store chains —
-        # exact (b1→b2), near (n1→n2), and the CDF maintenance drain —
-        # are mutually independent (separate store dirs, separate
-        # lineages); only the admits WITHIN a chain are ordered.
-        # Sequentially, each chain's many short jobs leave most of the
-        # cluster idle; submitted from concurrent driver threads the
-        # scheduler back-fills one chain's stragglers with another's
-        # tasks. Results are unchanged: each chain computes exactly
-        # what it computed before, against exactly the history it saw
-        # before. scratch paths are minted on the MAIN thread
-        # (scratch_dir's root init isn't thread-safe).
+        # r13 note (guide §2.6, tried and REVERTED): running the exact
+        # and near store chains on driver threads alongside the CDF
+        # drain measured SLOWER (bench A/B min-of-5: 13.4 s sequential
+        # vs 14.5 s threaded). The near chain is the critical path
+        # (~12.6 s warm vs 1.7 s exact) and its stages already fan
+        # 32-wide, so this query is CPU-saturated — concurrent chains
+        # stretch the critical path's stages by exactly the work they
+        # add and pay scheduler overhead on top. Only the CDF drain
+        # (latency-bound streaming fixed costs, a good overlap
+        # partner) stays threaded, as before.
+        _pool = ThreadPoolExecutor(max_workers=1)
+        _f_cdfnd = _pool.submit(_cdfnd_chain)
+
         store = scratch_dir("fp_store") + "/store"
-        nd_store = scratch_dir("nd_store") + "/store"
-
-        def _exact_chain():
-            b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
-            b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
-            return b1, b2
-
+        b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
+        b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
         # 'nd1'/'nd2' legs: the NEAR-dup admit sequence
         # (incremental_near_dedup) over the same even/odd batches —
         # signature-store matching (banded LSH + estimated Jaccard at
         # 0.5), md5 family so the oracle replays signatures, in-batch
         # components, and history hits bit-for-bit.
-        def _near_chain():
-            n1 = incremental_near_dedup(
-                docs.where(F.col("doc_id") % 2 == 0), nd_store,
-                threshold=0.5, hash_family="md5",
-            )
-            n2 = incremental_near_dedup(
-                docs.where(F.col("doc_id") % 2 == 1), nd_store,
-                threshold=0.5, hash_family="md5",
-            )
-            return n1, n2
-
-        _pool = ThreadPoolExecutor(max_workers=3)
-        try:
-            _f_cdfnd = _pool.submit(_cdfnd_chain)
-            _f_exact = _pool.submit(_exact_chain)
-            _f_near = _pool.submit(_near_chain)
-            b1, b2 = _f_exact.result()
-            n1, n2 = _f_near.result()
-            cdfnd = _f_cdfnd.result()
-        finally:
-            _pool.shutdown()
+        nd_store = scratch_dir("nd_store") + "/store"
+        n1 = incremental_near_dedup(
+            docs.where(F.col("doc_id") % 2 == 0), nd_store,
+            threshold=0.5, hash_family="md5",
+        )
+        n2 = incremental_near_dedup(
+            docs.where(F.col("doc_id") % 2 == 1), nd_store,
+            threshold=0.5, hash_family="md5",
+        )
+        cdfnd = _f_cdfnd.result()
+        _pool.shutdown()
 
         def inc_rows(b: DataFrame, kind: str) -> DataFrame:
             # same null-text sentinel the store uses, so a null-text
