@@ -295,24 +295,49 @@ def merge_upsert_versioned(
     def _norm(p: str) -> str:
         return unquote(urlparse(p).path)
 
-    dup = (
-        updates.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
-    )
-    if dup:
+    # The change batch feeds ~6 downstream consumers (dup/op checks,
+    # three broadcast joins, the rewrite union, the insert count);
+    # unpersisted it re-ran its producer pipeline per consumer (r13 —
+    # the bench's dedup-armed batch cost ~0.5 s per recompute).
+    # CDC-batch-sized by contract (it broadcasts), so caching is safe.
+    updates = updates.persist()
+    # ONE aggregate replaces three probe jobs (r13): duplicate keys
+    # exist iff row count > distinct key-struct count (struct equality
+    # matches groupBy null semantics); the op-validity set and the
+    # upsert count ride the same pass. Values and error behavior are
+    # unchanged for valid input.
+    _probe_aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.struct(*key_cols)).alias("nk"),
+    ]
+    if op_col is not None:
+        _probe_aggs += [
+            F.collect_set(op_col).alias("ops"),
+            F.sum(F.col(op_col).isNull().cast("long")).alias("null_ops"),
+            F.sum((F.col(op_col) != "D").cast("long")).alias("n_ups"),
+        ]
+    _probe = updates.agg(*_probe_aggs).first()
+    if _probe["n"] > _probe["nk"]:
+        updates.unpersist(False)
         raise ValueError(
             "merge_upsert_versioned requires one change row per key; "
             "pre-dedup the batch"
         )
     if op_col is not None:
-        ops = {r[0] for r in updates.select(op_col).distinct().collect()}
+        ops = set(_probe["ops"]) | ({None} if _probe["null_ops"] else set())
         bad = ops - {"I", "U", "D"}
         if bad:
-            raise ValueError(f"unknown ops {sorted(bad)}; expected I/U/D")
+            updates.unpersist(False)
+            raise ValueError(
+                f"unknown ops {sorted(bad, key=str)}; expected I/U/D"
+            )
         del_keys = updates.where(F.col(op_col) == "D").select(*key_cols)
         upserts = updates.where(F.col(op_col) != "D").drop(op_col)
+        n_upserts = int(_probe["n_ups"] or 0)
     else:
         del_keys = None
         upserts = updates
+        n_upserts = int(_probe["n"])
 
     doc = read_manifest(spark, table_root, version)
     fmt = doc.get("format", "parquet")
@@ -330,6 +355,7 @@ def merge_upsert_versioned(
     if extra_cols and not evolve_schema:
         # fail BEFORE any scan or write: silently dropping data a CDC
         # feed supplied is the one failure mode a MERGE must never have
+        updates.unpersist(False)
         raise ValueError(
             f"updates carry columns absent from the table {extra_cols}; "
             "pass evolve_schema=True to adopt them (reads then need "
@@ -358,20 +384,34 @@ def merge_upsert_versioned(
         # so survivors from already-evolved files keep their columns
         aff = spark.read.format(fmt).option("mergeSchema", "true").load(affected)
         survivors = aff.join(F.broadcast(upd_keys), key_cols, "left_anti")
-        matched_up_keys = (
-            aff.join(F.broadcast(upserts.select(*key_cols)), key_cols, "left_semi")
-            .select(*key_cols)
-            .distinct()
-            .count()
+        # ONE pass over the affected files computes both per-op stats
+        # (r13: was two jobs — a distinct-count semi-join for matched
+        # upsert keys and a count semi-join for deletes). Update keys
+        # are unique (enforced above), so the inner broadcast join is
+        # row-preserving for matches and the counts are identical to
+        # the two semi-joins'.
+        _op = (
+            F.col(op_col) if op_col is not None else F.lit("U")
         )
+        key_ops = updates.select(*key_cols, _op.alias("__op"))
+        _aff_stats = (
+            aff.join(F.broadcast(key_ops), key_cols, "inner")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("__op") != "D", F.struct(*key_cols))
+                ).alias("matched_up"),
+                F.sum((F.col("__op") == "D").cast("long")).alias("deleted"),
+            )
+            .first()
+        )
+        matched_up_keys = int(_aff_stats["matched_up"] or 0)
         if del_keys is not None:
-            rows_deleted = aff.join(
-                F.broadcast(del_keys), key_cols, "left_semi"
-            ).count()
+            rows_deleted = int(_aff_stats["deleted"] or 0)
     else:
         survivors = None
     missing = [c for c in tbl.columns if c not in upserts.columns]
     if missing and not (evolve_schema or allow_missing_update_cols):
+        updates.unpersist(False)
         # loud by default (r10 review): a change batch that silently
         # DROPS a table column (producer bug) must not rewrite every
         # matched row with NULLs. Post-evolution batches that
@@ -401,8 +441,9 @@ def merge_upsert_versioned(
     new_files = [
         {"path": p, "bytes": b} for p, b in list_data_files(spark, rewrite_dir)
     ]
-    n_ups = upserts.count()
-    rows_inserted = max(0, n_ups - matched_up_keys)
+    # n_upserts came from the entry probe aggregate — no extra job
+    rows_inserted = max(0, n_upserts - matched_up_keys)
+    updates.unpersist(False)
     new_version = commit_files(
         spark,
         table_root,
@@ -429,10 +470,20 @@ def read_manifest(spark: SparkSession, table_root: str, version: int | None = No
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
-    # one tiny JSON file, read through Spark itself (wholeTextFiles
-    # goes through the same Hadoop FS layer — no extra jars assumed)
+    # one tiny JSON file, read through the Hadoop FS API directly —
+    # same FS layer as every store path (hdfs://, s3a://, local), but
+    # WITHOUT launching a Spark job: the old wholeTextFiles().collect()
+    # cost one full job (~0.1-0.2 s) per manifest read, and a manifest
+    # read fronts every versioned-table operation (r13).
     mpath = _manifest_dir(table_root) + f"/v{v:06d}.json"
-    (_, text), = spark.sparkContext.wholeTextFiles(mpath).collect()
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(mpath)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(path)
+    try:
+        text = bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
     return json.loads(text)
 
 
