@@ -556,19 +556,20 @@ def duplicate_clusters(
     # whole LSH propose+verify pipeline — it must not re-execute for
     # the size probe, the symmetrize, and every loop round).
     base = pairs.select(id_a, id_b).persist()
-    # r13: size probe and collect fused into ONE bounded action — the
-    # old count()-then-collect() shape ran two jobs over the pair
-    # pipeline per call, and this operator sits on ~8 query paths
-    # (doc/ER components, both incremental near-dup admits, SemDeDup
-    # x2, the curation funnel). limit(max+1) caps driver traffic the
-    # same way the count gate did: the common small graph arrives in
-    # one job; an over-threshold graph costs one extra (still bounded)
-    # probe before the distributed path takes over.
-    probe = base.limit(driver_max_edges + 1).collect()
-    if len(probe) <= driver_max_edges:
+    # r13 note (tried and REVERTED): fusing the size probe and the
+    # collect into one `limit(max_edges+1).collect()` measured SLOWER
+    # (dedup_clusters min-of-6 A/B: 11.4 s fused vs 7.6 s
+    # count-then-collect). CollectLimit's executeTake runs several
+    # incremental scale-up jobs (1, 4, 16... partitions) instead of
+    # one full pass, serializing extra job rounds on every CC call and
+    # leaving the persisted pair table partially materialized for the
+    # next consumer. count() materializes the cache in ONE fully
+    # parallel pass; the follow-up collect reads the cache.
+    n_pairs = base.count()
+    if n_pairs <= driver_max_edges:
         try:
             id_type = base.schema[id_a].dataType
-            rows = _unionfind_clusters(probe, id_a, id_b)
+            rows = _unionfind_clusters(base.collect(), id_a, id_b)
         finally:
             # without the finally a failed collect/union-find leaks the
             # persisted frame for the session lifetime
@@ -577,8 +578,6 @@ def duplicate_clusters(
             [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
         )
         return spark.createDataFrame(rows, schema)
-    del probe
-    n_pairs = base.count()
     # symmetrize via explode, NOT union(fwd, reversed): a union holds
     # the upstream plan twice; explode emits both directions in one
     # pass over one branch (here: over the persisted pair table).
