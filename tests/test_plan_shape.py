@@ -310,3 +310,27 @@ def test_dedup_simhash_fused_signature_stage_budget(spark, sf_dir):
         plan.count("InMemoryTableScan"),
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_document_profile_tokenizes_once(spark):
+    """r13: the ~10 token-derived profile signals must share ONE
+    staged tokenize — Catalyst does not CSE regexp trees, so the
+    per-signal spelling re-ran regexp_extract_all per signal (5x for
+    the 4-language ID alone; measured 2.1x slower). CollapseProject
+    keeps the non-cheap multiply-referenced alias staged; this pins
+    that the executed plan evaluates the word tokenizer exactly once
+    (the second regexp family in the plan is the independent BPE
+    pre-tokenizer, which uses a different pattern)."""
+    from data_integration_and_harmonization_spark.operators.text import (
+        TOKEN_RE,
+        document_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog"), (2, None)],
+        "doc_id long, text string",
+    )
+    plan = _executed(document_profile(docs))
+    word_tokenizes = plan.count(f"regexp_extract_all(lower(text"
+                                )
+    assert word_tokenizes == 1, f"{word_tokenizes} tokenizer evals:\n{plan}"
