@@ -1384,183 +1384,221 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     _f_part = _pool.submit(_part_chain)
     _f_zver = _pool.submit(_zver_chain)
     _f_compact = _pool.submit(_compact_chain)
+    try:
 
-    # '__pdf' + '__pdfmd5_*' rows (r11): baseline PDF text extraction
-    # (functions/pdf.py — Flate content streams + Tj/TJ show
-    # operators, ISO 32000-1). One two-page PDF per region row is
-    # ENGINE-ENCODED with text derived purely from the region table
-    # (page 1: 'Region (<name>)', page 2: 'key \\ <k>' — parens and a
-    # backslash in every document, so the string-escape grammar is on
-    # the oracle path), extracted back by the distributed Arrow stage.
-    # The '__pdf' row carries count / total extracted length / the
-    # key checksum REPARSED FROM THE TEXT; the second row's
-    # l_returnflag embeds the md5 of every extracted text in key
-    # order — one byte of drift anywhere in encode->extract and the
-    # hash row misses. The oracle reconstructs both from region alone.
-    from data_integration_and_harmonization_spark.functions.pdf import encode_pdf
-    from data_integration_and_harmonization_spark.operators.text import (
-        document_text_table,
-    )
-    from data_integration_and_harmonization_spark.sources.docx import encode_docx
+        # '__pdf' + '__pdfmd5_*' rows (r11): baseline PDF text extraction
+        # (functions/pdf.py — Flate content streams + Tj/TJ show
+        # operators, ISO 32000-1). One two-page PDF per region row is
+        # ENGINE-ENCODED with text derived purely from the region table
+        # (page 1: 'Region (<name>)', page 2: 'key \\ <k>' — parens and a
+        # backslash in every document, so the string-escape grammar is on
+        # the oracle path), extracted back by the distributed Arrow stage.
+        # The '__pdf' row carries count / total extracted length / the
+        # key checksum REPARSED FROM THE TEXT; the second row's
+        # l_returnflag embeds the md5 of every extracted text in key
+        # order — one byte of drift anywhere in encode->extract and the
+        # hash row misses. The oracle reconstructs both from region alone.
+        from data_integration_and_harmonization_spark.functions.pdf import encode_pdf
+        from data_integration_and_harmonization_spark.operators.text import (
+            document_text_table,
+        )
+        from data_integration_and_harmonization_spark.sources.docx import encode_docx
 
-    # '__docx' + '__docxmd5_*' rows (r12): DOCX text extraction
-    # (sources/docx.py — stdlib ECMA-376 zip + word/document.xml run
-    # walk). One two-paragraph document per region row with a w:tab
-    # in paragraph 2 ('key\t<k>' — the tab element is on the oracle
-    # path), riding in the SAME fused Arrow stage as the PDFs
-    # (document_text_table dispatches by magic bytes): a mixed
-    # document corpus pays ONE Python worker round-trip. docx ids
-    # offset by 100 so both modalities split out of one frame.
-    # '__pdf15' + '__pdfcid' rows (r12): the modern-PDF document tier.
-    # ids 200+k: PDF-1.5 fixtures with every non-stream object in a
-    # compressed /ObjStm and a /Type /XRef cross-reference STREAM
-    # behind the PNG Up predictor (the layout real writers emit) —
-    # ASCII text, so the leg isolates the xref/ObjStm machinery.
-    # ids 300+k: Identity-H CID fixtures whose 2-byte codes only
-    # decode through the /ToUnicode CMap, with non-latin text (é/ö/—)
-    # a simple-font tier cannot even represent. Both ride the same
-    # fused Arrow stage; both get count/length/key rows AND byte-exact
-    # md5 rows, all reconstructed by the oracle from region alone.
-    from data_integration_and_harmonization_spark.functions.pdf import (
-        encode_pdf_cid,
-        encode_pdf_positioned,
-    )
-    from data_integration_and_harmonization_spark.sources.epub import encode_epub
+        # '__docx' + '__docxmd5_*' rows (r12): DOCX text extraction
+        # (sources/docx.py — stdlib ECMA-376 zip + word/document.xml run
+        # walk). One two-paragraph document per region row with a w:tab
+        # in paragraph 2 ('key\t<k>' — the tab element is on the oracle
+        # path), riding in the SAME fused Arrow stage as the PDFs
+        # (document_text_table dispatches by magic bytes): a mixed
+        # document corpus pays ONE Python worker round-trip. docx ids
+        # offset by 100 so both modalities split out of one frame.
+        # '__pdf15' + '__pdfcid' rows (r12): the modern-PDF document tier.
+        # ids 200+k: PDF-1.5 fixtures with every non-stream object in a
+        # compressed /ObjStm and a /Type /XRef cross-reference STREAM
+        # behind the PNG Up predictor (the layout real writers emit) —
+        # ASCII text, so the leg isolates the xref/ObjStm machinery.
+        # ids 300+k: Identity-H CID fixtures whose 2-byte codes only
+        # decode through the /ToUnicode CMap, with non-latin text (é/ö/—)
+        # a simple-font tier cannot even represent. Both ride the same
+        # fused Arrow stage; both get count/length/key rows AND byte-exact
+        # md5 rows, all reconstructed by the oracle from region alone.
+        from data_integration_and_harmonization_spark.functions.pdf import (
+            encode_pdf_cid,
+            encode_pdf_positioned,
+        )
+        from data_integration_and_harmonization_spark.sources.epub import encode_epub
 
-    # '__zip' row (r13): zip-archive corpus ingestion — an
-    # engine-written zip of mixed pdf/docx/pptx members (one per
-    # region row, format by key mod 3) plus a non-document member,
-    # read by the distributed read_zip_corpus stage (one binaryFile
-    # task per archive, one Arrow member walk). The members UNION
-    # into doc_df below (ids 500+k), so the whole mixed corpus —
-    # loose docs and zip members — extracts in ONE fused Arrow
-    # stage. n_rows counts members whose magic-byte fmt matches the
-    # format implied by their id (pins the dispatch, not just the
-    # text); the readme member's id parses NULL and quarantines out
-    # of every range filter. Totals are reconstructed by the oracle
-    # from region alone.
-    import zipfile as _zipfile
+        # '__zip' row (r13): zip-archive corpus ingestion — an
+        # engine-written zip of mixed pdf/docx/pptx members (one per
+        # region row, format by key mod 3) plus a non-document member,
+        # read by the distributed read_zip_corpus stage (one binaryFile
+        # task per archive, one Arrow member walk). The members UNION
+        # into doc_df below (ids 500+k), so the whole mixed corpus —
+        # loose docs and zip members — extracts in ONE fused Arrow
+        # stage. n_rows counts members whose magic-byte fmt matches the
+        # format implied by their id (pins the dispatch, not just the
+        # text); the readme member's id parses NULL and quarantines out
+        # of every range filter. Totals are reconstructed by the oracle
+        # from region alone.
+        import zipfile as _zipfile
 
-    from data_integration_and_harmonization_spark.sources.docx import encode_pptx
-    from data_integration_and_harmonization_spark.sources.warc import (
-        read_zip_corpus,
-    )
+        from data_integration_and_harmonization_spark.sources.docx import encode_pptx
+        from data_integration_and_harmonization_spark.sources.warc import (
+            read_zip_corpus,
+        )
 
-    zip_file = base + "_region.zip"
-    _zip_enc = {
-        0: ("pdf", lambda t: encode_pdf([t])),
-        1: ("docx", lambda t: encode_docx([t])),
-        2: ("pptx", lambda t: encode_pptx([t])),
-    }
-    with _zipfile.ZipFile(zip_file, "w") as zf:
-        for k, n in region_rows:
-            m_ext, enc = _zip_enc[k % 3]
-            zf.writestr(f"docs/r{k}.{m_ext}", enc(f"zip {n} doc zkey {k}"))
-        zf.writestr("docs/readme.txt", b"not a document")
-    zip_docs = read_zip_corpus(spark, zip_file).select(
-        (
-            F.lit(500)
-            + F.regexp_extract("member", r"r(\d+)\.", 1).cast("long")
-        ).alias("doc_id"),
-        "payload",
-    )
-    doc_df = spark.createDataFrame(
-        [
-            (k, bytearray(encode_pdf([f"Region ({n})", f"key \\ {k}"])))
-            for k, n in region_rows
-        ]
-        + [
-            (100 + k, bytearray(encode_docx([f"Region ({n})", f"key\t{k}"])))
-            for k, n in region_rows
-        ]
-        + [
+        zip_file = base + "_region.zip"
+        _zip_enc = {
+            0: ("pdf", lambda t: encode_pdf([t])),
+            1: ("docx", lambda t: encode_docx([t])),
+            2: ("pptx", lambda t: encode_pptx([t])),
+        }
+        with _zipfile.ZipFile(zip_file, "w") as zf:
+            for k, n in region_rows:
+                m_ext, enc = _zip_enc[k % 3]
+                zf.writestr(f"docs/r{k}.{m_ext}", enc(f"zip {n} doc zkey {k}"))
+            zf.writestr("docs/readme.txt", b"not a document")
+        zip_docs = read_zip_corpus(spark, zip_file).select(
             (
-                200 + k,
-                bytearray(
-                    encode_pdf_cid(
-                        [f"Region ({n})", f"key {k}"], predictor=True
-                    )
-                ),
-            )
-            for k, n in region_rows
-        ]
-        + [
-            (300 + k, bytearray(encode_pdf_cid([f"Régiön ({n}) — clé {k}"])))
-            for k, n in region_rows
-        ]
-        # ids 400+k ('__pdf2col', r13): absolutely-positioned pages
-        # whose STREAM order is scrambled (right column first,
-        # bottom row first) — the extractor's y-then-x reading-order
-        # pass must reassemble top row first / left first, which the
-        # oracle pins byte-exactly. Linear documents keep stream
-        # order (the md5 legs above stay byte-identical).
-        + [
-            (
-                400 + k,
-                bytearray(
-                    encode_pdf_positioned(
-                        [
-                            (306, 706, f"tail {k}"),
-                            (72, 706, f"key2 {k}"),
-                            (306, 720, f"R col2 {n}"),
-                            (72, 720, f"Region ({n})"),
-                        ]
-                    )
-                ),
-            )
-            for k, n in region_rows
-        ]
-        # ids 600+k ('__epub', r13): EPUB books — OCF mimetype +
-        # container.xml -> OPF spine -> XHTML chapters, extracted in
-        # spine order by the same fused stage (sources/epub.py).
-        + [
-            (
-                600 + k,
-                bytearray(encode_epub([f"EPUB ({n})", f"chap key3 {k}"])),
-            )
-            for k, n in region_rows
-        ],
-        "doc_id long, payload binary",
-    ).unionByName(zip_docs)
-    from data_integration_and_harmonization_spark.functions.caching import track
+                F.lit(500)
+                + F.regexp_extract("member", r"r(\d+)\.", 1).cast("long")
+            ).alias("doc_id"),
+            "payload",
+        )
+        doc_df = spark.createDataFrame(
+            [
+                (k, bytearray(encode_pdf([f"Region ({n})", f"key \\ {k}"])))
+                for k, n in region_rows
+            ]
+            + [
+                (100 + k, bytearray(encode_docx([f"Region ({n})", f"key\t{k}"])))
+                for k, n in region_rows
+            ]
+            + [
+                (
+                    200 + k,
+                    bytearray(
+                        encode_pdf_cid(
+                            [f"Region ({n})", f"key {k}"], predictor=True
+                        )
+                    ),
+                )
+                for k, n in region_rows
+            ]
+            + [
+                (300 + k, bytearray(encode_pdf_cid([f"Régiön ({n}) — clé {k}"])))
+                for k, n in region_rows
+            ]
+            # ids 400+k ('__pdf2col', r13): absolutely-positioned pages
+            # whose STREAM order is scrambled (right column first,
+            # bottom row first) — the extractor's y-then-x reading-order
+            # pass must reassemble top row first / left first, which the
+            # oracle pins byte-exactly. Linear documents keep stream
+            # order (the md5 legs above stay byte-identical).
+            + [
+                (
+                    400 + k,
+                    bytearray(
+                        encode_pdf_positioned(
+                            [
+                                (306, 706, f"tail {k}"),
+                                (72, 706, f"key2 {k}"),
+                                (306, 720, f"R col2 {n}"),
+                                (72, 720, f"Region ({n})"),
+                            ]
+                        )
+                    ),
+                )
+                for k, n in region_rows
+            ]
+            # ids 600+k ('__epub', r13): EPUB books — OCF mimetype +
+            # container.xml -> OPF spine -> XHTML chapters, extracted in
+            # spine order by the same fused stage (sources/epub.py).
+            + [
+                (
+                    600 + k,
+                    bytearray(encode_epub([f"EPUB ({n})", f"chap key3 {k}"])),
+                )
+                for k, n in region_rows
+            ],
+            "doc_id long, payload binary",
+        ).unionByName(zip_docs)
+        from data_integration_and_harmonization_spark.functions.caching import track
 
-    # persisted: all four leg rows consume the extraction, and a
-    # 10-row Arrow stage still costs a full Python worker round-trip
-    # (~1 s at sf0.1 — the r4 fixed-overhead lesson); one stage
-    doc_texts = track(document_text_table(doc_df).persist())
-    pdf_texts = doc_texts.where(F.col("id") < 100).select("id", "text")
-    docx_texts = doc_texts.where(F.col("id").between(100, 199)).select(
-        (F.col("id") - 100).alias("id"), "text"
-    )
-    pdf15_texts = doc_texts.where(F.col("id").between(200, 299)).select(
-        (F.col("id") - 200).alias("id"), "text"
-    )
-    pdfcid_texts = doc_texts.where(F.col("id").between(300, 399)).select(
-        (F.col("id") - 300).alias("id"), "text"
-    )
-    pdf2col_texts = doc_texts.where(F.col("id").between(400, 499)).select(
-        (F.col("id") - 400).alias("id"), "text"
-    )
-    zip_texts = doc_texts.where(F.col("id").between(500, 599)).select(
-        (F.col("id") - 500).alias("id"), "fmt", "text"
-    )
-    epub_texts = doc_texts.where(F.col("id") >= 600).select(
-        (F.col("id") - 600).alias("id"), "text"
-    )
+        # persisted: all four leg rows consume the extraction, and a
+        # 10-row Arrow stage still costs a full Python worker round-trip
+        # (~1 s at sf0.1 — the r4 fixed-overhead lesson); one stage
+        doc_texts = track(document_text_table(doc_df).persist())
+        pdf_texts = doc_texts.where(F.col("id") < 100).select("id", "text")
+        docx_texts = doc_texts.where(F.col("id").between(100, 199)).select(
+            (F.col("id") - 100).alias("id"), "text"
+        )
+        pdf15_texts = doc_texts.where(F.col("id").between(200, 299)).select(
+            (F.col("id") - 200).alias("id"), "text"
+        )
+        pdfcid_texts = doc_texts.where(F.col("id").between(300, 399)).select(
+            (F.col("id") - 300).alias("id"), "text"
+        )
+        pdf2col_texts = doc_texts.where(F.col("id").between(400, 499)).select(
+            (F.col("id") - 400).alias("id"), "text"
+        )
+        zip_texts = doc_texts.where(F.col("id").between(500, 599)).select(
+            (F.col("id") - 500).alias("id"), "fmt", "text"
+        )
+        epub_texts = doc_texts.where(F.col("id") >= 600).select(
+            (F.col("id") - 600).alias("id"), "text"
+        )
 
-    def _doc_rows(texts, tag: str, key_re: str):
-        count_row = texts.agg(
-            F.lit(f"__{tag}").alias("l_returnflag"),
+        def _doc_rows(texts, tag: str, key_re: str):
+            count_row = texts.agg(
+                F.lit(f"__{tag}").alias("l_returnflag"),
+                F.count("text").alias("n_rows"),
+                F.lit(None).cast("double").alias("sum_qty"),
+                F.sum(F.length("text")).alias("sum_nkey"),
+                F.sum(
+                    F.regexp_extract("text", key_re, 1).cast("long")
+                ).alias("sum_rkey"),
+            )
+            md5_row = texts.agg(
+                F.concat(
+                    F.lit(f"__{tag}md5_"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(F.struct("id", "text"))),
+                                lambda s: s["text"],
+                            ),
+                            "\x1f",
+                        )
+                    ),
+                ).alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(None).cast("double").alias("sum_qty"),
+                F.lit(None).cast("long").alias("sum_nkey"),
+                F.lit(None).cast("long").alias("sum_rkey"),
+            )
+            return count_row, md5_row
+
+        pdf15_row, pdf15_md5_row = _doc_rows(pdf15_texts, "pdf15", r"key (\d+)")
+        pdfcid_row, pdfcid_md5_row = _doc_rows(
+            pdfcid_texts, "pdfcid", r"clé (\d+)"
+        )
+        pdf2col_row, pdf2col_md5_row = _doc_rows(
+            pdf2col_texts, "pdf2col", r"key2 (\d+)"
+        )
+        epub_row, epub_md5_row = _doc_rows(epub_texts, "epub", r"key3 (\d+)")
+        docx_row = docx_texts.agg(
+            F.lit("__docx").alias("l_returnflag"),
             F.count("text").alias("n_rows"),
             F.lit(None).cast("double").alias("sum_qty"),
             F.sum(F.length("text")).alias("sum_nkey"),
             F.sum(
-                F.regexp_extract("text", key_re, 1).cast("long")
+                F.regexp_extract("text", r"key\t(\d+)", 1).cast("long")
             ).alias("sum_rkey"),
         )
-        md5_row = texts.agg(
+        docx_md5_row = docx_texts.agg(
             F.concat(
-                F.lit(f"__{tag}md5_"),
+                F.lit("__docxmd5_"),
                 F.md5(
                     F.array_join(
                         F.transform(
@@ -1576,328 +1614,290 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("sum_nkey"),
             F.lit(None).cast("long").alias("sum_rkey"),
         )
-        return count_row, md5_row
+        pdf_row = pdf_texts.agg(
+            F.lit("__pdf").alias("l_returnflag"),
+            F.count("text").alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.length("text")).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract("text", r"key \\ (\d+)", 1).cast("long")
+            ).alias("sum_rkey"),
+        )
+        # '__srt' row (r11): SubRip transcript ingestion — one cue per
+        # region row (start = 60000*k + 1500, 2500 ms long, two text
+        # lines), written driver-side like the DLQ csv, parsed back by
+        # the all-JVM read_srt pipeline. n_rows = cue count, sum_nkey =
+        # sum(start_ms + end_ms), sum_rkey = the key REPARSED from the cue
+        # text — the oracle rebuilds all three from region arithmetic.
+        from data_integration_and_harmonization_spark.sources.readers import read_srt
 
-    pdf15_row, pdf15_md5_row = _doc_rows(pdf15_texts, "pdf15", r"key (\d+)")
-    pdfcid_row, pdfcid_md5_row = _doc_rows(
-        pdfcid_texts, "pdfcid", r"clé (\d+)"
-    )
-    pdf2col_row, pdf2col_md5_row = _doc_rows(
-        pdf2col_texts, "pdf2col", r"key2 (\d+)"
-    )
-    epub_row, epub_md5_row = _doc_rows(epub_texts, "epub", r"key3 (\d+)")
-    docx_row = docx_texts.agg(
-        F.lit("__docx").alias("l_returnflag"),
-        F.count("text").alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.sum(F.length("text")).alias("sum_nkey"),
-        F.sum(
-            F.regexp_extract("text", r"key\t(\d+)", 1).cast("long")
-        ).alias("sum_rkey"),
-    )
-    docx_md5_row = docx_texts.agg(
-        F.concat(
-            F.lit("__docxmd5_"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("id", "text"))),
-                        lambda s: s["text"],
-                    ),
-                    "\x1f",
+        srt_file = base + "_region.srt"
+        with open(srt_file, "w") as fh:
+            for k, n in region_rows:
+                s_ms = 60000 * k + 1500
+                fh.write(f"{k + 1}\n")
+                fh.write(
+                    f"00:{s_ms // 60000:02d}:01,500 --> 00:{s_ms // 60000:02d}:04,000\n"
                 )
+                fh.write(f"Region {n}\nkey {k}\n\n")
+        srt_row = read_srt(spark, srt_file).agg(
+            F.lit("__srt").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
+            F.sum(F.regexp_extract("text", r"key (\d+)", 1).cast("long")).alias(
+                "sum_rkey"
             ),
-        ).alias("l_returnflag"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.lit(None).cast("long").alias("sum_nkey"),
-        F.lit(None).cast("long").alias("sum_rkey"),
-    )
-    pdf_row = pdf_texts.agg(
-        F.lit("__pdf").alias("l_returnflag"),
-        F.count("text").alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.sum(F.length("text")).alias("sum_nkey"),
-        F.sum(
-            F.regexp_extract("text", r"key \\ (\d+)", 1).cast("long")
-        ).alias("sum_rkey"),
-    )
-    # '__srt' row (r11): SubRip transcript ingestion — one cue per
-    # region row (start = 60000*k + 1500, 2500 ms long, two text
-    # lines), written driver-side like the DLQ csv, parsed back by
-    # the all-JVM read_srt pipeline. n_rows = cue count, sum_nkey =
-    # sum(start_ms + end_ms), sum_rkey = the key REPARSED from the cue
-    # text — the oracle rebuilds all three from region arithmetic.
-    from data_integration_and_harmonization_spark.sources.readers import read_srt
-
-    srt_file = base + "_region.srt"
-    with open(srt_file, "w") as fh:
-        for k, n in region_rows:
-            s_ms = 60000 * k + 1500
-            fh.write(f"{k + 1}\n")
-            fh.write(
-                f"00:{s_ms // 60000:02d}:01,500 --> 00:{s_ms // 60000:02d}:04,000\n"
-            )
-            fh.write(f"Region {n}\nkey {k}\n\n")
-    srt_row = read_srt(spark, srt_file).agg(
-        F.lit("__srt").alias("l_returnflag"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
-        F.sum(F.regexp_extract("text", r"key (\d+)", 1).cast("long")).alias(
-            "sum_rkey"
-        ),
-    )
-    # '__vtt' row (r12): WebVTT ingestion — one cue per region row
-    # with an identifier line and an HOURS-LESS timecode
-    # (MM:SS.mmm), start = 60000*k + 2500 for 3000 ms; sum_rkey
-    # reparses the key from both the cue id AND the text (they must
-    # agree). The oracle rebuilds everything from region arithmetic.
-    from data_integration_and_harmonization_spark.sources.readers import read_vtt
-
-    vtt_file = base + "_region.vtt"
-    with open(vtt_file, "w") as fh:
-        fh.write("WEBVTT - engine fixture\n\n")
-        fh.write("NOTE\nno timing line here, dropped by the reader\n\n")
-        for k, n in region_rows:
-            fh.write(f"c{k}\n")
-            fh.write(f"{k:02d}:02.500 --> {k:02d}:05.500 align:start\n")
-            fh.write(f"Region {n}\nkey {k}\n\n")
-    vtt_row = read_vtt(spark, vtt_file).agg(
-        F.lit("__vtt").alias("l_returnflag"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
-        F.sum(
-            F.regexp_extract("text", r"key (\d+)", 1).cast("long")
-            + F.regexp_extract("cue_id", r"c(\d+)", 1).cast("long")
-        ).alias("sum_rkey"),
-    )
-    # '__ass' row (r13): ASS/SSA subtitle ingestion — one Dialogue
-    # event per region row (layer k%2, centisecond timecodes: start =
-    # 60000*k + 3500 for 2800 ms, override tags stripped, a \\N
-    # midline) plus a Comment event and section headers the reader
-    # must drop. sum_rkey reparses the key from the CLEANED text and
-    # adds the layer; the oracle rebuilds everything from region.
-    from data_integration_and_harmonization_spark.sources.readers import read_ass
-
-    ass_file = base + "_region.ass"
-    with open(ass_file, "w") as fh:
-        fh.write("[Script Info]\nTitle: engine fixture\n\n[Events]\n")
-        fh.write(
-            "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
-            "MarginV, Effect, Text\n"
         )
-        fh.write(
-            "Comment: 0,0:00:00.10,0:00:00.20,Default,,0,0,0,,not a cue\n"
-        )
-        for k, n in region_rows:
-            fh.write(
-                f"Dialogue: {k % 2},0:{k:02d}:03.50,0:{k:02d}:06.30,"
-                f"Default,,0,0,0,,"
-                f"Region {n}\\N{{\\i1}}key6 {k}{{\\i0}}, tail\n"
-            )
-    ass_row = read_ass(spark, ass_file).agg(
-        F.lit("__ass").alias("l_returnflag"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
-        F.sum(
-            F.regexp_extract("text", r"key6 (\d+)", 1).cast("long")
-            + F.col("layer")
-        ).alias("sum_rkey"),
-    )
-    # '__warc' + '__warcmd5_*' rows (r12, hardened r13): web-crawl
-    # ingestion — an engine-written .warc.gz (one gzip member per
-    # record, the Common Crawl layout) holding one HTML response per
-    # region row, parsed by the distributed read_warc stage and
-    # text-extracted by the all-JVM html_to_text pipeline. Odd-key
-    # responses are captured the way real wire responses look:
-    # Transfer-Encoding chunked framing (read_warc must reassemble
-    # the entity or hex chunk sizes leak into the text) and a
-    # windows-1252 charset with non-ASCII typography (the reader's
-    # charset-aware `text` column must honor the DECLARED charset —
-    # a latin-1 fallback would decode U+201C as the C1 control
-    # U+0093; same length, so the md5 row is what catches it). The
-    # expected plain text is the html pipeline's CONTRACT (title/p
-    # closers -> newlines, script blocks dropped, &amp; decoded).
-    from data_integration_and_harmonization_spark.operators.text import (
-        html_to_text,
-    )
-    from data_integration_and_harmonization_spark.sources.warc import (
-        encode_warc,
-        read_warc,
-    )
+        # '__vtt' row (r12): WebVTT ingestion — one cue per region row
+        # with an identifier line and an HOURS-LESS timecode
+        # (MM:SS.mmm), start = 60000*k + 2500 for 3000 ms; sum_rkey
+        # reparses the key from both the cue id AND the text (they must
+        # agree). The oracle rebuilds everything from region arithmetic.
+        from data_integration_and_harmonization_spark.sources.readers import read_vtt
 
-    warc_file = base + "_region.warc.gz"
-    with open(warc_file, "wb") as fh:
-        fh.write(
-            encode_warc(
-                [
-                    (
-                        f"http://crawl.example/r/{k}",
-                        f"2026-01-01T00:00:{k:02d}Z",
+        vtt_file = base + "_region.vtt"
+        with open(vtt_file, "w") as fh:
+            fh.write("WEBVTT - engine fixture\n\n")
+            fh.write("NOTE\nno timing line here, dropped by the reader\n\n")
+            for k, n in region_rows:
+                fh.write(f"c{k}\n")
+                fh.write(f"{k:02d}:02.500 --> {k:02d}:05.500 align:start\n")
+                fh.write(f"Region {n}\nkey {k}\n\n")
+        vtt_row = read_vtt(spark, vtt_file).agg(
+            F.lit("__vtt").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract("text", r"key (\d+)", 1).cast("long")
+                + F.regexp_extract("cue_id", r"c(\d+)", 1).cast("long")
+            ).alias("sum_rkey"),
+        )
+        # '__ass' row (r13): ASS/SSA subtitle ingestion — one Dialogue
+        # event per region row (layer k%2, centisecond timecodes: start =
+        # 60000*k + 3500 for 2800 ms, override tags stripped, a \\N
+        # midline) plus a Comment event and section headers the reader
+        # must drop. sum_rkey reparses the key from the CLEANED text and
+        # adds the layer; the oracle rebuilds everything from region.
+        from data_integration_and_harmonization_spark.sources.readers import read_ass
+
+        ass_file = base + "_region.ass"
+        with open(ass_file, "w") as fh:
+            fh.write("[Script Info]\nTitle: engine fixture\n\n[Events]\n")
+            fh.write(
+                "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+                "MarginV, Effect, Text\n"
+            )
+            fh.write(
+                "Comment: 0,0:00:00.10,0:00:00.20,Default,,0,0,0,,not a cue\n"
+            )
+            for k, n in region_rows:
+                fh.write(
+                    f"Dialogue: {k % 2},0:{k:02d}:03.50,0:{k:02d}:06.30,"
+                    f"Default,,0,0,0,,"
+                    f"Region {n}\\N{{\\i1}}key6 {k}{{\\i0}}, tail\n"
+                )
+        ass_row = read_ass(spark, ass_file).agg(
+            F.lit("__ass").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.col("start_ms") + F.col("end_ms")).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract("text", r"key6 (\d+)", 1).cast("long")
+                + F.col("layer")
+            ).alias("sum_rkey"),
+        )
+        # '__warc' + '__warcmd5_*' rows (r12, hardened r13): web-crawl
+        # ingestion — an engine-written .warc.gz (one gzip member per
+        # record, the Common Crawl layout) holding one HTML response per
+        # region row, parsed by the distributed read_warc stage and
+        # text-extracted by the all-JVM html_to_text pipeline. Odd-key
+        # responses are captured the way real wire responses look:
+        # Transfer-Encoding chunked framing (read_warc must reassemble
+        # the entity or hex chunk sizes leak into the text) and a
+        # windows-1252 charset with non-ASCII typography (the reader's
+        # charset-aware `text` column must honor the DECLARED charset —
+        # a latin-1 fallback would decode U+201C as the C1 control
+        # U+0093; same length, so the md5 row is what catches it). The
+        # expected plain text is the html pipeline's CONTRACT (title/p
+        # closers -> newlines, script blocks dropped, &amp; decoded).
+        from data_integration_and_harmonization_spark.operators.text import (
+            html_to_text,
+        )
+        from data_integration_and_harmonization_spark.sources.warc import (
+            encode_warc,
+            read_warc,
+        )
+
+        warc_file = base + "_region.warc.gz"
+        with open(warc_file, "wb") as fh:
+            fh.write(
+                encode_warc(
+                    [
                         (
-                            f"<html><head><title>Región ({n})</title>"
-                            f"</head><body><p>key &amp; {k} “q”</p>"
-                            f"<script>var x = 1 < 2;</script></body></html>"
+                            f"http://crawl.example/r/{k}",
+                            f"2026-01-01T00:00:{k:02d}Z",
+                            (
+                                f"<html><head><title>Región ({n})</title>"
+                                f"</head><body><p>key &amp; {k} “q”</p>"
+                                f"<script>var x = 1 < 2;</script></body></html>"
+                            ),
+                            {"chunked": True, "charset": "windows-1252"},
+                        )
+                        if k % 2 == 1
+                        else (
+                            f"http://crawl.example/r/{k}",
+                            f"2026-01-01T00:00:{k:02d}Z",
+                            f"<html><head><title>Region ({n})</title></head>"
+                            f"<body><p>key &amp; {k}</p>"
+                            f"<script>var x = 1 < 2;</script></body></html>",
+                        )
+                        for k, n in region_rows
+                    ],
+                    gzip_members=True,
+                )
+            )
+        warc_texts = (
+            read_warc(spark, warc_file)
+            .where(F.col("warc_type") == "response")
+            .select("url", html_to_text(F.col("text")).alias("text"))
+        )
+        warc_row = warc_texts.agg(
+            F.lit("__warc").alias("l_returnflag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.length("text")).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract("text", r"key & (\d+)", 1).cast("long")
+            ).alias("sum_rkey"),
+        )
+        # '__wiki' row (r13): MediaWiki dump ingestion — an engine-written
+        # bz2 export (the dump wire format) holding one ns-0 article per
+        # region row PLUS a redirect and a Category page that the article
+        # filter (ns = 0 AND redirect IS NULL) must exclude; parsed by
+        # the streaming iterparse stage of read_mediawiki. Totals are
+        # reconstructed by the oracle from region alone.
+        from data_integration_and_harmonization_spark.sources.wiki import (
+            encode_mediawiki,
+            read_mediawiki,
+        )
+
+        wiki_file = base + "_region.xml.bz2"
+        with open(wiki_file, "wb") as fh:
+            fh.write(
+                encode_mediawiki(
+                    [
+                        (k + 1, 0, f"Region ({n})", f"wiki {n} key4 {k}")
+                        for k, n in region_rows
+                    ]
+                    + [
+                        (900, 0, "Old name", "#REDIRECT [[Region]]", "Region"),
+                        (901, 14, "Category:Regions", "not an article"),
+                    ],
+                    compress="bz2",
+                )
+            )
+        wiki_row = (
+            read_mediawiki(spark, wiki_file)
+            .where((F.col("ns") == 0) & F.col("redirect").isNull())
+            .agg(
+                F.lit("__wiki").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(None).cast("double").alias("sum_qty"),
+                F.sum(F.length("text")).alias("sum_nkey"),
+                F.sum(
+                    F.regexp_extract("text", r"key4 (\d+)", 1).cast("long")
+                ).alias("sum_rkey"),
+            )
+        )
+        # '__wikitxt' row (r13): the wikitext -> plain-text cleaner (the
+        # stage between read_mediawiki and quality/dedup) over per-region
+        # markup exercising templates, piped links, refs and bold runs —
+        # all-JVM column expressions; the oracle reconstructs the CLEANED
+        # strings from region alone (fixture in, expected out — no
+        # cross-engine regex replay needed).
+        from data_integration_and_harmonization_spark.operators.text import (
+            wikitext_to_text,
+        )
+
+        wikitxt_row = (
+            spark.createDataFrame(region_rows, "k long, n string")
+            .select(
+                "k",
+                wikitext_to_text(
+                    F.format_string(
+                        "'''wiki''' [[X|%s place]] {{infobox|k=%d}} "
+                        "<ref>cite</ref>clean key5 %d",
+                        F.col("n"),
+                        F.col("k"),
+                        F.col("k"),
+                    )
+                ).alias("text"),
+            )
+            .agg(
+                F.lit("__wikitxt").alias("l_returnflag"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(None).cast("double").alias("sum_qty"),
+                F.sum(F.length("text")).alias("sum_nkey"),
+                F.sum(
+                    F.regexp_extract("text", r"key5 (\d+)", 1).cast("long")
+                ).alias("sum_rkey"),
+            )
+        )
+        zip_row = zip_texts.agg(
+            F.lit("__zip").alias("l_returnflag"),
+            F.sum(
+                (
+                    F.col("fmt")
+                    == F.element_at(
+                        F.array(F.lit("pdf"), F.lit("docx"), F.lit("pptx")),
+                        (F.col("id") % 3 + 1).cast("int"),
+                    )
+                ).cast("long")
+            ).alias("n_rows"),
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.sum(F.length("text")).alias("sum_nkey"),
+            F.sum(
+                F.regexp_extract("text", r"zkey (\d+)", 1).cast("long")
+            ).alias("sum_rkey"),
+        )
+        warc_md5_row = warc_texts.agg(
+            F.concat(
+                F.lit("__warcmd5_"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("url", "text"))),
+                            lambda s: s["text"],
                         ),
-                        {"chunked": True, "charset": "windows-1252"},
+                        "\x1f",
                     )
-                    if k % 2 == 1
-                    else (
-                        f"http://crawl.example/r/{k}",
-                        f"2026-01-01T00:00:{k:02d}Z",
-                        f"<html><head><title>Region ({n})</title></head>"
-                        f"<body><p>key &amp; {k}</p>"
-                        f"<script>var x = 1 < 2;</script></body></html>",
-                    )
-                    for k, n in region_rows
-                ],
-                gzip_members=True,
-            )
-        )
-    warc_texts = (
-        read_warc(spark, warc_file)
-        .where(F.col("warc_type") == "response")
-        .select("url", html_to_text(F.col("text")).alias("text"))
-    )
-    warc_row = warc_texts.agg(
-        F.lit("__warc").alias("l_returnflag"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.sum(F.length("text")).alias("sum_nkey"),
-        F.sum(
-            F.regexp_extract("text", r"key & (\d+)", 1).cast("long")
-        ).alias("sum_rkey"),
-    )
-    # '__wiki' row (r13): MediaWiki dump ingestion — an engine-written
-    # bz2 export (the dump wire format) holding one ns-0 article per
-    # region row PLUS a redirect and a Category page that the article
-    # filter (ns = 0 AND redirect IS NULL) must exclude; parsed by
-    # the streaming iterparse stage of read_mediawiki. Totals are
-    # reconstructed by the oracle from region alone.
-    from data_integration_and_harmonization_spark.sources.wiki import (
-        encode_mediawiki,
-        read_mediawiki,
-    )
-
-    wiki_file = base + "_region.xml.bz2"
-    with open(wiki_file, "wb") as fh:
-        fh.write(
-            encode_mediawiki(
-                [
-                    (k + 1, 0, f"Region ({n})", f"wiki {n} key4 {k}")
-                    for k, n in region_rows
-                ]
-                + [
-                    (900, 0, "Old name", "#REDIRECT [[Region]]", "Region"),
-                    (901, 14, "Category:Regions", "not an article"),
-                ],
-                compress="bz2",
-            )
-        )
-    wiki_row = (
-        read_mediawiki(spark, wiki_file)
-        .where((F.col("ns") == 0) & F.col("redirect").isNull())
-        .agg(
-            F.lit("__wiki").alias("l_returnflag"),
+                ),
+            ).alias("l_returnflag"),
             F.count(F.lit(1)).alias("n_rows"),
             F.lit(None).cast("double").alias("sum_qty"),
-            F.sum(F.length("text")).alias("sum_nkey"),
-            F.sum(
-                F.regexp_extract("text", r"key4 (\d+)", 1).cast("long")
-            ).alias("sum_rkey"),
+            F.lit(None).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
         )
-    )
-    # '__wikitxt' row (r13): the wikitext -> plain-text cleaner (the
-    # stage between read_mediawiki and quality/dedup) over per-region
-    # markup exercising templates, piped links, refs and bold runs —
-    # all-JVM column expressions; the oracle reconstructs the CLEANED
-    # strings from region alone (fixture in, expected out — no
-    # cross-engine regex replay needed).
-    from data_integration_and_harmonization_spark.operators.text import (
-        wikitext_to_text,
-    )
-
-    wikitxt_row = (
-        spark.createDataFrame(region_rows, "k long, n string")
-        .select(
-            "k",
-            wikitext_to_text(
-                F.format_string(
-                    "'''wiki''' [[X|%s place]] {{infobox|k=%d}} "
-                    "<ref>cite</ref>clean key5 %d",
-                    F.col("n"),
-                    F.col("k"),
-                    F.col("k"),
-                )
-            ).alias("text"),
-        )
-        .agg(
-            F.lit("__wikitxt").alias("l_returnflag"),
+        pdf_md5_row = pdf_texts.agg(
+            F.concat(
+                F.lit("__pdfmd5_"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("id", "text"))),
+                            lambda s: s["text"],
+                        ),
+                        "\x1f",
+                    )
+                ),
+            ).alias("l_returnflag"),
             F.count(F.lit(1)).alias("n_rows"),
             F.lit(None).cast("double").alias("sum_qty"),
-            F.sum(F.length("text")).alias("sum_nkey"),
-            F.sum(
-                F.regexp_extract("text", r"key5 (\d+)", 1).cast("long")
-            ).alias("sum_rkey"),
+            F.lit(None).cast("long").alias("sum_nkey"),
+            F.lit(None).cast("long").alias("sum_rkey"),
         )
-    )
-    zip_row = zip_texts.agg(
-        F.lit("__zip").alias("l_returnflag"),
-        F.sum(
-            (
-                F.col("fmt")
-                == F.element_at(
-                    F.array(F.lit("pdf"), F.lit("docx"), F.lit("pptx")),
-                    (F.col("id") % 3 + 1).cast("int"),
-                )
-            ).cast("long")
-        ).alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.sum(F.length("text")).alias("sum_nkey"),
-        F.sum(
-            F.regexp_extract("text", r"zkey (\d+)", 1).cast("long")
-        ).alias("sum_rkey"),
-    )
-    warc_md5_row = warc_texts.agg(
-        F.concat(
-            F.lit("__warcmd5_"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("url", "text"))),
-                        lambda s: s["text"],
-                    ),
-                    "\x1f",
-                )
-            ),
-        ).alias("l_returnflag"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.lit(None).cast("long").alias("sum_nkey"),
-        F.lit(None).cast("long").alias("sum_rkey"),
-    )
-    pdf_md5_row = pdf_texts.agg(
-        F.concat(
-            F.lit("__pdfmd5_"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("id", "text"))),
-                        lambda s: s["text"],
-                    ),
-                    "\x1f",
-                )
-            ),
-        ).alias("l_returnflag"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.lit(None).cast("double").alias("sum_qty"),
-        F.lit(None).cast("long").alias("sum_nkey"),
-        F.lit(None).cast("long").alias("sum_rkey"),
-    )
-    try:
         agg, prev_row = _f_ingest.result()
         part_row = _f_part.result()
         z_row, skip_row, del_row, merge_row, evolve_row = _f_zver.result()

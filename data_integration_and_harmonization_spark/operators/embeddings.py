@@ -21,6 +21,8 @@ All three stay in JVM column expressions — no Python UDF.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -198,6 +200,11 @@ def random_projection(
     # zip_with/aggregate ladder, same literal doubles — repr() is the
     # shortest round-trip form and Double.parseDouble returns the
     # exact same IEEE value), so results are bit-identical.
+    # a non-finite matrix entry would render as unparseable SQL
+    # ('nanD'); the seeded generator only emits finite values, so this
+    # is an assertion with a clear message rather than a fallback
+    if not all(math.isfinite(float(w)) for row in R for w in row):
+        raise ValueError("projection_matrix produced a non-finite entry")
     vec = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     comps = [
         F.expr(

@@ -20,6 +20,8 @@ bit-reproducible against the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -51,8 +53,14 @@ def _lit_vec(vals) -> Column:
     of every quantizer-construction path (~1 ms per call x k*d*m
     literals); one expr() per center parses JVM-side. repr() is the
     shortest round-trip float form and Double.parseDouble returns the
-    exact same IEEE value, so expressions are value-identical."""
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+    exact same IEEE value, so expressions are value-identical. A
+    non-finite entry (nan/inf center from degenerate input) would
+    render as unparseable SQL ('nanD'), so those fall back to the
+    per-element F.lit path, which spells NaN/Infinity validly."""
+    fv = [float(v) for v in vals]
+    if not all(math.isfinite(v) for v in fv):
+        return F.array(*[F.lit(v) for v in fv])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in fv) + ")")
 
 
 def squared_distance(a: Column, b: Column) -> Column:

@@ -41,7 +41,6 @@ from data_integration_and_harmonization_spark.operators.scrub import decontamina
 from data_integration_and_harmonization_spark.operators.text import (
     fingerprint,
     language_id_column,
-
 )
 
 # the funnel, in order; each flag implies the previous one

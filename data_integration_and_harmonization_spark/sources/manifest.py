@@ -301,158 +301,156 @@ def merge_upsert_versioned(
     # the bench's dedup-armed batch cost ~0.5 s per recompute).
     # CDC-batch-sized by contract (it broadcasts), so caching is safe.
     updates = updates.persist()
-    # ONE aggregate replaces three probe jobs (r13): duplicate keys
-    # exist iff row count > distinct key-struct count (struct equality
-    # matches groupBy null semantics); the op-validity set and the
-    # upsert count ride the same pass. Values and error behavior are
-    # unchanged for valid input.
-    _probe_aggs = [
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct(F.struct(*key_cols)).alias("nk"),
-    ]
-    if op_col is not None:
-        _probe_aggs += [
-            F.collect_set(op_col).alias("ops"),
-            F.sum(F.col(op_col).isNull().cast("long")).alias("null_ops"),
-            F.sum((F.col(op_col) != "D").cast("long")).alias("n_ups"),
+    try:
+        # ONE aggregate replaces three probe jobs (r13): duplicate keys
+        # exist iff row count > distinct key-struct count (struct equality
+        # matches groupBy null semantics); the op-validity set and the
+        # upsert count ride the same pass. Values and error behavior are
+        # unchanged for valid input.
+        _probe_aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.struct(*key_cols)).alias("nk"),
         ]
-    _probe = updates.agg(*_probe_aggs).first()
-    if _probe["n"] > _probe["nk"]:
-        updates.unpersist(False)
-        raise ValueError(
-            "merge_upsert_versioned requires one change row per key; "
-            "pre-dedup the batch"
-        )
-    if op_col is not None:
-        ops = set(_probe["ops"]) | ({None} if _probe["null_ops"] else set())
-        bad = ops - {"I", "U", "D"}
-        if bad:
-            updates.unpersist(False)
+        if op_col is not None:
+            _probe_aggs += [
+                F.collect_set(op_col).alias("ops"),
+                F.sum(F.col(op_col).isNull().cast("long")).alias("null_ops"),
+                F.sum((F.col(op_col) != "D").cast("long")).alias("n_ups"),
+            ]
+        _probe = updates.agg(*_probe_aggs).first()
+        if _probe["n"] > _probe["nk"]:
             raise ValueError(
-                f"unknown ops {sorted(bad, key=str)}; expected I/U/D"
+                "merge_upsert_versioned requires one change row per key; "
+                "pre-dedup the batch"
             )
-        del_keys = updates.where(F.col(op_col) == "D").select(*key_cols)
-        upserts = updates.where(F.col(op_col) != "D").drop(op_col)
-        n_upserts = int(_probe["n_ups"] or 0)
-    else:
-        del_keys = None
-        upserts = updates
-        n_upserts = int(_probe["n"])
+        if op_col is not None:
+            ops = set(_probe["ops"]) | ({None} if _probe["null_ops"] else set())
+            bad = ops - {"I", "U", "D"}
+            if bad:
+                raise ValueError(
+                    f"unknown ops {sorted(bad, key=str)}; expected I/U/D"
+                )
+            del_keys = updates.where(F.col(op_col) == "D").select(*key_cols)
+            upserts = updates.where(F.col(op_col) != "D").drop(op_col)
+            n_upserts = int(_probe["n_ups"] or 0)
+        else:
+            del_keys = None
+            upserts = updates
+            n_upserts = int(_probe["n"])
 
-    doc = read_manifest(spark, table_root, version)
-    fmt = doc.get("format", "parquet")
-    paths = [f["path"] for f in doc["files"]]
-    # mergeSchema on EVERY load here (r9 advice): after a prior
-    # evolve_schema merge the version holds mixed-schema files, and a
-    # plain load infers the schema from an arbitrary footer — survivor
-    # rows in new-schema files would silently lose the adopted column
-    # on rewrite, the exact data-drop failure the evolve contract
-    # forbids. Footer-union is a distributed footer-only job, cheap
-    # relative to the rewrite; it also makes ``extra_cols`` below the
-    # diff against the union of ALL file schemas, not one footer's.
-    tbl = spark.read.format(fmt).option("mergeSchema", "true").load(paths)
-    extra_cols = [c for c in upserts.columns if c not in tbl.columns]
-    if extra_cols and not evolve_schema:
-        # fail BEFORE any scan or write: silently dropping data a CDC
-        # feed supplied is the one failure mode a MERGE must never have
-        updates.unpersist(False)
-        raise ValueError(
-            f"updates carry columns absent from the table {extra_cols}; "
-            "pass evolve_schema=True to adopt them (reads then need "
-            "read_version(merge_schema=True)) or drop them explicitly"
-        )
-    upd_keys = updates.select(*key_cols).distinct()
-    # bind input_file_name to the scan BEFORE the join: after a
-    # two-source join the expression is ambiguous and Spark rejects it
-    # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
-    per_file = (
-        tbl.withColumn("__f", F.input_file_name())
-        .join(F.broadcast(upd_keys), key_cols, "left_semi")
-        .groupBy(F.col("__f").alias("f"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    affected_norm = {_norm(r["f"]) for r in per_file}
-    rows_matched = int(sum(r["n"] for r in per_file))
-    kept = [f for f in doc["files"] if _norm(f["path"]) not in affected_norm]
-    affected = [f["path"] for f in doc["files"] if _norm(f["path"]) in affected_norm]
-    rows_deleted = 0
-    matched_up_keys = 0
-    if affected:
-        # all per-key stats read ONLY the affected files (bounded by
-        # the change batch's locality, never the table); mergeSchema
-        # so survivors from already-evolved files keep their columns
-        aff = spark.read.format(fmt).option("mergeSchema", "true").load(affected)
-        survivors = aff.join(F.broadcast(upd_keys), key_cols, "left_anti")
-        # ONE pass over the affected files computes both per-op stats
-        # (r13: was two jobs — a distinct-count semi-join for matched
-        # upsert keys and a count semi-join for deletes). Update keys
-        # are unique (enforced above), so the inner broadcast join is
-        # row-preserving for matches and the counts are identical to
-        # the two semi-joins'.
-        _op = (
-            F.col(op_col) if op_col is not None else F.lit("U")
-        )
-        key_ops = updates.select(*key_cols, _op.alias("__op"))
-        _aff_stats = (
-            aff.join(F.broadcast(key_ops), key_cols, "inner")
-            .agg(
-                F.countDistinct(
-                    F.when(F.col("__op") != "D", F.struct(*key_cols))
-                ).alias("matched_up"),
-                F.sum((F.col("__op") == "D").cast("long")).alias("deleted"),
+        doc = read_manifest(spark, table_root, version)
+        fmt = doc.get("format", "parquet")
+        paths = [f["path"] for f in doc["files"]]
+        # mergeSchema on EVERY load here (r9 advice): after a prior
+        # evolve_schema merge the version holds mixed-schema files, and a
+        # plain load infers the schema from an arbitrary footer — survivor
+        # rows in new-schema files would silently lose the adopted column
+        # on rewrite, the exact data-drop failure the evolve contract
+        # forbids. Footer-union is a distributed footer-only job, cheap
+        # relative to the rewrite; it also makes ``extra_cols`` below the
+        # diff against the union of ALL file schemas, not one footer's.
+        tbl = spark.read.format(fmt).option("mergeSchema", "true").load(paths)
+        extra_cols = [c for c in upserts.columns if c not in tbl.columns]
+        if extra_cols and not evolve_schema:
+            # fail BEFORE any scan or write: silently dropping data a CDC
+            # feed supplied is the one failure mode a MERGE must never have
+            raise ValueError(
+                f"updates carry columns absent from the table {extra_cols}; "
+                "pass evolve_schema=True to adopt them (reads then need "
+                "read_version(merge_schema=True)) or drop them explicitly"
             )
-            .first()
+        upd_keys = updates.select(*key_cols).distinct()
+        # bind input_file_name to the scan BEFORE the join: after a
+        # two-source join the expression is ambiguous and Spark rejects it
+        # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+        per_file = (
+            tbl.withColumn("__f", F.input_file_name())
+            .join(F.broadcast(upd_keys), key_cols, "left_semi")
+            .groupBy(F.col("__f").alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         )
-        matched_up_keys = int(_aff_stats["matched_up"] or 0)
-        if del_keys is not None:
-            rows_deleted = int(_aff_stats["deleted"] or 0)
-    else:
-        survivors = None
-    missing = [c for c in tbl.columns if c not in upserts.columns]
-    if missing and not (evolve_schema or allow_missing_update_cols):
-        updates.unpersist(False)
-        # loud by default (r10 review): a change batch that silently
-        # DROPS a table column (producer bug) must not rewrite every
-        # matched row with NULLs. Post-evolution batches that
-        # legitimately omit adopted columns opt in explicitly.
-        raise ValueError(
-            f"updates are missing table columns {missing}; matched rows "
-            "would be rewritten with NULLs — pass "
-            "allow_missing_update_cols=True if the omission is "
-            "intentional (e.g. columns adopted by an earlier "
-            "evolve_schema merge), or supply the columns"
+        affected_norm = {_norm(r["f"]) for r in per_file}
+        rows_matched = int(sum(r["n"] for r in per_file))
+        kept = [f for f in doc["files"] if _norm(f["path"]) not in affected_norm]
+        affected = [f["path"] for f in doc["files"] if _norm(f["path"]) in affected_norm]
+        rows_deleted = 0
+        matched_up_keys = 0
+        if affected:
+            # all per-key stats read ONLY the affected files (bounded by
+            # the change batch's locality, never the table); mergeSchema
+            # so survivors from already-evolved files keep their columns
+            aff = spark.read.format(fmt).option("mergeSchema", "true").load(affected)
+            survivors = aff.join(F.broadcast(upd_keys), key_cols, "left_anti")
+            # ONE pass over the affected files computes both per-op stats
+            # (r13: was two jobs — a distinct-count semi-join for matched
+            # upsert keys and a count semi-join for deletes). Update keys
+            # are unique (enforced above), so the inner broadcast join is
+            # row-preserving for matches and the counts are identical to
+            # the two semi-joins'.
+            _op = (
+                F.col(op_col) if op_col is not None else F.lit("U")
+            )
+            key_ops = updates.select(*key_cols, _op.alias("__op"))
+            _aff_stats = (
+                aff.join(F.broadcast(key_ops), key_cols, "inner")
+                .agg(
+                    F.countDistinct(
+                        F.when(F.col("__op") != "D", F.struct(*key_cols))
+                    ).alias("matched_up"),
+                    F.sum((F.col("__op") == "D").cast("long")).alias("deleted"),
+                )
+                .first()
+            )
+            matched_up_keys = int(_aff_stats["matched_up"] or 0)
+            if del_keys is not None:
+                rows_deleted = int(_aff_stats["deleted"] or 0)
+        else:
+            survivors = None
+        missing = [c for c in tbl.columns if c not in upserts.columns]
+        if missing and not (evolve_schema or allow_missing_update_cols):
+            # loud by default (r10 review): a change batch that silently
+            # DROPS a table column (producer bug) must not rewrite every
+            # matched row with NULLs. Post-evolution batches that
+            # legitimately omit adopted columns opt in explicitly.
+            raise ValueError(
+                f"updates are missing table columns {missing}; matched rows "
+                "would be rewritten with NULLs — pass "
+                "allow_missing_update_cols=True if the omission is "
+                "intentional (e.g. columns adopted by an earlier "
+                "evolve_schema merge), or supply the columns"
+            )
+        if survivors is None:
+            out = upserts
+        else:
+            # allowMissingColumns both ways: with evolve_schema the
+            # survivors take NULL for the adopted columns; with
+            # allow_missing_update_cols (post-evolution batches omitting
+            # adopted columns) whole-row replace semantics make NULL the
+            # faithful value for a column the update row didn't supply
+            # (column order follows the survivor/table side).
+            out = survivors.unionByName(upserts, allowMissingColumns=True)
+        out.write.mode("overwrite").format(fmt).save(rewrite_dir)
+        from data_integration_and_harmonization_spark.sources.writers import (
+            list_data_files,
         )
-    if survivors is None:
-        out = upserts
-    else:
-        # allowMissingColumns both ways: with evolve_schema the
-        # survivors take NULL for the adopted columns; with
-        # allow_missing_update_cols (post-evolution batches omitting
-        # adopted columns) whole-row replace semantics make NULL the
-        # faithful value for a column the update row didn't supply
-        # (column order follows the survivor/table side).
-        out = survivors.unionByName(upserts, allowMissingColumns=True)
-    out.write.mode("overwrite").format(fmt).save(rewrite_dir)
-    from data_integration_and_harmonization_spark.sources.writers import (
-        list_data_files,
-    )
 
-    new_files = [
-        {"path": p, "bytes": b} for p, b in list_data_files(spark, rewrite_dir)
-    ]
-    # n_upserts came from the entry probe aggregate — no extra job
-    rows_inserted = max(0, n_upserts - matched_up_keys)
-    updates.unpersist(False)
-    new_version = commit_files(
-        spark,
-        table_root,
-        kept + new_files,
-        note=f"merge ({rows_matched} matched, {rows_inserted} inserted, "
-        f"{rows_deleted} deleted, {len(affected)} files rewritten)"
-        + (f" (schema evolved +{','.join(extra_cols)})" if extra_cols else ""),
-        fmt=fmt,
-    )
+        new_files = [
+            {"path": p, "bytes": b} for p, b in list_data_files(spark, rewrite_dir)
+        ]
+        # n_upserts came from the entry probe aggregate — no extra job
+        rows_inserted = max(0, n_upserts - matched_up_keys)
+        new_version = commit_files(
+            spark,
+            table_root,
+            kept + new_files,
+            note=f"merge ({rows_matched} matched, {rows_inserted} inserted, "
+            f"{rows_deleted} deleted, {len(affected)} files rewritten)"
+            + (f" (schema evolved +{','.join(extra_cols)})" if extra_cols else ""),
+            fmt=fmt,
+        )
+    finally:
+        updates.unpersist(False)
     return {
         "version": new_version,
         "files_total": len(doc["files"]),

@@ -322,7 +322,6 @@ def test_document_profile_tokenizes_once(spark):
     (the second regexp family in the plan is the independent BPE
     pre-tokenizer, which uses a different pattern)."""
     from data_integration_and_harmonization_spark.operators.text import (
-        TOKEN_RE,
         document_profile,
     )
 
@@ -331,6 +330,5 @@ def test_document_profile_tokenizes_once(spark):
         "doc_id long, text string",
     )
     plan = _executed(document_profile(docs))
-    word_tokenizes = plan.count(f"regexp_extract_all(lower(text"
-                                )
+    word_tokenizes = plan.count("regexp_extract_all(lower(text")
     assert word_tokenizes == 1, f"{word_tokenizes} tokenizer evals:\n{plan}"
