@@ -1465,7 +1465,15 @@ def q_src_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("doc_id"),
             "payload",
         )
-        doc_df = spark.createDataFrame(
+        from data_integration_and_harmonization_spark.operators.multimodal import (
+            local_media_frame,
+        )
+
+        # JVM LocalTableScan, not defaultParallelism pickled slices —
+        # each slice of a plain-list local frame costs the downstream
+        # Arrow stage a Python-worker round-trip per task (r14)
+        doc_df = local_media_frame(
+            spark,
             [
                 (k, bytearray(encode_pdf([f"Region ({n})", f"key \\ {k}"])))
                 for k, n in region_rows

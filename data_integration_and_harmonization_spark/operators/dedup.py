@@ -55,7 +55,9 @@ def _shingle_hash(col: Column, hash_family: str) -> Column:
     raise ValueError(f"unknown hash_family: {hash_family!r}")
 
 
-def word_shingles(col: Column | str, gram: int = 3) -> Column:
+def word_shingles(
+    col: Column | str, gram: int = 3, toks: Column | None = None
+) -> Column:
     """Distinct word ``gram``-shingles of the document.
 
     Shape matters: higher-order functions run interpreted, and a
@@ -66,8 +68,16 @@ def word_shingles(col: Column | str, gram: int = 3) -> Column:
     the token array is consumed only as *arguments* to
     slice/arrays_zip — each evaluated once per row — and the lambda
     touches nothing but its own zipped element.
+
+    ``toks``: a pre-staged token-array column. Without it the
+    ``tokens(col)`` regexp tree is INLINED at every reference below
+    (2 per slice: the slice input and the length bound) — Catalyst
+    does not CSE regexp trees, so the tokenizer runs ~2*gram times
+    per row (r14, guide §1.2; the same trap r13 fixed in
+    document_profile). Callers that control a projection should stage
+    ``tokens(...)`` under an alias there and pass it here.
     """
-    t = tokens(col)
+    t = tokens(col) if toks is None else toks
     n = F.greatest(F.size(t) - (gram - 1), F.lit(0))
     z = F.arrays_zip(*[F.slice(t, j + 1, n) for j in range(gram)])
     return F.array_distinct(
@@ -103,8 +113,14 @@ def minhash_signatures(
     # is one partition and would serialize the whole pass.
     n = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(n, "id")
-    ex = src.select(
-        "id", F.explode(word_shingles("t", gram)).alias("s")
+    # Stage the tokenizer ONCE per row (r14): word_shingles references
+    # its token array ~2*gram times, and unstaged each reference
+    # inlines the full regexp_extract_all tree — CollapseProject keeps
+    # a non-cheap multiply-referenced alias staged, so this projection
+    # makes the tokenizer run once per document instead of ~6x.
+    staged = src.select("id", tokens("t").alias("__tk"))
+    ex = staged.select(
+        "id", F.explode(word_shingles("t", gram, toks=F.col("__tk"))).alias("s")
     ).select("id", _shingle_hash(F.col("s"), hash_family).alias("h"))
     aggs = [
         F.min((F.col("h") * (2 * i + 1) + (7 * i + 3)) % _P).alias(f"m{i}")
@@ -904,11 +920,14 @@ def incremental_near_dedup(
         )
         .select("id_a", "id_b")
     )
-    comp = duplicate_clusters(pairs)  # (id, cluster_id); members only
-    dominated = comp.where(F.col("id") != F.col("cluster_id")).select("id")
-    keep_sig = sig.join(dominated, "id", "left_anti")
-    # (b) against history: candidate (new, admitted) band collisions,
-    # estimator-thresholded
+    # history prep BEFORE the in-batch clustering (r14): the store
+    # listing / replay filtering is jobless FS work, and the collided
+    # partition-key probe below only needs the batch's signatures —
+    # so it runs on a driver thread CONCURRENTLY with the in-batch
+    # component chain (guide §2.6) instead of as a sequential action
+    # after it.
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_integration_and_harmonization_spark.functions.stores import (
         complete_batches,
         store_fs,
@@ -929,11 +948,6 @@ def incremental_near_dedup(
     P = int(store_partitions)
     # bucket is a string key — hash to a stable int before the mod
     pb = lambda c: F.pmod(F.xxhash64(c), F.lit(P))  # noqa: E731
-    nb = (
-        _banded_rows(keep_sig, num_hashes, bands, hash_family)
-        .withColumn("pbucket", pb(F.col("bucket")))
-        .alias("n")
-    )
     if batches and not fs.exists(
         jvm.org.apache.hadoop.fs.Path(batches[0], "sigs")
     ):
@@ -945,24 +959,46 @@ def incremental_near_dedup(
             "batch layout; re-ingest it (or move each batch's parquet "
             "into a sigs/ subdir and rebuild the index/ partitions)"
         )
+    _kpool = ThreadPoolExecutor(max_workers=1)
+    try:
+        keys_future = None
+        if batches:
+            # the batch's collided partition set, computed from ALL of
+            # the batch's signatures rather than the post-dedup keepers:
+            # a SUPERSET of the keepers' key set, so the pruned index
+            # read admits every directory the join needs (results are
+            # identical — the join itself still pairs only keeper rows);
+            # the superset costs at most a few extra directory opens and
+            # buys the probe independence from the component chain, so
+            # the two run concurrently. Still bounded by
+            # bands x store_partitions, never by batch or corpus size.
+            all_banded = _banded_rows(sig, num_hashes, bands, hash_family).withColumn(
+                "pbucket", pb(F.col("bucket"))
+            )
+            _k = (F.col("band") * P + F.col("pbucket")).alias("k")
+            keys_future = _kpool.submit(
+                lambda: [r["k"] for r in all_banded.select(_k).distinct().collect()]
+            )
+        comp = duplicate_clusters(pairs)  # (id, cluster_id); members only
+        dominated = comp.where(F.col("id") != F.col("cluster_id")).select("id")
+        keep_sig = sig.join(dominated, "id", "left_anti")
+        keys = keys_future.result() if keys_future is not None else None
+    finally:
+        _kpool.shutdown()
+    nb = (
+        _banded_rows(keep_sig, num_hashes, bands, hash_family)
+        .withColumn("pbucket", pb(F.col("bucket")))
+        .alias("n")
+    )
     if batches:
         hist = spark.read.parquet(*[f"{b}/sigs" for b in batches])  # (id, sig)
-        # the new batch's collided partition set: bounded by
-        # bands x P (~512), never by batch or corpus size — pushed as
-        # a static PARTITION filter so the index read opens only
-        # colliding (band, pbucket) directories
-        keys = [
-            r["k"]
-            for r in nb.select(
-                (F.col("band") * P + F.col("pbucket")).alias("k")
-            )
-            .distinct()
-            .collect()
-        ]
-        # one read per batch root (partition discovery wants a single
-        # basePath per partitioned table), pruned then unioned — the
-        # filter sits below each union arm, so every arm's scan opens
-        # only its colliding (band, pbucket) directories
+        # the collided (band, pbucket) set is pushed as a static
+        # PARTITION filter so the index read opens only colliding
+        # directories; one read per batch root (partition discovery
+        # wants a single basePath per partitioned table), pruned then
+        # unioned — the filter sits below each union arm, so every
+        # arm's scan opens only its colliding (band, pbucket)
+        # directories
         from functools import reduce
 
         idx_parts = [
@@ -994,7 +1030,7 @@ def incremental_near_dedup(
         )
         keep_sig = keep_sig.join(hits, "id", "left_anti")
     keep_sig = track(keep_sig.persist())
-    if not replayed and not keep_sig.isEmpty():
+    if not replayed:
         out_dir = os.path.join(
             store_path,
             f"batch-{len(batches):06d}-"
@@ -1014,21 +1050,36 @@ def incremental_near_dedup(
         # sigs sort by id so each part file's min/max id stats are
         # tight — the estimator join's hid fetch can row-group-skip
         # instead of scanning every admitted signature. A batch that
-        # admits NOTHING (full replay / all-duplicate) writes no dir
+        # admits NOTHING (full replay / all-duplicate) leaves no dir
         # at all: an empty partitioned dir would crash every later
         # schema-inferring read of the store, and a no-op batch must
         # not grow it.
+        #
+        # The sigs write runs FIRST and doubles as the cache
+        # materializer; the emptiness check then reads the cache
+        # (~free) instead of probing BEFORE the write — the old
+        # pre-write isEmpty ran every upstream map stage (the whole
+        # minhash + banded self-join + history pipeline) a second
+        # time just to peek at one partition (r14, guide §1.2). An
+        # all-duplicate batch wrote nothing before and writes one
+        # empty sigs table that is immediately deleted now — same
+        # visible store state (no _SUCCESS at any point).
         keep_sig.sort("id").write.parquet(os.path.join(out_dir, "sigs"))
-        (
-            _banded_rows(keep_sig, num_hashes, bands, hash_family)
-            .withColumn("pbucket", pb(F.col("bucket")))
-            # co-locate each (band, pbucket) into one task so every
-            # partition directory gets one file, not one per task
-            .repartition("band", "pbucket")
-            .write.partitionBy("band", "pbucket")
-            .parquet(os.path.join(out_dir, "index"))
-        )
-        fs.create(jvm.org.apache.hadoop.fs.Path(out_dir, "_SUCCESS"), True).close()
+        if keep_sig.isEmpty():
+            fs.delete(jvm.org.apache.hadoop.fs.Path(out_dir), True)
+        else:
+            (
+                _banded_rows(keep_sig, num_hashes, bands, hash_family)
+                .withColumn("pbucket", pb(F.col("bucket")))
+                # co-locate each (band, pbucket) into one task so every
+                # partition directory gets one file, not one per task
+                .repartition("band", "pbucket")
+                .write.partitionBy("band", "pbucket")
+                .parquet(os.path.join(out_dir, "index"))
+            )
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(out_dir, "_SUCCESS"), True
+            ).close()
     # survivors: batch rows minus (dominated within batch) minus
     # (history hits) — i.e. anything whose id left the signature set,
     # PLUS the no-signature (too short) docs, which are never dropped
@@ -1168,10 +1219,16 @@ def duplicated_ngram_stats(
     """
     from data_integration_and_harmonization_spark.functions.caching import track
 
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, gram)).alias("g"),
-    ).select("id", F.md5("g").alias("h"))
+    ex = (
+        # staged tokenize (r14): see minhash_signatures — unstaged,
+        # word_shingles inlines the regexp tokenizer ~2*gram times
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tk"))
+        .select(
+            "id",
+            F.explode(word_shingles(text_col, gram, toks=F.col("__tk"))).alias("g"),
+        )
+        .select("id", F.md5("g").alias("h"))
+    )
     ex = track(ex.persist())
     freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (
@@ -1409,7 +1466,10 @@ def ngram_jaccard_pairs(
     # projection then runs distributed, after the exchange.
     n = df.sparkSession.sparkContext.defaultParallelism
     base = base.repartition(n, *[F.col(k) for k in keys])
-    s = base.select("id", *keys, word_shingles("__t", gram).alias("sh"))
+    # staged tokenize (r14): see minhash_signatures
+    s = base.select("id", *keys, tokens("__t").alias("__tk")).select(
+        "id", *keys, word_shingles("__t", gram, toks=F.col("__tk")).alias("sh")
+    )
     left, right = s.alias("l"), s.alias("r")
     on = (F.col("l.id") < F.col("r.id"))
     for k in keys:
@@ -1450,7 +1510,9 @@ def lsh_verified_pairs(
     sh = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .repartition(n, "id")
-        .select("id", word_shingles("t", gram).alias("sh"))
+        # staged tokenize (r14): see minhash_signatures
+        .select("id", tokens("t").alias("__tk"))
+        .select("id", word_shingles("t", gram, toks=F.col("__tk")).alias("sh"))
     )
     j = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -1733,22 +1795,25 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        # r13 note (guide §2.6, tried and REVERTED): running the exact
-        # and near store chains on driver threads alongside the CDF
-        # drain measured SLOWER (bench A/B min-of-5: 13.4 s sequential
-        # vs 14.5 s threaded). The near chain is the critical path
-        # (~12.6 s warm vs 1.7 s exact) and its stages already fan
-        # 32-wide, so this query is CPU-saturated — concurrent chains
-        # stretch the critical path's stages by exactly the work they
-        # add and pay scheduler overhead on top. Only the CDF drain
-        # (latency-bound streaming fixed costs, a good overlap
-        # partner) stays threaded, as before.
-        _pool = ThreadPoolExecutor(max_workers=1)
+        # r13 threaded the exact chain alongside the near chain and
+        # REVERTED it (then: 13.4 s sequential vs 14.5 s threaded —
+        # the near chain was wall-to-wall 32-wide stages). r14 cut the
+        # near chain's sequential actions (post-write emptiness probe,
+        # threaded history-key probe), which re-opened scheduler gaps;
+        # a fresh interleaved A/B (min-of-5, same process) now reads
+        # threaded 11.1 s vs sequential 11.4 s min (12.0 vs 13.4
+        # median), so the exact chain rides a driver thread again,
+        # next to the CDF drain.
+        _pool = ThreadPoolExecutor(max_workers=2)
         _f_cdfnd = _pool.submit(_cdfnd_chain)
 
-        store = scratch_dir("fp_store") + "/store"
-        b1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
-        b2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
+        def _exact_chain():
+            store = scratch_dir("fp_store") + "/store"
+            eb1 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 0), store)
+            eb2 = incremental_exact_dedup(docs.where(F.col("doc_id") % 2 == 1), store)
+            return eb1, eb2
+
+        _f_exact = _pool.submit(_exact_chain)
         # 'nd1'/'nd2' legs: the NEAR-dup admit sequence
         # (incremental_near_dedup) over the same even/odd batches —
         # signature-store matching (banded LSH + estimated Jaccard at
@@ -1763,6 +1828,7 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.where(F.col("doc_id") % 2 == 1), nd_store,
             threshold=0.5, hash_family="md5",
         )
+        b1, b2 = _f_exact.result()
         cdfnd = _f_cdfnd.result()
         _pool.shutdown()
 
@@ -2108,7 +2174,15 @@ def dedup_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             ),
         ]
-        media = spark.createDataFrame(
+        from data_integration_and_harmonization_spark.operators.multimodal import (
+            local_media_frame,
+        )
+
+        # JVM LocalTableScan, not defaultParallelism pickled slices —
+        # each slice of a plain-list local frame costs the downstream
+        # Arrow stage a Python-worker round-trip per task (r14)
+        media = local_media_frame(
+            spark,
             [(i, bytearray(p)) for i, p in payloads],
             "media_id long, payload binary",
         )

@@ -405,10 +405,6 @@ def train_models(
     train = assembler.transform(train).cache()
     test = assembler.transform(test)
 
-    n_classes = 0
-    if is_classification:
-        n_classes = base.select("label").distinct().count()
-
     def fit_one(name: str, model: Any) -> dict[str, float]:
         if hasattr(model, "setLabelCol"):
             model.setLabelCol("label")
@@ -480,12 +476,24 @@ def train_models(
     zoo = _model_zoo(is_classification, seed)
     # materialize BOTH split halves before the concurrent fits: each
     # thread evaluates on test, and an uncached test would re-run the
-    # full scan+dropna+sort lineage once per model.
+    # full scan+dropna+sort lineage once per model. The two cache
+    # materializations and the class-count probe are independent
+    # single-agg jobs over cached frames, run back-to-back before —
+    # three sequential driver-action latencies; overlapping them
+    # (guide §2.6) changes no value (counts only materialize, the
+    # distinct is the same aggregate).
     test = test.cache()
-    train.count()
-    test.count()
-    base.unpersist(False)
     from concurrent.futures import ThreadPoolExecutor
+
+    n_classes = 0
+    with ThreadPoolExecutor(max_workers=2) as _pre:
+        _f_tr = _pre.submit(train.count)
+        _f_te = _pre.submit(test.count)
+        if is_classification:
+            n_classes = base.select("label").distinct().count()
+        _f_tr.result()
+        _f_te.result()
+    base.unpersist(False)
 
     with ThreadPoolExecutor(max_workers=len(zoo)) as pool:
         futures = {name: pool.submit(fit_one, name, model) for name, model in zoo.items()}

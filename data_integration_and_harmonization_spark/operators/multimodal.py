@@ -52,6 +52,32 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def local_media_frame(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Small driver-built fixture frame as a JVM ``LocalTableScan``
+    (via a pandas/Arrow ``createDataFrame``) instead of the plain
+    list path. The list path parallelizes into ``defaultParallelism``
+    pickled slices, and EVERY downstream task that touches a slice
+    pays a Python-worker round-trip just to deserialize it — 32
+    near-empty Arrow tasks for a 15-row fixture at local[32] (r14;
+    this inverse-scaled mm_meta_features: more cores = more empty
+    Python tasks; a ``coalesce(1)`` is WORSE — it serializes the 32
+    per-slice worker round-trips into one task, measured ~5 s). The
+    Arrow path ships the rows straight into the JVM: no Python
+    stage for frame creation at all, and bounded partitions.
+    """
+    import pandas as pd
+
+    names = [f.split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(
+        {
+            n: [bytes(r[i]) if isinstance(r[i], (bytearray, memoryview)) else r[i] for r in rows]
+            for i, n in enumerate(names)
+        },
+        columns=names,
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def to_media_table(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
     """Wrap an id + binary column into the engine's media layout with
     metadata computed JVM-side (length, sha2 digest)."""
@@ -921,7 +947,10 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             subsampling="420",
             restart_interval=2,
         )
-        return spark.createDataFrame(
+        # local_media_frame (r14): JVM LocalTableScan, not 32 pickled
+        # parallelize slices — see the helper's docstring.
+        return local_media_frame(
+            spark,
             [
                 (-1, bytearray(png), "image/png"),
                 (-2, bytearray(gif), "image/gif"),
@@ -1028,7 +1057,8 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geometry from tkhd 16.16 fixed-point; luma/motion are NULL
         # by design (metadata tier — no frame decode in a compressed
         # container).
-        av_media = spark.createDataFrame(
+        av_media = local_media_frame(
+            spark,
             [
                 (-5, bytearray(MC.encode_wav(8192, sine))),
                 (-6, bytearray(v_mono)),
@@ -1130,7 +1160,7 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             ],
             "media_id long, payload binary",
-        )
+        )  # JVM LocalTableScan, not 32 pickled slices (r14)
         av_rows = (
             extract_temporal_features(av_media, n_bands=8, frame=256, n_sample=4)
             .select(
@@ -1189,7 +1219,8 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(F.broadcast(vid_map), "_src_file")
             .select("video_id", "seq", "start_ms", "end_ms")
         )
-        align_videos = spark.createDataFrame(
+        align_videos = local_media_frame(
+            spark,
             [
                 (
                     -8,
@@ -1207,7 +1238,7 @@ def multimodal_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             ],
             "video_id long, payload binary",
-        )
+        )  # JVM LocalTableScan, not 32 pickled slices (r14)
         align_rows = transcript_video_alignment(cues_df, align_videos).select(
             F.lit("align").alias("kind"),
             F.col("video_id").alias("media_id"),

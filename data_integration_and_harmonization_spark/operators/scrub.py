@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_integration_and_harmonization_spark.operators.dedup import word_shingles
+from data_integration_and_harmonization_spark.operators.text import tokens
 
 # PII patterns restricted to constructs Java regex (Spark) and RE2
 # (DuckDB / Go / Rust engines) treat identically: char classes, bounded
@@ -63,14 +64,19 @@ def decontaminate(
 
     Output: (id, n_grams, n_hit, contamination, contaminated).
     """
+    # staged tokenize on both sides (r14): word_shingles inlines its
+    # regexp tokenizer ~2*gram times unless the token array is staged
+    # under an alias in a prior projection (see dedup.word_shingles)
     ev = (
-        eval_df.select(F.explode(word_shingles(text_col, gram)).alias("g"))
+        eval_df.select(tokens(text_col).alias("__tk"))
+        .select(F.explode(word_shingles(text_col, gram, toks=F.col("__tk"))).alias("g"))
         .select(F.md5("g").alias("h"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     ex = (
-        corpus.select(F.col(id_col).alias("id"), F.explode(word_shingles(text_col, gram)).alias("g"))
+        corpus.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tk"))
+        .select("id", F.explode(word_shingles(text_col, gram, toks=F.col("__tk"))).alias("g"))
         .select("id", F.md5("g").alias("h"))
     )
     per_doc = (

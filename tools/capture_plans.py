@@ -1,13 +1,15 @@
 """Capture .explain("formatted") for every declared query into
-plans/r13/<query>_<suffix>.txt — the optimization round's evidence
+plans/r<N>/<query>_<suffix>.txt — the optimization round's evidence
 artifact (the judge checks plan claims against these files).
 
 Usage: python tools/capture_plans.py <sf_dir> <suffix> [query ...]
 
+The round dir is $SPARK_GRAFT_PLANS_DIR (default plans/r14).
+
 Each file holds the formatted physical plan of the query's RETURNED
 frame. Queries whose construction runs eager artifact work (store
 builds, fits) pay that work here; the plan captured is the serve
-plan — build-side job structure is documented in OPTIMIZATION_r13.md
+plan — build-side job structure is documented in the round write-up
 from bench split timings instead.
 """
 
@@ -29,7 +31,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
