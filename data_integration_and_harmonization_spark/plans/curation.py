@@ -137,10 +137,27 @@ def curate_annotate(
     ).withColumn(
         _FLAG["language"], F.col(_FLAG["quality"]) & (F.col("lang_pred") == lang)
     )
+    # Conditional aggregate, NOT where(flag)+groupBy (r14): this
+    # subtree runs BELOW the ann persist, and PushDownPredicates
+    # substitutes alias definitions into a pushed filter regardless of
+    # cost — the flag predicate landed as a Filter directly over the
+    # scan with the staged tokenizer re-inlined ~20x per row (the
+    # pushdown undoes the tokenize-once staging; Filter conditions
+    # don't get CollapseProject's multi-reference protection). The
+    # when() lives in a projection, so the staged __toks alias
+    # survives and the tokenizer runs once per row. Semantics are
+    # identical: min() ignores the NULLs non-survivors map to, and a
+    # group with no survivors yields __keep NULL — exactly what the
+    # left join produced for a group absent from the filtered build
+    # (the exact_dedup flag is already gated on the language flag, so
+    # NULL == no-match either way).
     keep = (
-        ann.where(F.col(_FLAG["language"]))
+        ann.select(
+            "__fp",
+            F.when(F.col(_FLAG["language"]), F.col("doc_id")).alias("__cand"),
+        )
         .groupBy("__fp")
-        .agg(F.min("doc_id").alias("__keep"))
+        .agg(F.min("__cand").alias("__keep"))
     )
     ann = ann.join(keep, "__fp", "left").withColumn(
         _FLAG["exact_dedup"],

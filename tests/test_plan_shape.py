@@ -332,3 +332,43 @@ def test_document_profile_tokenizes_once(spark):
     plan = _executed(document_profile(docs))
     word_tokenizes = plan.count("regexp_extract_all(lower(text")
     assert word_tokenizes == 1, f"{word_tokenizes} tokenizer evals:\n{plan}"
+
+
+def test_minhash_signatures_tokenizes_once(spark):
+    """r14: word_shingles references its token array ~2*gram times
+    (slice inputs + length bounds), and unstaged each reference
+    inlines the full regexp tokenizer — the signature pass paid ~6
+    tokenizer evals per document. The staged __tk projection must
+    keep it at exactly one (CollapseProject retains a non-cheap
+    multiply-referenced alias)."""
+    from data_integration_and_harmonization_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog jumps over"), (2, None)],
+        "doc_id long, text string",
+    )
+    plan = _executed(minhash_signatures(docs))
+    word_tokenizes = plan.count("regexp_extract_all(lower(")
+    assert word_tokenizes == 1, f"{word_tokenizes} tokenizer evals:\n{plan}"
+
+
+def test_decontaminate_tokenizes_once_per_side(spark):
+    """r14: same staging pin for the decontamination n-gram explode —
+    one tokenizer eval per side (corpus + eval set)."""
+    from data_integration_and_harmonization_spark.operators.scrub import (
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "iota kappa lambda mu nu xi omicron pi")],
+        "doc_id long, text string",
+    )
+    plan = _executed(decontaminate(docs, ev))
+    word_tokenizes = plan.count("regexp_extract_all(lower(")
+    assert word_tokenizes == 2, f"{word_tokenizes} tokenizer evals:\n{plan}"
