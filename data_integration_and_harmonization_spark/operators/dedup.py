@@ -1543,14 +1543,23 @@ def embedding_near_dup_pairs(
     Output: (id_a, id_b, cosine_sim) with cosine >= threshold.
     """
     from data_integration_and_harmonization_spark.operators.similarity import (
-        cosine,
+        dot,
+        norm,
         signbit_bucket,
     )
 
+    # Per-vector norm computed ONCE before the self-join (r14, guide
+    # §1.2): cosine(l.v, r.v) spelled per pair re-runs BOTH norms —
+    # interpreted O(d) HOF aggregates — once per candidate pair; the
+    # exact same sqrt values staged per vector ride the (one) bucket
+    # exchange as 8 bytes/row and the per-pair work drops to the dot
+    # product. dot/(nrm_l*nrm_r) is the same expression tree with the
+    # same evaluation order, so every cosine is bit-identical.
     s = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
     n = emb.sparkSession.sparkContext.defaultParallelism
     s = s.repartition(n, "bucket")
@@ -1561,7 +1570,9 @@ def embedding_near_dup_pairs(
     ).select(
         F.col("l.id").alias("id_a"),
         F.col("r.id").alias("id_b"),
-        F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+        ).alias("cosine_sim"),
     )
     return pairs.where(F.col("cosine_sim") >= threshold)
 
@@ -1598,7 +1609,8 @@ def semantic_dedup(
     """
     from data_integration_and_harmonization_spark.operators.similarity import (
         _seed_centers,
-        cosine,
+        dot,
+        norm,
     )
 
     if centroids == "seed":
@@ -1660,7 +1672,14 @@ def semantic_dedup(
     # recompute per job. Tracked, released at the query boundary.
     from data_integration_and_harmonization_spark.functions.caching import track
 
-    assigned = track(assigned.repartition(n, "cell").persist())
+    # per-vector norm staged into the PERSISTED assignment (r14, guide
+    # §1.2): the in-cell join evaluated cosine(l.v, r.v) per candidate
+    # pair, re-running both interpreted O(d) norm aggregates per pair;
+    # cached once per vector, the per-pair work drops to the dot
+    # product. Same expression tree and order — bit-identical cosines.
+    assigned = track(
+        assigned.withColumn("nrm", norm(F.col("v"))).repartition(n, "cell").persist()
+    )
     l, r = assigned.alias("l"), assigned.alias("r")
     pairs = (
         l.join(
@@ -1670,7 +1689,10 @@ def semantic_dedup(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

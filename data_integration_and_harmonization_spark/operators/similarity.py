@@ -90,15 +90,26 @@ def brute_force_topk(
 
     Output: (query_id, rank, neighbor_id, cosine_sim).
     """
+    # per-vector norms staged per side (r14, guide §1.2): cosine per
+    # (query, candidate) pair re-ran both interpreted O(d) norm
+    # aggregates once per pair; staged, the per-pair work is the dot
+    # product. dot/(q_nrm*c_nrm) keeps cosine's exact operand order,
+    # so every similarity is bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_nrm"),
+    )
     scored = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
@@ -129,20 +140,27 @@ def lsh_topk(
     bucket. Same output shape as :func:`brute_force_topk`; recall
     depends on bucket granularity (use :func:`ann_recall` to measure).
     """
+    # staged per-side norms — see brute_force_topk (r14)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         signbit_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        norm(F.col(vec_col)).alias("c_nrm"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
@@ -232,10 +250,16 @@ def ivf_topk(
     )
     # per query: distance to every centroid (n_clusters is small), keep
     # the n_probe nearest cells
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        # staged per-side norms — see brute_force_topk (r14)
+        norm(F.col(vec_col)).alias("q_nrm"),
+    )
     qc = q.crossJoin(F.broadcast(centers_df)).select(
         "query_id",
         "q_vec",
+        "q_nrm",
         "cell",
         squared_distance(F.col("q_vec"), F.col("center")).alias("d2"),
     )
@@ -243,9 +267,14 @@ def ivf_topk(
     probes = qc.withColumn("pr", F.row_number().over(wq)).where(F.col("pr") <= n_probe)
 
     scored = (
-        assigned.join(F.broadcast(probes.select("query_id", "q_vec", "cell")), "cell")
+        assigned.withColumn("c_nrm", norm(F.col("c_vec")))
+        .join(F.broadcast(probes.select("query_id", "q_vec", "q_nrm", "cell")), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (

@@ -67,6 +67,9 @@ OPERATORS = {
     # r10 session additions
     "mm_meta_features": "media decode + fused audio/video temporal features",
     "sql_shipping_priority": "SQL Q3 + correlated-subquery decorrelation",
+    # r14: the ML zoo fit (top-8 heaviest driver query; fits amortize
+    # with data, so the probe shows whether wall time tracks rows)
+    "ml_classification": "model-zoo fits + persistence roundtrip + quality clf",
 }
 
 
@@ -154,6 +157,11 @@ def main() -> int:
     ap.add_argument("--base", default=BASE)
     ap.add_argument("--out", default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--reuse",
+        action="store_true",
+        help="reuse an existing replica at --out (skip the build)",
+    )
     ap.add_argument("only", nargs="*", help="probe only these operators")
     args = ap.parse_args()
 
@@ -175,10 +183,13 @@ def main() -> int:
         OPERATORS = {k: v for k, v in OPERATORS.items() if k in set(args.only)}
 
     out = args.out or tempfile.mkdtemp(prefix="dih_scale_probe_")
-    t0 = time.time()
-    print(f"# building {args.replicas}x replica of {args.base} -> {out}", file=sys.stderr)
-    build_replica(spark, args.base, out, args.replicas)
-    print(f"# replica built in {time.time() - t0:.1f}s", file=sys.stderr)
+    if args.reuse and os.path.exists(os.path.join(out, "lineitem.parquet")):
+        print(f"# reusing replica at {out}", file=sys.stderr)
+    else:
+        t0 = time.time()
+        print(f"# building {args.replicas}x replica of {args.base} -> {out}", file=sys.stderr)
+        build_replica(spark, args.base, out, args.replicas)
+        print(f"# replica built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     dirs = [("sf0.01", args.small), ("sf0.1", args.base), (f"{args.replicas}x", out)]
     results: dict[str, dict[str, float]] = {}
